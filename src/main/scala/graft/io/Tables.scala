@@ -1,0 +1,34 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source registry: resolves logical table names to parquet scans.
+  *
+  * Mirrors the reference's `source('bronze', T)` resolution
+  * (reference `models/sources/bronze/bronze.yml:8,29,43,65`;
+  * `orders_cleaned.sql:52`) — a name → location mapping behind which
+  * Catalyst sees a plain columnar file scan, so predicate pushdown /
+  * column pruning apply unchanged. At cluster scale the same registry
+  * would point at object-store URIs or catalog tables; locally it is
+  * `<sfDir>/<name>.parquet`.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
+      // reader rejects (PARQUET_TYPE_ILLEGAL). Read nanos as long and
+      // truncate to micros — the same truncation DuckDB applies on
+      // CAST(ts AS TIMESTAMP), so oracles line up exactly.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    } else {
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    }
+  }
+}

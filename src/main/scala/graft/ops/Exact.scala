@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine exact-arithmetic helpers.
+  *
+  * Two facts drive these:
+  *  1. Double summation is order-dependent; Spark's partial aggregation
+  *     order differs from any single-threaded oracle, so money totals are
+  *     summed as exact integer cents (inputs carry 2 decimals, so
+  *     `round(x*100)` is unambiguous — integers up to 2^53 are exact and
+  *     addition is associative).
+  *  2. Spark's `round(double, n)` rounds the shortest decimal string repr
+  *     HALF_UP (`BigDecimal.valueOf`), while DuckDB rounds the binary
+  *     value — they disagree exactly on decimal halves. [[sparkRoundSql]]
+  *     reproduces Spark's semantics inside DuckDB.
+  */
+object Exact {
+
+  /** Money column → exact integer cents (Spark side). */
+  def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** Money expression → exact integer cents (DuckDB oracle side). */
+  def centsSql(e: String): String = s"CAST(round(($e)*100) AS BIGINT)"
+
+  // NOTE: do not try to replicate Spark's round(double, n) in the oracle
+  // via CAST(x AS VARCHAR) — DuckDB's double→VARCHAR is not Java's
+  // shortest round-trip repr, so the replica diverges on halves too.
+  // All portable rounding goes through halfUpDiv below instead.
+
+  /** Integer floor division (positive divisor). Kept in long range —
+    * the double round-trip is exact below 2^53. */
+  def floorDiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** round(num/den) HALF_UP in exact integer space (num ≥ 0, den > 0):
+    * floor((2·num + den) / (2·den)). This is how all money rounding is
+    * done engine-side — double `round()` is not portable across engines
+    * (Spark rounds the shortest decimal string repr, DuckDB the binary
+    * value; they disagree on decimal halves). */
+  def halfUpDiv(num: Column, den: Column): Column =
+    floorDiv(num * 2 + den, den * 2)
+
+  /** DuckDB mirror of [[halfUpDiv]]. */
+  def halfUpDivSql(num: String, den: String): String =
+    s"((($num)*2 + ($den)) // (($den)*2))"
+}

@@ -1,0 +1,47 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** High-watermark incremental gate (reference
+  * `models/silver/orders_cleaned.sql:53–59`,
+  * `customers_latest.sql:41–49`): `_cdc_timestamp >
+  * (SELECT COALESCE(MAX(last_updated_at), '<default>') FROM target)`.
+  *
+  * The scalar is deliberately collected to the driver and re-injected as
+  * a literal: Catalyst then pushes the comparison into the parquet scan
+  * (min/max row-group skipping), which is exactly the physical behavior
+  * the reference relies on for incremental efficiency. This is the one
+  * sanctioned driver-side collect in the engine (a single scalar).
+  */
+object Watermark {
+
+  /** dbt default for `var('ingest_batch_date')`, `dbt_project.yml:28`. */
+  val DefaultWatermark: Timestamp = Timestamp.valueOf("1900-01-01 00:00:00")
+
+  /** MAX(tsCol) over `df` minus `shiftDays`, or the default watermark when
+    * the table is empty. */
+  def highWatermark(df: DataFrame, tsCol: String, shiftDays: Int = 0)
+      : Timestamp = {
+    val row = df.agg(max(col(tsCol))).head()
+    if (row.isNullAt(0)) DefaultWatermark
+    else {
+      val ts = row.getTimestamp(0)
+      if (shiftDays == 0) ts
+      else Timestamp.from(ts.toInstant.minusSeconds(shiftDays * 86400L))
+    }
+  }
+
+  /** Incremental gate: rows of `incoming` strictly newer than the target's
+    * watermark. Late rows (≤ watermark) are silently dropped — replicates
+    * the reference's semantics exactly (SURVEY.md §2.9). */
+  def newerThan(incoming: DataFrame, target: Option[DataFrame],
+      incomingTs: String, targetTs: String): DataFrame =
+    target match {
+      case None => incoming // bootstrap: full scan
+      case Some(t) =>
+        incoming.filter(col(incomingTs) > lit(highWatermark(t, targetTs)))
+    }
+}
