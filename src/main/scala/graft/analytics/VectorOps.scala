@@ -1,0 +1,204 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+import graft.io.Tables
+import graft.queries.Q
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Portability trick: embeddings are quantized to integer milli-units
+  * (`round(x*1000)` — float halves are exactly representable, so the
+  * rounding agrees across engines), making dot products EXACT integer
+  * arithmetic; only the final `dot/(|a||b|)` division runs in floating
+  * point, on bit-identical inputs — so cosine scores hash-match DuckDB.
+  *
+  * Scale shape: brute-force top-k broadcasts the (small) query set and
+  * scans the corpus once — the right baseline plan at any corpus size.
+  * The LSH variant blocks on sign-bucket equality (one shuffle) and is
+  * the sub-linear path when the query set is itself large.
+  */
+object VectorOps {
+
+  /** Float embedding → exact integer milli-units. */
+  def quantize(c: Column): Column =
+    transform(c, x => round(x * 1000).cast("long"))
+  val QuantizeSql =
+    "list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT))"
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Squared norm of a quantized vector (exact integer). */
+  def norm2Q(a: Column): Column =
+    aggregate(a, lit(0L), (acc, x) => acc + x * x)
+
+  /** Cosine similarity from quantized vectors (deterministic double). */
+  def cosineQ(a: Column, b: Column, n2a: Column, n2b: Column): Column =
+    dotQ(a, b).cast("double") /
+      (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
+
+  private def T(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.load(s, d, n)
+
+  private def withQuant(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("label"), quantize(col("embedding"))
+      .as("qv"))
+      .withColumn("n2", norm2Q(col("qv")))
+
+  // ------------------------------------------- brute-force cosine top-k
+  val TopK = 10
+  val NumQueries = 8
+
+  val qAnnTopK: Q = Q(
+    "q27_ann_topk",
+    s"""WITH base AS (
+      |  SELECT vec_id, $QuantizeSql AS qv FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, qv,
+      |    (SELECT sum(u.a*u.a) FROM (SELECT unnest(qv) a) u) AS n2
+      |  FROM base),
+      |p AS (
+      |  SELECT q.vec_id AS q_id, b.vec_id,
+      |    CAST((SELECT sum(u.a*u.b)
+      |          FROM (SELECT unnest(q.qv) a, unnest(b.qv) b) u) AS DOUBLE)
+      |      / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+      |      AS cos_sim
+      |  FROM n q, n b
+      |  WHERE q.vec_id < $NumQueries AND b.vec_id <> q.vec_id)
+      |SELECT q_id, vec_id, cos_sim, CAST(rnk AS INTEGER) AS rnk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY cos_sim DESC, vec_id) AS rnk FROM p) t
+      |WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    val base = withQuant(T(s, d, "embeddings"))
+    val q = base.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+        col("n2").as("q_n2"))
+    val pairs = base.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineQ(col("q_qv"), col("qv"), col("q_n2"), col("n2"))
+          .as("cos_sim"))
+    pairs
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("rnk") <= TopK)
+      .orderBy("q_id", "rnk")
+  }
+
+  // ------------------------------------------------- embedding stats
+  val qEmbeddingStats: Q = Q(
+    "q28_embedding_stats",
+    s"""WITH n AS (
+      |  SELECT vec_id, label,
+      |    (SELECT sum(u.a*u.a)
+      |     FROM (SELECT unnest($QuantizeSql) a) u) AS n2,
+      |    len(embedding) AS dim
+      |  FROM embeddings)
+      |SELECT label,
+      |  CAST(count(*) AS BIGINT) AS n_vecs,
+      |  CAST(min(dim) AS INTEGER) AS dim,
+      |  CAST(sum(n2) AS BIGINT) AS total_norm2,
+      |  CAST(min(n2) AS BIGINT) AS min_norm2,
+      |  CAST(max(n2) AS BIGINT) AS max_norm2,
+      |  sqrt(CAST(sum(n2) AS DOUBLE) / count(*)) / 1000.0 AS rms_norm
+      |FROM n GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+    withQuant(T(s, d, "embeddings"))
+      .withColumn("dim", size(col("qv")))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        min("dim").as("dim"),
+        sum("n2").as("total_norm2"),
+        min("n2").as("min_norm2"),
+        max("n2").as("max_norm2"),
+        (sqrt(sum("n2").cast("double") / count(lit(1))) / 1000.0)
+          .as("rms_norm"))
+      .orderBy("label")
+  }
+
+  // --------------------------------------- embedding near-dup (cosine)
+  // All-pairs cosine over a deterministic sample — the exact-verification
+  // stage of an embedding-dedup pipeline (candidate generation at scale
+  // is qAnnLshBuckets).
+  val qEmbeddingDedup: Q = Q(
+    "q29_embedding_dedup",
+    s"""WITH n AS (
+      |  SELECT vec_id, label, $QuantizeSql AS qv,
+      |    (SELECT sum(u.a*u.a)
+      |     FROM (SELECT unnest($QuantizeSql) a) u) AS n2
+      |  FROM embeddings WHERE vec_id % 50 = 0)
+      |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |  CAST((SELECT sum(u.x*u.y)
+      |        FROM (SELECT unnest(a.qv) x, unnest(b.qv) y) u) AS DOUBLE)
+      |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+      |    AS cos_sim,
+      |  a.label = b.label AS same_label,
+      |  CAST((SELECT sum(u.x*u.y)
+      |        FROM (SELECT unnest(a.qv) x, unnest(b.qv) y) u) AS DOUBLE)
+      |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+      |    >= 0.95 AS is_near_dup
+      |FROM n a, n b WHERE a.vec_id < b.vec_id
+      |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    val n = withQuant(T(s, d, "embeddings"))
+      .filter(col("vec_id") % 50 === 0)
+    val a = n.as("a")
+    val b = n.as("b")
+    val cos = cosineQ(col("a.qv"), col("b.qv"), col("a.n2"), col("b.n2"))
+    a.join(b, col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        cos.as("cos_sim"),
+        (col("a.label") === col("b.label")).as("same_label"),
+        (cos >= 0.95).as("is_near_dup"))
+      .orderBy("a_id", "b_id")
+  }
+
+  // ------------------------------------------- LSH-bucketed ANN (scale)
+  // Random-hyperplane LSH: deterministic pseudo-random planes, sign-bit
+  // bucket per vector, candidates share a bucket. Engine-specific hash
+  // seeds → rows-only driver check; recall vs brute force is asserted in
+  // the ScalaTest spec.
+  val NumPlanes = 6
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1). */
+  private def planeComponent(plane: Int, dim: Int): Double = {
+    var h = plane * 2654435761L + dim * 40503L + 12345L
+    h ^= (h >>> 16); h *= 2246822519L; h ^= (h >>> 13)
+    ((h % 1000 + 1000) % 1000) / 500.0 - 1.0
+  }
+
+  def lshBucket(emb: Column, dims: Int): Column =
+    (0 until NumPlanes).map { p =>
+      val plane = array((0 until dims).map(i =>
+        lit(planeComponent(p, i))): _*)
+      val dot = aggregate(zip_with(emb, plane, (x, w) => x * w),
+        lit(0.0d), (acc, v) => acc + v)
+      when(dot >= 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  val qAnnLshBuckets: Q = Q.noOracle("q30_ann_lsh") { (s, d) =>
+    val base = T(s, d, "embeddings")
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"),
+        lshBucket(col("embedding"), 64).as("bucket"))
+      .withColumn("n2", norm2Q(col("qv")))
+    base.join(broadcast(base.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+          col("n2").as("q_n2"), col("bucket"))), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineQ(col("q_qv"), col("qv"), col("q_n2"), col("n2"))
+          .as("cos_sim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("rnk") <= TopK)
+      .orderBy("q_id", "rnk")
+  }
+
+  val all: Seq[Q] =
+    Seq(qAnnTopK, qEmbeddingStats, qEmbeddingDedup, qAnnLshBuckets)
+}

@@ -3,7 +3,11 @@ package graft.queries
 /** All driver-checkable queries, one per implemented operator family
   * (SURVEY.md §2 inventory + north-star LLM-pipeline extensions). */
 object Registry {
-  val all: Seq[Q] = RefQueries.all
+  import graft.analytics.{Multimodal, NearDup, TextOps, VectorOps}
+
+  val all: Seq[Q] =
+    RefQueries.all ++ TextOps.all ++ NearDup.all ++ VectorOps.all ++
+      Multimodal.all
 
   val flagship: Q = RefQueries.q15Flagship
 }
