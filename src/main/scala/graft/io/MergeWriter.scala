@@ -1,0 +1,35 @@
+package graft.io
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Delta-MERGE emulation for environments without Delta jars
+  * (SURVEY.md §2.1 S3/S6): the reference materializes every model with
+  * `incremental_strategy='merge'` + `on_schema_change='sync_all_columns'`
+  * (`customers_latest.sql:3–6` etc.) — MERGE matched→update-all,
+  * not-matched→insert, target schema synced to the model's SELECT.
+  *
+  * Plan shape: one anti-join on the merge key. At scale the anti-join
+  * shuffles both sides on the key unless `updates` is broadcast-small;
+  * with partitioned targets, partition-pruning the `existing` side by
+  * the updates' touched partitions bounds the rewrite (the same
+  * optimization Delta's MERGE does with file pruning). On
+  * Delta-enabled clusters this whole object is replaced by
+  * `DeltaTable.merge`.
+  */
+object MergeWriter {
+
+  /** Upsert `updates` into `existing` on `key`; output schema follows
+    * `updates` (sync_all_columns: new columns appear null-backfilled,
+    * removed columns are dropped, changed types follow the update). */
+  def merge(existing: DataFrame, updates: DataFrame, key: String)
+      : DataFrame = {
+    val kept = existing.join(updates.select(key), Seq(key), "left_anti")
+    val target = updates.schema
+    val keptSynced = kept.unionByName(updates.limit(0),
+      allowMissingColumns = true)   // null-backfill new columns
+    val aligned = keptSynced.select(target.fields.map(f =>
+      col(f.name).cast(f.dataType)): _*)
+    aligned.unionByName(updates)
+  }
+}

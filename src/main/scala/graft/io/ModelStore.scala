@@ -1,0 +1,54 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Materialized-model storage: `<root>/<layer>/<name>` parquet
+  * directories. Layer maps a dbt custom schema used verbatim
+  * (reference `macros/generate_schema_name.sql:4–11`).
+  *
+  * Writes are atomic by directory swap (write `<path>.__tmp`, then
+  * rename over the target): a failed run never leaves a torn table —
+  * the poor man's version of Delta's transactional commit.
+  *
+  * ZORDER post-hook analog (`OPTIMIZE … ZORDER BY`, reference
+  * `orders_cleaned.sql:15`): range-repartition + in-partition sort on
+  * the clustering keys before write, so parquet row-group min/max
+  * stats give the same data-skipping reads ZORDER targets.
+  */
+final class ModelStore(root: String) {
+
+  def path(layer: String, name: String): String = s"$root/$layer/$name"
+
+  def read(spark: SparkSession, layer: String, name: String)
+      : Option[DataFrame] = {
+    val p = new Path(path(layer, name))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  def write(df: DataFrame, layer: String, name: String,
+      partitionBy: Seq[String] = Nil, zorderBy: Seq[String] = Nil)
+      : Unit = {
+    val target = new Path(path(layer, name))
+    val tmp = new Path(path(layer, name) + ".__tmp")
+    val fs = target.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+
+    val clustered =
+      if (zorderBy.nonEmpty)
+        df.repartitionByRange(zorderBy.map(col): _*)
+          .sortWithinPartitions(zorderBy.map(col): _*)
+      else df
+    val writer = clustered.write.mode("overwrite")
+    val partitioned =
+      if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
+      else writer
+    partitioned.parquet(tmp.toString)
+
+    if (fs.exists(target)) fs.delete(target, true)
+    require(fs.rename(tmp, target), s"atomic swap failed for $target")
+  }
+}

@@ -1,0 +1,136 @@
+package graft.model
+
+import java.util.concurrent.Executors
+
+import scala.collection.mutable
+import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, ExecutionContext, Future}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.io.{MergeWriter, ModelStore}
+
+/** Run mode — reference `is_incremental()`:
+  * Bootstrap ≙ first run / `--full-refresh` (watermark + first-seen
+  * lookups omitted, CTAS semantics); Incremental ≙ merge-upsert run.
+  * (reference `orders_cleaned.sql:53–59,350–360`). */
+sealed trait RunMode
+object RunMode {
+  case object Bootstrap extends RunMode
+  case object Incremental extends RunMode
+}
+
+/** Everything a model build function may touch — the Scala analog of
+  * dbt's `source()` / `ref()` / `this` / `var()` / `is_incremental()`
+  * Jinja context. */
+final case class BuildCtx(
+    spark: SparkSession,
+    source: (String, String) => DataFrame,   // source('bronze', name)
+    ref: String => DataFrame,                // ref('model')
+    existing: Option[DataFrame],             // {{ this }} (None on bootstrap)
+    mode: RunMode,
+    vars: Map[String, String]) {
+  def isIncremental: Boolean =
+    mode == RunMode.Incremental && existing.isDefined
+  /** `var('ingest_batch_date')` default, `dbt_project.yml:27–28`. */
+  def variable(name: String, default: String): String =
+    vars.getOrElse(name, default)
+}
+
+/** One model — dbt `config()` block + compiled SELECT as a function
+  * (reference `orders_cleaned.sql:8–16` etc.). */
+final case class ModelDef(
+    name: String,
+    layer: String,                      // custom schema (silver/gold), O3
+    deps: Seq[String] = Nil,
+    tags: Set[String] = Set.empty,      // O2
+    uniqueKey: Option[String] = None,   // merge key, S3
+    partitionBy: Seq[String] = Nil,     // S5
+    zorderBy: Seq[String] = Nil,        // S7 post-hook analog
+    build: BuildCtx => DataFrame)
+
+/** DAG executor — the dbt orchestration layer (SURVEY.md §2.11).
+  * Topological order over `deps`, up to `threads` independent models
+  * materializing concurrently (reference `profiles.yml:8` `threads: 5`;
+  * the Spark scheduler is thread-safe so concurrent actions interleave
+  * their stages on the cluster).
+  */
+final class Pipeline(
+    models: Seq[ModelDef],
+    store: ModelStore,
+    sources: (String, String) => DataFrame,
+    vars: Map[String, String] = Map.empty,
+    threads: Int = 5) {
+
+  private val byName = models.map(m => m.name -> m).toMap
+
+  /** Topological order (deterministic: insertion order among ready). */
+  private def topoOrder(selected: Seq[ModelDef]): Seq[ModelDef] = {
+    val sel = selected.map(_.name).toSet
+    val order = mutable.ArrayBuffer.empty[ModelDef]
+    val done = mutable.Set.empty[String]
+    var remaining = selected
+    while (remaining.nonEmpty) {
+      val (ready, blocked) = remaining.partition(
+        _.deps.filter(sel).forall(done))
+      require(ready.nonEmpty,
+        s"dependency cycle among ${remaining.map(_.name).mkString(", ")}")
+      order ++= ready
+      done ++= ready.map(_.name)
+      remaining = blocked
+    }
+    order.toSeq
+  }
+
+  /** Run the (tag-selected subset of the) DAG in `mode`. Returns the
+    * materialized DataFrame per model name. */
+  def run(spark: SparkSession, mode: RunMode,
+      selectTags: Option[Set[String]] = None): Map[String, DataFrame] = {
+    val selected = selectTags match {
+      case None => models
+      case Some(ts) => models.filter(m => m.tags.exists(ts))
+    }
+    val order = topoOrder(selected)
+
+    val pool = Executors.newFixedThreadPool(threads)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    val futures = mutable.Map.empty[String, Future[Unit]]
+    try {
+      for (m <- order) {
+        val depFs = m.deps.flatMap(futures.get)
+        futures(m.name) = Future.sequence(depFs).map { _ =>
+          materialize(spark, m, mode)
+          ()
+        }
+      }
+      Await.result(Future.sequence(futures.values.toSeq), Duration.Inf)
+    } finally pool.shutdown()
+
+    order.map(m => m.name -> store.read(spark, m.layer, m.name).get).toMap
+  }
+
+  private def materialize(spark: SparkSession, m: ModelDef,
+      mode: RunMode): Unit = {
+    val existing =
+      if (mode == RunMode.Incremental) store.read(spark, m.layer, m.name)
+      else None
+    val ctx = BuildCtx(
+      spark = spark,
+      source = sources,
+      ref = name => {
+        val dep = byName(name)
+        store.read(spark, dep.layer, dep.name).getOrElse(
+          sys.error(s"ref('$name') not materialized yet"))
+      },
+      existing = existing,
+      mode = if (existing.isDefined) mode else RunMode.Bootstrap,
+      vars = vars)
+    val updates = m.build(ctx)
+    val merged = (existing, m.uniqueKey) match {
+      case (Some(ex), Some(key)) => MergeWriter.merge(ex, updates, key)
+      case _ => updates
+    }
+    store.write(merged, m.layer, m.name, m.partitionBy, m.zorderBy)
+  }
+}

@@ -1,0 +1,43 @@
+package graft.analytics
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Multimodal plumbing: ingest schema, partition-parallel decode,
+  * determinism of the stub feature extractor. */
+class MultimodalSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "hello world", "en", "srcA", 11L),
+    (2L, "spark engine", "en", "srcA", 12L),
+    (3L, "données", "fr", "srcB", 7L))
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("asMedia: binary payload + typed metadata schema") {
+    val media = Multimodal.asMedia(spark, docs)
+    val schema = media.schema.map(f => f.name -> f.dataType.typeName).toMap
+    assert(schema("payload") == "binary")
+    assert(schema("n_bytes") == "long")
+    val r = media.filter($"doc_id" === 1L).head()
+    assert(r.getAs[Long]("n_bytes") == 11L)
+    // UTF-8 multi-byte payload measured in bytes, not chars
+    val fr = media.filter($"doc_id" === 3L).head()
+    assert(fr.getAs[Long]("n_bytes") == 8L)   // é is 2 bytes
+  }
+
+  test("decodeFeatures: deterministic, schema stable, per-item correct") {
+    val media = Multimodal.asMedia(spark, docs)
+    val f1 = Multimodal.decodeFeatures(spark, media).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("checksum")).toMap
+    val f2 = Multimodal.decodeFeatures(spark, media).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("checksum")).toMap
+    assert(f1 == f2)
+    // reference checksum computed in plain Scala
+    val expected = Multimodal.fakeDecode(Multimodal.MediaItem(
+      1L, "srcA", "hello world".getBytes("UTF-8"), "text/plain", 11L))
+    assert(f1(1L) == expected.checksum)
+  }
+}

@@ -1,0 +1,54 @@
+package graft.analytics
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+/** Near-dup operator semantics on crafted corpora: shingling, exact
+  * Jaccard, MinHash estimate quality, SimHash locality. */
+class NearDupSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("shingles3: 3-gram construction, dedup, short-doc empty") {
+    val df = Seq((1L, "a b c d"), (2L, "a b"), (3L, "x x x x"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), NearDup.shingles3(col("text")).as("sh"))
+    val byId = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(byId(1L) == Set("a b c", "b c d"))
+    assert(byId(2L) == Set.empty)
+    assert(byId(3L) == Set("x x x"))   // distinct
+  }
+
+  test("minhash estimate tracks exact jaccard for near-identical docs") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 58).map(i => s"w$i").mkString(" ") + " z1 z2"
+    val unrelated = (100 to 160).map(i => s"u$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val sigs = docs
+      .select(col("doc_id"), NearDup.shingles3(col("text")).as("sh"))
+      .select(col("doc_id"), NearDup.minhashSignature(col("sh")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def est(a: Long, b: Long): Double =
+      sigs(a).zip(sigs(b)).count { case (x, y) => x == y } /
+        NearDup.NumHashes.toDouble
+    assert(est(1L, 2L) > 0.6)    // true jaccard = 56/60 shared 3-grams
+    assert(est(1L, 3L) < 0.2)    // disjoint
+  }
+
+  test("simhash: near-identical docs land within the Hamming radius") {
+    val base = (1 to 80).map(i => s"w$i").mkString(" ")
+    val oneOff = base + " extra"
+    val unrelated = (200 to 280).map(i => s"u$i").mkString(" ")
+    val df = Seq((1L, base), (2L, oneOff), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val sims = NearDup.simhash(df, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(sims(1L) ^ sims(2L)) <= 6)
+    assert(java.lang.Long.bitCount(sims(1L) ^ sims(3L)) > 10)
+  }
+}

@@ -1,0 +1,46 @@
+package graft.ops
+
+import java.math.{BigDecimal => JBD, RoundingMode}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+/** Property-style sweep for the cross-engine exact-arithmetic kernel:
+  * halfUpDiv(num, den) must equal BigDecimal HALF_UP of num/den over a
+  * deterministic pseudo-random sample plus the half/boundary cases. */
+class ExactSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  // deterministic LCG so the sweep is reproducible
+  private def lcg(seed: Long): Iterator[Long] =
+    Iterator.iterate(seed)(x => x * 6364136223846793005L + 1442695040888963407L)
+
+  test("halfUpDiv matches BigDecimal HALF_UP division") {
+    val rand = lcg(42).take(4000).grouped(2).map { p =>
+      (math.abs(p.head) % 1000000000L, math.abs(p(1)) % 100000L + 1L)
+    }.toSeq
+    val halves = Seq((5L, 10L), (15L, 10L), (25L, 10L), (1050L, 100L),
+      (0L, 7L), (999999999L, 1L))
+    val cases = rand ++ halves
+    val got = cases.toDF("n", "d")
+      .select(col("n"), col("d"), Exact.halfUpDiv(col("n"), col("d")))
+      .collect()
+    got.foreach { r =>
+      val (n, d) = (r.getLong(0), r.getLong(1))
+      val expected = new JBD(n).divide(new JBD(d), 0, RoundingMode.HALF_UP)
+        .longValueExact()
+      assert(r.getLong(2) == expected, s"num=$n den=$d")
+    }
+  }
+
+  test("cents is exact for 2-decimal doubles") {
+    val cs = lcg(7).take(2000).map(x => math.abs(x) % 1000000000L).toSeq
+    val got = cs.map(_ / 100.0).toDF("x")
+      .select(Exact.cents(col("x"))).collect().map(_.getLong(0))
+    assert(got.toSeq == cs)
+  }
+}

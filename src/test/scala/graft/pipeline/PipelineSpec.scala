@@ -1,0 +1,164 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.io.ModelStore
+import graft.model.{Pipeline, RunMode}
+
+/** End-to-end medallion pipeline: bootstrap + incremental round over
+  * CDC fixtures, asserting the reference's semantics (SURVEY.md §2.9,
+  * §5.4): latest-version dedup with tie-break, DELETE exclusion,
+  * first-seen preservation, late-row drop, merge upsert, tag
+  * selection, dim full-recompute. */
+class PipelineSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val clock = Clock(
+    Date.valueOf("2024-04-01"), Timestamp.valueOf("2024-04-01 00:00:00"))
+  private val models = new ReferenceModels(clock)
+
+  private def newPipeline(sources: Map[String, DataFrame])
+      : (Pipeline, ModelStore) = {
+    val store = new ModelStore(
+      Files.createTempDirectory("graft-pipe").toString)
+    val p = new Pipeline(models.all, store,
+      (_, name) => sources(name),
+      vars = Map("ingest_batch_date" -> "1900-01-01"))
+    (p, store)
+  }
+
+  private def byKey(df: DataFrame, key: String): Map[String, Row] =
+    df.collect().map(r => r.getString(r.fieldIndex(key)) -> r).toMap
+
+  test("bootstrap: dedup, tie-break, delete exclusion, cleaning, dim") {
+    val (p, _) = newPipeline(Map(
+      "customers_cdc" -> CdcFixtures.customersBatch1(),
+      "orders_cdc" -> CdcFixtures.ordersBatch1()))
+    val out = p.run(spark, RunMode.Bootstrap)
+
+    val cust = byKey(out("customers_latest"), "customer_id")
+    // C3 deleted, others present
+    assert(cust.keySet == Set("C1", "C2", "C5"))
+    // C1: latest version (invalid email) won
+    assert(cust("C1").getAs[String]("email") == "not-an-email")
+    assert(!cust("C1").getAs[Boolean]("is_email_valid"))
+    // country uppercased, full_name concatenated
+    assert(cust("C1").getAs[String]("country") == "USA")
+    assert(cust("C1").getAs[String]("full_name") == "Ada Lovelace")
+    // C2 short phone invalid
+    assert(!cust("C2").getAs[Boolean]("is_phone_valid"))
+    // C5: equal ts, later _ingested_at wins
+    assert(cust("C5").getAs[String]("email") == "late@example.com")
+    // dead-flag quirk: is_deleted always false in output
+    assert(out("customers_latest").collect()
+      .forall(!_.getAs[Boolean]("is_deleted")))
+
+    val ord = byKey(out("orders_cleaned"), "order_id")
+    assert(ord.keySet == Set("O1", "O2", "O3", "O5"))   // O4 deleted
+    // synonym canonicalization
+    assert(ord("O1").getAs[String]("order_status") == "CONFIRMED")
+    assert(ord("O1").getAs[String]("payment_status") == "PAID")
+    assert(ord("O1").getAs[String]("payment_method") == "CREDIT_CARD")
+    assert(ord("O1").getAs[String]("shipping_method") == "STANDARD")
+    assert(ord("O1").getAs[String]("region") == "NORTH")
+    // tax capped at 20% of raw total
+    assert(ord("O1").getAs[Double]("tax_amount") == 20.0)
+    assert(ord("O1").getAs[Double]("net_revenue") == 80.0)
+    assert(ord("O1").getAs[Boolean]("is_valid_order"))
+    // negative total → 0 → invalid
+    assert(ord("O2").getAs[Double]("order_total") == 0.0)
+    assert(!ord("O2").getAs[Boolean]("is_valid_order"))
+    // missing customer → invalid despite clean money
+    assert(!ord("O3").getAs[Boolean]("is_valid_order"))
+    // overflow capped, holiday window, season
+    assert(ord("O5").getAs[Double]("order_total") == 50000.0)
+    assert(ord("O5").getAs[String]("holiday_period") == "BLACK_FRIDAY")
+    assert(ord("O5").getAs[String]("season") == "FALL")
+    assert(ord("O5").getAs[String]("order_status") == "DELIVERED")
+
+    val dim = byKey(out("dim_customer"), "customer_id")
+    assert(dim.keySet == Set("C1", "C2", "C5"))
+    // C1: O1 (net 80) + O5 (net 50000-10=49990) valid
+    assert(dim("C1").getAs[Long]("lifetime_orders") == 2L)
+    assert(dim("C1").getAs[Double]("lifetime_value") == 50070.0)
+    assert(dim("C1").getAs[Long]("completed_orders") == 1L)   // O5
+    assert(dim("C1").getAs[String]("customer_tier") == "BRONZE") // <20 orders... 50070>=5000 but orders<20 → not PLAT; >=2000 but <10 → not GOLD; >=500 but <5 → not SILVER
+    assert(dim("C1").getAs[Int]("monetary_score") == 5)
+    assert(dim("C1").getAs[Int]("frequency_score") == 2)
+    // C2: no valid orders → PROSPECT defaults
+    assert(dim("C2").getAs[Long]("lifetime_orders") == 0L)
+    assert(dim("C2").getAs[String]("enhanced_segment") == "PROSPECT")
+    assert(dim("C2").getAs[Int]("days_since_last_order") == 9999)
+    // data quality: C1 invalid email (0.4 lost), valid phone+address
+    assert(math.abs(dim("C1").getAs[Double]("data_quality_score") - 0.6)
+      < 1e-9)
+    // geographic mapping
+    assert(dim("C1").getAs[String]("region") == "North America")
+  }
+
+  test("incremental: watermark gate, late drop, first-seen, merge") {
+    val sources = scala.collection.mutable.Map(
+      "customers_cdc" -> CdcFixtures.customersBatch1(),
+      "orders_cdc" -> CdcFixtures.ordersBatch1())
+    val (p, store) = newPipeline(sources.toMap)
+    p.run(spark, RunMode.Bootstrap)
+
+    // second round with new batches
+    val p2 = new Pipeline(models.all, store,
+      (_, name) => name match {
+        case "customers_cdc" => CdcFixtures.customersBatch2()
+        case "orders_cdc" => CdcFixtures.ordersBatch2()
+      },
+      vars = Map("ingest_batch_date" -> "1900-01-01"))
+    val out2 = p2.run(spark, RunMode.Incremental)
+
+    val cust = byKey(out2("customers_latest"), "customer_id")
+    assert(cust.keySet == Set("C1", "C2", "C4", "C5"))
+    // C1 updated, first_seen preserved from bootstrap (11:00 version)
+    assert(cust("C1").getAs[String]("city") == "Chicago")
+    assert(cust("C1").getAs[Timestamp]("first_seen_at") ==
+      Timestamp.valueOf("2024-03-15 11:00:00"))
+    assert(cust("C1").getAs[Timestamp]("last_updated_at") ==
+      Timestamp.valueOf("2024-03-15 13:00:00"))
+    // late row for C2 dropped → email unchanged
+    assert(cust("C2").getAs[String]("email") == "grace@example.com")
+    // new INSERT gets its own first_seen
+    assert(cust("C4").getAs[Timestamp]("first_seen_at") ==
+      Timestamp.valueOf("2024-03-15 14:00:00"))
+
+    val ord = byKey(out2("orders_cleaned"), "order_id")
+    assert(ord.keySet == Set("O1", "O2", "O3", "O5", "O6"))
+    // O1 merged to SHIPPED, first_seen preserved
+    assert(ord("O1").getAs[String]("order_status") == "SHIPPED")
+    assert(ord("O1").getAs[Timestamp]("first_seen_at") ==
+      Timestamp.valueOf("2024-03-16 10:30:00"))
+    assert(ord("O1").getAs[Double]("tax_amount") == 12.0)
+
+    // dim recomputed over merged state: C4 now present via O6
+    val dim = byKey(out2("dim_customer"), "customer_id")
+    assert(dim("C4").getAs[Long]("lifetime_orders") == 1L)
+    assert(dim("C4").getAs[String]("enhanced_segment") == "NEW")
+
+    // idempotence: a third run with the same batches changes nothing
+    // (every row is ≤ the watermark now)
+    val before = out2("customers_latest").collect().toSet
+    val out3 = p2.run(spark, RunMode.Incremental)
+    assert(out3("customers_latest").collect().toSet == before)
+  }
+
+  test("tag selection runs only the selected subtree") {
+    val (p, store) = newPipeline(Map(
+      "customers_cdc" -> CdcFixtures.customersBatch1(),
+      "orders_cdc" -> CdcFixtures.ordersBatch1()))
+    p.run(spark, RunMode.Bootstrap)
+    val goldOnly = p.run(spark, RunMode.Incremental,
+      selectTags = Some(Set("gold")))
+    assert(goldOnly.keySet == Set("dim_customer"))
+    // silver untouched, gold rebuilt from stored silver
+    assert(store.read(spark, "gold", "dim_customer").get.count() == 3)
+  }
+}
