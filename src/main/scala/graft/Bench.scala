@@ -10,11 +10,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // Warm up the JVM / codegen / parquet reader once so the first
+    // measured query isn't charged for session startup.
+    try { SparkEntry.entry(spark).count() } catch { case _: Throwable => }
+    spark.catalog.clearCache()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // queries may persist() shared intermediates; drop them so one
+        // query's cache doesn't skew the next measurement
+        spark.catalog.clearCache()
+        name -> (System.nanoTime() - t0) / 1e9
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

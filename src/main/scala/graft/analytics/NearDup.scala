@@ -32,6 +32,24 @@ object NearDup {
         .otherwise(array().cast("array<string>")))
   }
 
+  /** Distinct 3-gram shingle inverted index `(doc_id, s)` — the
+    * relational form of [[shingles3]]. posexplode + window `lead` stays
+    * fully inside whole-stage codegen, where the array-HOF form is
+    * interpreted per row (measured ~20× slower at sf0.1); two shuffles
+    * on doc_id, both key-partitioned and skew-safe. */
+  def shingleIndex(docs: DataFrame, id: String, text: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(id).orderBy("pos")
+    docs
+      .select(col(id), posexplode(split(text, "\\s+")).as(Seq("pos", "w1")))
+      .withColumn("w2", lead("w1", 1).over(w))
+      .withColumn("w3", lead("w1", 2).over(w))
+      .filter(col("w3").isNotNull)
+      .select(col(id), concat_ws(" ", col("w1"), col("w2"), col("w3"))
+        .as("s"))
+      .dropDuplicates(id, "s")
+  }
+
   /** Drop shingles appearing in more than `maxDf` docs (stop-shingles):
     * bounds candidate-pair fan-out, same role as LSH banding. */
   val MaxDf = 50
@@ -68,13 +86,17 @@ object NearDup {
       |JOIN sizes sb ON p.b_id = sb.doc_id
       |WHERE p.n_inter * 10000 >= (sa.n + sb.n - p.n_inter) * 5000
       |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-    val sh = T(s, d, "documents")
-      .select(col("doc_id"), explode(shingles3(col("text"))).as("s"))
-    val keep = sh.groupBy("s")
-      .agg(countDistinct(col("doc_id")).as("df"))
+    val sh = shingleIndex(T(s, d, "documents"), "doc_id", col("text"))
+    // df-cap via window (one shuffle, no extra join), then persist: the
+    // filtered inverted index is read by BOTH sides of the candidate
+    // self-join and by the per-doc sizes — without persist the whole
+    // shingle explosion is recomputed three times.
+    val shf = sh
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("s")))
       .filter(col("df") <= MaxDf)
-      .select("s")
-    val shf = sh.join(keep, Seq("s"))
+      .select("doc_id", "s")
+      .persist()
     val sizes = shf.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = shf.as("a")
     val b = shf.as("b")
@@ -112,27 +134,46 @@ object NearDup {
       array_min(transform(sh, s => xxhash64(lit(k), s)))): _*)
 
   val qMinhashLsh: Q = Q.noOracle("q25_minhash_lsh") { (s, d) =>
-    val docs = T(s, d, "documents")
-      .select(col("doc_id"), shingles3(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), minhashSignature(col("sh")).as("sig"))
-    val bands = docs.select(col("doc_id"), col("sig"),
+    // Signatures via explode → hash-aggregate of k min-hashes: unlike
+    // the transform/array_min HOF form (kept in minhashSignature for
+    // expression-level composition), the exploded form stays inside
+    // whole-stage codegen — xxhash64 and min are vectorized — and costs
+    // one shuffle on doc_id.
+    val sh = shingleIndex(T(s, d, "documents"), "doc_id", col("text"))
+    val minCols = (0 until NumHashes).map(k =>
+      min(xxhash64(lit(k), col("s"))).as(s"h$k"))
+    val docs = sh.groupBy("doc_id")
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(k => col(s"h$k")): _*).as("sig"))
+    val sigs = docs.persist()
+    // slim banded index (no signature payload through the join shuffle)
+    val bands = sigs.select(col("doc_id"),
       posexplode(array((0 until NumBands).map { b =>
         xxhash64((Seq(lit(b): Column) ++ (1 to RowsPerBand).map(r =>
           element_at(col("sig"), b * RowsPerBand + r))): _*)
       }: _*)).as(Seq("band_idx", "band_hash")))
+      .persist()
     val a = bands.as("a")
     val b = bands.as("b")
-    val est = size(filter(
-      zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
-      e => e)) / lit(NumHashes.toDouble)
-    a.join(b,
+    // dedup candidate pairs BEFORE the (interpreted) signature-agreement
+    // estimate: a pair colliding in several bands must be verified once,
+    // not once per band — at scale this is the difference between
+    // |unique pairs| and |bucket collisions| verification work.
+    val candidates = a.join(b,
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        est.as("est_jaccard"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
+    val sa = sigs.select(col("doc_id").as("a_id"), col("sig").as("sig_a"))
+    val sb = sigs.select(col("doc_id").as("b_id"), col("sig").as("sig_b"))
+    val est = size(filter(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+      e => e)) / lit(NumHashes.toDouble)
+    candidates
+      .join(sa, Seq("a_id")).join(sb, Seq("b_id"))
+      .select(col("a_id"), col("b_id"), est.as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.4)
       .orderBy("a_id", "b_id")
   }
@@ -151,31 +192,43 @@ object NearDup {
     val tok = df.select(col(id), explode(array_distinct(split(text, "\\s+")))
       .as("tok"))
       .withColumn("th", xxhash64(col("tok")))
+    // per bit: count of set bits c_b plus total n; bit set iff 2c > n
+    // (equivalent to the ±1 sum being positive, with one long-typed
+    // aggregate expression per bit instead of a cast chain)
     val sumCols = (0 until SimBits).map(bit =>
-      sum(expr(s"(CAST(shiftright(th, $bit) & 1 AS INT)) * 2 - 1"))
-        .as(s"s_$bit"))
+      sum(expr(s"shiftright(th, $bit) & 1")).as(s"c_$bit")) :+
+      count(lit(1)).as("n")
     val sums = tok.groupBy(id).agg(sumCols.head, sumCols.tail: _*)
     sums.select(col(id),
       (0 until SimBits).map(bit =>
-        when(col(s"s_$bit") > 0, lit(1L << bit)).otherwise(0L))
+        when(col(s"c_$bit") * 2 > col("n"), lit(1L << bit)).otherwise(0L))
         .reduce(_ + _).as("simhash"))
   }
 
   val qSimhash: Q = Q.noOracle("q26_simhash") { (s, d) =>
+    // persist: feeds the band index AND both per-pair hash lookups
     val sims = simhash(T(s, d, "documents"), "doc_id", col("text"))
+      .persist()
     val bands = sims.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until SimBands).map(bd =>
         expr(s"shiftright(simhash, ${bd * 16}) & 65535")): _*))
         .as(Seq("band_idx", "band_val")))
+      .persist()   // feeds both sides of the band self-join
     val a = bands.as("a")
     val b = bands.as("b")
-    a.join(b,
+    // distinct candidate pairs first, then one Hamming check per pair
+    val candidates = a.join(b,
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_val") === col("b.band_val") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
+    val ha = sims.select(col("doc_id").as("a_id"), col("simhash").as("sh_a"))
+    val hb = sims.select(col("doc_id").as("b_id"), col("simhash").as("sh_b"))
+    candidates
+      .join(ha, Seq("a_id")).join(hb, Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        expr("bit_count(sh_a ^ sh_b)").as("hamming"))
       .filter(col("hamming") <= MaxHamming)
       .orderBy("a_id", "b_id")
   }

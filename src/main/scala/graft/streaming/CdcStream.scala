@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+import graft.io.{MergeWriter, ModelStore}
+
+/** Structured Streaming upgrade path for the reference's batch-CDC
+  * semantics (SURVEY.md §2.9):
+  *
+  *  batch primitive                      → streaming primitive
+  *  ───────────────────────────────────────────────────────────────
+  *  watermark scan gate (P6)             → `withWatermark` on event time
+  *  window dedup rn=1 (W1/W2+P2)         → `mapGroupsWithState` keeping
+  *                                         the max-(ts, ingested) record
+  *  MERGE upsert on unique_key (S3)      → `foreachBatch` + MergeWriter
+  *  late row silently dropped            → same, via the watermark
+  *
+  * State per key is one record — bounded, partitioned by key, scales
+  * with |keys| not |events| (the property that makes this viable on an
+  * unbounded 100 TB/day feed).
+  */
+object CdcStream {
+
+  /** A CDC envelope row with an opaque payload (concrete schemas wrap
+    * their columns into `payload` or extend this shape). */
+  final case class CdcEvent(
+      key: String,
+      op: String,
+      cdcTimestamp: Timestamp,
+      ingestedAt: Timestamp,
+      payload: String)
+
+  private def later(a: CdcEvent, b: CdcEvent): CdcEvent = {
+    val c = a.cdcTimestamp.compareTo(b.cdcTimestamp)
+    if (c > 0) a
+    else if (c < 0) b
+    else if (a.ingestedAt.compareTo(b.ingestedAt) >= 0) a
+    else b
+  }
+
+  /** Streaming latest-version-per-key: every trigger emits the current
+    * winner for each key that saw data (Update output mode). The
+    * reference's `(_cdc_timestamp DESC, _ingested_at DESC)` order is
+    * the `later` reduction. */
+  def latestPerKey(events: Dataset[CdcEvent], watermarkDelay: String)
+      : Dataset[CdcEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("cdcTimestamp", watermarkDelay)
+      .groupByKey(_.key)
+      .mapGroupsWithState[CdcEvent, CdcEvent](GroupStateTimeout.NoTimeout) {
+        (_: String, it: Iterator[CdcEvent], state: GroupState[CdcEvent]) =>
+          val best = (state.getOption.iterator ++ it).reduce(later)
+          state.update(best)
+          best
+      }
+  }
+
+  /** Streaming SCD-1 sink: per micro-batch, upsert the batch's winners
+    * into the stored table on `key`, dropping keys whose latest op is
+    * DELETE from the upsert set (reference `customers_latest.sql:153`
+    * exclusion semantics applied per batch). */
+  def scd1Sink(spark: SparkSession, store: ModelStore, layer: String,
+      name: String)(batchDs: Dataset[CdcEvent], batchId: Long): Unit = {
+    val batch = batchDs.toDF()
+    val updates = batch.filter(batch("op") =!= "DELETE")
+    val merged = store.read(spark, layer, name) match {
+      case Some(existing) => MergeWriter.merge(existing, updates, "key")
+      case None => updates
+    }
+    store.write(merged, layer, name)
+  }
+}

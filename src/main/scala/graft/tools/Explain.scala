@@ -1,0 +1,30 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.queries.Registry
+
+/** Plan-inspection utility: dump `explain("formatted")` for the named
+  * queries (or all) so pushdown / pruning / broadcast / codegen can be
+  * reviewed. Usage: runMain graft.tools.Explain <sfDir> [q1,q2,…] */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names: Set[String] =
+      if (args.length > 1) args(1).split(",").toSet else Set.empty
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Registry.all
+      .filter(q => names.isEmpty || names(q.name))
+      .foreach { q =>
+        println(s"\n========== ${q.name} ==========")
+        q.build(spark, sfDir).explain("formatted")
+      }
+    spark.stop()
+  }
+}

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.io.ModelStore
+import graft.streaming.CdcStream.CdcEvent
+
+/** Streaming CDC semantics driven through MemoryStream micro-batches:
+  * latest-per-key state, tie-breaks, and the foreachBatch SCD-1 merge
+  * converging to the batch pipeline's answer. */
+class CdcStreamSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ev(key: String, op: String, ts: String, ing: String = null,
+      payload: String = "p"): CdcEvent =
+    CdcEvent(key, op, Timestamp.valueOf(ts),
+      Timestamp.valueOf(Option(ing).getOrElse(ts)), payload)
+
+  test("latestPerKey: per-trigger winners with tie-break") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[CdcEvent]
+    val result = CdcStream.latestPerKey(input.toDS(), "10 minutes")
+    val query = result.writeStream
+      .format("memory").queryName("latest_out")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(
+        ev("K1", "INSERT", "2024-03-15 10:00:00", payload = "v1"),
+        ev("K1", "UPDATE", "2024-03-15 11:00:00", payload = "v2"),
+        ev("K2", "INSERT", "2024-03-15 10:30:00",
+          ing = "2024-03-15 10:31:00", payload = "a"),
+        ev("K2", "UPDATE", "2024-03-15 10:30:00",
+          ing = "2024-03-15 10:35:00", payload = "b"))
+      query.processAllAvailable()
+      val round1 = spark.table("latest_out").as[CdcEvent].collect()
+        .map(e => e.key -> e.payload).toMap
+      assert(round1 == Map("K1" -> "v2", "K2" -> "b"))  // ties by ingest
+
+      // second micro-batch: older event must NOT displace state
+      input.addData(
+        ev("K1", "UPDATE", "2024-03-15 09:00:00", payload = "stale"),
+        ev("K3", "INSERT", "2024-03-15 12:00:00", payload = "new"))
+      query.processAllAvailable()
+      val all = spark.table("latest_out").as[CdcEvent].collect()
+      val lastPerKey = all.groupBy(_.key).map { case (k, es) =>
+        k -> es.maxBy(_.cdcTimestamp.getTime).payload
+      }
+      assert(lastPerKey("K1") == "v2")   // stale row lost to state
+      assert(lastPerKey("K3") == "new")
+    } finally query.stop()
+  }
+
+  test("foreachBatch SCD-1 sink converges to merged current state") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = new ModelStore(
+      Files.createTempDirectory("graft-stream").toString)
+    val input = MemoryStream[CdcEvent]
+    val query = CdcStream.latestPerKey(input.toDS(), "10 minutes")
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch(CdcStream.scd1Sink(spark, store, "silver", "stream_t") _)
+      .start()
+    try {
+      input.addData(
+        ev("K1", "INSERT", "2024-03-15 10:00:00", payload = "v1"),
+        ev("K2", "INSERT", "2024-03-15 10:10:00", payload = "w1"))
+      query.processAllAvailable()
+      input.addData(
+        ev("K1", "UPDATE", "2024-03-15 11:00:00", payload = "v2"),
+        ev("K2", "DELETE", "2024-03-15 11:10:00"),
+        ev("K3", "INSERT", "2024-03-15 11:20:00", payload = "x1"))
+      query.processAllAvailable()
+
+      val state = store.read(spark, "silver", "stream_t").get
+        .as[CdcEvent].collect().map(e => e.key -> e.payload).toMap
+      // K1 upserted to v2; K2's DELETE dropped from the upsert set so
+      // the prior state remains (reference's dead-delete semantics);
+      // K3 inserted
+      assert(state == Map("K1" -> "v2", "K2" -> "w1", "K3" -> "x1"))
+    } finally query.stop()
+  }
+}
