@@ -58,6 +58,53 @@ object Multimodal {
     media.as[MediaItem].mapPartitions(_.map(fakeDecode)).toDF()
   }
 
+  /** Frame sample per item (stub frame-sampler output). */
+  final case class MediaFrames(doc_id: Long, source: String,
+      n_frames: Int, frame_checksums: Seq[Long])
+
+  /** STUB resize — deterministic byte subsampling to ≤ maxBytes,
+    * standing in for an image resize / audio downsample. Keeps the
+    * payload-in→payload-out shape a real codec transform has. */
+  def resize(item: MediaItem, maxBytes: Int): MediaItem = {
+    if (item.payload.length <= maxBytes) item
+    else {
+      val stride = math.ceil(item.payload.length.toDouble / maxBytes).toInt
+      val out = item.payload.indices.collect {
+        case i if i % stride == 0 => item.payload(i)
+      }.toArray
+      item.copy(payload = out, n_bytes = out.length.toLong)
+    }
+  }
+
+  /** STUB frame sampling — split the payload into `n` equal chunks and
+    * checksum each, standing in for video frame extraction (fixed
+    * frame count per item, one feature row per item). */
+  def sampleFrames(item: MediaItem, n: Int): MediaFrames = {
+    val len = item.payload.length
+    val checksums = (0 until n).map { f =>
+      val from = f * len / n
+      val until = (f + 1) * len / n
+      var sum = 0L
+      var i = from
+      while (i < until) {
+        sum = (sum * 31 + (item.payload(i) & 0xff)) & 0xffffffffL
+        i += 1
+      }
+      sum
+    }
+    MediaFrames(item.doc_id, item.source, n, checksums)
+  }
+
+  /** Partition-parallel resize → frame-sample chain over the typed
+    * Dataset (the multi-step decode pipeline shape). */
+  def resizeAndSampleFrames(spark: SparkSession, media: DataFrame,
+      maxBytes: Int, nFrames: Int): DataFrame = {
+    import spark.implicits._
+    media.as[MediaItem]
+      .mapPartitions(_.map(m => sampleFrames(resize(m, maxBytes), nFrames)))
+      .toDF()
+  }
+
   // Rows-only driver check (binary decode is engine-specific by design);
   // MultimodalSpec asserts determinism + schema + per-item features.
   val qMultimodalPipeline: Q = Q.noOracle("q31_multimodal_features") {

@@ -202,6 +202,51 @@ object VectorOps {
       .orderBy("q_id", "rnk")
   }
 
+  // ----------------------------------------------- IVF-style ANN (scale)
+  // Inverted-file variant: a deterministic coarse quantizer (first K
+  // vectors as centroids — a k-means stand-in that keeps runs
+  // reproducible), every vector assigned to its nearest centroid, and
+  // queries probing only their own centroid's inverted list. The
+  // assignment is one broadcast join + per-vector arg-max; search cost
+  // drops from |corpus| to |corpus|/K per query. Rows-only driver
+  // check; recall asserted in VectorOpsSpec via a planted duplicate.
+  val NumCentroids = 16
+
+  /** (vec_id, centroid_id) assignment by max quantized cosine,
+    * ties broken by centroid id. */
+  def ivfAssign(base: DataFrame): DataFrame = {
+    val centroids = broadcast(base.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("c_id"), col("qv").as("c_qv"),
+        col("n2").as("c_n2")))
+    base.crossJoin(centroids)
+      .select(col("vec_id"), col("qv"), col("n2"), col("c_id"),
+        cosineQ(col("qv"), col("c_qv"), col("n2"), col("c_n2"))
+          .as("c_cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("vec_id")
+          .orderBy(col("c_cos").desc, col("c_id"))))
+      .filter(col("rnk") === 1)
+      .select("vec_id", "qv", "n2", "c_id")
+  }
+
+  val qAnnIvf: Q = Q.noOracle("q32_ann_ivf") { (s, d) =>
+    val assigned = ivfAssign(withQuant(T(s, d, "embeddings"))).persist()
+    val q = assigned.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+        col("n2").as("q_n2"), col("c_id"))
+    assigned.join(broadcast(q), Seq("c_id"))   // probe own cell only
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineQ(col("q_qv"), col("qv"), col("q_n2"), col("n2"))
+          .as("cos_sim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("rnk") <= TopK)
+      .orderBy("q_id", "rnk")
+  }
+
   val all: Seq[Q] =
-    Seq(qAnnTopK, qEmbeddingStats, qEmbeddingDedup, qAnnLshBuckets)
+    Seq(qAnnTopK, qEmbeddingStats, qEmbeddingDedup, qAnnLshBuckets,
+      qAnnIvf)
 }

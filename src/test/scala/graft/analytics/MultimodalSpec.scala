@@ -28,6 +28,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fr.getAs[Long]("n_bytes") == 8L)   // é is 2 bytes
   }
 
+  test("resize + frame-sample chain: bounded payload, fixed frames") {
+    val media = Multimodal.asMedia(spark, docs)
+    val frames = Multimodal
+      .resizeAndSampleFrames(spark, media, maxBytes = 8, nFrames = 4)
+      .collect()
+    assert(frames.length == 3)
+    def cks(r: org.apache.spark.sql.Row): List[Long] =
+      r.getSeq[Long](r.fieldIndex("frame_checksums")).toList
+    frames.foreach { r =>
+      assert(r.getAs[Int]("n_frames") == 4)
+      assert(cks(r).length == 4)
+    }
+    // resize actually bounds the payload
+    val item = Multimodal.MediaItem(9L, "s",
+      Array.tabulate(100)(_.toByte), "text/plain", 100L)
+    assert(Multimodal.resize(item, 8).payload.length <= 8)
+    // determinism
+    val again = Multimodal
+      .resizeAndSampleFrames(spark, media, maxBytes = 8, nFrames = 4)
+      .collect().map(cks).toSet
+    assert(again == frames.map(cks).toSet)
+  }
+
   test("decodeFeatures: deterministic, schema stable, per-item correct") {
     val media = Multimodal.asMedia(spark, docs)
     val f1 = Multimodal.decodeFeatures(spark, media).collect()

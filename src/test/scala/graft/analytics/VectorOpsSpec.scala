@@ -40,6 +40,23 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(buckets.size == 1)
   }
 
+  test("IVF: planted near-duplicate lands in the query's cell") {
+    // centroids are vec_id < NumCentroids; vec 40 is a near-copy of
+    // vec 2, so both must assign to the same centroid cell
+    val vs = (0L until 40L).map { s =>
+      (s, (0 until 64).map(i => (math.sin(i * 13 + s * 7) / 3).toFloat))
+    }
+    val planted = (40L, vs(2)._2.map(x => x * 1.5f))
+    val df = (vs :+ planted).toDF("vec_id", "embedding")
+    val base = df.select(col("vec_id"),
+        VectorOps.quantize(col("embedding")).as("qv"))
+      .withColumn("n2", VectorOps.norm2Q(col("qv")))
+    val assigned = VectorOps.ivfAssign(base)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Long]("c_id")).toMap
+    assert(assigned(40L) == assigned(2L))
+  }
+
   test("brute-force top-k finds the planted nearest neighbor") {
     // vec 0 is the query; vec 1 is a scaled copy (cos = 1); others noise
     val q = (0 until 64).map(i => (math.cos(i) / 3).toFloat)
