@@ -85,11 +85,17 @@ object VectorOps {
       .select(col("q_id"), col("vec_id"),
         cosineQ(col("q_qv"), col("qv"), col("q_n2"), col("n2"))
           .as("cos_sim"))
+    // bounded top-k aggregation (map-side partial top-k, ≤ k rows per
+    // group per partition shuffled) instead of a window sort over all
+    // candidates — see graft.functions.TopKAgg
+    val topk = udaf(new graft.functions.TopKAgg(TopK))
     pairs
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("q_id")
-          .orderBy(col("cos_sim").desc, col("vec_id"))))
-      .filter(col("rnk") <= TopK)
+      .groupBy("q_id")
+      .agg(topk(col("cos_sim"), col("vec_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("q_id"), col("s.id").as("vec_id"),
+        col("s.score").as("cos_sim"),
+        (col("pos") + 1).cast(IntegerType).as("rnk"))
       .orderBy("q_id", "rnk")
   }
 
