@@ -490,10 +490,27 @@ object RefQueries {
       .orderBy("event_id")
   }
 
+  // ------------------------------------------- approximate aggregates
+  // Scale path for COUNT(DISTINCT): HyperLogLog++ sketches merge
+  // map-side (no expand, no per-distinct shuffle) — at 100 TB the
+  // difference between shuffling every distinct value and shuffling a
+  // fixed-size sketch per group. Sketch estimates are engine-specific
+  // → rows-only driver check; ApproxSpec bounds the relative error
+  // against the exact count.
+  val q33ApproxDistinct: Q = Q.noOracle("q33_approx_distinct") { (s, d) =>
+    T(s, d, "events")
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02FilterPred, q03CaseStatus, q04StringClean, q05Dates,
     q06MathRound, q07AggGroup, q08AggGlobal, q09JoinLeftValidate,
     q10JoinEnrichChain, q11WindowDedupLatest, q12CdcDedup, q13FirstSeen,
     q14WatermarkFilter, q15Flagship, q16EventWindows, q17Sessionize,
-    q18JsonExtract)
+    q18JsonExtract, q33ApproxDistinct)
 }

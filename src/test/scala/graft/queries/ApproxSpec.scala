@@ -1,0 +1,23 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** HLL++ approximate distinct must track the exact count within the
+  * configured relative standard deviation (with slack). */
+class ApproxSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("approx_count_distinct within 5% of exact on testdata") {
+    val rows = RefQueries.q33ApproxDistinct
+      .build(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val exact = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"${r.getAs[String]("event_type")}: approx=$approx exact=$exact")
+    }
+  }
+}
