@@ -1,0 +1,102 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Synthesizes bronze CDC feeds from the driver's TPC-H-ish testdata so
+  * the full medallion pipeline can run (and be benchmarked) at any
+  * scale factor. Deterministic: every derived value is a pure function
+  * of the input row. Status/payment/region values deliberately use the
+  * reference's *synonym* forms (`processing`, `authorized`, `visa`,
+  * `ne`, …) so the canonicalization ladders are exercised for real.
+  */
+object DemoCdc {
+
+  def customersCdc(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.load(spark, sfDir, "customer")
+    val n = Tables.load(spark, sfDir, "nation")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+      .select(
+        col("c_custkey").cast("string").as("customer_id"),
+        concat(regexp_replace(lower(col("c_name")), "[^a-z0-9]", "."),
+          lit("@example.com")).as("email"),
+        initcap(col("c_mktsegment")).as("first_name"),
+        col("c_name").as("last_name"),
+        // ~7% of phones too short → invalid (deterministic by key)
+        when(pmod(col("c_custkey"), lit(15)) === 0, lit("555-01"))
+          .otherwise(concat(lit("212-555-"),
+            lpad(pmod(col("c_custkey"), lit(10000)).cast("string"), 4, "0")))
+          .as("phone"),
+        concat(col("c_custkey").cast("string"), lit(" Main St"))
+          .as("address_line1"),
+        lit("").as("address_line2"),
+        initcap(lower(col("n_name"))).as("city"),
+        lit("NY").as("state"),
+        when(pmod(col("c_custkey"), lit(4)) === 0, "usa")
+          .when(pmod(col("c_custkey"), lit(4)) === 1, "Canada")
+          .when(pmod(col("c_custkey"), lit(4)) === 2, "UK")
+          .otherwise("Australia").as("country"),
+        lpad(pmod(col("c_custkey"), lit(99999)).cast("string"), 5, "0")
+          .as("postal_code"),
+        to_date(lit("2020-01-01")).as("registration_date"),
+        lit("active").as("customer_status"),
+        lower(col("c_mktsegment")).as("customer_segment"),
+        lit("demo").as("_batch_id"),
+        lit("INSERT").as("_cdc_operation"),
+        to_timestamp(lit("2001-08-15 00:00:00")).as("_cdc_timestamp"),
+        to_timestamp(lit("2001-08-15 00:00:00")).as("_ingested_at"),
+        lit("tpch").as("_source_system"))
+  }
+
+  def ordersCdc(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.load(spark, sfDir, "orders")
+    o.select(
+      col("o_orderkey").cast("string").as("order_id"),
+      col("o_custkey").cast("string").as("customer_id"),
+      col("o_orderdate").as("order_date"),
+      // synonym statuses exercising the canonicalization ladder
+      when(col("o_orderstatus") === "O", "processing")
+        .when(col("o_orderstatus") === "F", "completed")
+        .otherwise("in_transit").as("order_status"),
+      when(pmod(col("o_orderkey"), lit(3)) === 0, "authorized")
+        .when(pmod(col("o_orderkey"), lit(3)) === 1, "paid")
+        .otherwise("captured").as("payment_status"),
+      when(pmod(col("o_orderkey"), lit(4)) === 0, "visa")
+        .when(pmod(col("o_orderkey"), lit(4)) === 1, "apple_pay")
+        .when(pmod(col("o_orderkey"), lit(4)) === 2, "ach")
+        .otherwise("paypal").as("payment_method"),
+      concat(col("o_orderkey").cast("string"), lit(" Dock Rd"))
+        .as("shipping_address_line1"),
+      lit("").as("shipping_address_line2"),
+      lit("Boston").as("shipping_city"),
+      lit("MA").as("shipping_state"),
+      when(pmod(col("o_orderkey"), lit(5)) === 0, "usa")
+        .otherwise("Canada").as("shipping_country"),
+      lit("02101").as("shipping_postal_code"),
+      when(pmod(col("o_orderkey"), lit(3)) === 0, "ground")
+        .when(pmod(col("o_orderkey"), lit(3)) === 1, "two_day")
+        .otherwise("next_day").as("shipping_method"),
+      to_date(date_add(col("o_orderdate"), 5)).as("estimated_delivery_date"),
+      to_date(date_add(col("o_orderdate"),
+        pmod(col("o_orderkey"), lit(9)).cast("int"))) // 0..8 days → mix of
+        .as("actual_delivery_date"),                  // on-time and late
+      col("o_totalprice").as("order_total"),
+      round(col("o_totalprice") * 0.08, 2).as("tax_amount"),
+      when(pmod(col("o_orderkey"), lit(7)) === 0, 0.0).otherwise(9.99)
+        .as("shipping_cost"),
+      when(pmod(col("o_orderkey"), lit(10)) === 0,
+        round(col("o_totalprice") * 0.05, 2)).otherwise(0.0)
+        .as("discount_amount"),
+      when(pmod(col("o_orderkey"), lit(6)) === 0, "ne")
+        .when(pmod(col("o_orderkey"), lit(6)) === 1, "midwest")
+        .when(pmod(col("o_orderkey"), lit(6)) === 2, "south")
+        .otherwise("west").as("region"),
+      lit("demo").as("_batch_id"),
+      lit("INSERT").as("_cdc_operation"),
+      col("o_orderdate").as("_cdc_timestamp"),
+      col("o_orderdate").as("_ingested_at"),
+      lit("tpch").as("_source_system"))
+  }
+}

@@ -1,0 +1,42 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.functions.col
+
+import graft.io.ModelStore
+import graft.model.{Pipeline, RunMode}
+import graft.queries.Q
+
+/** The whole medallion pipeline as one driver-checkable query: bronze
+  * CDC feeds synthesized from the testdata (DemoCdc), bootstrap run of
+  * customers_latest → orders_cleaned → dim_customer through the real
+  * Pipeline/ModelStore/MergeWriter machinery, returning the gold
+  * dimension. Deterministic (frozen clock, pure-function CDC
+  * synthesis) but not single-SQL-expressible → rows-only driver check;
+  * PipelineSpec/ConvergenceSpec carry the semantic assertions.
+  *
+  * This is also the engine's primary end-to-end benchmark subject: at
+  * sf0.1 it cleans 150k CDC order rows, validates them against 15k
+  * customers, and rebuilds the dimension — writes included.
+  */
+object PipelineQuery {
+
+  val clock: Clock = Clock(
+    Date.valueOf("2001-09-01"), Timestamp.valueOf("2001-09-01 00:00:00"))
+
+  val qPipelineE2e: Q = Q.noOracle("q34_pipeline_e2e") { (s, d) =>
+    val models = new ReferenceModels(clock)
+    val store = new ModelStore(
+      Files.createTempDirectory("graft-e2e").toString)
+    val pipeline = new Pipeline(models.all, store,
+      (_, name) => name match {
+        case "customers_cdc" => DemoCdc.customersCdc(s, d)
+        case "orders_cdc" => DemoCdc.ordersCdc(s, d)
+        case other => sys.error(s"unknown source $other")
+      })
+    val out = pipeline.run(s, RunMode.Bootstrap)
+    out("dim_customer").orderBy(col("customer_id"))
+  }
+}

@@ -7,7 +7,7 @@ object Registry {
 
   val all: Seq[Q] =
     RefQueries.all ++ TextOps.all ++ NearDup.all ++ VectorOps.all ++
-      Multimodal.all
+      Multimodal.all :+ graft.pipeline.PipelineQuery.qPipelineE2e
 
   val flagship: Q = RefQueries.q15Flagship
 }

@@ -60,6 +60,20 @@ object CdcStream {
       }
   }
 
+  /** Event-time tumbling-window aggregation with a watermark — the
+    * streaming form of q16_event_windows (batch `date_trunc` groupBy).
+    * Late rows beyond the watermark are dropped, mirroring the batch
+    * high-watermark gate's late-row semantics (SURVEY.md §2.9). */
+  def windowedCounts(events: Dataset[CdcEvent], windowLen: String,
+      watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("cdcTimestamp", watermarkDelay)
+      .groupBy(
+        org.apache.spark.sql.functions.window(
+          org.apache.spark.sql.functions.col("cdcTimestamp"), windowLen),
+        org.apache.spark.sql.functions.col("op"))
+      .count()
+
   /** Streaming SCD-1 sink: per micro-batch, upsert the batch's winners
     * into the stored table on `key`, dropping keys whose latest op is
     * DELETE from the upsert set (reference `customers_latest.sql:153`

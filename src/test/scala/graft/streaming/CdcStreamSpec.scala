@@ -58,6 +58,40 @@ class CdcStreamSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("windowed event-time counts with watermark drop late rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[CdcEvent]
+    val query = CdcStream.windowedCounts(input.toDS(), "1 hour",
+        "30 minutes")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(
+        ev("K1", "INSERT", "2024-03-15 10:05:00"),
+        ev("K2", "INSERT", "2024-03-15 10:55:00"),
+        ev("K3", "UPDATE", "2024-03-15 11:10:00"))
+      query.processAllAvailable()
+      // watermark is now 11:10 - 30min = 10:40 → a 10:15 row is within
+      // the 10:00 window but BEHIND the watermark only if < 10:40
+      input.addData(
+        ev("K4", "INSERT", "2024-03-15 10:40:30"),  // kept (≥ watermark)
+        ev("K5", "INSERT", "2024-03-15 09:10:00"))  // late → dropped
+      query.processAllAvailable()
+      val counts = spark.table("win_out")
+        .selectExpr("window.start AS ws", "op", "count")
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1),
+          r.getLong(2)))
+        .groupBy(t => (t._1, t._2))
+        .map { case (k, vs) => k -> vs.map(_._3).max }
+      // 10:00 window INSERTs: K1 + K2 + K4 = 3 (late K5 never appears)
+      assert(counts(("2024-03-15 10:00:00.0", "INSERT")) == 3L)
+      assert(counts(("2024-03-15 11:00:00.0", "UPDATE")) == 1L)
+      assert(!counts.keySet.exists(_._1.startsWith("2024-03-15 09")))
+    } finally query.stop()
+  }
+
   test("foreachBatch SCD-1 sink converges to merged current state") {
     implicit val sqlCtx = spark.sqlContext
     val store = new ModelStore(
