@@ -37,8 +37,21 @@ final class ModelStore(root: String) {
     val fs = target.getFileSystem(
       df.sparkSession.sparkContext.hadoopConfiguration)
 
+    // Clustering layout (ZORDER analog):
+    //  - unpartitioned table → range-repartition + sort on the
+    //    clustering keys (global clustering, row-group min/max skipping);
+    //  - partitioned table → repartition on the PARTITION columns first,
+    //    then sort (partition cols, clustering keys) within each task.
+    //    Range-repartitioning on clustering keys here would make every
+    //    task write into every partition directory (tasks × partitions
+    //    small files — measured 320 files for orders at sf0.1); this
+    //    yields one file per partition per owning task with the same
+    //    in-file clustering OPTIMIZE targets.
     val clustered =
-      if (zorderBy.nonEmpty)
+      if (partitionBy.nonEmpty)
+        df.repartition(partitionBy.map(col): _*)
+          .sortWithinPartitions((partitionBy ++ zorderBy).map(col): _*)
+      else if (zorderBy.nonEmpty)
         df.repartitionByRange(zorderBy.map(col): _*)
           .sortWithinPartitions(zorderBy.map(col): _*)
       else df
