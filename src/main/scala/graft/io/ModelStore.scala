@@ -30,8 +30,8 @@ final class ModelStore(root: String) {
   }
 
   def write(df: DataFrame, layer: String, name: String,
-      partitionBy: Seq[String] = Nil, zorderBy: Seq[String] = Nil)
-      : Unit = {
+      partitionBy: Seq[String] = Nil, zorderBy: Seq[String] = Nil,
+      description: String = ""): Unit = {
     val target = new Path(path(layer, name))
     val tmp = new Path(path(layer, name) + ".__tmp")
     val fs = target.getFileSystem(
@@ -61,7 +61,30 @@ final class ModelStore(root: String) {
       else writer
     partitioned.parquet(tmp.toString)
 
+    // O7 persist_docs analog: table comment persisted beside the data
+    // (TBLPROPERTIES stand-in without a metastore)
+    if (description.nonEmpty) {
+      val out = fs.create(new Path(tmp, "_table_comment"), true)
+      try out.write(description.getBytes("UTF-8")) finally out.close()
+    }
+
     if (fs.exists(target)) fs.delete(target, true)
     require(fs.rename(tmp, target), s"atomic swap failed for $target")
+  }
+
+  /** Persisted table comment, if any (O7). */
+  def comment(spark: SparkSession, layer: String, name: String)
+      : Option[String] = {
+    val p = new Path(path(layer, name), "_table_comment")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val out = new java.io.ByteArrayOutputStream()
+      try {
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+        Some(out.toString("UTF-8"))
+      } finally in.close()
+    }
   }
 }

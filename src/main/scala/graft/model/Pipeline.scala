@@ -46,7 +46,9 @@ final case class ModelDef(
     tags: Set[String] = Set.empty,      // O2
     uniqueKey: Option[String] = None,   // merge key, S3
     partitionBy: Seq[String] = Nil,     // S5
-    zorderBy: Seq[String] = Nil,        // S7 post-hook analog
+    zorderBy: Seq[String] = Nil,        // S7 OPTIMIZE/ZORDER post-hook
+    description: String = "",           // O7 persist_docs
+    postHooks: Seq[DataFrame => Unit] = Nil,   // O6 generic post-hooks
     build: BuildCtx => DataFrame)
 
 /** DAG executor — the dbt orchestration layer (SURVEY.md §2.11).
@@ -131,6 +133,13 @@ final class Pipeline(
       case (Some(ex), Some(key)) => MergeWriter.merge(ex, updates, key)
       case _ => updates
     }
-    store.write(merged, m.layer, m.name, m.partitionBy, m.zorderBy)
+    store.write(merged, m.layer, m.name, m.partitionBy, m.zorderBy,
+      description = m.description)
+    // O6: post-hooks run against the materialized table (the dbt
+    // post_hook analog; ZORDER itself is folded into the write above)
+    if (m.postHooks.nonEmpty) {
+      val materialized = store.read(spark, m.layer, m.name).get
+      m.postHooks.foreach(_(materialized))
+    }
   }
 }

@@ -68,6 +68,7 @@ final class ReferenceModels(clock: Clock) {
     tags = Set("silver", "feed_customers"),
     uniqueKey = Some("customer_id"),
     zorderBy = Seq("customer_id"),
+    description = "Latest customer snapshot (SCD Type-1) from CDC feed",
     build = { ctx =>
       val src = watermarkGate(ctx, ctx.source("bronze", "customers_cdc"))
       // ranked_customers + latest_customers (:33–75)
@@ -127,6 +128,7 @@ final class ReferenceModels(clock: Clock) {
     uniqueKey = Some("order_id"),
     partitionBy = Seq("order_year", "order_month"),
     zorderBy = Seq("order_id", "customer_id", "order_date"),
+    description = "Cleaned and validated orders from CDC (SCD Type-1)",
     build = { ctx =>
       val src = watermarkGate(ctx, ctx.source("bronze", "orders_cdc"))
       val latest = CdcDedup.latestByKey(src, Seq("order_id"),
@@ -311,6 +313,7 @@ final class ReferenceModels(clock: Clock) {
     uniqueKey = Some("customer_id"),
     partitionBy = Seq("country"),
     zorderBy = Seq("customer_id"),
+    description = "SCD Type-1 Customer Dimension Table",
     build = { ctx =>
       val today = lit(clock.today)
       // customer_base (:11–30)

@@ -150,6 +150,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(out3("customers_latest").collect().toSet == before)
   }
 
+  test("post-hooks run on materialized output; table comment persisted") {
+    val hookCounts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val hooked = models.customersLatest.copy(
+      postHooks = Seq(df => hookCounts += df.count()))
+    val store = new ModelStore(
+      Files.createTempDirectory("graft-hooks").toString)
+    val p = new Pipeline(Seq(hooked), store,
+      (_, _) => CdcFixtures.customersBatch1())
+    p.run(spark, RunMode.Bootstrap)
+    assert(hookCounts.toSeq == Seq(3L))   // C1, C2, C5
+    assert(store.comment(spark, "silver", "customers_latest")
+      .contains("Latest customer snapshot (SCD Type-1) from CDC feed"))
+  }
+
   test("tag selection runs only the selected subtree") {
     val (p, store) = newPipeline(Map(
       "customers_cdc" -> CdcFixtures.customersBatch1(),
