@@ -104,8 +104,9 @@ object NearDup {
       .join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("n_inter"))
-    val sa = sizes.as("sa")
-    val sb = sizes.as("sb")
+    // per-doc sizes are |docs| rows — broadcast both lookup sides
+    val sa = broadcast(sizes.as("sa"))
+    val sb = broadcast(sizes.as("sb"))
     val unionN = col("sa.n") + col("sb.n") - col("n_inter")
     pairs
       .join(sa, col("a_id") === col("sa.doc_id"))
