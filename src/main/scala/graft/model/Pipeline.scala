@@ -129,8 +129,14 @@ final class Pipeline(
       mode = if (existing.isDefined) mode else RunMode.Bootstrap,
       vars = vars)
     val updates = m.build(ctx)
+    // Materialization strategy (S3/S4): a uniqueKey means MERGE upsert;
+    // without one, incremental runs APPEND to the existing table — the
+    // reference project's default (`dbt_project.yml:40–41`,
+    // `incremental_strategy: 'append'`).
     val merged = (existing, m.uniqueKey) match {
       case (Some(ex), Some(key)) => MergeWriter.merge(ex, updates, key)
+      case (Some(ex), None) => ex.unionByName(updates,
+        allowMissingColumns = true)
       case _ => updates
     }
     store.write(merged, m.layer, m.name, m.partitionBy, m.zorderBy,

@@ -60,6 +60,17 @@ object CdcStream {
       }
   }
 
+  /** Exactly-once-per-key dedup within the watermark window — the
+    * built-in alternative to [[latestPerKey]] when the feed guarantees
+    * at-most-one version per (key, ts) and only duplicate *deliveries*
+    * (not versions) must be dropped: state is bounded by the watermark
+    * instead of |keys|. */
+  def dropDuplicateDeliveries(events: Dataset[CdcEvent],
+      watermarkDelay: String): Dataset[CdcEvent] =
+    events
+      .withWatermark("cdcTimestamp", watermarkDelay)
+      .dropDuplicatesWithinWatermark("key", "cdcTimestamp")
+
   /** Event-time tumbling-window aggregation with a watermark — the
     * streaming form of q16_event_windows (batch `date_trunc` groupBy).
     * Late rows beyond the watermark are dropped, mirroring the batch

@@ -150,6 +150,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(out3("customers_latest").collect().toSet == before)
   }
 
+  test("append strategy (no uniqueKey) accumulates rows across runs") {
+    val appendModel = graft.model.ModelDef(
+      name = "events_log", layer = "silver",
+      build = ctx => ctx.source("bronze", "customers_cdc")
+        .select("customer_id", "_cdc_timestamp"))
+    val store = new ModelStore(
+      Files.createTempDirectory("graft-append").toString)
+    val p = new Pipeline(Seq(appendModel), store,
+      (_, _) => CdcFixtures.customersBatch1())
+    p.run(spark, RunMode.Bootstrap)
+    val n1 = store.read(spark, "silver", "events_log").get.count()
+    p.run(spark, RunMode.Incremental)    // append: same batch again
+    val n2 = store.read(spark, "silver", "events_log").get.count()
+    assert(n2 == 2 * n1)
+  }
+
   test("post-hooks run on materialized output; table comment persisted") {
     val hookCounts = scala.collection.mutable.ArrayBuffer.empty[Long]
     val hooked = models.customersLatest.copy(

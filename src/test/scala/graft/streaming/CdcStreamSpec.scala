@@ -92,6 +92,27 @@ class CdcStreamSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("dropDuplicateDeliveries removes redelivered events in-watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[CdcEvent]
+    val query = CdcStream.dropDuplicateDeliveries(input.toDS(), "1 hour")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        ev("K1", "INSERT", "2024-03-15 10:00:00"),
+        ev("K1", "INSERT", "2024-03-15 10:00:00"),   // duplicate delivery
+        ev("K1", "UPDATE", "2024-03-15 11:00:00"),   // new version: kept
+        ev("K2", "INSERT", "2024-03-15 10:30:00"))
+      query.processAllAvailable()
+      val rows = spark.table("dedup_out").as[CdcEvent].collect()
+      assert(rows.map(e => (e.key, e.cdcTimestamp.toString)).sorted.toSeq ==
+        Seq(("K1", "2024-03-15 10:00:00.0"), ("K1", "2024-03-15 11:00:00.0"),
+          ("K2", "2024-03-15 10:30:00.0")))
+    } finally query.stop()
+  }
+
   test("foreachBatch SCD-1 sink converges to merged current state") {
     implicit val sqlCtx = spark.sqlContext
     val store = new ModelStore(
