@@ -36,12 +36,22 @@ object Watermark {
 
   /** Incremental gate: rows of `incoming` strictly newer than the target's
     * watermark. Late rows (≤ watermark) are silently dropped — replicates
-    * the reference's semantics exactly (SURVEY.md §2.9). */
+    * the reference's semantics exactly (SURVEY.md §2.9).
+    *
+    * Timestamp-flavor-agnostic (TIMESTAMP vs TIMESTAMP_NTZ parquet
+    * columns surface as java.sql.Timestamp vs LocalDateTime): the
+    * scalar travels as a string and is cast back to the SOURCE column's
+    * own type — the cast of a literal constant-folds, so the comparison
+    * still pushes into the parquet scan. */
   def newerThan(incoming: DataFrame, target: Option[DataFrame],
-      incomingTs: String, targetTs: String): DataFrame =
+      incomingTs: String, targetTs: String,
+      defaultWm: String = "1900-01-01 00:00:00"): DataFrame =
     target match {
       case None => incoming // bootstrap: full scan
       case Some(t) =>
-        incoming.filter(col(incomingTs) > lit(highWatermark(t, targetTs)))
+        val row = t.agg(max(col(targetTs)).cast("string")).head()
+        val wm = if (row.isNullAt(0)) defaultWm else row.getString(0)
+        incoming.filter(col(incomingTs) >
+          lit(wm).cast(incoming.schema(incomingTs).dataType))
     }
 }

@@ -3,7 +3,7 @@ package graft.pipeline
 import java.nio.file.Files
 import java.sql.{Date, Timestamp}
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 import graft.io.ModelStore
 import graft.model.{Pipeline, RunMode}
@@ -26,17 +26,32 @@ object PipelineQuery {
   val clock: Clock = Clock(
     Date.valueOf("2001-09-01"), Timestamp.valueOf("2001-09-01 00:00:00"))
 
+  /** Orders strictly before this date form the bootstrap batch; the
+    * rest arrive as the incremental batch (≈⅓ of the data — the
+    * watermark gate must prune the bootstrap span from the second
+    * run's scan). */
+  val IncrementalSplit = "2000-01-01"
+
   val qPipelineE2e: Q = Q.noOracle("q34_pipeline_e2e") { (s, d) =>
     val models = new ReferenceModels(clock)
     val store = new ModelStore(
       Files.createTempDirectory("graft-e2e").toString)
-    val pipeline = new Pipeline(models.all, store,
-      (_, name) => name match {
+    def sources(split: String => org.apache.spark.sql.DataFrame
+        => org.apache.spark.sql.DataFrame) =
+      (_: String, name: String) => name match {
         case "customers_cdc" => DemoCdc.customersCdc(s, d)
-        case "orders_cdc" => DemoCdc.ordersCdc(s, d)
+        case "orders_cdc" => split(name)(DemoCdc.ordersCdc(s, d))
         case other => sys.error(s"unknown source $other")
-      })
-    val out = pipeline.run(s, RunMode.Bootstrap)
+      }
+    // bootstrap on the old span…
+    new Pipeline(models.all, store,
+      sources(_ => df => df.filter(
+        col("_cdc_timestamp") < lit(java.sql.Date.valueOf(IncrementalSplit)))))
+      .run(s, RunMode.Bootstrap)
+    // …then an incremental round over the full feed: the watermark gate
+    // must scan only rows past the bootstrap high-water mark
+    val out = new Pipeline(models.all, store, sources(_ => identity))
+      .run(s, RunMode.Incremental)
     out("dim_customer").orderBy(col("customer_id"))
   }
 }

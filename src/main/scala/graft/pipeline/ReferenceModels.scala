@@ -32,15 +32,13 @@ final class ReferenceModels(clock: Clock) {
 
   private def watermarkGate(ctx: BuildCtx, df: DataFrame): DataFrame =
     if (!ctx.isIncremental) df
-    else {
+    else
       // P6/J4: scalar watermark → literal predicate → parquet pushdown
       // (reference orders_cleaned.sql:53–59).
-      val default = Timestamp.valueOf(
-        ctx.variable("ingest_batch_date", "1900-01-01") + " 00:00:00")
-      val row = ctx.existing.get.agg(max(col("last_updated_at"))).head()
-      val wm = if (row.isNullAt(0)) default else row.getTimestamp(0)
-      df.filter(col("_cdc_timestamp") > lit(wm))
-    }
+      graft.ops.Watermark.newerThan(df, ctx.existing,
+        "_cdc_timestamp", "last_updated_at",
+        defaultWm =
+          ctx.variable("ingest_batch_date", "1900-01-01") + " 00:00:00")
 
   /** J3 decorrelated: `COALESCE((SELECT MAX(first_seen_at) FROM this
     * WHERE key = outer.key), _cdc_timestamp)` as a pre-aggregated left
