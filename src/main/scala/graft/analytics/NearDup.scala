@@ -234,5 +234,71 @@ object NearDup {
       .orderBy("a_id", "b_id")
   }
 
+  // ------------------------------------------- end-to-end corpus dedup
+  /** Collapse a pair list into keep/drop decisions: connected
+    * components by iterative min-label propagation (each round, every
+    * doc adopts the smallest id reachable over one edge; `rounds`
+    * bounds the diameter — near-dup clusters are shallow in practice).
+    * Returns (doc_id, keep_id); `doc_id != keep_id` ⇒ drop as duplicate.
+    * All joins are key-partitioned aggregations — no driver-side graph.
+    */
+  def clusterPairs(pairs: DataFrame, rounds: Int = 3): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .persist()
+    val nodes = edges.select(col("src").as("doc_id")).distinct()
+    var labels = nodes.withColumn("keep_id", col("doc_id"))
+    for (_ <- 0 until rounds) {
+      val viaEdge = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min("keep_id").as("edge_min"))
+      labels = labels.join(viaEdge, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("keep_id"), coalesce(col("edge_min"), col("keep_id")))
+            .as("keep_id"))
+    }
+    labels
+  }
+
+  /** Full dedup decision for a document corpus: exact duplicates (by
+    * normalized-text fingerprint) plus near-duplicates (capped-shingle
+    * exact Jaccard ≥ `threshold`), clustered, smallest doc_id kept. */
+  def dedupCorpus(docs: DataFrame, id: String, text: Column,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = shingleIndex(docs, id, text)
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("s")))
+      .filter(col("df") <= MaxDf)
+      .select(col(id), col("s"))
+      .persist()
+    val sizes = sh.groupBy(id).agg(count(lit(1)).as("n"))
+    val a = sh.as("a")
+    val b = sh.as("b")
+    val pairs = a
+      .join(b, col("a.s") === col("b.s") && col(s"a.$id") < col(s"b.$id"))
+      .groupBy(col(s"a.$id").as("a_id"), col(s"b.$id").as("b_id"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(broadcast(sizes.select(col(id).as("a_id"), col("n").as("na"))),
+        Seq("a_id"))
+      .join(broadcast(sizes.select(col(id).as("b_id"), col("n").as("nb"))),
+        Seq("b_id"))
+      .filter(col("n_inter") >=
+        (col("na") + col("nb") - col("n_inter")) * threshold)
+      .select("a_id", "b_id")
+    val exactPairs = docs
+      .select(col(id), md5(graft.analytics.TextOps.normalized(text))
+        .as("fp"))
+      .groupBy("fp").agg(min(col(id)).as("a_id"),
+        collect_list(col(id)).as("ids"))
+      .select(col("a_id"), explode(col("ids")).as("b_id"))
+      .filter(col("a_id") < col("b_id"))
+    val clustered = clusterPairs(pairs.unionByName(exactPairs))
+    docs.select(col(id))
+      .join(clustered, Seq(id), "left")
+      .select(col(id), coalesce(col("keep_id"), col(id)).as("keep_id"))
+  }
+
   val all: Seq[Q] = Seq(qNgramJaccard, qMinhashLsh, qSimhash)
 }

@@ -18,6 +18,12 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Register every testdata table as a temp view so the engine's full
+    * surface is reachable from `spark.sql(...)` too (with
+    * [[graft.GraftExtensions]] supplying the custom functions). */
+  def registerViews(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized

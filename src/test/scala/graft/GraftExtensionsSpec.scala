@@ -6,6 +6,18 @@ import org.scalatest.funsuite.AnyFunSuite
 class GraftExtensionsSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
 
+  test("registered views make the engine reachable from pure SQL") {
+    graft.io.Tables.registerViews(spark, "/root/testdata/sf0.001")
+    GraftExtensions.register(spark)
+    val n = spark.sql(
+      """SELECT count(*) FROM embeddings e
+        |WHERE graft_dot_long(
+        |  transform(e.embedding, x -> CAST(round(x*1000) AS BIGINT)),
+        |  transform(e.embedding, x -> CAST(round(x*1000) AS BIGINT))) > 0
+        |""".stripMargin).head().getLong(0)
+    assert(n == 500L)
+  }
+
   test("graft_dot_long / graft_dot_double usable from SQL") {
     GraftExtensions.register(spark)
     val l = spark.sql(

@@ -40,6 +40,31 @@ class NearDupSpec extends AnyFunSuite {
     assert(est(1L, 3L) < 0.2)    // disjoint
   }
 
+  test("dedupCorpus: exact + near dups collapse to the smallest id") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 57).map(i => s"w$i").mkString(" ") + " z1 z2 z3"
+    val docs = Seq(
+      (10L, base),
+      (11L, base),            // exact dup of 10
+      (12L, nearDup),         // near dup of 10 → same cluster
+      (20L, (200 to 260).map(i => s"u$i").mkString(" ")),   // unique
+      (21L, "tiny doc"))      // < 3 tokens: no shingles, still kept
+      .toDF("doc_id", "text")
+    val decisions = NearDup.dedupCorpus(docs, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(decisions == Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 21L))
+  }
+
+  test("clusterPairs: chains collapse to the smallest member") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("a_id", "b_id")
+    val labels = NearDup.clusterPairs(pairs, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("simhash: near-identical docs land within the Hamming radius") {
     val base = (1 to 80).map(i => s"w$i").mkString(" ")
     val oneOff = base + " extra"
