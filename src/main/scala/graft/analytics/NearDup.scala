@@ -300,5 +300,12 @@ object NearDup {
       .select(col(id), coalesce(col("keep_id"), col(id)).as("keep_id"))
   }
 
-  val all: Seq[Q] = Seq(qNgramJaccard, qMinhashLsh, qSimhash)
+  // Composed end-to-end dedup decision over the documents table
+  // (rows-only: clustering order is deterministic but not single-SQL).
+  val qDedupCorpus: Q = Q.noOracle("q35_dedup_corpus") { (s, d) =>
+    dedupCorpus(T(s, d, "documents"), "doc_id", col("text"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(qNgramJaccard, qMinhashLsh, qSimhash, qDedupCorpus)
 }

@@ -70,6 +70,11 @@ final class ModelStore(root: String) {
 
     if (fs.exists(target)) fs.delete(target, true)
     require(fs.rename(tmp, target), s"atomic swap failed for $target")
+    // The swap happens behind Spark's back (raw FS rename): invalidate
+    // cached plans/file listings for the path, or a later run that
+    // persisted a read of this table would silently reuse pre-swap data
+    // (CacheManager keys cache entries by logical plan).
+    df.sparkSession.catalog.refreshByPath(target.toString)
   }
 
   /** Persisted table comment, if any (O7). */

@@ -38,6 +38,22 @@ def main(sf_dir: str, out_dir: str) -> int:
         oracles = json.load(f)
 
     n_fail = 0
+    # rows-only queries (no oracle): must exist and be non-empty
+    import os
+    for d in sorted(os.listdir(out_dir)):
+        if d in oracles or not os.path.isdir(f"{out_dir}/{d}"):
+            continue
+        try:
+            n = con.execute(
+                f"SELECT count(*) FROM '{out_dir}/{d}/*.parquet'"
+            ).fetchone()[0]
+            status = "OK  " if n > 0 else "FAIL"
+            if n == 0:
+                n_fail += 1
+            print(f"{status} {d} (rows-only, {n} rows)")
+        except Exception as e:
+            print(f"FAIL {d} (rows-only): {e}")
+            n_fail += 1
     for name in sorted(oracles):
         try:
             exp = norm(con.execute(oracles[name]).df())
