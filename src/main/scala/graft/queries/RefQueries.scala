@@ -456,18 +456,21 @@ object RefQueries {
       |    SELECT user_id, value, ts, event_id,
       |      CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
       |          ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL THEN 1
-      |        WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP))
-      |          OVER (PARTITION BY user_id
-      |            ORDER BY CAST(ts AS TIMESTAMP), event_id)
-      |          > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+      |        WHEN epoch_us(CAST(ts AS TIMESTAMP))
+      |          - epoch_us(lag(CAST(ts AS TIMESTAMP))
+      |            OVER (PARTITION BY user_id
+      |              ORDER BY CAST(ts AS TIMESTAMP), event_id))
+      |          > 1800000000 THEN 1 ELSE 0 END AS is_new
       |    FROM events) g) t
       |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val gap = col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long")
+    // gap in exact microseconds (a seconds cast would truncate and
+    // disagree with the oracle on sub-second boundaries)
+    val gap = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
     T(s, d, "events")
       .withColumn("is_new",
         when(lag(col("ts"), 1).over(w).isNull, 1)
-          .when(gap > 30 * 60, 1).otherwise(0))
+          .when(gap > 1800L * 1000000L, 1).otherwise(0))
       .withColumn("session_id",
         sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy("user_id")
