@@ -189,6 +189,16 @@ object NearDup {
   val SimBands = 4
   val MaxHamming = 3
 
+  /** Cap on docs per (band, value) bucket. 16-bit band values are only
+    * 65536-way discriminative; on a shared-vocab corpus some buckets
+    * degenerate to thousands of docs and the candidate join goes
+    * quadratic (measured: 86M pairs over 50k docs uncapped). Oversized
+    * buckets are non-discriminative boilerplate signatures — dropping
+    * them bounds candidates at ≤ MaxBucket·|band rows| with a
+    * documented recall caveat for pairs whose every shared band is
+    * oversized (same blocking-cap idea as MaxDf for shingles). */
+  val MaxBucket = 64
+
   def simhash(df: DataFrame, id: String, text: Column): DataFrame = {
     val tok = df.select(col(id), explode(array_distinct(split(text, "\\s+")))
       .as("tok"))
@@ -214,6 +224,11 @@ object NearDup {
       posexplode(array((0 until SimBands).map(bd =>
         expr(s"shiftright(simhash, ${bd * 16}) & 65535")): _*))
         .as(Seq("band_idx", "band_val")))
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("band_idx", "band_val")))
+      .filter(col("bucket_n") <= MaxBucket)
+      .drop("bucket_n")
       .persist()   // feeds both sides of the band self-join
     val a = bands.as("a")
     val b = bands.as("b")

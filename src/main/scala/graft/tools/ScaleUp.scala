@@ -1,0 +1,63 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Deterministic data amplifier: materializes an N× copy of a testdata
+  * scale factor (keys offset per replica so cardinalities scale too;
+  * document texts get a per-replica suffix token so they are distinct
+  * near-duplicates, which is the realistic hard case for the dedup
+  * operators). Lets the bench run one scale level beyond the shipped
+  * data — e.g. 10× sf0.1 ≈ sf1: 6M lineitem rows.
+  *
+  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <outDir> [factor]
+  */
+object ScaleUp {
+
+  def amplify(spark: SparkSession, src: String, out: String, factor: Int)
+      : Unit = {
+    def replicate(name: String, f: (DataFrame, Int) => DataFrame): Unit = {
+      val base = Tables.load(spark, src, name)
+      val copies = (0 until factor).map(i => f(base, i))
+      copies.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+    }
+    val K = 1000000000L
+
+    // dimensions stay as-is (realistic: facts grow, dims grow slower)
+    Seq("region", "nation", "customer", "supplier", "part").foreach { n =>
+      Tables.load(spark, src, n)
+        .write.mode("overwrite").parquet(s"$out/$n.parquet")
+    }
+    replicate("lineitem", (df, i) => df
+      .withColumn("l_orderkey", col("l_orderkey") + lit(i * K)))
+    replicate("orders", (df, i) => df
+      .withColumn("o_orderkey", col("o_orderkey") + lit(i * K)))
+    replicate("events", (df, i) => df
+      .withColumn("event_id", col("event_id") + lit(i * K))
+      .withColumn("user_id", col("user_id") + lit(i * 100000L)))
+    replicate("documents", (df, i) => df
+      .withColumn("doc_id", col("doc_id") + lit(i * K))
+      .withColumn("text", concat(col("text"), lit(s" replica$i"))))
+    replicate("embeddings", (df, i) => df
+      .withColumn("vec_id", col("vec_id") + lit(i * K)))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val out = args(1)
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    amplify(spark, src, out, factor)
+    spark.stop()
+  }
+}
