@@ -510,10 +510,69 @@ object RefQueries {
       .orderBy("event_type")
   }
 
+  // --------------------------------------- S3/S6 MERGE + schema sync
+  // The merge emulation itself, oracle-checked: target = pre-split
+  // orders, updates = post-split orders carrying a NEW column
+  // (sync_all_columns: kept target rows are null-backfilled). Matched
+  // keys take the update; unmatched target rows survive.
+  val MergeSplit = "1999-01-01"
+  val q36MergeUpsert: Q = Q(
+    "q36_merge_upsert",
+    s"""WITH old AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderdate < TIMESTAMP '$MergeSplit'),
+      |new AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    'U_' || o_orderstatus AS o_orderstatus, o_totalprice,
+      |    true AS refreshed
+      |  FROM orders WHERE o_orderdate >= TIMESTAMP '$MergeSplit')
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  refreshed FROM (
+      |  SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus,
+      |    o.o_totalprice, CAST(NULL AS BOOLEAN) AS refreshed
+      |  FROM old o WHERE NOT EXISTS (
+      |    SELECT 1 FROM new n WHERE n.o_orderkey = o.o_orderkey)
+      |  UNION ALL SELECT * FROM new) t
+      |ORDER BY o_orderkey, o_orderstatus, o_totalprice""".stripMargin) {
+    (s, d) =>
+      val orders = T(s, d, "orders")
+      val split = lit(java.sql.Timestamp.valueOf(s"$MergeSplit 00:00:00"))
+      val old = orders.filter(col("o_orderdate") < split)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val updates = orders.filter(col("o_orderdate") >= split)
+        .select(col("o_orderkey"), col("o_custkey"),
+          concat(lit("U_"), col("o_orderstatus")).as("o_orderstatus"),
+          col("o_totalprice"), lit(true).as("refreshed"))
+      graft.io.MergeWriter.merge(old, updates, "o_orderkey")
+        .orderBy("o_orderkey", "o_orderstatus", "o_totalprice")
+  }
+
+  // --------------------------------------------- skew-safe salted agg
+  // Salted two-phase aggregation must equal the direct GROUP BY — the
+  // oracle IS the direct form, so the equivalence is t2-checked.
+  val q37SaltedAgg: Q = Q(
+    "q37_salted_agg",
+    s"""SELECT o_custkey,
+      |  sum(${oCents("o_totalprice")}) / 100.0 AS total_rev,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  max(o_totalprice) AS max_rev
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) {
+    (s, d) =>
+      import graft.ops.Salt
+      val cent = cents(col("o_totalprice"))
+      Salt.saltedAgg(T(s, d, "orders"), "o_custkey",
+          uniq = col("o_orderkey"), buckets = 8,
+          partialAggs = Seq(sum(cent).as("pc"),
+            count(lit(1)).as("pn"), max("o_totalprice").as("pm")),
+          finalAggs = Seq((sum("pc") / 100.0).as("total_rev"),
+            sum("pn").as("n_orders"), max("pm").as("max_rev")))
+        .orderBy("o_custkey")
+  }
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02FilterPred, q03CaseStatus, q04StringClean, q05Dates,
     q06MathRound, q07AggGroup, q08AggGlobal, q09JoinLeftValidate,
     q10JoinEnrichChain, q11WindowDedupLatest, q12CdcDedup, q13FirstSeen,
     q14WatermarkFilter, q15Flagship, q16EventWindows, q17Sessionize,
-    q18JsonExtract, q33ApproxDistinct)
+    q18JsonExtract, q33ApproxDistinct, q36MergeUpsert, q37SaltedAgg)
 }
