@@ -1,52 +1,79 @@
 package graft.io
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
-/** Materialized-model storage: `<root>/<layer>/<name>` parquet
-  * directories. Layer maps a dbt custom schema used verbatim
-  * (reference `macros/generate_schema_name.sql:4–11`).
+/** Materialized-model storage with Delta-style versioning:
   *
-  * Writes are atomic by directory swap (write `<path>.__tmp`, then
-  * rename over the target): a failed run never leaves a torn table —
-  * the poor man's version of Delta's transactional commit.
+  * ```
+  * <root>/<layer>/<name>/v1/…parquet      immutable version dirs
+  * <root>/<layer>/<name>/v2/…
+  * <root>/<layer>/<name>/_CURRENT        pointer file → "2"
+  * ```
+  *
+  * Every write lands in a fresh `v<k>` directory and then swaps the
+  * `_CURRENT` pointer — the transactional-commit analog of Delta's log
+  * (reference materializes to Delta tables, `dbt_project.yml:39`):
+  * readers of the previous version are never disturbed, a failed write
+  * leaves no torn table, and old versions remain readable
+  * ([[readVersion]], time travel) until [[vacuum]] drops them.
+  * Because each version is a distinct path, Spark plan/file-listing
+  * caches can never serve stale post-swap data.
+  *
+  * Layer maps a dbt custom schema used verbatim (reference
+  * `macros/generate_schema_name.sql:4–11`).
   *
   * ZORDER post-hook analog (`OPTIMIZE … ZORDER BY`, reference
-  * `orders_cleaned.sql:15`): range-repartition + in-partition sort on
-  * the clustering keys before write, so parquet row-group min/max
-  * stats give the same data-skipping reads ZORDER targets.
+  * `orders_cleaned.sql:15`): clustering sort before write so parquet
+  * row-group min/max stats give the same data-skipping reads ZORDER
+  * targets — partitioned tables repartition on the partition columns
+  * (one file per partition per owning task) and sort in-partition.
   */
 final class ModelStore(root: String) {
 
-  def path(layer: String, name: String): String = s"$root/$layer/$name"
+  private def tableDir(layer: String, name: String): Path =
+    new Path(s"$root/$layer/$name")
+
+  private def fsFor(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Current version number, 0 if the table does not exist. */
+  def currentVersion(spark: SparkSession, layer: String, name: String)
+      : Int = {
+    val ptr = new Path(tableDir(layer, name), "_CURRENT")
+    val fs = fsFor(spark, ptr)
+    if (!fs.exists(ptr)) 0
+    else {
+      val in = fs.open(ptr)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+      finally in.close()
+    }
+  }
+
+  def versionDir(layer: String, name: String, v: Int): String =
+    new Path(tableDir(layer, name), s"v$v").toString
 
   def read(spark: SparkSession, layer: String, name: String)
       : Option[DataFrame] = {
-    val p = new Path(path(layer, name))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+    val v = currentVersion(spark, layer, name)
+    if (v == 0) None else Some(readVersion(spark, layer, name, v))
   }
+
+  /** Time travel: read a specific (non-vacuumed) version. */
+  def readVersion(spark: SparkSession, layer: String, name: String,
+      v: Int): DataFrame =
+    spark.read.parquet(versionDir(layer, name, v))
 
   def write(df: DataFrame, layer: String, name: String,
       partitionBy: Seq[String] = Nil, zorderBy: Seq[String] = Nil,
       description: String = ""): Unit = {
-    val target = new Path(path(layer, name))
-    val tmp = new Path(path(layer, name) + ".__tmp")
-    val fs = target.getFileSystem(
-      df.sparkSession.sparkContext.hadoopConfiguration)
+    val spark = df.sparkSession
+    val next = currentVersion(spark, layer, name) + 1
+    val dest = new Path(versionDir(layer, name, next))
+    val fs = fsFor(spark, dest)
 
-    // Clustering layout (ZORDER analog):
-    //  - unpartitioned table → range-repartition + sort on the
-    //    clustering keys (global clustering, row-group min/max skipping);
-    //  - partitioned table → repartition on the PARTITION columns first,
-    //    then sort (partition cols, clustering keys) within each task.
-    //    Range-repartitioning on clustering keys here would make every
-    //    task write into every partition directory (tasks × partitions
-    //    small files — measured 320 files for orders at sf0.1); this
-    //    yields one file per partition per owning task with the same
-    //    in-file clustering OPTIMIZE targets.
     val clustered =
       if (partitionBy.nonEmpty)
         df.repartition(partitionBy.map(col): _*)
@@ -59,29 +86,42 @@ final class ModelStore(root: String) {
     val partitioned =
       if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
       else writer
-    partitioned.parquet(tmp.toString)
+    partitioned.parquet(dest.toString)
 
     // O7 persist_docs analog: table comment persisted beside the data
-    // (TBLPROPERTIES stand-in without a metastore)
     if (description.nonEmpty) {
-      val out = fs.create(new Path(tmp, "_table_comment"), true)
+      val out = fs.create(new Path(dest, "_table_comment"), true)
       try out.write(description.getBytes("UTF-8")) finally out.close()
     }
 
-    if (fs.exists(target)) fs.delete(target, true)
-    require(fs.rename(tmp, target), s"atomic swap failed for $target")
-    // The swap happens behind Spark's back (raw FS rename): invalidate
-    // cached plans/file listings for the path, or a later run that
-    // persisted a read of this table would silently reuse pre-swap data
-    // (CacheManager keys cache entries by logical plan).
-    df.sparkSession.catalog.refreshByPath(target.toString)
+    // commit: swap the pointer (write-temp + rename)
+    val ptr = new Path(tableDir(layer, name), "_CURRENT")
+    val ptrTmp = new Path(tableDir(layer, name), "_CURRENT.tmp")
+    val out = fs.create(ptrTmp, true)
+    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(ptr)) fs.delete(ptr, false)
+    require(fs.rename(ptrTmp, ptr), s"pointer swap failed for $ptr")
   }
 
-  /** Persisted table comment, if any (O7). */
+  /** Drop all but the last `keepLast` versions (Delta VACUUM analog). */
+  def vacuum(spark: SparkSession, layer: String, name: String,
+      keepLast: Int = 1): Unit = {
+    val cur = currentVersion(spark, layer, name)
+    val dir = tableDir(layer, name)
+    val fs = fsFor(spark, dir)
+    (1 to cur - keepLast).foreach { v =>
+      val p = new Path(versionDir(layer, name, v))
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+  }
+
+  /** Persisted table comment of the current version, if any (O7). */
   def comment(spark: SparkSession, layer: String, name: String)
       : Option[String] = {
-    val p = new Path(path(layer, name), "_table_comment")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = currentVersion(spark, layer, name)
+    if (v == 0) return None
+    val p = new Path(versionDir(layer, name, v), "_table_comment")
+    val fs = fsFor(spark, p)
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
