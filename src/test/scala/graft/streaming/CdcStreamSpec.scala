@@ -92,6 +92,39 @@ class CdcStreamSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("stream latestPerKey agrees with the batch CdcDedup on same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      ev("K1", "INSERT", "2024-03-15 10:00:00", payload = "v1"),
+      ev("K1", "UPDATE", "2024-03-15 12:00:00", payload = "v3"),
+      ev("K1", "UPDATE", "2024-03-15 11:00:00", payload = "v2"),
+      ev("K2", "INSERT", "2024-03-15 10:30:00",
+        ing = "2024-03-15 10:31:00", payload = "a"),
+      ev("K2", "UPDATE", "2024-03-15 10:30:00",
+        ing = "2024-03-15 10:35:00", payload = "b"))
+
+    // batch path
+    import org.apache.spark.sql.functions.col
+    val batch = graft.ops.CdcDedup.latestByKey(events.toDF(),
+        Seq("key"), Seq(col("cdcTimestamp").desc, col("ingestedAt").desc))
+      .collect().map(r => r.getAs[String]("key") ->
+        r.getAs[String]("payload")).toMap
+
+    // streaming path (single micro-batch)
+    val input = MemoryStream[CdcEvent]
+    val q = CdcStream.latestPerKey(input.toDS(), "10 minutes")
+      .writeStream.format("memory").queryName("parity_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      val stream = spark.table("parity_out").as[CdcEvent].collect()
+        .map(e => e.key -> e.payload).toMap
+      assert(stream == batch)
+      assert(batch == Map("K1" -> "v3", "K2" -> "b"))
+    } finally q.stop()
+  }
+
   test("dropDuplicateDeliveries removes redelivered events in-watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[CdcEvent]
