@@ -40,7 +40,9 @@ object DemoCdc {
           .otherwise("Australia").as("country"),
         lpad(pmod(col("c_custkey"), lit(99999)).cast("string"), 5, "0")
           .as("postal_code"),
-        to_date(lit("2020-01-01")).as("registration_date"),
+        // within the data span (orders 1995–2001, clock 2001-09-01) so
+        // lifecycle datediffs are meaningful
+        to_date(lit("1994-06-01")).as("registration_date"),
         lit("active").as("customer_status"),
         lower(col("c_mktsegment")).as("customer_segment"),
         lit("demo").as("_batch_id"),
