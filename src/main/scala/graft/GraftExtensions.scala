@@ -23,7 +23,8 @@ object GraftExtensions {
   private type Builder = Seq[Expression] => Expression
 
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(classOf[GraftExtensions].getName, name)
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name,
+      usage, "")
 
   val functions: Seq[(String, ExpressionInfo, Builder)] = Seq(
     ("graft_dot_long", info("graft_dot_long",

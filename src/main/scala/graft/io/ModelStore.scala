@@ -94,13 +94,17 @@ final class ModelStore(root: String) {
       try out.write(description.getBytes("UTF-8")) finally out.close()
     }
 
-    // commit: swap the pointer (write-temp + rename)
+    // commit: write-temp + atomic OVERWRITE rename over the pointer —
+    // no delete-then-rename window where the pointer doesn't exist (a
+    // crash there would make the table read as missing and the next
+    // write recycle v1)
     val ptr = new Path(tableDir(layer, name), "_CURRENT")
     val ptrTmp = new Path(tableDir(layer, name), "_CURRENT.tmp")
     val out = fs.create(ptrTmp, true)
     try out.write(next.toString.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(ptr)) fs.delete(ptr, false)
-    require(fs.rename(ptrTmp, ptr), s"pointer swap failed for $ptr")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      ptr.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(ptrTmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Drop all but the last `keepLast` versions (Delta VACUUM analog). */

@@ -26,13 +26,20 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-      // reader rejects (PARQUET_TYPE_ILLEGAL). Read nanos as long and
-      // truncate to micros — the same truncation DuckDB applies on
-      // CAST(ts AS TIMESTAMP), so oracles line up exactly.
+      // The shipped events.ts is parquet TIMESTAMP(NANOS), which
+      // Spark's vectorized reader rejects (PARQUET_TYPE_ILLEGAL). Read
+      // nanos as long and truncate to micros — the same truncation
+      // DuckDB applies on CAST(ts AS TIMESTAMP), so oracles line up.
+      // Gate the conversion on the ACTUAL column type, not the table
+      // name: a re-written events table (e.g. a ScaleUp-amplified dir)
+      // already carries proper µs timestamps and must load as-is.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case _ => df
+      }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }

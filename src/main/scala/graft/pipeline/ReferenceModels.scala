@@ -314,16 +314,16 @@ final class ReferenceModels(clock: Clock) {
     description = "SCD Type-1 Customer Dimension Table",
     build = { ctx =>
       val today = lit(clock.today)
-      // customer_base (:11–30) — cached: it feeds the final join plus
-      // the geo/segmentation/quality derivations (the reference's four
-      // separate CTE self-joins), which would otherwise re-scan silver
-      // four times.
+      // customer_base (:11–30). NOT persisted: the geo/segmentation/
+      // quality derivations re-scan it, but silver customers is the
+      // small dimension side and a build-scoped persist would leak a
+      // cache entry per pipeline run (build is lazy — there is no hook
+      // to unpersist after materialization).
       val base = ctx.ref("customers_latest").filter(!col("is_deleted"))
         .select("customer_id", "email", "full_name", "phone", "city",
           "state", "country", "registration_date", "customer_status",
           "customer_segment", "is_email_valid", "is_phone_valid",
           "is_address_complete", "first_seen_at", "last_updated_at")
-        .persist()
 
       // customer_order_metrics (:33–60)
       val recent = col("order_date") >= date_sub(today, 90)

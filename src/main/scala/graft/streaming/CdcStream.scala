@@ -52,7 +52,12 @@ object CdcStream {
     events
       .withWatermark("cdcTimestamp", watermarkDelay)
       .groupByKey(_.key)
-      .mapGroupsWithState[CdcEvent, CdcEvent](GroupStateTimeout.NoTimeout) {
+      // EventTimeTimeout (not NoTimeout): Spark only FILTERS late input
+      // rows for mapGroupsWithState under the event-time timeout conf —
+      // with NoTimeout the watermark is inert and a too-late row would
+      // still win its key, diverging from the batch gate's late-drop.
+      .mapGroupsWithState[CdcEvent, CdcEvent](
+        GroupStateTimeout.EventTimeTimeout) {
         (_: String, it: Iterator[CdcEvent], state: GroupState[CdcEvent]) =>
           val best = (state.getOption.iterator ++ it).reduce(later)
           state.update(best)

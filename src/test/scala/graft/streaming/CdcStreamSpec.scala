@@ -55,6 +55,16 @@ class CdcStreamSpec extends AnyFunSuite {
       }
       assert(lastPerKey("K1") == "v2")   // stale row lost to state
       assert(lastPerKey("K3") == "new")
+
+      // third micro-batch: watermark is now ~11:50 (max 12:00 − 10min);
+      // a NEW key arriving behind it must be dropped entirely — this is
+      // the batch gate's late-row semantics, and it only holds under
+      // EventTimeTimeout (with NoTimeout the watermark is inert)
+      input.addData(ev("K9", "INSERT", "2024-03-15 10:00:00",
+        payload = "too-late"))
+      query.processAllAvailable()
+      assert(!spark.table("latest_out").as[CdcEvent].collect()
+        .exists(_.key == "K9"))
     } finally query.stop()
   }
 
