@@ -32,10 +32,23 @@ object PipelineQuery {
     * run's scan). */
   val IncrementalSplit = "2000-01-01"
 
+  /** Recursively delete a temp store when the JVM exits (the returned
+    * DataFrame lazily reads from it, so it can't be deleted earlier). */
+  private def tempStoreDir(): String = {
+    val dir = Files.createTempDirectory("graft-e2e")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }))
+    dir.toString
+  }
+
   val qPipelineE2e: Q = Q.noOracle("q34_pipeline_e2e") { (s, d) =>
     val models = new ReferenceModels(clock)
-    val store = new ModelStore(
-      Files.createTempDirectory("graft-e2e").toString)
+    val store = new ModelStore(tempStoreDir())
     def sources(split: String => org.apache.spark.sql.DataFrame
         => org.apache.spark.sql.DataFrame) =
       (_: String, name: String) => name match {
