@@ -114,17 +114,33 @@ final class Pipeline(
 
   private def materialize(spark: SparkSession, m: ModelDef,
       mode: RunMode): Unit = {
+    val ref = (name: String) => {
+      val dep = byName(name)
+      store.read(spark, dep.layer, dep.name).getOrElse(
+        sys.error(s"ref('$name') not materialized yet"))
+    }
+    Pipeline.materializeModel(spark, store, m, mode, sources, ref, vars)
+  }
+}
+
+object Pipeline {
+
+  /** Materialize one model: build → merge/append per strategy → write →
+    * post-hooks. Shared by the batch DAG executor above and the
+    * streaming foreachBatch sink ([[graft.streaming.StreamingPipeline]]),
+    * so batch and streaming ingestion run the SAME model code. */
+  def materializeModel(spark: SparkSession, store: ModelStore,
+      m: ModelDef, mode: RunMode,
+      sources: (String, String) => DataFrame,
+      ref: String => DataFrame,
+      vars: Map[String, String]): Unit = {
     val existing =
       if (mode == RunMode.Incremental) store.read(spark, m.layer, m.name)
       else None
     val ctx = BuildCtx(
       spark = spark,
       source = sources,
-      ref = name => {
-        val dep = byName(name)
-        store.read(spark, dep.layer, dep.name).getOrElse(
-          sys.error(s"ref('$name') not materialized yet"))
-      },
+      ref = ref,
       existing = existing,
       mode = if (existing.isDefined) mode else RunMode.Bootstrap,
       vars = vars)
