@@ -68,7 +68,8 @@ final class ModelStore(root: String) {
 
   def write(df: DataFrame, layer: String, name: String,
       partitionBy: Seq[String] = Nil, zorderBy: Seq[String] = Nil,
-      description: String = ""): Unit = {
+      description: String = "",
+      meta: Map[String, String] = Map.empty): Unit = {
     val spark = df.sparkSession
     val next = currentVersion(spark, layer, name) + 1
     val dest = new Path(versionDir(layer, name, next))
@@ -88,10 +89,16 @@ final class ModelStore(root: String) {
       else writer
     partitioned.parquet(dest.toString)
 
-    // O7 persist_docs analog: table comment persisted beside the data
-    if (description.nonEmpty) {
-      val out = fs.create(new Path(dest, "_table_comment"), true)
-      try out.write(description.getBytes("UTF-8")) finally out.close()
+    // O7 persist_docs analog: table comment persisted beside the data.
+    // Arbitrary metadata (e.g. a streaming sink's batch id) is written
+    // into the version dir BEFORE the pointer swap, so data + metadata
+    // commit atomically together.
+    val metaAll =
+      if (description.nonEmpty) meta + ("table_comment" -> description)
+      else meta
+    metaAll.foreach { case (k, v) =>
+      val out = fs.create(new Path(dest, s"_meta_$k"), true)
+      try out.write(v.getBytes("UTF-8")) finally out.close()
     }
 
     // commit: write-temp + atomic OVERWRITE rename over the pointer —
@@ -119,12 +126,12 @@ final class ModelStore(root: String) {
     }
   }
 
-  /** Persisted table comment of the current version, if any (O7). */
-  def comment(spark: SparkSession, layer: String, name: String)
+  /** Metadata value persisted with the current version, if any. */
+  def meta(spark: SparkSession, layer: String, name: String, key: String)
       : Option[String] = {
     val v = currentVersion(spark, layer, name)
     if (v == 0) return None
-    val p = new Path(versionDir(layer, name, v), "_table_comment")
+    val p = new Path(versionDir(layer, name, v), s"_meta_$key")
     val fs = fsFor(spark, p)
     if (!fs.exists(p)) None
     else {
@@ -136,4 +143,8 @@ final class ModelStore(root: String) {
       } finally in.close()
     }
   }
+
+  /** Persisted table comment of the current version, if any (O7). */
+  def comment(spark: SparkSession, layer: String, name: String)
+      : Option[String] = meta(spark, layer, name, "table_comment")
 }

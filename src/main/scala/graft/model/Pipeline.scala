@@ -133,7 +133,8 @@ object Pipeline {
       m: ModelDef, mode: RunMode,
       sources: (String, String) => DataFrame,
       ref: String => DataFrame,
-      vars: Map[String, String]): Unit = {
+      vars: Map[String, String],
+      meta: Map[String, String] = Map.empty): Unit = {
     val existing =
       if (mode == RunMode.Incremental) store.read(spark, m.layer, m.name)
       else None
@@ -156,7 +157,7 @@ object Pipeline {
       case _ => updates
     }
     store.write(merged, m.layer, m.name, m.partitionBy, m.zorderBy,
-      description = m.description)
+      description = m.description, meta = meta)
     // O6: post-hooks run against the materialized table (the dbt
     // post_hook analog; ZORDER itself is folded into the write above)
     if (m.postHooks.nonEmpty) {

@@ -32,21 +32,33 @@ object PipelineQuery {
     * run's scan). */
   val IncrementalSplit = "2000-01-01"
 
-  /** Recursively delete a temp store when the JVM exits (the returned
-    * DataFrame lazily reads from it, so it can't be deleted earlier). */
-  private def tempStoreDir(): String = {
-    val dir = Files.createTempDirectory("graft-e2e")
+  /** Temp store dirs deleted by ONE static hook at JVM exit (the
+    * returned DataFrame lazily reads from them, so they can't be
+    * deleted earlier; per-invocation hooks would accumulate threads in
+    * long-lived JVMs). */
+  private val tempDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+  locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm))
         f.delete(): Unit
       }
-      rm(dir.toFile)
+      tempDirs.forEach(rm(_))
     }))
+  }
+  private def tempStoreDir(): String = {
+    val dir = Files.createTempDirectory("graft-e2e")
+    tempDirs.add(dir.toFile)
     dir.toString
   }
 
   val qPipelineE2e: Q = Q.noOracle("q34_pipeline_e2e") { (s, d) =>
+    runPipeline(s, d)
+  }.copy(sideEffecting = true)
+
+  private def runPipeline(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
     val models = new ReferenceModels(clock)
     val store = new ModelStore(tempStoreDir())
     def sources(split: String => org.apache.spark.sql.DataFrame

@@ -10,7 +10,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class Q(
     name: String,
     build: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    /** building the DataFrame itself executes work (e.g. runs a whole
+      * pipeline) — tools that only want plans must skip these */
+    sideEffecting: Boolean = false)
 
 object Q {
   def apply(name: String, oracle: String)(

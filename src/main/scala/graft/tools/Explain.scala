@@ -20,11 +20,9 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Registry.all
-      .filter(q => if (names.isEmpty)
-        q.name != "q34_pipeline_e2e"   // side-effecting composite: its
-                                       // build RUNS the pipeline; dump
-                                       // its plan only when asked for
-      else names(q.name))
+      // side-effecting composites (building them RUNS work): dump their
+      // plan only when explicitly asked for by name
+      .filter(q => if (names.isEmpty) !q.sideEffecting else names(q.name))
       .foreach { q =>
         println(s"\n========== ${q.name} ==========")
         q.build(spark, sfDir).explain("formatted")

@@ -45,7 +45,8 @@ class StreamingPipelineSpec extends AnyFunSuite {
     val query = input.toDS().toDF().writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch(
-        StreamingPipeline.modelSink(streamStore, models.customersLatest) _)
+        StreamingPipeline.modelSink(streamStore, models.customersLatest,
+          sourceName = "customers_cdc") _)
       .start()
     try {
       input.addData(CdcFixtures.customersBatch1()
@@ -60,5 +61,14 @@ class StreamingPipelineSpec extends AnyFunSuite {
       .get.collect().map(_.getValuesMap[Any](Seq("customer_id", "email",
         "city", "first_seen_at", "last_updated_at"))).toSet
     assert(got == expected)
+
+    // at-least-once replay: re-delivering batch 1 must be a no-op (the
+    // committed batch id is newer), not a duplicate merge
+    val versionBefore = streamStore
+      .currentVersion(spark, "silver", "customers_latest")
+    StreamingPipeline.modelSink(streamStore, models.customersLatest,
+      sourceName = "customers_cdc")(CdcFixtures.customersBatch1(), 1L)
+    assert(streamStore.currentVersion(spark, "silver", "customers_latest")
+      == versionBefore)
   }
 }
