@@ -62,7 +62,11 @@ final class Pipeline(
     store: ModelStore,
     sources: (String, String) => DataFrame,
     vars: Map[String, String] = Map.empty,
-    threads: Int = 5) {
+    threads: Int = 5,
+    /** versions retained per table after each materialization (Delta
+      * retention analog) — prevents unbounded version growth across
+      * repeated incremental runs; ≥ 1, where 1 keeps only current. */
+    retainVersions: Int = 2) {
 
   private val byName = models.map(m => m.name -> m).toMap
 
@@ -120,6 +124,7 @@ final class Pipeline(
         sys.error(s"ref('$name') not materialized yet"))
     }
     Pipeline.materializeModel(spark, store, m, mode, sources, ref, vars)
+    store.vacuum(spark, m.layer, m.name, keepLast = retainVersions)
   }
 }
 

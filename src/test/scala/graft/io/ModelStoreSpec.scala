@@ -38,6 +38,21 @@ class ModelStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline retention vacuums old versions automatically") {
+    import graft.model.{ModelDef, Pipeline, RunMode}
+    val store = new ModelStore(
+      Files.createTempDirectory("graft-retain").toString)
+    val model = ModelDef(name = "t", layer = "silver",
+      build = ctx => ctx.source("bronze", "src"))
+    val p = new Pipeline(Seq(model), store, (_, _) => Seq(1).toDF("v"),
+      retainVersions = 1)
+    (1 to 3).foreach(_ => p.run(spark, RunMode.Incremental))
+    assert(store.currentVersion(spark, "silver", "t") == 3)
+    intercept[Exception] {
+      store.readVersion(spark, "silver", "t", 2).collect()
+    }
+  }
+
   test("missing table reads as None, version 0") {
     val store = new ModelStore(
       Files.createTempDirectory("graft-store3").toString)
