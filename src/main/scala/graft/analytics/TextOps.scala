@@ -188,6 +188,30 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------- rolling-hash fingerprint
+  /** Order-sensitive rolling hash over the token sequence as a chained
+    * hash (`h ← xxhash64(h, token)`): unlike the md5 content hash,
+    * token order changes the value, and prefix hashes of shared
+    * prefixes collide — the Rabin–Karp-style document fingerprint.
+    * Chaining through xxhash64 rather than `h·31 + x` arithmetic keeps
+    * it ANSI-safe (Spark 4 raises on long overflow by default). Pure
+    * expression (aggregate HOF), no shuffle. */
+  def rollingHash(tokensCol: Column): Column =
+    aggregate(tokensCol, lit(0L), (acc, t) => xxhash64(acc, t))
+
+  // rows-only: the hash chain is engine-specific (xxhash64)
+  val qRollingFingerprint: Q = Q.noOracle("q38_rolling_fingerprint") {
+    (s, d) =>
+      val t = tokens(col("text"))
+      T(s, d, "documents")
+        .select(col("doc_id"),
+          rollingHash(t).as("rolling_fp"),
+          rollingHash(slice(t, 1, 16)).as("prefix16_fp"),
+          size(t).as("n_tokens"))
+        .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
-    Seq(qDedupExact, qTextQuality, qLangId, qTokenCount, qFingerprint)
+    Seq(qDedupExact, qTextQuality, qLangId, qTokenCount, qFingerprint,
+      qRollingFingerprint)
 }
