@@ -79,8 +79,8 @@ object NearDup {
       |  GROUP BY 1, 2)
       |SELECT p.a_id, p.b_id, p.n_inter,
       |  CAST(sa.n + sb.n - p.n_inter AS BIGINT) AS n_union,
-      |  ${Exact.halfUpDivSql("p.n_inter*10000", "sa.n + sb.n - p.n_inter")}
-      |    / 10000.0 AS jaccard
+      |  ${Exact.dec4Sql(Exact.halfUpDivSql("p.n_inter*10000",
+           "sa.n + sb.n - p.n_inter"))} AS jaccard
       |FROM pairs p
       |JOIN sizes sa ON p.a_id = sa.doc_id
       |JOIN sizes sb ON p.b_id = sb.doc_id
@@ -115,7 +115,7 @@ object NearDup {
       .filter(col("n_inter") * 10000 >= unionN * 5000)
       .select(col("a_id"), col("b_id"), col("n_inter"),
         unionN.as("n_union"),
-        (Exact.halfUpDiv(col("n_inter") * 10000, unionN) / 10000.0)
+        Exact.dec4(Exact.halfUpDiv(col("n_inter") * 10000, unionN))
           .as("jaccard"))
       .orderBy("a_id", "b_id")
   }

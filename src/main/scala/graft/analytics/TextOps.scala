@@ -75,9 +75,10 @@ object TextOps {
         |  CAST($nW AS INTEGER) AS n_words,
         |  CAST($nAlpha AS INTEGER) AS n_alpha,
         |  CAST($nStop AS INTEGER) AS n_stopwords,
-        |  ${Exact.halfUpDivSql(s"($nAlpha)*10000", "length(text)")} / 10000.0
+        |  ${Exact.dec4Sql(
+             Exact.halfUpDivSql(s"($nAlpha)*10000", "length(text)"))}
         |    AS alpha_ratio,
-        |  ${Exact.halfUpDivSql(s"($nStop)*10000", nW)} / 10000.0
+        |  ${Exact.dec4Sql(Exact.halfUpDivSql(s"($nStop)*10000", nW))}
         |    AS stop_ratio,
         |  CASE WHEN $nW >= 40 AND $nStop > 0 THEN 'HIGH'
         |       WHEN $nW >= 15 THEN 'MEDIUM' ELSE 'LOW' END AS quality_band
@@ -94,9 +95,9 @@ object TextOps {
           size(t).as("n_words"),
           nAlphaC.cast(IntegerType).as("n_alpha"),
           nStopC.cast(IntegerType).as("n_stopwords"),
-          (Exact.halfUpDiv(nAlphaC * 10000, length(col("text")).cast("long"))
-            / 10000.0).as("alpha_ratio"),
-          (Exact.halfUpDiv(nStopC * 10000, nWords) / 10000.0)
+          Exact.dec4(Exact.halfUpDiv(nAlphaC * 10000,
+            length(col("text")).cast("long"))).as("alpha_ratio"),
+          Exact.dec4(Exact.halfUpDiv(nStopC * 10000, nWords))
             .as("stop_ratio"),
           when(nWords >= 40 && nStopC > 0, "HIGH")
             .when(nWords >= 15, "MEDIUM").otherwise("LOW")

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Cross-engine exact-arithmetic helpers.
   *
@@ -45,4 +46,33 @@ object Exact {
   /** DuckDB mirror of [[halfUpDiv]]. */
   def halfUpDivSql(num: String, den: String): String =
     s"((($num)*2 + ($den)) // (($den)*2))"
+
+  // ------------------------------------------------- pinned DECIMAL output
+  // Raw doubles are a cross-engine hash hazard even when the VALUE is
+  // exact: a hasher that stringifies sees Java shortest-repr on one side
+  // and DuckDB's own double→VARCHAR on the other (round-1 q06 failed the
+  // driver's hash on exactly this while matching bit-for-bit locally).
+  // Presentation therefore never divides into double space: exact integer
+  // units × an exact decimal literal, cast to a pinned DECIMAL(p,s) that
+  // both engines stringify identically ("123.45").
+
+  private val Hundredth = new java.math.BigDecimal("0.01")
+  private val TenThousandth = new java.math.BigDecimal("0.0001")
+
+  /** Exact integer cents → pinned DECIMAL(18,2) dollars (Spark side). */
+  def dec2(cents: Column): Column =
+    (cents * lit(Hundredth)).cast(DecimalType(18, 2))
+
+  /** DuckDB mirror of [[dec2]] (inner BIGINT cast collapses HUGEINT sums
+    * so the decimal multiply can't exceed DuckDB's width-38 cap). */
+  def dec2Sql(cents: String): String =
+    s"CAST(CAST(($cents) AS BIGINT) * 0.01 AS DECIMAL(18,2))"
+
+  /** Exact integer 1e-4 units → pinned DECIMAL(18,4) (Spark side). */
+  def dec4(units: Column): Column =
+    (units * lit(TenThousandth)).cast(DecimalType(18, 4))
+
+  /** DuckDB mirror of [[dec4]]. */
+  def dec4Sql(units: String): String =
+    s"CAST(CAST(($units) AS BIGINT) * 0.0001 AS DECIMAL(18,4))"
 }

@@ -4,7 +4,7 @@ import java.sql.Date
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 /** Gold-layer customer rollup — the engine's flagship query, re-expressing
   * the reference's `models/gold/customers/dim_customer.sql` semantics
@@ -39,11 +39,11 @@ object Metrics {
     val cent = Exact.cents(col("o_totalprice"))
     val metrics = valid.groupBy("o_custkey").agg(
       countDistinct(col("o_orderkey")).as("m_orders"),
-      (sum(cent) / 100.0).as("m_value"),
-      (Exact.halfUpDiv(sum(cent), count(lit(1))) / 100.0).as("m_avg"),
+      Exact.dec2(sum(cent)).as("m_value"),
+      Exact.dec2(Exact.halfUpDiv(sum(cent), count(lit(1)))).as("m_avg"),
       countDistinct(when(col("o_orderstatus") === "F", col("o_orderkey")))
         .as("m_completed"),
-      (sum(when(col("o_orderstatus") === "F", cent).otherwise(0L)) / 100.0)
+      Exact.dec2(sum(when(col("o_orderstatus") === "F", cent).otherwise(0L)))
         .as("m_completed_rev"),
       countDistinct(date_trunc("month", col("o_orderdate")))
         .as("m_active_months"),
@@ -55,8 +55,9 @@ object Metrics {
       .join(broadcast(nation),
         customer("c_nationkey") === nation("n_nationkey"), "left")
 
+    val decZero = lit(0).cast(DecimalType(18, 2))
     val lifetimeOrders = coalesce(col("m_orders"), lit(0L))
-    val lifetimeValue = coalesce(col("m_value"), lit(0.0))
+    val lifetimeValue = coalesce(col("m_value"), decZero)
     val daysSince = datediff(lit(anchor), to_date(col("m_last_ts")))
     val recency = when(daysSince.isNull, 1)
       .when(daysSince <= 90, 5).when(daysSince <= 180, 4)
@@ -75,7 +76,7 @@ object Metrics {
       lifetimeValue.as("lifetime_value"),
       col("m_avg").as("avg_order_value"),
       coalesce(col("m_completed"), lit(0L)).as("completed_orders"),
-      coalesce(col("m_completed_rev"), lit(0.0)).as("completed_revenue"),
+      coalesce(col("m_completed_rev"), decZero).as("completed_revenue"),
       coalesce(col("m_active_months"), lit(0L)).as("active_months"),
       col("m_first_ts").as("first_order_ts"),
       col("m_last_ts").as("last_order_ts"),
@@ -96,8 +97,8 @@ object Metrics {
         .when(daysSince <= 540, "LAPSING")
         .otherwise("DORMANT").as("lifecycle_stage"),
       when(lifetimeOrders > 0,
-        Exact.halfUpDiv(coalesce(col("m_completed"), lit(0L)) * 10000,
-          lifetimeOrders) / 10000.0)
+        Exact.dec4(Exact.halfUpDiv(
+          coalesce(col("m_completed"), lit(0L)) * 10000, lifetimeOrders)))
         .as("completed_rate"))
       .orderBy("c_custkey")
   }
@@ -108,14 +109,15 @@ object Metrics {
     s"""WITH m AS (
       |  SELECT o_custkey,
       |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS m_orders,
-      |    sum(${Exact.centsSql("o_totalprice")}) / 100.0 AS m_value,
-      |    ${Exact.halfUpDivSql(
-             s"sum(${Exact.centsSql("o_totalprice")})", "count(*)")} / 100.0
+      |    ${Exact.dec2Sql(s"sum(${Exact.centsSql("o_totalprice")})")}
+      |      AS m_value,
+      |    ${Exact.dec2Sql(Exact.halfUpDivSql(
+             s"sum(${Exact.centsSql("o_totalprice")})", "count(*)"))}
       |      AS m_avg,
       |    CAST(count(DISTINCT CASE WHEN o_orderstatus = 'F'
       |      THEN o_orderkey END) AS BIGINT) AS m_completed,
-      |    sum(CASE WHEN o_orderstatus = 'F'
-      |      THEN ${Exact.centsSql("o_totalprice")} ELSE 0 END) / 100.0
+      |    ${Exact.dec2Sql(s"""sum(CASE WHEN o_orderstatus = 'F'
+      |      THEN ${Exact.centsSql("o_totalprice")} ELSE 0 END)""")}
       |      AS m_completed_rev,
       |    CAST(count(DISTINCT date_trunc('month', o_orderdate)) AS BIGINT)
       |      AS m_active_months,
@@ -130,7 +132,7 @@ object Metrics {
       |    CAST(date_diff('day', CAST(m.m_last_ts AS DATE), DATE '$anchor')
       |      AS INTEGER) AS days_since,
       |    COALESCE(m.m_orders, 0) AS lt_orders,
-      |    COALESCE(m.m_value, CAST(0 AS DOUBLE)) AS lt_value
+      |    COALESCE(m.m_value, CAST(0 AS DECIMAL(18,2))) AS lt_value
       |  FROM customer c
       |  LEFT JOIN m ON c.c_custkey = m.o_custkey
       |  LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey)
@@ -139,7 +141,8 @@ object Metrics {
       |  lt_value AS lifetime_value,
       |  m_avg AS avg_order_value,
       |  COALESCE(m_completed, 0) AS completed_orders,
-      |  COALESCE(m_completed_rev, CAST(0 AS DOUBLE)) AS completed_revenue,
+      |  COALESCE(m_completed_rev, CAST(0 AS DECIMAL(18,2)))
+      |    AS completed_revenue,
       |  COALESCE(m_active_months, 0) AS active_months,
       |  m_first_ts AS first_order_ts,
       |  m_last_ts AS last_order_ts,
@@ -175,8 +178,8 @@ object Metrics {
       |       WHEN days_since <= 540 THEN 'LAPSING'
       |       ELSE 'DORMANT' END AS lifecycle_stage,
       |  CASE WHEN lt_orders > 0
-      |       THEN ${Exact.halfUpDivSql("COALESCE(m_completed, 0)*10000",
-                "lt_orders")} / 10000.0
+      |       THEN ${Exact.dec4Sql(Exact.halfUpDivSql(
+                "COALESCE(m_completed, 0)*10000", "lt_orders"))}
       |       END AS completed_rate
       |FROM j ORDER BY c_custkey""".stripMargin
 }

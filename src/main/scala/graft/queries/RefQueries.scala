@@ -174,37 +174,39 @@ object RefQueries {
     val tBp = Exact.centsSql("l_tax")
     Q("q06_math_round",
       s"""SELECT l_orderkey, l_linenumber,
-        |  ${Exact.halfUpDivSql(s"$epC*(100-$dBp)", "100")} / 100.0
+        |  ${Exact.dec2Sql(Exact.halfUpDivSql(s"$epC*(100-$dBp)", "100"))}
         |    AS net_price,
-        |  ${Exact.halfUpDivSql(s"$epC*(100-$dBp)*(100+$tBp)", "10000")}
-        |    / 100.0 AS charge,
-        |  CASE WHEN l_quantity <> 0 THEN
-        |    ${Exact.halfUpDivSql(s"$dBp*100", "CAST(l_quantity AS BIGINT)")}
-        |    / 10000.0 END AS disc_per_unit,
+        |  ${Exact.dec2Sql(
+             Exact.halfUpDivSql(s"$epC*(100-$dBp)*(100+$tBp)", "10000"))}
+        |    AS charge,
+        |  CASE WHEN l_quantity <> 0 THEN ${Exact.dec4Sql(
+             Exact.halfUpDivSql(s"$dBp*100", "CAST(l_quantity AS BIGINT)"))}
+        |    END AS disc_per_unit,
         |  CAST(l_quantity AS INTEGER) AS qty_int,
         |  CAST(l_extendedprice AS DECIMAL(12,2)) AS price_dec,
         |  COALESCE(nullif(l_returnflag, 'N'), 'NONE') AS return_kind
         |FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber, price_dec, qty_int, return_kind,
-        |  net_price""".stripMargin) { (s, d) =>
+        |ORDER BY l_orderkey, l_linenumber, net_price, charge, disc_per_unit,
+        |  qty_int, price_dec, return_kind""".stripMargin) { (s, d) =>
       val epC2 = Exact.cents(col("l_extendedprice"))
       val dBp2 = Exact.cents(col("l_discount"))
       val tBp2 = Exact.cents(col("l_tax"))
       T(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
-          (Exact.halfUpDiv(epC2 * (lit(100L) - dBp2), lit(100L)) / 100.0)
+          Exact.dec2(Exact.halfUpDiv(epC2 * (lit(100L) - dBp2), lit(100L)))
             .as("net_price"),
-          (Exact.halfUpDiv(epC2 * (lit(100L) - dBp2) * (lit(100L) + tBp2),
-            lit(10000L)) / 100.0).as("charge"),
+          Exact.dec2(Exact.halfUpDiv(
+            epC2 * (lit(100L) - dBp2) * (lit(100L) + tBp2), lit(10000L)))
+            .as("charge"),
           when(col("l_quantity") =!= 0,
-            Exact.halfUpDiv(dBp2 * 100, col("l_quantity").cast("long"))
-              / 10000.0).as("disc_per_unit"),
+            Exact.dec4(Exact.halfUpDiv(dBp2 * 100,
+              col("l_quantity").cast("long")))).as("disc_per_unit"),
           col("l_quantity").cast(IntegerType).as("qty_int"),
           col("l_extendedprice").cast(DecimalType(12, 2)).as("price_dec"),
           coalesce(nullif(col("l_returnflag"), lit("N")), lit("NONE"))
             .as("return_kind"))
-        .orderBy("l_orderkey", "l_linenumber", "price_dec", "qty_int",
-          "return_kind", "net_price")
+        .orderBy("l_orderkey", "l_linenumber", "net_price", "charge",
+          "disc_per_unit", "qty_int", "price_dec", "return_kind")
     }
   }
 
@@ -216,15 +218,15 @@ object RefQueries {
     "q07_agg_group",
     s"""SELECT o_custkey,
       |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
-      |  sum(${oCents("o_totalprice")}) / 100.0 AS total_rev,
-      |  ${Exact.halfUpDivSql(s"sum(${oCents("o_totalprice")})", "count(*)")}
-      |    / 100.0 AS avg_rev,
+      |  ${Exact.dec2Sql(s"sum(${oCents("o_totalprice")})")} AS total_rev,
+      |  ${Exact.dec2Sql(Exact.halfUpDivSql(
+           s"sum(${oCents("o_totalprice")})", "count(*)"))} AS avg_rev,
       |  min(o_totalprice) AS min_rev,
       |  max(o_totalprice) AS max_rev,
       |  CAST(count(DISTINCT CASE WHEN o_orderstatus = 'F'
       |       THEN o_orderkey END) AS BIGINT) AS fulfilled_orders,
-      |  sum(CASE WHEN o_orderstatus = 'O'
-      |       THEN ${oCents("o_totalprice")} ELSE 0 END) / 100.0 AS open_rev,
+      |  ${Exact.dec2Sql(s"""sum(CASE WHEN o_orderstatus = 'O'
+      |       THEN ${oCents("o_totalprice")} ELSE 0 END)""")} AS open_rev,
       |  CAST(count(DISTINCT date_trunc('month', o_orderdate)) AS BIGINT)
       |       AS active_months,
       |  CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
@@ -236,14 +238,15 @@ object RefQueries {
         .groupBy("o_custkey")
         .agg(
           countDistinct(col("o_orderkey")).as("n_orders"),
-          (sum(cent) / 100.0).as("total_rev"),
-          (Exact.halfUpDiv(sum(cent), count(lit(1))) / 100.0).as("avg_rev"),
+          Exact.dec2(sum(cent)).as("total_rev"),
+          Exact.dec2(Exact.halfUpDiv(sum(cent), count(lit(1))))
+            .as("avg_rev"),
           min("o_totalprice").as("min_rev"),
           max("o_totalprice").as("max_rev"),
           countDistinct(when(col("o_orderstatus") === "F", col("o_orderkey")))
             .as("fulfilled_orders"),
-          (sum(when(col("o_orderstatus") === "O", cent).otherwise(0L)) / 100.0)
-            .as("open_rev"),
+          Exact.dec2(sum(when(col("o_orderstatus") === "O", cent)
+            .otherwise(0L))).as("open_rev"),
           countDistinct(date_trunc("month", col("o_orderdate")))
             .as("active_months"),
           datediff(anchorLit, to_date(max(col("o_orderdate"))))
@@ -257,13 +260,13 @@ object RefQueries {
     s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
       |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
       |  max(o_orderdate) AS last_order_ts,
-      |  sum(${oCents("o_totalprice")}) / 100.0 AS total_rev
+      |  ${Exact.dec2Sql(s"sum(${oCents("o_totalprice")})")} AS total_rev
       |FROM orders""".stripMargin) { (s, d) =>
     T(s, d, "orders").agg(
       count(lit(1)).as("n_rows"),
       countDistinct(col("o_custkey")).as("n_custs"),
       max("o_orderdate").as("last_order_ts"),
-      (sum(cents(col("o_totalprice"))) / 100.0).as("total_rev"))
+      Exact.dec2(sum(cents(col("o_totalprice")))).as("total_rev"))
   }
 
   // ---------------------------------------------------------------- J1
@@ -425,7 +428,7 @@ object RefQueries {
       |  event_type,
       |  CAST(count(*) AS BIGINT) AS n_events,
       |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-      |  sum(${oCents("value")}) / 100.0 AS total_value
+      |  ${Exact.dec2Sql(s"sum(${oCents("value")})")} AS total_value
       |FROM events
       |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin) {
     (s, d) =>
@@ -434,7 +437,7 @@ object RefQueries {
           col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("n_users"),
-          (sum(cents(col("value"))) / 100.0).as("total_value"))
+          Exact.dec2(sum(cents(col("value")))).as("total_value"))
         .orderBy("window_start", "event_type")
   }
 
@@ -446,7 +449,7 @@ object RefQueries {
     s"""SELECT user_id,
       |  CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
       |  CAST(count(*) AS BIGINT) AS n_events,
-      |  sum(${oCents("value")}) / 100.0 AS total_value
+      |  ${Exact.dec2Sql(s"sum(${oCents("value")})")} AS total_value
       |FROM (
       |  SELECT user_id, value,
       |    sum(is_new) OVER (PARTITION BY user_id
@@ -476,7 +479,7 @@ object RefQueries {
       .groupBy("user_id")
       .agg(countDistinct(col("session_id")).as("n_sessions"),
         count(lit(1)).as("n_events"),
-        (sum(cents(col("value"))) / 100.0).as("total_value"))
+        Exact.dec2(sum(cents(col("value")))).as("total_value"))
       .orderBy("user_id")
   }
 
@@ -553,7 +556,7 @@ object RefQueries {
   val q37SaltedAgg: Q = Q(
     "q37_salted_agg",
     s"""SELECT o_custkey,
-      |  sum(${oCents("o_totalprice")}) / 100.0 AS total_rev,
+      |  ${Exact.dec2Sql(s"sum(${oCents("o_totalprice")})")} AS total_rev,
       |  CAST(count(*) AS BIGINT) AS n_orders,
       |  max(o_totalprice) AS max_rev
       |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) {
@@ -564,7 +567,7 @@ object RefQueries {
           uniq = col("o_orderkey"), buckets = 8,
           partialAggs = Seq(sum(cent).as("pc"),
             count(lit(1)).as("pn"), max("o_totalprice").as("pm")),
-          finalAggs = Seq((sum("pc") / 100.0).as("total_rev"),
+          finalAggs = Seq(Exact.dec2(sum("pc")).as("total_rev"),
             sum("pn").as("n_orders"), max("pm").as("max_rev")))
         .orderBy("o_custkey")
   }
