@@ -73,8 +73,46 @@ final class ModelStore(root: String) {
     val spark = df.sparkSession
     val next = currentVersion(spark, layer, name) + 1
     val dest = new Path(versionDir(layer, name, next))
-    val fs = fsFor(spark, dest)
+    writeData(df, dest, partitionBy, zorderBy)
+    commit(spark, layer, name, next, description, meta)
+  }
 
+  /** Partition-pruned incremental write (the Delta-MERGE file-pruning
+    * analog, reference `orders_cleaned.sql:14`): `df` holds the merged
+    * content of ONLY the touched partitions; they are written fresh
+    * into the new version, and every untouched partition directory is
+    * carried over from the current version by hard link (per-file copy
+    * fallback) — O(touched data) write cost instead of a full-table
+    * rewrite per incremental run. Version dirs stay self-contained, so
+    * time travel, vacuum and concurrent readers are unaffected. */
+  def writeTouchedPartitions(df: DataFrame, layer: String, name: String,
+      partitionBy: Seq[String], zorderBy: Seq[String] = Nil,
+      description: String = "",
+      meta: Map[String, String] = Map.empty): Unit = {
+    require(partitionBy.nonEmpty, "writeTouchedPartitions needs partitions")
+    val spark = df.sparkSession
+    val cur = currentVersion(spark, layer, name)
+    val next = cur + 1
+    val dest = new Path(versionDir(layer, name, next))
+    writeData(df, dest, partitionBy, zorderBy)
+    if (cur > 0) {
+      val fs = fsFor(spark, dest)
+      val src = new Path(versionDir(layer, name, cur))
+      val fresh = partitionRelPaths(fs, dest, partitionBy.length).toSet
+      partitionRelPaths(fs, src, partitionBy.length)
+        .filterNot(fresh)
+        .foreach(rel => linkOrCopyDir(fs,
+          new Path(src, rel), new Path(dest, rel)))
+    }
+    commit(spark, layer, name, next, description, meta)
+  }
+
+  private def writeData(df: DataFrame, dest: Path,
+      partitionBy: Seq[String], zorderBy: Seq[String]): Unit = {
+    // ZORDER analog: cluster before write. The repartitions carry no
+    // explicit partition count, so AQE coalesces the write parallelism
+    // to the data size instead of fanning tiny files out across every
+    // shuffle partition.
     val clustered =
       if (partitionBy.nonEmpty)
         df.repartition(partitionBy.map(col): _*)
@@ -88,7 +126,53 @@ final class ModelStore(root: String) {
       if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
       else writer
     partitioned.parquet(dest.toString)
+  }
 
+  /** Relative `col=value/...` partition directory paths at `depth`
+    * levels under `base` (encoded by Spark's own partitioned write, so
+    * no value-escaping logic is re-implemented here). */
+  private def partitionRelPaths(fs: FileSystem, base: Path,
+      depth: Int): Seq[String] = {
+    def walk(p: Path, level: Int): Seq[String] =
+      if (level == 0) Seq("")
+      else fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .flatMap(s => walk(s.getPath, level - 1)
+          .map(rest =>
+            if (rest.isEmpty) s.getPath.getName
+            else s"${s.getPath.getName}/$rest"))
+    if (!fs.exists(base)) Nil else walk(base, depth)
+  }
+
+  /** Carry one untouched partition dir into the new version: hard link
+    * each file (O(1), no data movement on a local store); fall back to
+    * a byte copy where the filesystem can't link. An object-store
+    * implementation would instead reference the files in a manifest. */
+  private def linkOrCopyDir(fs: FileSystem, src: Path, dst: Path): Unit = {
+    fs.mkdirs(dst)
+    fs.listStatus(src).foreach { st =>
+      if (st.isDirectory)
+        linkOrCopyDir(fs, st.getPath, new Path(dst, st.getPath.getName))
+      else {
+        val target = new Path(dst, st.getPath.getName)
+        val linked =
+          try {
+            java.nio.file.Files.createLink(
+              java.nio.file.Paths.get(target.toUri.getPath),
+              java.nio.file.Paths.get(st.getPath.toUri.getPath))
+            true
+          } catch { case _: Exception => false }
+        if (!linked)
+          org.apache.hadoop.fs.FileUtil.copy(
+            fs, st.getPath, fs, target, false, fs.getConf): Unit
+      }
+    }
+  }
+
+  private def commit(spark: SparkSession, layer: String, name: String,
+      next: Int, description: String, meta: Map[String, String]): Unit = {
+    val dest = new Path(versionDir(layer, name, next))
+    val fs = fsFor(spark, dest)
     // O7 persist_docs analog: table comment persisted beside the data.
     // Arbitrary metadata (e.g. a streaming sink's batch id) is written
     // into the version dir BEFORE the pointer swap, so data + metadata

@@ -6,7 +6,7 @@ import scala.collection.mutable
 import scala.concurrent.duration.Duration
 import scala.concurrent.{Await, ExecutionContext, Future}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions, DataFrame, SparkSession}
 
 import graft.io.{MergeWriter, ModelStore}
 
@@ -155,14 +155,42 @@ object Pipeline {
     // without one, incremental runs APPEND to the existing table — the
     // reference project's default (`dbt_project.yml:40–41`,
     // `incremental_strategy: 'append'`).
-    val merged = (existing, m.uniqueKey) match {
-      case (Some(ex), Some(key)) => MergeWriter.merge(ex, updates, key)
-      case (Some(ex), None) => ex.unionByName(updates,
-        allowMissingColumns = true)
-      case _ => updates
+    (existing, m.uniqueKey) match {
+      case (Some(ex), Some(key))
+          if m.partitionBy.nonEmpty && sameColumns(ex, updates) =>
+        // Partition-pruned MERGE (Delta file-pruning analog, reference
+        // `orders_cleaned.sql:14`): anti-join and rewrite ONLY the
+        // partitions present in `updates`; untouched partition dirs
+        // carry over by link. Contract (as for dbt insert_overwrite /
+        // pruned Delta MERGE): partition columns are stable per merge
+        // key — a key never migrates between partitions, otherwise its
+        // stale row in an untouched partition would survive. On schema
+        // change (sync_all_columns) this arm is skipped and the full
+        // rewrite below re-syncs every partition.
+        val parts = m.partitionBy.map(c => functions.col(c))
+        val touched = updates.select(parts: _*).distinct().collect()
+        val pred = touched.map(r =>
+            m.partitionBy.zipWithIndex.map { case (c, i) =>
+              functions.col(c) === functions.lit(r.get(i))
+            }.reduce(_ && _))
+          .reduceOption(_ || _)
+          .getOrElse(functions.lit(false))
+        val merged = MergeWriter.merge(ex.filter(pred), updates, key)
+        store.writeTouchedPartitions(merged, m.layer, m.name,
+          m.partitionBy, m.zorderBy, description = m.description,
+          meta = meta)
+      case (Some(ex), Some(key)) =>
+        store.write(MergeWriter.merge(ex, updates, key), m.layer, m.name,
+          m.partitionBy, m.zorderBy, description = m.description,
+          meta = meta)
+      case (Some(ex), None) =>
+        store.write(ex.unionByName(updates, allowMissingColumns = true),
+          m.layer, m.name, m.partitionBy, m.zorderBy,
+          description = m.description, meta = meta)
+      case _ =>
+        store.write(updates, m.layer, m.name, m.partitionBy, m.zorderBy,
+          description = m.description, meta = meta)
     }
-    store.write(merged, m.layer, m.name, m.partitionBy, m.zorderBy,
-      description = m.description, meta = meta)
     // O6: post-hooks run against the materialized table (the dbt
     // post_hook analog; ZORDER itself is folded into the write above)
     if (m.postHooks.nonEmpty) {
@@ -170,4 +198,12 @@ object Pipeline {
       m.postHooks.foreach(_(materialized))
     }
   }
+
+  /** Same column set (name → type, order/nullability-insensitive):
+    * gate for the pruned-merge fast path — any schema drift routes
+    * through the full rewrite so sync_all_columns touches every
+    * partition. */
+  private def sameColumns(a: DataFrame, b: DataFrame): Boolean =
+    a.schema.fields.map(f => f.name -> f.dataType).toMap ==
+      b.schema.fields.map(f => f.name -> f.dataType).toMap
 }

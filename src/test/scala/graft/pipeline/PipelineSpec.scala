@@ -150,6 +150,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(out3("customers_latest").collect().toSet == before)
   }
 
+  test("incremental merge rewrites only touched partitions") {
+    val sources = Map(
+      "customers_cdc" -> CdcFixtures.customersBatch1(),
+      "orders_cdc" -> CdcFixtures.ordersBatch1())
+    val (p, store) = newPipeline(sources)
+    p.run(spark, RunMode.Bootstrap)
+
+    def filesOf(v: Int, part: String): Set[String] = {
+      val dir = new java.io.File(
+        store.versionDir("silver", "orders_cleaned", v), part)
+      Option(dir.listFiles).toSeq.flatten
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    }
+    val v1 = store.currentVersion(spark, "silver", "orders_cleaned")
+    val untouchedBefore = filesOf(v1, "order_year=2024/order_month=11")
+    val touchedBefore = filesOf(v1, "order_year=2024/order_month=3")
+    assert(untouchedBefore.nonEmpty && touchedBefore.nonEmpty)
+
+    // batch2 touches only 2024-03 (O1 update, O6 insert)
+    val p2 = new Pipeline(models.all, store,
+      (_, name) => name match {
+        case "customers_cdc" => CdcFixtures.customersBatch2()
+        case "orders_cdc" => CdcFixtures.ordersBatch2()
+      },
+      vars = Map("ingest_batch_date" -> "1900-01-01"))
+    val out2 = p2.run(spark, RunMode.Incremental)
+
+    val v2 = store.currentVersion(spark, "silver", "orders_cleaned")
+    assert(v2 == v1 + 1)
+    // untouched partition carried over file-for-file (linked, not
+    // rewritten: a rewrite would mint fresh part-file UUIDs)
+    assert(filesOf(v2, "order_year=2024/order_month=11")
+      == untouchedBefore)
+    // touched partition was rewritten with fresh files
+    val touchedAfter = filesOf(v2, "order_year=2024/order_month=3")
+    assert(touchedAfter.nonEmpty && touchedAfter
+      .intersect(touchedBefore).isEmpty)
+    // and the merged table is still complete
+    assert(byKey(out2("orders_cleaned"), "order_id").keySet
+      == Set("O1", "O2", "O3", "O5", "O6"))
+  }
+
   test("append strategy (no uniqueKey) accumulates rows across runs") {
     val appendModel = graft.model.ModelDef(
       name = "events_log", layer = "silver",
