@@ -251,29 +251,56 @@ object NearDup {
 
   // ------------------------------------------- end-to-end corpus dedup
   /** Collapse a pair list into keep/drop decisions: connected
-    * components by iterative min-label propagation (each round, every
-    * doc adopts the smallest id reachable over one edge; `rounds`
-    * bounds the diameter — near-dup clusters are shallow in practice).
+    * components by min-label propagation iterated TO A FIXPOINT, with
+    * pointer jumping (each round a doc adopts the smallest label
+    * reachable over one edge, then adopts its label's label — so
+    * convergence is logarithmic in component diameter, and the loop
+    * stops at the first round with zero label changes). `maxRounds` is
+    * a runaway backstop, not a diameter cap: 2^20-diameter chains
+    * don't occur in dedup graphs.
     * Returns (doc_id, keep_id); `doc_id != keep_id` ⇒ drop as duplicate.
-    * All joins are key-partitioned aggregations — no driver-side graph.
+    * All joins are key-partitioned aggregations — no driver-side graph;
+    * the per-round convergence check is one count over the label table.
     */
-  def clusterPairs(pairs: DataFrame, rounds: Int = 3): DataFrame = {
+  def clusterPairs(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
     // undirected edge list, both directions
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .persist()
     val nodes = edges.select(col("src").as("doc_id")).distinct()
-    var labels = nodes.withColumn("keep_id", col("doc_id"))
-    for (_ <- 0 until rounds) {
+    var labels = nodes.withColumn("keep_id", col("doc_id")).persist()
+    var converged = labels.isEmpty
+    var round = 0
+    while (!converged && round < maxRounds) {
       val viaEdge = edges
         .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min("keep_id").as("edge_min"))
-      labels = labels.join(viaEdge, Seq("doc_id"), "left")
+      val stepped = labels.join(viaEdge, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("keep_id"), coalesce(col("edge_min"), col("keep_id")))
             .as("keep_id"))
+        .persist()
+      // pointer jumping: follow one's label to ITS label — labels are
+      // always node ids, so the lookup is a self-join on the label table
+      val parentOf = stepped
+        .select(col("doc_id").as("p_id"), col("keep_id").as("p_label"))
+      val jumped = stepped
+        .join(parentOf, stepped("keep_id") === parentOf("p_id"), "left")
+        .select(stepped("doc_id"),
+          least(stepped("keep_id"),
+            coalesce(col("p_label"), stepped("keep_id"))).as("keep_id"))
+        .persist()
+      val changed = jumped
+        .join(labels.withColumnRenamed("keep_id", "prev"), Seq("doc_id"))
+        .filter(col("keep_id") =!= col("prev")).count()
+      labels.unpersist()
+      stepped.unpersist()
+      labels = jumped
+      converged = changed == 0
+      round += 1
     }
+    edges.unpersist()
     labels
   }
 

@@ -88,15 +88,7 @@ object VectorOps {
     // bounded top-k aggregation (map-side partial top-k, ≤ k rows per
     // group per partition shuffled) instead of a window sort over all
     // candidates — see graft.functions.TopKAgg
-    val topk = udaf(new graft.functions.TopKAgg(TopK))
-    pairs
-      .groupBy("q_id")
-      .agg(topk(col("cos_sim"), col("vec_id")).as("top"))
-      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "s")))
-      .select(col("q_id"), col("s.id").as("vec_id"),
-        col("s.score").as("cos_sim"),
-        (col("pos") + 1).cast(IntegerType).as("rnk"))
-      .orderBy("q_id", "rnk")
+    topKRanked(pairs)
   }
 
   // ------------------------------------------------- embedding stats
@@ -179,14 +171,30 @@ object VectorOps {
     ((h % 1000 + 1000) % 1000) / 500.0 - 1.0
   }
 
-  def lshBucket(emb: Column, dims: Int): Column = {
+  def lshBucket(emb: Column, dims: Int, seed: Int = 0): Column = {
     val embD = emb.cast("array<double>")
     (0 until NumPlanes).map { p =>
       val plane = array((0 until dims).map(i =>
-        lit(planeComponent(p, i))): _*)
+        lit(planeComponent(seed * NumPlanes + p, i))): _*)
       val dot = graft.functions.VectorExpressions.dotDouble(embD, plane)
       when(dot >= 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
+  }
+
+  /** Explode a bounded top-k aggregation result into ranked rows —
+    * shared presentation tail of q27/q30/q32 (the window row_number
+    * form would shuffle every candidate; TopKAgg ships ≤ k rows per
+    * group per partition, `graft.functions.TopKAgg`). */
+  private def topKRanked(pairs: DataFrame): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAgg(TopK))
+    pairs
+      .groupBy("q_id")
+      .agg(topk(col("cos_sim"), col("vec_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("q_id"), col("s.id").as("vec_id"),
+        col("s.score").as("cos_sim"),
+        (col("pos") + 1).cast(IntegerType).as("rnk"))
+      .orderBy("q_id", "rnk")
   }
 
   val qAnnLshBuckets: Q = Q.noOracle("q30_ann_lsh") { (s, d) =>
@@ -194,65 +202,142 @@ object VectorOps {
       .select(col("vec_id"), quantize(col("embedding")).as("qv"),
         lshBucket(col("embedding"), 64).as("bucket"))
       .withColumn("n2", norm2Q(col("qv")))
-    base.join(broadcast(base.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
-          col("n2").as("q_n2"), col("bucket"))), Seq("bucket"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        cosineQ(col("q_qv"), col("qv"), col("q_n2"), col("n2"))
-          .as("cos_sim"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("q_id")
-          .orderBy(col("cos_sim").desc, col("vec_id"))))
-      .filter(col("rnk") <= TopK)
-      .orderBy("q_id", "rnk")
+    topKRanked(
+      base.join(broadcast(base.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+            col("n2").as("q_n2"), col("bucket"))), Seq("bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosineQ(col("q_qv"), col("qv"), col("q_n2"), col("n2"))
+            .as("cos_sim")))
   }
 
   // ----------------------------------------------- IVF-style ANN (scale)
-  // Inverted-file variant: a deterministic coarse quantizer (first K
-  // vectors as centroids — a k-means stand-in that keeps runs
-  // reproducible), every vector assigned to its nearest centroid, and
-  // queries probing only their own centroid's inverted list. The
-  // assignment is one broadcast join + per-vector arg-max; search cost
-  // drops from |corpus| to |corpus|/K per query. Rows-only driver
-  // check; recall asserted in VectorOpsSpec via a planted duplicate.
+  // Inverted-file variant: a TRAINED coarse quantizer (deterministic
+  // Lloyd k-means — fixed init from the first K vectors, fixed
+  // iteration count, so runs are reproducible), every vector assigned
+  // to its nearest centroid, and queries probing only their own
+  // centroid's inverted list. Assignment is one broadcast join +
+  // per-vector arg-max aggregate; search cost drops from |corpus| to
+  // |corpus|/K per query. Rows-only driver check; recall asserted in
+  // VectorOpsSpec via a planted duplicate in a non-initial cell.
   val NumCentroids = 16
+  val KmeansIters = 3
 
-  /** (vec_id, centroid_id) assignment by max quantized cosine,
-    * ties broken by centroid id. */
-  def ivfAssign(base: DataFrame): DataFrame = {
-    val centroids = broadcast(base.filter(col("vec_id") < NumCentroids)
+  /** Deterministic distributed k-means over quantized vectors: Lloyd
+    * iterations where each step is a broadcast-join assignment plus a
+    * per-(centroid, dim) mean aggregation — no driver-side math, no
+    * randomness. Empty cells drop out (k can only shrink). Returns
+    * (c_id, c_qv, c_n2). */
+  def kmeansCentroids(base: DataFrame, k: Int = NumCentroids,
+      iters: Int = KmeansIters): DataFrame = {
+    var centroids = base.filter(col("vec_id") < k)
       .select(col("vec_id").as("c_id"), col("qv").as("c_qv"),
-        col("n2").as("c_n2")))
-    base.crossJoin(centroids)
+        col("n2").as("c_n2"))
+    for (_ <- 0 until iters) {
+      centroids = ivfAssign(base, centroids)
+        .select(col("c_id"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy("c_id", "pos").agg(avg("v").as("m"))
+        .groupBy("c_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .as("pm"))
+        .select(col("c_id"),
+          transform(col("pm"), x => round(x("m")).cast("long")).as("c_qv"))
+        .withColumn("c_n2", norm2Q(col("c_qv")))
+    }
+    centroids
+  }
+
+  /** (vec_id, qv, n2, c_id): nearest-centroid assignment by max
+    * quantized cosine, ties to the smallest centroid id. Arg-max as a
+    * max_by aggregate (map-side partial) rather than a window sort. */
+  def ivfAssign(base: DataFrame, centroids: DataFrame): DataFrame =
+    base.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("qv"), col("n2"), col("c_id"),
         cosineQ(col("qv"), col("c_qv"), col("n2"), col("c_n2"))
           .as("c_cos"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("vec_id")
-          .orderBy(col("c_cos").desc, col("c_id"))))
-      .filter(col("rnk") === 1)
-      .select("vec_id", "qv", "n2", "c_id")
-  }
+      .groupBy("vec_id")
+      .agg(first("qv").as("qv"), first("n2").as("n2"),
+        max_by(col("c_id"), struct(col("c_cos"), -col("c_id")))
+          .as("c_id"))
 
   val qAnnIvf: Q = Q.noOracle("q32_ann_ivf") { (s, d) =>
-    val assigned = ivfAssign(withQuant(T(s, d, "embeddings"))).persist()
+    val base = withQuant(T(s, d, "embeddings")).persist()
+    val assigned =
+      ivfAssign(base, kmeansCentroids(base).persist()).persist()
     val q = assigned.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
         col("n2").as("q_n2"), col("c_id"))
-    assigned.join(broadcast(q), Seq("c_id"))   // probe own cell only
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        cosineQ(col("q_qv"), col("qv"), col("q_n2"), col("n2"))
-          .as("cos_sim"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("q_id")
-          .orderBy(col("cos_sim").desc, col("vec_id"))))
-      .filter(col("rnk") <= TopK)
-      .orderBy("q_id", "rnk")
+    topKRanked(
+      assigned.join(broadcast(q), Seq("c_id"))   // probe own cell only
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosineQ(col("q_qv"), col("qv"), col("q_n2"), col("n2"))
+            .as("cos_sim")))
+  }
+
+  // ------------------------------------- corpus-scale embedding dedup
+  // The composed scale path (LSH candidates → exact cosine verify →
+  // connected-component clustering) that replaces all-pairs scans: the
+  // analog of NearDup.dedupCorpus for embedding columns. Banded
+  // OR-construction over `DedupBands` independent hyperplane sets
+  // recovers the recall a single bucket function loses to near-dups
+  // straddling one plane (P[caught] = 1-(1-p)^bands).
+  val DedupBands = 4
+
+  /** (vec_id, keep_id) dedup decision over an embedding corpus;
+    * `vec_id != keep_id` ⇒ drop as near-duplicate (cosine ≥
+    * `threshold` to something transitively in the cluster). */
+  def embeddingDedupCorpus(emb: DataFrame, dims: Int,
+      threshold: Double = 0.95): DataFrame = {
+    val base = emb
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"),
+        explode(array((0 until DedupBands).map(bd =>
+          struct(lit(bd).as("band_idx"),
+            lshBucket(col("embedding"), dims, seed = bd).as("bucket"))): _*))
+          .as("band"))
+      .select(col("vec_id"), col("qv"), norm2Q(col("qv")).as("n2"),
+        col("band.band_idx").as("band_idx"),
+        col("band.bucket").as("bucket"))
+      .persist()
+    val slim = base.select("vec_id", "band_idx", "bucket")
+    val a = slim.as("a")
+    val b = slim.as("b")
+    // distinct candidate pairs first — a pair colliding in several
+    // bands is verified once
+    val candidates = a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .distinct()
+    val va = base.select(col("vec_id").as("a_id"), col("qv").as("qv_a"),
+      col("n2").as("n2_a")).dropDuplicates("a_id")
+    val vb = base.select(col("vec_id").as("b_id"), col("qv").as("qv_b"),
+      col("n2").as("n2_b")).dropDuplicates("b_id")
+    val verified = candidates
+      .join(va, Seq("a_id")).join(vb, Seq("b_id"))
+      .filter(cosineQ(col("qv_a"), col("qv_b"), col("n2_a"), col("n2_b"))
+        >= threshold)
+      .select("a_id", "b_id")
+    val clustered = NearDup.clusterPairs(verified)
+      .withColumnRenamed("doc_id", "vec_id")
+    emb.select(col("vec_id"))
+      .join(clustered, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("keep_id"), col("vec_id")).as("keep_id"))
+  }
+
+  // Composed end-to-end embedding dedup (rows-only: hyperplane seeds
+  // are engine-specific; recall vs the exact all-pairs verifier is
+  // asserted in VectorOpsSpec).
+  val qEmbeddingDedupCorpus: Q = Q.noOracle("q39_embedding_dedup_corpus") {
+    (s, d) =>
+      embeddingDedupCorpus(T(s, d, "embeddings"), dims = 64)
+        .orderBy("vec_id")
   }
 
   val all: Seq[Q] =
     Seq(qAnnTopK, qEmbeddingStats, qEmbeddingDedup, qAnnLshBuckets,
-      qAnnIvf)
+      qAnnIvf, qEmbeddingDedupCorpus)
 }

@@ -59,10 +59,22 @@ class NearDupSpec extends AnyFunSuite {
   test("clusterPairs: chains collapse to the smallest member") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
       .toDF("a_id", "b_id")
-    val labels = NearDup.clusterPairs(pairs, rounds = 3)
+    val labels = NearDup.clusterPairs(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L))
+  }
+
+  test("clusterPairs: long chains converge to a transitive fixpoint") {
+    // a 9-edge path (diameter 9): the old fixed-3-round propagation
+    // left distinct labels mid-chain; the fixpoint loop must collapse
+    // everything to the minimum AND every keep_id must itself be kept
+    // (keep_id is a fixpoint: label(keep_id) == keep_id)
+    val pairs = (1L until 10L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val labels = NearDup.clusterPairs(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == (1L to 10L).map(_ -> 1L).toMap)
+    assert(labels.values.forall(k => labels(k) == k))
   }
 
   test("simhash: near-identical docs land within the Hamming radius") {

@@ -41,20 +41,57 @@ class VectorOpsSpec extends AnyFunSuite {
   }
 
   test("IVF: planted near-duplicate lands in the query's cell") {
-    // centroids are vec_id < NumCentroids; vec 40 is a near-copy of
-    // vec 2, so both must assign to the same centroid cell
+    // trained (k-means) centroids; vec 40 is a near-copy of vec 25 —
+    // an id OUTSIDE the initial first-K centroid seed, so co-assignment
+    // exercises the trained quantizer, not the seeding
     val vs = (0L until 40L).map { s =>
       (s, (0 until 64).map(i => (math.sin(i * 13 + s * 7) / 3).toFloat))
     }
-    val planted = (40L, vs(2)._2.map(x => x * 1.5f))
+    val planted = (40L, vs(25)._2.map(x => x * 1.5f))
     val df = (vs :+ planted).toDF("vec_id", "embedding")
     val base = df.select(col("vec_id"),
         VectorOps.quantize(col("embedding")).as("qv"))
       .withColumn("n2", VectorOps.norm2Q(col("qv")))
-    val assigned = VectorOps.ivfAssign(base)
-      .collect().map(r => r.getAs[Long]("vec_id") ->
-        r.getAs[Long]("c_id")).toMap
-    assert(assigned(40L) == assigned(2L))
+    val assigned =
+      VectorOps.ivfAssign(base, VectorOps.kmeansCentroids(base))
+        .collect().map(r => r.getAs[Long]("vec_id") ->
+          r.getAs[Long]("c_id")).toMap
+    assert(assigned(40L) == assigned(25L))
+  }
+
+  test("embeddingDedupCorpus: planted near-dup cluster collapses; " +
+      "recall matches the exact verifier") {
+    // three scaled copies of vec 5 (cos = 1 to each other) planted at
+    // non-adjacent ids + pure noise elsewhere: the LSH→verify→cluster
+    // path must collapse the whole cluster to min id 5 and leave noise
+    // untouched (exact all-pairs at this size = the recall oracle)
+    val vs = (0L until 30L).map { s =>
+      (s, (0 until 64).map(i => (math.sin(i * 29 + s * 11) / 3).toFloat))
+    }
+    val dup1 = (30L, vs(5)._2.map(x => x * 1.5f))
+    val dup2 = (31L, vs(5)._2.map(x => x * 0.5f))
+    val all = vs :+ dup1 :+ dup2
+    val df = all.toDF("vec_id", "embedding")
+    val decisions = VectorOps.embeddingDedupCorpus(df, dims = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // exact oracle: all-pairs cosine ≥ 0.95, transitively closed by
+    // union-find — the LSH path must reproduce it exactly at this size
+    val parent = scala.collection.mutable.Map(all.map(_._1 -> -1L): _*)
+    def find(x: Long): Long =
+      if (parent(x) < 0) x else { val r = find(parent(x)); parent(x) = r; r }
+    for {
+      (i, a) <- all; (j, b) <- all
+      if i < j && cosRef(a, b) >= 0.95
+    } {
+      val (ri, rj) = (find(i), find(j))
+      if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+    }
+    val expected = all.map { case (i, _) => i -> find(i) }.toMap
+    assert(decisions == expected)
+    // the planted cluster really did collapse onto one keeper
+    assert(decisions(30L) == decisions(5L)
+      && decisions(31L) == decisions(5L))
   }
 
   test("brute-force top-k finds the planted nearest neighbor") {
