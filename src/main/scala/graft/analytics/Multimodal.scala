@@ -12,10 +12,12 @@ import graft.queries.Q
   * The Spark-side shape is real and tested — binary column + metadata
   * schema, partition-parallel decode (`mapPartitions` over a typed
   * Dataset; the Scala analog of Python's `mapInPandas` batch UDF),
-  * aggregation over extracted features. The decode itself is a
-  * deterministic STUB (this container ships no image/audio codecs):
-  * [[fakeDecode]] stands in for e.g. a JPEG decoder + feature network,
-  * keeping the data flow, schema, and batch shape production-true.
+  * aggregation over extracted features. Image decode is REAL for the
+  * formats the JDK ships codecs for (PNG/JPEG/BMP/GIF via
+  * `javax.imageio`, see [[decodeImage]]); payloads that aren't
+  * decodable images fall back to the deterministic byte-level stub
+  * [[fakeDecode]] (which also stands in for codecs this container
+  * lacks, e.g. audio/video).
   */
 object Multimodal {
 
@@ -40,6 +42,67 @@ object Multimodal {
     }
     MediaFeatures(item.doc_id, item.source, item.n_bytes, sum,
       sum % 1000 / 1000.0)
+  }
+
+  // keep ImageIO memory-only: the default disk-backed stream cache is
+  // a per-task temp file — wrong trade on an executor decoding
+  // millions of small payloads
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Real decoded-image features (or the stub fallback for payloads
+    * that aren't decodable images). */
+  final case class ImageFeatures(doc_id: Long, source: String,
+      n_bytes: Long, decoded: Boolean, width: Int, height: Int,
+      mean_luma: Double, checksum: Long)
+
+  /** REAL image decode for the formats the JDK ships codecs for
+    * (PNG/JPEG/BMP/GIF via `javax.imageio` — zero external jars):
+    * dimensions + stride-subsampled mean luma as the extracted
+    * features. Payloads that don't decode (wrong mime, truncated
+    * bytes, text) fall back to [[fakeDecode]]'s deterministic
+    * byte-level features, so the operator is total over arbitrary
+    * binary columns. */
+  def decodeImage(item: MediaItem): ImageFeatures = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(item.payload)))
+      catch { case _: Exception => None }
+    img match {
+      case Some(im) if im.getWidth > 0 && im.getHeight > 0 =>
+        val w = im.getWidth
+        val h = im.getHeight
+        // stride subsampling caps per-item decode work on oversized
+        // images (≤ ~64×64 samples regardless of resolution)
+        val stepX = math.max(1, w / 64)
+        val stepY = math.max(1, h / 64)
+        var sum = 0L
+        var n = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = im.getRGB(x, y)
+            sum += ((rgb >> 16 & 0xff) + (rgb >> 8 & 0xff) + (rgb & 0xff)) / 3
+            n += 1
+            x += stepX
+          }
+          y += stepY
+        }
+        ImageFeatures(item.doc_id, item.source, item.n_bytes,
+          decoded = true, w, h, sum.toDouble / n, 0L)
+      case _ =>
+        val f = fakeDecode(item)
+        ImageFeatures(item.doc_id, item.source, item.n_bytes,
+          decoded = false, 0, 0, f.feat0, f.checksum)
+    }
+  }
+
+  /** Partition-parallel image decode over the typed Dataset — the real
+    * decoder in the same seat [[decodeFeatures]] uses for the stub. */
+  def decodeImageFeatures(spark: SparkSession, media: DataFrame)
+      : DataFrame = {
+    import spark.implicits._
+    media.as[MediaItem].mapPartitions(_.map(decodeImage)).toDF()
   }
 
   /** documents.text → opaque binary payload + metadata (the ingest step
@@ -106,14 +169,18 @@ object Multimodal {
   }
 
   // Rows-only driver check (binary decode is engine-specific by design);
-  // MultimodalSpec asserts determinism + schema + per-item features.
+  // MultimodalSpec asserts determinism + schema + per-item features +
+  // a real PNG decode. The production path runs the REAL image decoder
+  // (text payloads take the stub fallback; n_decoded counts real
+  // decodes).
   val qMultimodalPipeline: Q = Q.noOracle("q31_multimodal_features") {
     (s, d) =>
       val media = asMedia(s, Tables.load(s, d, "documents"))
-      decodeFeatures(s, media)
+      decodeImageFeatures(s, media)
         .groupBy("source")
         .agg(count(lit(1)).as("n_items"),
           sum("n_bytes").as("total_bytes"),
+          sum(when(col("decoded"), 1L).otherwise(0L)).as("n_decoded"),
           min("checksum").as("min_checksum"),
           max("checksum").as("max_checksum"))
         .orderBy("source")

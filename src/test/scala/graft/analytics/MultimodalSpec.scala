@@ -51,6 +51,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(again == frames.map(cks).toSet)
   }
 
+  test("decodeImage: real PNG decodes to dimensions + exact mean luma; " +
+      "non-images fall back to the stub") {
+    // 3×2 PNG with known pixels, written through the same JDK codec
+    // the decoder reads with
+    val img = new java.awt.image.BufferedImage(
+      3, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val pixels = Seq(                       // (x, y, rgb, luma)
+      (0, 0, 0xffffff, 255), (1, 0, 0x000000, 0), (2, 0, 0xff0000, 85),
+      (0, 1, 0x00ff00, 85), (1, 1, 0x0000ff, 85), (2, 1, 0x808080, 128))
+    pixels.foreach { case (x, y, rgb, _) => img.setRGB(x, y, rgb) }
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val png = buf.toByteArray
+
+    val media = Seq(
+      (10L, "imgs", png, "image/png", png.length.toLong),
+      (11L, "imgs", "not an image".getBytes("UTF-8"), "text/plain", 12L))
+      .toDF("doc_id", "source", "payload", "mime", "n_bytes")
+    val out = Multimodal.decodeImageFeatures(spark, media)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    val decoded = out(10L)
+    assert(decoded.getAs[Boolean]("decoded"))
+    assert(decoded.getAs[Int]("width") == 3)
+    assert(decoded.getAs[Int]("height") == 2)
+    val expectedLuma = pixels.map(_._4).sum.toDouble / pixels.size
+    assert(math.abs(decoded.getAs[Double]("mean_luma") - expectedLuma)
+      < 1e-12)
+
+    val fallback = out(11L)
+    assert(!fallback.getAs[Boolean]("decoded"))
+    assert(fallback.getAs[Long]("checksum") ==
+      Multimodal.fakeDecode(Multimodal.MediaItem(11L, "imgs",
+        "not an image".getBytes("UTF-8"), "text/plain", 12L)).checksum)
+  }
+
   test("decodeFeatures: deterministic, schema stable, per-item correct") {
     val media = Multimodal.asMedia(spark, docs)
     val f1 = Multimodal.decodeFeatures(spark, media).collect()
