@@ -93,11 +93,21 @@ object CdcStream {
   /** Streaming SCD-1 sink: per micro-batch, upsert the batch's winners
     * into the stored table on `key`, dropping keys whose latest op is
     * DELETE from the upsert set (reference `customers_latest.sql:153`
-    * exclusion semantics applied per batch). */
+    * exclusion semantics applied per batch).
+    *
+    * The batch is reduced to ONE winner per key before the merge
+    * (Delta's MERGE raises on multiple matches; an at-least-once feed
+    * can legally deliver several versions of a key per trigger — the
+    * upsert must apply the latest, not all of them), and the DELETE
+    * filter runs on the winner: a key whose newest version is DELETE
+    * contributes nothing, rather than resurrecting an older version. */
   def scd1Sink(spark: SparkSession, store: ModelStore, layer: String,
       name: String)(batchDs: Dataset[CdcEvent], batchId: Long): Unit = {
+    import org.apache.spark.sql.functions.col
     val batch = batchDs.toDF()
-    val updates = batch.filter(batch("op") =!= "DELETE")
+    val winners = graft.ops.CdcDedup.latestByKey(batch, Seq("key"),
+      Seq(col("cdcTimestamp").desc, col("ingestedAt").desc))
+    val updates = winners.filter(col("op") =!= "DELETE")
     val merged = store.read(spark, layer, name) match {
       case Some(existing) => MergeWriter.merge(existing, updates, "key")
       case None => updates

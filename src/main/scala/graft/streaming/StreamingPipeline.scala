@@ -14,9 +14,13 @@ import graft.model.{ModelDef, Pipeline, RunMode}
   *
   * Exactly-once: foreachBatch is at-least-once (a crash between the
   * sink write and the checkpoint commit replays the batch). The batch
-  * id is therefore written INSIDE the store's atomic version commit
-  * (`ModelStore.write(meta)`), and a replayed id is skipped — data and
-  * progress marker can never diverge.
+  * id AND the feeding query's identity are therefore written INSIDE
+  * the store's atomic version commit (`ModelStore.write(meta)`): a
+  * replayed id from the SAME query is skipped, while a behind-marker
+  * id from a DIFFERENT query (reset checkpoint, second writer) fails
+  * loudly instead of being silently swallowed as a replay — data and
+  * progress marker can never diverge, and data can never be silently
+  * lost to a marker written by someone else.
   *
   * This is the §2.9 upgrade path at the WHOLE-MODEL level, one step up
   * from the record-level primitives in [[CdcStream]].
@@ -24,23 +28,45 @@ import graft.model.{ModelDef, Pipeline, RunMode}
 object StreamingPipeline {
 
   private val BatchKey = "stream_batch_id"
+  private val QueryKey = "stream_query_id"
 
   /** foreachBatch sink materializing `model` from each micro-batch.
+    * After each successful materialization the model's version history
+    * is vacuumed to `retainVersions` (mirroring the batch Pipeline's
+    * retention) — without it a long-running stream grows storage as
+    * O(batches × table size).
     *
     * @param sourceName the one bronze source the micro-batch stands in
     *        for — any other `ctx.source` name is an error rather than
     *        silently receiving the same batch
     * @param refs resolves the model's `ref()` dependencies (e.g. stored
-    *        silver tables) */
+    *        silver tables)
+    * @param queryId stable identity of the feeding streaming query —
+    *        use the checkpoint location (and pass a NEW id after
+    *        deleting a checkpoint, since its batch ids restart at 0).
+    *        Batch-id comparisons only apply within one queryId; a
+    *        mismatched marker raises instead of skipping. */
   def modelSink(store: ModelStore, model: ModelDef, sourceName: String,
       refs: String => DataFrame = n =>
         sys.error(s"unresolved ref('$n') in streaming context"),
-      vars: Map[String, String] = Map.empty)
+      vars: Map[String, String] = Map.empty,
+      queryId: String = "default",
+      retainVersions: Int = 2)
       (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val alreadyDone = store.meta(spark, model.layer, model.name, BatchKey)
-      .exists(_.toLong >= batchId)
-    if (!alreadyDone) {
+    val storedQuery = store.meta(spark, model.layer, model.name, QueryKey)
+    val storedBatch = store.meta(spark, model.layer, model.name, BatchKey)
+      .map(_.toLong)
+    val sameQuery = storedQuery.forall(_ == queryId)
+    if (!sameQuery && storedBatch.exists(_ >= batchId))
+      sys.error(
+        s"${model.layer}.${model.name} was last written by streaming " +
+          s"query '${storedQuery.get}' at batch ${storedBatch.get}; " +
+          s"refusing behind-marker batch $batchId from '$queryId' — a " +
+          "reset checkpoint must pass a fresh queryId, a second writer " +
+          "must target its own table")
+    val replay = sameQuery && storedBatch.exists(_ >= batchId)
+    if (!replay) {
       Pipeline.materializeModel(spark, store, model, RunMode.Incremental,
         sources = (_, name) =>
           if (name == sourceName) batch
@@ -48,7 +74,10 @@ object StreamingPipeline {
             s"streaming modelSink only provides '$sourceName', " +
               s"model asked for '$name'"),
         ref = refs, vars = vars,
-        meta = Map(BatchKey -> batchId.toString))
+        meta = Map(BatchKey -> batchId.toString, QueryKey -> queryId))
+      // ≥ 2 so readers of the just-superseded version are undisturbed
+      store.vacuum(spark, model.layer, model.name,
+        keepLast = math.max(2, retainVersions))
     }
   }
 }

@@ -185,4 +185,24 @@ class CdcStreamSpec extends AnyFunSuite {
       assert(state == Map("K1" -> "v2", "K2" -> "w1", "K3" -> "x1"))
     } finally query.stop()
   }
+
+  test("scd1Sink: multi-version batches keep one winner per key; a " +
+      "winning DELETE does not resurrect an older version") {
+    val store = new ModelStore(
+      Files.createTempDirectory("graft-scd1-dups").toString)
+    val sink = CdcStream.scd1Sink(spark, store, "silver", "dups_t") _
+    // one non-deduped batch: 3 versions of K1 (latest wins), 2 of K2
+    // (latest is DELETE — the older INSERT must NOT sneak in)
+    sink(Seq(
+      ev("K1", "INSERT", "2024-03-15 10:00:00", payload = "a1"),
+      ev("K1", "UPDATE", "2024-03-15 12:00:00", payload = "a3"),
+      ev("K1", "UPDATE", "2024-03-15 11:00:00", payload = "a2"),
+      ev("K2", "INSERT", "2024-03-15 10:30:00", payload = "b1"),
+      ev("K2", "DELETE", "2024-03-15 11:30:00")).toDS(), 0L)
+    val state = store.read(spark, "silver", "dups_t").get
+      .as[CdcEvent].collect().map(e => e.key -> e.payload).toMap
+    assert(state == Map("K1" -> "a3"))
+    // SCD-1 invariant: exactly one row per key
+    assert(store.read(spark, "silver", "dups_t").get.count() == 1)
+  }
 }

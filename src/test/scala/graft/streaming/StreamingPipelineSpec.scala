@@ -70,5 +70,76 @@ class StreamingPipelineSpec extends AnyFunSuite {
       sourceName = "customers_cdc")(CdcFixtures.customersBatch1(), 1L)
     assert(streamStore.currentVersion(spark, "silver", "customers_latest")
       == versionBefore)
+
+    // a DIFFERENT query id behind the stored marker is NOT a replay —
+    // it must raise (silently skipping would be data loss after a
+    // checkpoint reset)
+    val e = intercept[RuntimeException] {
+      StreamingPipeline.modelSink(streamStore, models.customersLatest,
+        sourceName = "customers_cdc", queryId = "reset-ckpt")(
+        CdcFixtures.customersBatch1(), 0L)
+    }
+    assert(e.getMessage.contains("refusing behind-marker batch"))
+
+    // retention: versions are vacuumed per batch, not accumulated
+    val vdir = new java.io.File(
+      streamStore.versionDir("silver", "customers_latest", 1))
+        .getParentFile
+    assert(vdir.listFiles.count(_.getName.startsWith("v")) <= 2)
+  }
+
+  test("streamed orders_cleaned with static customers_latest side " +
+      "input equals the batch pipeline") {
+    implicit val sqlCtx = spark.sqlContext
+
+    // batch reference over both models
+    val batchStore = new ModelStore(
+      Files.createTempDirectory("graft-sp2-batch").toString)
+    new Pipeline(models.all, batchStore,
+      (_, name) => name match {
+        case "customers_cdc" => CdcFixtures.customersBatch1()
+        case "orders_cdc" => CdcFixtures.ordersBatch1()
+      }).run(spark, RunMode.Bootstrap)
+    new Pipeline(models.all, batchStore,
+      (_, name) => name match {
+        case "customers_cdc" => CdcFixtures.customersBatch1()
+        case "orders_cdc" => CdcFixtures.ordersBatch2()
+      }).run(spark, RunMode.Incremental)
+    val cols = Seq("order_id", "order_status", "order_total",
+      "first_seen_at", "is_valid_order")
+    val expected = batchStore.read(spark, "silver", "orders_cleaned")
+      .get.collect().map(_.getValuesMap[Any](cols)).toSet
+
+    // streaming: customers_latest materialized once as the static side
+    // input; orders_cdc arrives as micro-batches, the model's ref()
+    // resolves against the store on every trigger
+    val streamStore = new ModelStore(
+      Files.createTempDirectory("graft-sp2-stream").toString)
+    new Pipeline(Seq(models.customersLatest), streamStore,
+      (_, _) => CdcFixtures.customersBatch1()).run(spark, RunMode.Bootstrap)
+    val refs = (n: String) => {
+      val dep = models.all.find(_.name == n).get
+      streamStore.read(spark, dep.layer, dep.name).get
+    }
+    val input = MemoryStream[CdcFixtures.OrderCdc]
+    val query = input.toDS().toDF().writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch(
+        StreamingPipeline.modelSink(streamStore, models.ordersCleaned,
+          sourceName = "orders_cdc", refs = refs,
+          queryId = "orders-stream") _)
+      .start()
+    try {
+      input.addData(CdcFixtures.ordersBatch1()
+        .as[CdcFixtures.OrderCdc].collect().toIndexedSeq: _*)
+      query.processAllAvailable()
+      input.addData(CdcFixtures.ordersBatch2()
+        .as[CdcFixtures.OrderCdc].collect().toIndexedSeq: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val got = streamStore.read(spark, "silver", "orders_cleaned")
+      .get.collect().map(_.getValuesMap[Any](cols)).toSet
+    assert(got == expected)
   }
 }
