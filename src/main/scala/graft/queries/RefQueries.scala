@@ -513,6 +513,22 @@ object RefQueries {
       .orderBy("event_type")
   }
 
+  // Exact companion of q33, oracle-checked (the HLL estimate above is
+  // engine-specific, the exact distinct counts are not).
+  val q40ExactDistinct: Q = Q(
+    "q40_exact_distinct",
+    """SELECT event_type,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+    (s, d) =>
+      T(s, d, "events")
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+  }
+
   // --------------------------------------- S3/S6 MERGE + schema sync
   // The merge emulation itself, oracle-checked: target = pre-split
   // orders, updates = post-split orders carrying a NEW column
@@ -577,5 +593,6 @@ object RefQueries {
     q06MathRound, q07AggGroup, q08AggGlobal, q09JoinLeftValidate,
     q10JoinEnrichChain, q11WindowDedupLatest, q12CdcDedup, q13FirstSeen,
     q14WatermarkFilter, q15Flagship, q16EventWindows, q17Sessionize,
-    q18JsonExtract, q33ApproxDistinct, q36MergeUpsert, q37SaltedAgg)
+    q18JsonExtract, q33ApproxDistinct, q40ExactDistinct, q36MergeUpsert,
+    q37SaltedAgg)
 }

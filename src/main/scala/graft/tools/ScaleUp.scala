@@ -35,9 +35,13 @@ object ScaleUp {
       .withColumn("l_orderkey", col("l_orderkey") + lit(i * K)))
     replicate("orders", (df, i) => df
       .withColumn("o_orderkey", col("o_orderkey") + lit(i * K)))
+    // same K offset as every other key: amplified metrics assume
+    // DISJOINT per-replica key ranges — a smaller user_id stride would
+    // overlap at higher source SFs and silently merge distinct users,
+    // skewing dedup/sessionization/distinct-count cardinalities
     replicate("events", (df, i) => df
       .withColumn("event_id", col("event_id") + lit(i * K))
-      .withColumn("user_id", col("user_id") + lit(i * 100000L)))
+      .withColumn("user_id", col("user_id") + lit(i * K)))
     replicate("documents", (df, i) => df
       .withColumn("doc_id", col("doc_id") + lit(i * K))
       .withColumn("text", concat(col("text"), lit(s" replica$i"))))
