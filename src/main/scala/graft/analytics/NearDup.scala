@@ -268,7 +268,15 @@ object NearDup {
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .persist()
     val nodes = edges.select(col("src").as("doc_id")).distinct()
-    var labels = nodes.withColumn("keep_id", col("doc_id")).persist()
+    // localCheckpoint, NOT persist: every round reads the previous
+    // label table three times, so the lineage grows ~3× per round and
+    // the logical plan goes exponential — rendering the plan for the
+    // event log alone OOMs an 8g driver after a few rounds at 50k docs
+    // (measured at the ≈sf1 probe). Checkpointing materializes the
+    // round and truncates the plan to a leaf, the standard move for
+    // iterative dataflows.
+    var labels = nodes.withColumn("keep_id", col("doc_id"))
+      .localCheckpoint()
     var converged = labels.isEmpty
     var round = 0
     while (!converged && round < maxRounds) {
@@ -279,8 +287,10 @@ object NearDup {
       val stepped = labels.join(viaEdge, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("keep_id"), coalesce(col("edge_min"), col("keep_id")))
-            .as("keep_id"))
-        .persist()
+            .as("keep_id"),
+          col("keep_id").as("prev"))   // previous label, for convergence
+        .localCheckpoint()   // read twice below (self-join); lazy
+                             // composition would recompute it per use
       // pointer jumping: follow one's label to ITS label — labels are
       // always node ids, so the lookup is a self-join on the label table
       val parentOf = stepped
@@ -289,14 +299,13 @@ object NearDup {
         .join(parentOf, stepped("keep_id") === parentOf("p_id"), "left")
         .select(stepped("doc_id"),
           least(stepped("keep_id"),
-            coalesce(col("p_label"), stepped("keep_id"))).as("keep_id"))
-        .persist()
-      val changed = jumped
-        .join(labels.withColumnRenamed("keep_id", "prev"), Seq("doc_id"))
-        .filter(col("keep_id") =!= col("prev")).count()
-      labels.unpersist()
-      stepped.unpersist()
-      labels = jumped
+            coalesce(col("p_label"), stepped("keep_id"))).as("keep_id"),
+          stepped("prev"))
+        .localCheckpoint()
+      // convergence check is a shuffle-free filter over the checkpoint
+      // (prev travelled with the row — no join back to the old table)
+      val changed = jumped.filter(col("keep_id") =!= col("prev")).count()
+      labels = jumped.select("doc_id", "keep_id")
       converged = changed == 0
       round += 1
     }
