@@ -203,17 +203,26 @@ object NearDup {
     val tok = df.select(col(id), explode(array_distinct(split(text, "\\s+")))
       .as("tok"))
       .withColumn("th", xxhash64(col("tok")))
-    // per bit: count of set bits c_b plus total n; bit set iff 2c > n
-    // (equivalent to the ±1 sum being positive, with one long-typed
-    // aggregate expression per bit instead of a cast chain)
-    val sumCols = (0 until SimBits).map(bit =>
-      sum(expr(s"shiftright(th, $bit) & 1")).as(s"c_$bit")) :+
-      count(lit(1)).as("n")
-    val sums = tok.groupBy(id).agg(sumCols.head, sumCols.tail: _*)
+    // per bit: count of set bits c_b plus total n; bit set iff 2c > n.
+    // The 64 per-bit counters are packed 4-to-a-long in 16-bit lanes
+    // (16 aggregate columns instead of 64): lanes can't carry into
+    // each other below 65536 distinct tokens per doc — far beyond any
+    // document — and a 4×-narrower aggregation buffer is measurably
+    // cheaper in the hash-aggregate update loop.
+    val lanes = 4
+    val packCols = (0 until SimBits / lanes).map { g =>
+      val packed = (0 until lanes).map(l =>
+        expr(s"shiftleft(shiftright(th, ${g * lanes + l}) & 1, ${16 * l})"))
+        .reduce(_ + _)
+      sum(packed).as(s"p_$g")
+    } :+ count(lit(1)).as("n")
+    val sums = tok.groupBy(id).agg(packCols.head, packCols.tail: _*)
     sums.select(col(id),
-      (0 until SimBits).map(bit =>
-        when(col(s"c_$bit") * 2 > col("n"), lit(1L << bit)).otherwise(0L))
-        .reduce(_ + _).as("simhash"))
+      (0 until SimBits).map { bit =>
+        val c = shiftright(col(s"p_${bit / lanes}"), 16 * (bit % lanes))
+          .bitwiseAND(0xffffL)
+        when(c * 2 > col("n"), lit(1L << bit)).otherwise(0L)
+      }.reduce(_ + _).as("simhash"))
   }
 
   val qSimhash: Q = Q.noOracle("q26_simhash") { (s, d) =>

@@ -118,6 +118,7 @@ final class Pipeline(
 
   private def materialize(spark: SparkSession, m: ModelDef,
       mode: RunMode): Unit = {
+    val t0 = System.nanoTime()
     val ref = (name: String) => {
       val dep = byName(name)
       store.read(spark, dep.layer, dep.name).getOrElse(
@@ -125,6 +126,11 @@ final class Pipeline(
     }
     Pipeline.materializeModel(spark, store, m, mode, sources, ref, vars)
     store.vacuum(spark, m.layer, m.name, keepLast = retainVersions)
+    // dbt-style per-model run log (stderr: keeps Bench's stdout JSON
+    // clean)
+    System.err.println(
+      f"[pipeline] ${m.layer}.${m.name} ($mode) " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
   }
 }
 
