@@ -173,18 +173,24 @@ object Pipeline {
         // stale row in an untouched partition would survive. On schema
         // change (sync_all_columns) this arm is skipped and the full
         // rewrite below re-syncs every partition.
-        val parts = m.partitionBy.map(c => functions.col(c))
-        val touched = updates.select(parts: _*).distinct().collect()
-        val pred = touched.map(r =>
-            m.partitionBy.zipWithIndex.map { case (c, i) =>
-              functions.col(c) === functions.lit(r.get(i))
-            }.reduce(_ && _))
-          .reduceOption(_ || _)
-          .getOrElse(functions.lit(false))
-        val merged = MergeWriter.merge(ex.filter(pred), updates, key)
-        store.writeTouchedPartitions(merged, m.layer, m.name,
-          m.partitionBy, m.zorderBy, description = m.description,
-          meta = meta)
+        // persist: the build pipeline feeds BOTH the touched-partition
+        // discovery collect and the merge/write — without it the whole
+        // model (scan, dedup, joins) computes twice per incremental run
+        val u = updates.persist()
+        try {
+          val parts = m.partitionBy.map(c => functions.col(c))
+          val touched = u.select(parts: _*).distinct().collect()
+          val pred = touched.map(r =>
+              m.partitionBy.zipWithIndex.map { case (c, i) =>
+                functions.col(c) === functions.lit(r.get(i))
+              }.reduce(_ && _))
+            .reduceOption(_ || _)
+            .getOrElse(functions.lit(false))
+          val merged = MergeWriter.merge(ex.filter(pred), u, key)
+          store.writeTouchedPartitions(merged, m.layer, m.name,
+            m.partitionBy, m.zorderBy, description = m.description,
+            meta = meta)
+        } finally u.unpersist()
       case (Some(ex), Some(key)) =>
         store.write(MergeWriter.merge(ex, updates, key), m.layer, m.name,
           m.partitionBy, m.zorderBy, description = m.description,
