@@ -23,6 +23,34 @@ class NearDupSpec extends AnyFunSuite {
     assert(byId(3L) == Set("x x x"))   // distinct
   }
 
+  test("clusterPairs equals a union-find oracle on random graphs") {
+    // property: for arbitrary edge lists, the distributed fixpoint
+    // must produce exactly the connected components with min-id labels
+    val gen = new scala.util.Random(42)
+    (1 to 5).foreach { trial =>
+      val n = 30
+      val edges = (1 to 25).map(_ =>
+        (gen.nextInt(n).toLong, gen.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      val parent = scala.collection.mutable.Map(
+        (0L until n).map(_ -> -1L): _*)
+      def find(x: Long): Long =
+        if (parent(x) < 0) x
+        else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      val expected = touched.map(v => v -> find(v)).toMap
+      val got = NearDup.clusterPairs(edges.toDF("a_id", "b_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
   test("minhash estimate tracks exact jaccard for near-identical docs") {
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
     val nearDup = (1 to 58).map(i => s"w$i").mkString(" ") + " z1 z2"

@@ -59,4 +59,37 @@ class ModelStoreSpec extends AnyFunSuite {
     assert(store.currentVersion(spark, "silver", "nope") == 0)
     assert(store.read(spark, "silver", "nope").isEmpty)
   }
+
+  test("writeTouchedPartitions: fresh partitions written, new ones " +
+      "added, untouched ones carried over; old-version vacuum keeps " +
+      "links valid") {
+    val store = new ModelStore(
+      Files.createTempDirectory("graft-store4").toString)
+    store.write(Seq((1, "a", 10), (2, "b", 10), (3, "c", 20))
+      .toDF("k", "v", "p"), "silver", "t", partitionBy = Seq("p"))
+    // touch p=20 (rewrite) and p=30 (brand new); p=10 untouched
+    store.writeTouchedPartitions(
+      Seq((3, "c2", 20), (4, "d", 30)).toDF("k", "v", "p"),
+      "silver", "t", partitionBy = Seq("p"))
+
+    assert(store.currentVersion(spark, "silver", "t") == 2)
+    val rows = store.read(spark, "silver", "t").get.collect()
+      .map(r => r.getInt(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(rows == Map(1 -> ("a", 10), 2 -> ("b", 10),
+      3 -> ("c2", 20), 4 -> ("d", 30)))
+
+    def files(v: Int, p: Int): Set[String] = {
+      val d = new java.io.File(
+        store.versionDir("silver", "t", v), s"p=$p")
+      Option(d.listFiles).toSeq.flatten
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    }
+    assert(files(2, 10) == files(1, 10))            // carried over
+    assert(files(2, 20).intersect(files(1, 20)).isEmpty)  // rewritten
+    assert(files(2, 30).nonEmpty)                   // new partition
+
+    // hard links must survive vacuum of the source version
+    store.vacuum(spark, "silver", "t", keepLast = 1)
+    assert(store.read(spark, "silver", "t").get.count() == 4)
+  }
 }
