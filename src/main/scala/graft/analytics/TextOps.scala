@@ -212,7 +212,80 @@ object TextOps {
         .orderBy("doc_id")
   }
 
+  // -------------------------------------------------- PII redaction
+  // Training-data scrubbing staple: redact email/phone shapes, count
+  // what was redacted. Regexes stay inside the Java∩RE2 common subset
+  // (no lookaround, no \b) so Spark and DuckDB agree byte-for-byte.
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+  /** Redact PII shapes (emails, phone numbers) from a text column. */
+  def scrubPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
+  val qPiiScrub: Q = Q(
+    "q41_pii_scrub",
+    s"""SELECT doc_id,
+      |  regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+      |    '$PhoneRe', '<PHONE>', 'g') AS clean_text,
+      |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS INTEGER)
+      |    AS n_emails,
+      |  CAST(len(regexp_extract_all(text, '$PhoneRe')) AS INTEGER)
+      |    AS n_phones
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    T(s, d, "documents")
+      .select(col("doc_id"),
+        scrubPii(col("text")).as("clean_text"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+          .as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0)))
+          .as("n_phones"))
+      .orderBy("doc_id")
+  }
+
+  // -------------------------------------- repetition / boilerplate
+  // Gopher-style repetition signals: token-level distinct ratio and
+  // the most-frequent-token share. Degenerate repetition (low distinct
+  // ratio, high top-token share) is the classic low-quality marker.
+  val qRepetition: Q = {
+    val oT = "regexp_split_to_array(text, '\\s+')"
+    Q("q42_repetition",
+      s"""SELECT doc_id,
+        |  CAST(len($oT) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_distinct($oT)) AS INTEGER) AS n_distinct,
+        |  ${Exact.dec4Sql(Exact.halfUpDivSql(
+             s"len(list_distinct($oT))*10000", s"len($oT)"))}
+        |    AS distinct_ratio,
+        |  CAST(list_max(list_transform(list_distinct($oT),
+        |    x -> len(list_filter($oT, y -> y = x)))) AS INTEGER)
+        |    AS top_token_n,
+        |  ${Exact.dec4Sql(Exact.halfUpDivSql(
+             s"""list_max(list_transform(list_distinct($oT),
+        |      x -> len(list_filter($oT, y -> y = x))))*10000""",
+             s"len($oT)"))} AS top_token_share,
+        |  len(list_distinct($oT)) * 4 < len($oT) AS is_repetitive
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val t = tokens(col("text"))
+      val nTok = size(t).cast("long")
+      val dist = array_distinct(t)
+      val topN = array_max(transform(dist, x =>
+        size(filter(t, y => y === x)))).cast("long")
+      T(s, d, "documents")
+        .select(col("doc_id"),
+          size(t).as("n_tokens"),
+          size(dist).as("n_distinct"),
+          Exact.dec4(Exact.halfUpDiv(size(dist).cast("long") * 10000,
+            nTok)).as("distinct_ratio"),
+          topN.cast(IntegerType).as("top_token_n"),
+          Exact.dec4(Exact.halfUpDiv(topN * 10000, nTok))
+            .as("top_token_share"),
+          (size(dist).cast("long") * 4 < nTok).as("is_repetitive"))
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[Q] =
     Seq(qDedupExact, qTextQuality, qLangId, qTokenCount, qFingerprint,
-      qRollingFingerprint)
+      qRollingFingerprint, qPiiScrub, qRepetition)
 }

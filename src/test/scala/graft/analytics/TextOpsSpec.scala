@@ -36,4 +36,31 @@ class TextOpsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0))
     assert(docs(0) == docs(1))
   }
+
+  test("scrubPii redacts emails and phones, leaves clean text alone") {
+    val out = Seq(
+      (1L, "contact ada.lovelace@example.com or 212-555-0101 today"),
+      (2L, "no pii here at all"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.scrubPii(col("text")).as("clean"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "contact <EMAIL> or <PHONE> today")
+    assert(out(2L) == "no pii here at all")
+  }
+
+  test("repetition metrics flag degenerate docs") {
+    val repetitive = ("spam " * 40).trim          // 40 tokens, 1 distinct
+    val varied = (1 to 40).map(i => s"w$i").mkString(" ")
+    val rows = Seq((1L, repetitive), (2L, varied))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        size(array_distinct(TextOps.tokens(col("text")))).as("nd"),
+        (size(array_distinct(TextOps.tokens(col("text")))).cast("long")
+          * 4 < size(TextOps.tokens(col("text"))).cast("long"))
+          .as("is_repetitive"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getBoolean(2))).toMap
+    assert(rows(1L) == (1, true))
+    assert(rows(2L) == (40, false))
+  }
 }
