@@ -90,6 +90,25 @@ object CdcStream {
         org.apache.spark.sql.functions.col("op"))
       .count()
 
+  /** Event-time SESSION windows with a watermark — the streaming
+    * analog of q17's gap-based batch sessionization: a session extends
+    * while events arrive within `gap` of the last one and closes once
+    * the watermark passes the gap (late rows beyond the watermark are
+    * dropped, mirroring the batch late-row semantics). State per open
+    * session is one window — bounded by |active keys|, merged by
+    * Spark's native session-window aggregation. */
+  def sessionCounts(events: Dataset[CdcEvent], gap: String,
+      watermarkDelay: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, session_window}
+    events
+      .withWatermark("cdcTimestamp", watermarkDelay)
+      .groupBy(session_window(col("cdcTimestamp"), gap), col("key"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("key"), col("n_events"))
+  }
+
   /** Streaming SCD-1 sink: per micro-batch, upsert the batch's winners
     * into the stored table on `key`, dropping keys whose latest op is
     * DELETE from the upsert set (reference `customers_latest.sql:153`

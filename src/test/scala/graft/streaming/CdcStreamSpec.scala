@@ -186,6 +186,39 @@ class CdcStreamSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("sessionCounts: gap merges events, watermark closes sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[CdcEvent]
+    // 30-minute gap, 10-minute watermark — mirrors q17's batch 1800 s
+    val query = CdcStream.sessionCounts(input.toDS(), "30 minutes",
+        "10 minutes")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        ev("K1", "INSERT", "2024-03-15 10:00:00"),
+        ev("K1", "UPDATE", "2024-03-15 10:20:00"),   // same session
+        ev("K1", "UPDATE", "2024-03-15 12:00:00"),   // new session
+        ev("K2", "INSERT", "2024-03-15 10:05:00"))
+      query.processAllAvailable()
+      // advance the watermark far past every session end so Append
+      // mode emits the closed sessions
+      input.addData(ev("K9", "INSERT", "2024-03-15 20:00:00"))
+      query.processAllAvailable()
+      val sessions = spark.table("sess_out")
+        .collect()
+        .map(r => (r.getAs[String]("key"),
+          r.getAs[java.sql.Timestamp]("session_start").toString,
+          r.getAs[Long]("n_events")))
+        .toSet
+      // K1: one 2-event session from 10:00, one 1-event from 12:00
+      assert(sessions.contains(("K1", "2024-03-15 10:00:00.0", 2L)))
+      assert(sessions.contains(("K1", "2024-03-15 12:00:00.0", 1L)))
+      assert(sessions.contains(("K2", "2024-03-15 10:05:00.0", 1L)))
+    } finally query.stop()
+  }
+
   test("scd1Sink: multi-version batches keep one winner per key; a " +
       "winning DELETE does not resurrect an older version") {
     val store = new ModelStore(
