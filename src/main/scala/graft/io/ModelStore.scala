@@ -171,6 +171,14 @@ final class ModelStore(root: String) {
 
   private def commit(spark: SparkSession, layer: String, name: String,
       next: Int, description: String, meta: Map[String, String]): Unit = {
+    // optimistic-concurrency check (Delta's commit-conflict analog,
+    // best-effort: a TOCTOU window remains on a plain filesystem): if
+    // another writer committed since this write began, fail loudly
+    // rather than silently clobbering its version
+    val cur = currentVersion(spark, layer, name)
+    require(cur == next - 1,
+      s"concurrent write to $layer.$name: expected to commit " +
+        s"v$next over v${next - 1}, but found v$cur")
     val dest = new Path(versionDir(layer, name, next))
     val fs = fsFor(spark, dest)
     // O7 persist_docs analog: table comment persisted beside the data.
