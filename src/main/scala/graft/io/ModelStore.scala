@@ -128,6 +128,35 @@ final class ModelStore(root: String) {
     partitioned.parquet(dest.toString)
   }
 
+  /** True iff the CURRENT version's data is laid out as
+    * `col1=…/…/colN=…` partition directories for exactly
+    * `partitionBy` — the precondition for a pruned (link-based)
+    * incremental write. False for missing tables, unpartitioned
+    * layouts, or a DIFFERENT partition scheme (e.g. the model's
+    * partitioning changed between runs): a pruned write against any
+    * of those would silently drop the rows outside the touched set,
+    * so callers must fall back to a full rewrite. */
+  def hasPartitionLayout(spark: SparkSession, layer: String,
+      name: String, partitionBy: Seq[String]): Boolean = {
+    val cur = currentVersion(spark, layer, name)
+    if (cur == 0 || partitionBy.isEmpty) return false
+    val base = new Path(versionDir(layer, name, cur))
+    val fs = fsFor(spark, base)
+    def check(p: Path, cols: Seq[String]): Boolean = cols match {
+      case Seq() => true
+      case c +: rest =>
+        val entries = fs.listStatus(p).toSeq
+        val dirs = entries.filter(s =>
+          s.isDirectory && s.getPath.getName.contains("="))
+        dirs.nonEmpty &&
+          dirs.forall(d => d.getPath.getName.startsWith(s"$c=") &&
+            check(d.getPath, rest)) &&
+          entries.filter(_.isFile)
+            .forall(!_.getPath.getName.endsWith(".parquet"))
+    }
+    if (!fs.exists(base)) false else check(base, partitionBy)
+  }
+
   /** Relative `col=value/...` partition directory paths at `depth`
     * levels under `base` (encoded by Spark's own partitioned write, so
     * no value-escaping logic is re-implemented here). */

@@ -163,7 +163,9 @@ object Pipeline {
     // `incremental_strategy: 'append'`).
     (existing, m.uniqueKey) match {
       case (Some(ex), Some(key))
-          if m.partitionBy.nonEmpty && sameColumns(ex, updates) =>
+          if m.partitionBy.nonEmpty && sameColumns(ex, updates) &&
+            store.hasPartitionLayout(spark, m.layer, m.name,
+              m.partitionBy) =>
         // Partition-pruned MERGE (Delta file-pruning analog, reference
         // `orders_cleaned.sql:14`): anti-join and rewrite ONLY the
         // partitions present in `updates`; untouched partition dirs
@@ -171,8 +173,10 @@ object Pipeline {
         // pruned Delta MERGE): partition columns are stable per merge
         // key — a key never migrates between partitions, otherwise its
         // stale row in an untouched partition would survive. On schema
-        // change (sync_all_columns) this arm is skipped and the full
-        // rewrite below re-syncs every partition.
+        // change (sync_all_columns) or a stored layout that doesn't
+        // match the model's partitioning (hasPartitionLayout), this
+        // arm is skipped and the full rewrite below re-syncs every
+        // partition.
         // persist: the build pipeline feeds BOTH the touched-partition
         // discovery collect and the merge/write — without it the whole
         // model (scan, dedup, joins) computes twice per incremental run

@@ -192,6 +192,40 @@ class PipelineSpec extends AnyFunSuite {
       == Set("O1", "O2", "O3", "O5", "O6"))
   }
 
+  test("pruned merge falls back to full rewrite when the stored " +
+      "layout doesn't match the model's partitioning") {
+    // v1 materialized WITHOUT partitioning (e.g. the partition scheme
+    // was added to the model later): a pruned link-based write against
+    // that layout would silently drop the untouched rows — the guard
+    // must route through the full rewrite instead
+    val unpartitioned = models.ordersCleaned.copy(partitionBy = Nil)
+    val store = new ModelStore(
+      Files.createTempDirectory("graft-layout").toString)
+    new Pipeline(Seq(models.customersLatest, unpartitioned), store,
+      (_, name) => name match {
+        case "customers_cdc" => CdcFixtures.customersBatch1()
+        case "orders_cdc" => CdcFixtures.ordersBatch1()
+      }).run(spark, RunMode.Bootstrap)
+    assert(!store.hasPartitionLayout(spark, "silver", "orders_cleaned",
+      Seq("order_year", "order_month")))
+
+    val p2 = new Pipeline(Seq(models.customersLatest,
+        models.ordersCleaned), store,
+      (_, name) => name match {
+        case "customers_cdc" => CdcFixtures.customersBatch2()
+        case "orders_cdc" => CdcFixtures.ordersBatch2()
+      },
+      vars = Map("ingest_batch_date" -> "1900-01-01"))
+    val out = p2.run(spark, RunMode.Incremental)
+    // the 2024-11 order (O5, untouched by batch2) must survive
+    assert(byKey(out("orders_cleaned"), "order_id").keySet
+      == Set("O1", "O2", "O3", "O5", "O6"))
+    // and the rewrite left the table in the model's partition layout,
+    // so the NEXT incremental run can prune
+    assert(store.hasPartitionLayout(spark, "silver", "orders_cleaned",
+      Seq("order_year", "order_month")))
+  }
+
   test("append strategy (no uniqueKey) accumulates rows across runs") {
     val appendModel = graft.model.ModelDef(
       name = "events_log", layer = "silver",
