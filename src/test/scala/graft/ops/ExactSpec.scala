@@ -43,4 +43,24 @@ class ExactSpec extends AnyFunSuite {
       .select(Exact.cents(col("x"))).collect().map(_.getLong(0))
     assert(got.toSeq == cs)
   }
+
+  test("dec2/dec4 are exact pinned decimals (scale preserved in text)") {
+    val cs = lcg(11).take(1000).map(x => math.abs(x) % 1000000000L).toSeq
+    val rows = cs.toDF("c")
+      .select(Exact.dec2(col("c")).as("d2"), Exact.dec4(col("c")).as("d4"))
+    val schema = rows.schema.map(f => f.name -> f.dataType.sql).toMap
+    assert(schema("d2") == "DECIMAL(18,2)")
+    assert(schema("d4") == "DECIMAL(18,4)")
+    rows.collect().zip(cs).foreach { case (r, c) =>
+      // exact value: integer units shifted, never a rounded double
+      assert(r.getDecimal(0) ==
+        new JBD(c).movePointLeft(2).setScale(2), s"c=$c")
+      assert(r.getDecimal(1) ==
+        new JBD(c).movePointLeft(4).setScale(4), s"c=$c")
+      // text form carries the pinned scale — what a stringifying
+      // hasher compares across engines ("123.40", not "123.4")
+      assert(r.getDecimal(0).toPlainString.matches(".*\\.\\d{2}"))
+      assert(r.getDecimal(1).toPlainString.matches(".*\\.\\d{4}"))
+    }
+  }
 }
