@@ -1,5 +1,7 @@
 package graft.io
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 /** Bronze CDC source declarations — the engine's analog of the
@@ -78,4 +80,56 @@ object BronzeSources {
     "orders_cdc" -> ordersCdc,
     "order_line_items_cdc" -> orderLineItemsCdc,
     "products_cdc" -> productsCdc)
+
+  // ------------------------------------------------ file-format readers
+  // CDC feeds land as JSON-lines or CSV as often as parquet. Both
+  // readers enforce the declared schema (no inference pass over the
+  // data — at 100 TB a schema-inference scan is a full extra read) and
+  // quarantine malformed records into `_corrupt_record` instead of
+  // dropping them or failing the batch, so a poison message can't stop
+  // ingestion and lost rows are observable.
+
+  val CorruptCol = "_corrupt_record"
+
+  private def withCorrupt(s: StructType): StructType =
+    s.add(StructField(CorruptCol, StringType))
+
+  /** Read a JSON-lines CDC feed with the declared schema. Rows that
+    * fail to parse carry the raw line in `_corrupt_record` and nulls
+    * elsewhere (PERMISSIVE mode). */
+  def readJson(spark: SparkSession, name: String, path: String)
+      : DataFrame =
+    spark.read
+      .schema(withCorrupt(all(name)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .json(path)
+
+  /** Read a CSV CDC feed (headered) with the declared schema; same
+    * PERMISSIVE corrupt-record quarantine as [[readJson]]. CSV maps
+    * columns POSITIONALLY against the schema (Spark semantics), so
+    * the file's column order must be the declared order — unlike
+    * JSON, which matches by field name. */
+  def readCsv(spark: SparkSession, name: String, path: String)
+      : DataFrame =
+    spark.read
+      .schema(withCorrupt(all(name)))
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .csv(path)
+
+  /** Split a PERMISSIVE read into (clean rows sans corrupt column,
+    * quarantined raw records) — the ingest-side dead-letter fork.
+    * The parsed batch is cached first: Spark (correctly) refuses
+    * corrupt-column-only queries straight off raw files, and the fork
+    * reads the parse result twice anyway. */
+  def quarantine(df: DataFrame): (DataFrame, DataFrame) = {
+    val parsed = df.cache()
+    val clean = parsed.filter(col(CorruptCol).isNull).drop(CorruptCol)
+    val bad = parsed.filter(col(CorruptCol).isNotNull).select(CorruptCol)
+    (clean, bad)
+  }
 }
