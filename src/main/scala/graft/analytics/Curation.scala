@@ -1,0 +1,136 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+import graft.io.Tables
+import graft.ops.Exact
+import graft.queries.Q
+
+/** Corpus-curation operators for training-data pipelines: deterministic
+  * hash sampling (stratified rates + a stable holdout split), corpus
+  * vocabulary building with per-document OOV scoring, and group-wise
+  * top-k selection. All shapes are scan-local or single-shuffle and the
+  * sampling keys are content-independent hashes, so re-running the
+  * pipeline over a grown corpus keeps every previously-sampled id.
+  */
+object Curation {
+
+  private def T(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.load(s, d, n)
+
+  // -------------------------------------------- deterministic sampling
+  // md5-of-id hex compared against a hex-prefix threshold: '4' keeps
+  // ids whose hash starts 0..3 (= 4/16 = 25%), 'c' keeps 75%. The split
+  // is a pure function of the id — stable across runs, machines, and
+  // engines — and the salted holdout key is independent of the sampling
+  // key, so holdout membership doesn't correlate with sample membership.
+  val EnRate = "4" // 25% of English docs
+  val RestRate = "c" // 75% of everything else
+  val HoldoutRate = "1" // ~6.25% stable holdout
+
+  /** Deterministic uniform-hash sample key for an id column. */
+  def sampleKey(id: org.apache.spark.sql.Column, salt: String = "")
+      : org.apache.spark.sql.Column =
+    if (salt.isEmpty) md5(id.cast("string"))
+    else md5(concat(lit(salt), id.cast("string")))
+
+  val qHashSample: Q = Q(
+    "q44_hash_sample",
+    s"""SELECT doc_id, lang, source,
+      |  md5(CAST(doc_id AS VARCHAR)) AS sample_key,
+      |  md5('holdout-' || CAST(doc_id AS VARCHAR)) < '$HoldoutRate'
+      |    AS is_holdout
+      |FROM documents
+      |WHERE md5(CAST(doc_id AS VARCHAR)) <
+      |  (CASE WHEN lang = 'en' THEN '$EnRate' ELSE '$RestRate' END)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val key = sampleKey(col("doc_id"))
+    T(s, d, "documents")
+      .filter(key < when(col("lang") === "en", EnRate).otherwise(RestRate))
+      .select(col("doc_id"), col("lang"), col("source"),
+        key.as("sample_key"),
+        (sampleKey(col("doc_id"), "holdout-") < HoldoutRate)
+          .as("is_holdout"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------- vocabulary build + OOV score
+  // Two-phase: (1) corpus term frequencies — one shuffle on token, then
+  // a bounded global top-N (TakeOrdered: only N rows ever reach the
+  // driver); (2) per-doc scoring — explode + BROADCAST join against the
+  // tiny vocab + one agg shuffle on doc_id. The rare-token (OOV) ratio
+  // is the classic noisy-document signal. Vocab cut is 16 because the
+  // synthetic corpus has only 31 distinct tokens; production would use
+  // 10^5-ish — the plan shape is identical.
+  val VocabSize = 16
+
+  /** Corpus top-N vocabulary by term frequency (ties broken by token
+    * text so the cut is deterministic). */
+  def vocabulary(toks: DataFrame, n: Int): DataFrame =
+    toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("tok").asc)
+      .limit(n)
+      .select("tok")
+
+  val qVocabOov: Q = Q(
+    "q45_vocab_oov",
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+      |  FROM documents),
+      |vocab AS (
+      |  SELECT tok FROM (
+      |    SELECT tok, count(*) AS tf FROM toks GROUP BY tok
+      |    ORDER BY tf DESC, tok LIMIT $VocabSize) v),
+      |j AS (
+      |  SELECT t.doc_id,
+      |    CASE WHEN v.tok IS NULL THEN 0 ELSE 1 END AS iv
+      |  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(iv) AS BIGINT) AS n_in_vocab,
+      |  ${Exact.dec4Sql(Exact.halfUpDivSql(
+           "(count(*) - sum(iv))*10000", "count(*)"))} AS oov_ratio
+      |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val toks = T(s, d, "documents")
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+    val vocab = vocabulary(toks, VocabSize).withColumn("iv", lit(1L))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("iv"), lit(0L))).as("n_in_vocab"))
+      .select(col("doc_id"), col("n_tokens"), col("n_in_vocab"),
+        Exact.dec4(Exact.halfUpDiv(
+          (col("n_tokens") - col("n_in_vocab")) * 10000,
+          col("n_tokens"))).as("oov_ratio"))
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------- group-wise top-k
+  // Top-k documents per language by length — the "select best docs per
+  // stratum" curation step, on the bounded TopKAgg (map-side partial
+  // top-k, ≤ k rows per group per partition shuffled) rather than a
+  // window sort of whole partitions. n_chars fits a double exactly
+  // (< 2^53) so the score round-trips through ScoredId losslessly.
+  val GroupTopK = 3
+
+  val qTopKPerGroup: Q = Q(
+    "q46_topk_per_group",
+    s"""SELECT lang, CAST(rk AS INTEGER) AS rk, doc_id, n_chars FROM (
+      |  SELECT lang, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY n_chars DESC, doc_id) AS rk
+      |  FROM documents) t
+      |WHERE rk <= $GroupTopK ORDER BY lang, rk""".stripMargin) { (s, d) =>
+    val topk = udaf(new graft.functions.TopKAgg(GroupTopK))
+    T(s, d, "documents")
+      .groupBy("lang")
+      .agg(topk(col("n_chars").cast("double"), col("doc_id")).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("lang"), (col("pos") + 1).cast(IntegerType).as("rk"),
+        col("s.id").as("doc_id"), col("s.score").cast("long").as("n_chars"))
+      .orderBy("lang", "rk")
+  }
+
+  val all: Seq[Q] = Seq(qHashSample, qVocabOov, qTopKPerGroup)
+}

@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed left as-of join (point-in-time lookup): for every left
+  * row, attach the payload of the latest right row whose time is at or
+  * before the left row's time, matching on an equality key.
+  *
+  * The plan is union-and-fill, not a range join: tag the two sides,
+  * union them, and carry the right-side payload forward with a running
+  * `last(_, ignoreNulls)` window ordered by `(time, side)`. Cost is ONE
+  * shuffle on the key plus a single sorted pass — no |left|×|right|
+  * range explosion and no per-row lookup structure. That is the only
+  * shape that survives 100 TB: a broadcast range join requires a small
+  * right side, and a theta-join degenerates quadratically inside hot
+  * keys, while this plan stays linear in |left| + |right| per key.
+  *
+  * Contract: `right` has at most one row per `(key, rightTime)` —
+  * callers pre-aggregate (the same uniqueness DuckDB's ASOF JOIN and
+  * Delta MERGE impose for a deterministic result). A right row at
+  * exactly the left row's time IS matched ("at or before"); left rows
+  * with no match keep NULL payload (LEFT ASOF semantics).
+  */
+object AsOfJoin {
+
+  /** @param payload right-side columns to attach; may include
+    *   `rightTime` itself (to expose the matched as-of time). Must not
+    *   collide with `left`'s columns. */
+  def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String]): DataFrame = {
+    val t = "__asof_t"
+    val side = "__asof_side"
+    val leftCols = left.columns.toSeq
+    require(leftCols.intersect(payload).isEmpty,
+      s"payload ${payload.mkString(",")} collides with left columns")
+
+    val lTagged = left.select(
+      leftCols.map(col) ++
+        Seq(col(leftTime).as(t), lit(1).as(side)) ++
+        payload.map(p => lit(null).cast(right.schema(p).dataType).as(p)): _*)
+    // Right rows sort BEFORE left rows at the same instant (side 0 < 1)
+    // so an exactly-equal timestamp is visible to the left row.
+    val rTagged = right.select(
+      leftCols.map(c =>
+        if (c == key) col(key)
+        else lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(col(rightTime).as(t), lit(0).as(side)) ++
+        payload.map(col): _*)
+
+    val w = Window.partitionBy(key).orderBy(col(t).asc, col(side).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lTagged.unionByName(rTagged)
+      .select(leftCols.map(col) ++ Seq(col(side)) ++
+        payload.map(p => last(col(p), ignoreNulls = true).over(w).as(p)): _*)
+      .filter(col(side) === 1)
+      .drop(side)
+  }
+}

@@ -1,0 +1,82 @@
+package graft.analytics
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class CurationSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val Dir = "/root/testdata/sf0.001"
+
+  test("hash sample is deterministic and rates land near targets") {
+    val a = Curation.qHashSample.build(spark, Dir).collect()
+    val b = Curation.qHashSample.build(spark, Dir).collect()
+    assert(a.toSeq == b.toSeq) // pure function of ids — rerun-stable
+
+    val docs = graft.io.Tables.load(spark, Dir, "documents")
+    val byLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = a.groupBy(_.getString(1)).view.mapValues(_.size)
+    // md5 is uniform: expect ~25% of en, ~75% of the rest (loose bounds —
+    // sf0.001 strata are only ~100 docs each)
+    val enRate = kept("en").toDouble / byLang("en")
+    assert(enRate > 0.10 && enRate < 0.40, s"en rate $enRate")
+    for ((l, n) <- byLang if l != "en") {
+      val r = kept.getOrElse(l, 0).toDouble / n
+      assert(r > 0.55 && r < 0.95, s"$l rate $r")
+    }
+  }
+
+  test("holdout split is independent of the sampling key") {
+    val docs = graft.io.Tables.load(spark, Dir, "documents")
+    // holdout rate over ALL docs should match the rate over the sample —
+    // the salted key decorrelates the two splits
+    val all = docs.select(
+      (Curation.sampleKey(col("doc_id"), "holdout-") < Curation.HoldoutRate)
+        .as("h"))
+      .collect().map(_.getBoolean(0))
+    val rate = all.count(identity).toDouble / all.length
+    assert(rate > 0.01 && rate < 0.15, s"holdout rate $rate")
+  }
+
+  test("vocabulary cut is deterministic under ties and OOV is bounded") {
+    val toks = graft.io.Tables.load(spark, Dir, "documents")
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+    val v1 = Curation.vocabulary(toks, 16).collect().map(_.getString(0))
+    val v2 = Curation.vocabulary(toks, 16).collect().map(_.getString(0))
+    assert(v1.toSeq == v2.toSeq && v1.length == 16)
+
+    val out = Curation.qVocabOov.build(spark, Dir).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val n = r.getLong(1); val iv = r.getLong(2)
+      val ratio = r.getDecimal(3)
+      assert(iv <= n)
+      assert(ratio.doubleValue >= 0.0 && ratio.doubleValue <= 1.0)
+    }
+  }
+
+  test("TopKAgg per-group top-k matches the window-function answer") {
+    val docs = graft.io.Tables.load(spark, Dir, "documents")
+    val w = Window.partitionBy("lang")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val expect = docs
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        row_number().over(w).as("rk"))
+      .filter(col("rk") <= Curation.GroupTopK)
+      .select(col("lang"), col("rk").cast("int").as("rk"), col("doc_id"),
+        col("n_chars"))
+      .orderBy("lang", "rk")
+    val got = Curation.qTopKPerGroup.build(spark, Dir)
+    assert(got.collect().toSeq == expect.collect().toSeq)
+  }
+
+  test("group top-k aggregates map-side (ObjectHashAggregate, no window)") {
+    val plan = Curation.qTopKPerGroup.build(spark, Dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"))
+    assert(!plan.contains("RunningWindowFunction") && !plan.contains("Window("))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class AsOfJoinSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("matches latest at-or-before row per key; no-match keeps null") {
+    val left = Seq(
+      (1L, ts(10), "a"), (1L, ts(20), "b"), (1L, ts(5), "c"),
+      (2L, ts(10), "d"), // key with no right rows at all
+      (3L, ts(10), "e")) // key whose right rows are all in the future
+      .toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, ts(8), 100L), (1L, ts(20), 200L), // ts(20): equal-ts match
+      (3L, ts(11), 300L))
+      .toDF("k", "rt", "v")
+
+    val out = AsOfJoin.asOf(left, right, "k", "t", "rt", Seq("v"))
+      .orderBy("k", "t")
+      .select("k", "tag", "v").as[(Long, String, Option[Long])].collect()
+
+    assert(out.toSeq == Seq(
+      (1L, "c", None), // t=5 before first right row
+      (1L, "a", Some(100L)), // t=10 → rt=8
+      (1L, "b", Some(200L)), // t=20 → rt=20 (at-or-before includes equal)
+      (2L, "d", None),
+      (3L, "e", None))) // rt=11 is in the future
+  }
+
+  test("agrees with a brute-force join on random data") {
+    val rnd = new scala.util.Random(7)
+    val left = Seq.tabulate(400)(i =>
+      (rnd.nextInt(20).toLong, ts(rnd.nextInt(1000).toLong), i.toLong))
+      .toDF("k", "t", "row_id")
+    val right = Seq.tabulate(150)(i =>
+      (rnd.nextInt(20).toLong, ts(rnd.nextInt(1000).toLong), i.toLong))
+      .toDF("k", "rt", "rv")
+      // enforce the one-row-per-(key,time) contract
+      .groupBy("k", "rt").agg(max("rv").as("rv"))
+
+    val got = AsOfJoin.asOf(left, right, "k", "t", "rt", Seq("rt", "rv"))
+      .select("row_id", "rt", "rv")
+
+    // brute force: all at-or-before candidates, keep max rt per left row
+    val expect = left.join(right.withColumnRenamed("k", "rk"),
+        col("k") === col("rk") && col("rt") <= col("t"), "left")
+      .groupBy("row_id", "k", "t")
+      .agg(max(struct(col("rt"), col("rv"))).as("m"))
+      .select(col("row_id"), col("m.rt").as("rt"), col("m.rv").as("rv"))
+
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+  }
+
+  test("one shuffle on the key: no range-join or cartesian in the plan") {
+    val left = Seq((1L, ts(1), "x")).toDF("k", "t", "tag")
+    val right = Seq((1L, ts(1), 1L)).toDF("k", "rt", "v")
+    val plan = AsOfJoin.asOf(left, right, "k", "t", "rt", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("SortMergeJoin")) // union+window, not a join
+  }
+}
