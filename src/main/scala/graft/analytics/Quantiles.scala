@@ -1,0 +1,110 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.ops.Exact
+import graft.queries.Q
+
+/** Distributed percentiles (SURVEY.md §2.6's sort/top-k family, grown
+  * to the scale path): exact per-group percentiles via cumulative
+  * histogram compression, plus the mergeable-sketch variant.
+  *
+  * The exact plan never sorts rows. It aggregates to a per-group value
+  * histogram first (`groupBy(group, value).count()` — map-side combine
+  * shrinks the shuffle to |distinct values| per group, not |rows|),
+  * then walks the histogram with a cumulative-sum window and picks the
+  * smallest value whose cumulative count reaches the target rank —
+  * identical semantics to sorting all rows and indexing, at a fraction
+  * of the shuffle. Money has bounded distinct cardinality, so at 100 TB
+  * the windowed histogram is millions of times smaller than the fact
+  * table; the sketch path (q48) is for genuinely high-cardinality
+  * doubles where even the histogram is too wide.
+  */
+object Quantiles {
+
+  private def T(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.load(s, d, n)
+
+  /** Per-nation order-total cents: the shared input of q47/q48. */
+  private def nationCents(s: SparkSession, d: String): DataFrame =
+    T(s, d, "orders")
+      .join(T(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(T(s, d, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), Exact.cents(col("o_totalprice")).as("cents"))
+
+  /** Exact percentile targets: lower-median rank ⌈n/2⌉ and p95 rank
+    * ⌈0.95·n⌉ (ceil(a/b) = floor((a+b-1)/b) in exact integer space). */
+  private def rankP50(n: org.apache.spark.sql.Column) =
+    Exact.floorDiv(n + 1, lit(2L))
+  private def rankP95(n: org.apache.spark.sql.Column) =
+    Exact.floorDiv(n * 95 + 99, lit(100L))
+
+  // ------------------------------------------- exact percentiles
+  // Oracle uses the textbook row_number form; the engine uses the
+  // histogram form — "element at rank k" ≡ "smallest value whose
+  // cumulative count ≥ k", so the two agree exactly (ties included:
+  // equal values collapse into one histogram bucket).
+  val qExactPercentiles: Q = Q(
+    "q47_exact_percentiles",
+    s"""WITH oc AS (
+      |  SELECT n.n_name, ${Exact.centsSql("o.o_totalprice")} AS cents
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+      |r AS (
+      |  SELECT n_name, cents,
+      |    row_number() OVER (PARTITION BY n_name ORDER BY cents) AS rk,
+      |    count(*) OVER (PARTITION BY n_name) AS n
+      |  FROM oc)
+      |SELECT n_name, CAST(max(n) AS BIGINT) AS n_orders,
+      |  ${Exact.dec2Sql("max(CASE WHEN rk = (n+1)//2 THEN cents END)")}
+      |    AS p50,
+      |  ${Exact.dec2Sql("max(CASE WHEN rk = (n*95+99)//100 THEN cents END)")}
+      |    AS p95,
+      |  ${Exact.dec2Sql("min(cents)")} AS min_total,
+      |  ${Exact.dec2Sql("max(cents)")} AS max_total
+      |FROM r GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, d) =>
+    val hist = nationCents(s, d)
+      .groupBy("n_name", "cents").agg(count(lit(1)).as("cnt"))
+    val cum = Window.partitionBy("n_name").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy("n_name")
+    hist
+      .withColumn("cum", sum("cnt").over(cum))
+      .withColumn("n", sum("cnt").over(all))
+      .groupBy("n_name")
+      .agg(max("n").as("n_orders"),
+        min(when(col("cum") >= rankP50(col("n")), col("cents"))).as("c50"),
+        min(when(col("cum") >= rankP95(col("n")), col("cents"))).as("c95"),
+        min("cents").as("cmin"), max("cents").as("cmax"))
+      .select(col("n_name"), col("n_orders"),
+        Exact.dec2(col("c50")).as("p50"), Exact.dec2(col("c95")).as("p95"),
+        Exact.dec2(col("cmin")).as("min_total"),
+        Exact.dec2(col("cmax")).as("max_total"))
+      .orderBy("n_name")
+  }
+
+  // ------------------------------------------- percentile sketch
+  // Mergeable one-pass sketch (Spark's approx_percentile / Greenwald-
+  // Khanna): the path for high-cardinality value domains where the
+  // exact histogram would itself be shuffle-heavy. Engine-specific
+  // sketch ⇒ rows-only; QuantilesSpec bounds its rank error against
+  // the exact answer.
+  val qQuantileSketch: Q = Q.noOracle("q48_quantile_sketch") { (s, d) =>
+    nationCents(s, d)
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_orders"),
+        percentile_approx(col("cents"), array(lit(0.5), lit(0.95)),
+          lit(10000)).as("qs"))
+      .select(col("n_name"), col("n_orders"),
+        Exact.dec2(col("qs").getItem(0)).as("p50_approx"),
+        Exact.dec2(col("qs").getItem(1)).as("p95_approx"))
+      .orderBy("n_name")
+  }
+
+  val all: Seq[Q] = Seq(qExactPercentiles, qQuantileSketch)
+}

