@@ -132,5 +132,105 @@ object Curation {
       .orderBy("lang", "rk")
   }
 
-  val all: Seq[Q] = Seq(qHashSample, qVocabOov, qTopKPerGroup)
+  // ------------------------------------------------ TF-IDF keywords
+  // Per-document top-k characteristic terms. All scoring stays in
+  // exact integer space (idf ≈ N/df scaled by 1e4, score = tf·idf) so
+  // the oracle hashes identically — the float-log idf variant changes
+  // only the literal, not the plan. Shapes: tf = one (doc, term)
+  // shuffle; df = one term shuffle; score join is on term (df table is
+  // |vocab|-sized — broadcastable in practice, and AQE picks that at
+  // runtime); per-doc ranking partitions by doc_id, whose group size
+  // is bounded by document length — the one top-k case where a window
+  // is fine at any corpus size (groups never exceed a doc's tokens).
+  val KeywordsPerDoc = 3
+
+  val qTfidfKeywords: Q = Q(
+    "q49_tfidf_keywords",
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+      |  GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |    CAST(tf.tf * ((n.n_docs * 10000) // df.df) AS BIGINT) AS score
+      |  FROM tf JOIN df USING (term) CROSS JOIN n)
+      |SELECT doc_id, CAST(rk AS INTEGER) AS rk, term,
+      |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+      |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY score DESC, term) AS rk FROM scored) t
+      |WHERE rk <= $KeywordsPerDoc ORDER BY doc_id, rk""".stripMargin) {
+    (s, d) =>
+      val toks = T(s, d, "documents")
+        .select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = toks.groupBy("term")
+        .agg(countDistinct("doc_id").as("df"))
+      val nDocs = T(s, d, "documents").groupBy()
+        .agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(df, "term").crossJoin(broadcast(nDocs))
+        .withColumn("score",
+          col("tf") * Exact.floorDiv(col("n_docs") * 10000, col("df")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= KeywordsPerDoc)
+        .select(col("doc_id"), col("rk").cast(IntegerType).as("rk"),
+          col("term"), col("tf"), col("df"), col("score"))
+        .orderBy("doc_id", "rk")
+  }
+
+  // --------------------------------------------- mixture / epoch plan
+  // Deterministic data-mixing: each source tier gets an integer repeat
+  // count plus a hash-gated fractional repeat (tier weights 3.5×, 2×,
+  // 0.75× here), materialized as one output row per (doc, repeat) with
+  // a stable shuffle key — the "compose one training epoch from
+  // weighted sources" op. Zero-repeat docs drop out (downsampling).
+  // Pure scan-local explode: no shuffle at all until a consumer
+  // repartitions by the shuffle key.
+  val UpSources: Seq[String] = Seq("src0", "src1", "src2")
+  val MidSources: Seq[String] = (3 to 9).map(i => s"src$i")
+
+  val qMixtureEpoch: Q = {
+    val upList = UpSources.map(s => s"'$s'").mkString(", ")
+    val midList = MidSources.map(s => s"'$s'").mkString(", ")
+    Q("q50_mixture_epoch",
+      s"""WITH w AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN source IN ($upList) THEN 3
+        |         WHEN source IN ($midList) THEN 2 ELSE 0 END
+        |      + CASE WHEN md5('mix-' || CAST(doc_id AS VARCHAR)) <
+        |          (CASE WHEN source IN ($upList) THEN '8'
+        |                WHEN source IN ($midList) THEN '0'
+        |                ELSE 'c' END) THEN 1 ELSE 0 END AS n_rep
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |  CAST(unnest(range(1, n_rep + 1)) AS BIGINT) AS rep,
+        |  md5('ord-' || CAST(doc_id AS VARCHAR) || '-' ||
+        |    CAST(unnest(range(1, n_rep + 1)) AS VARCHAR)) AS shuffle_key
+        |FROM w ORDER BY doc_id, rep""".stripMargin) { (s, d) =>
+      val base = when(col("source").isInCollection(UpSources), 3L)
+        .when(col("source").isInCollection(MidSources), 2L).otherwise(0L)
+      val frTh = when(col("source").isInCollection(UpSources), "8")
+        .when(col("source").isInCollection(MidSources), "0").otherwise("c")
+      val nRep = base +
+        when(sampleKey(col("doc_id"), "mix-") < frTh, 1L).otherwise(0L)
+      T(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          // sequence(1, 0) counts DOWN in Spark — guard the empty case
+          explode(when(nRep >= 1, sequence(lit(1L), nRep))
+            .otherwise(array().cast("array<bigint>"))).as("rep"))
+        .withColumn("shuffle_key",
+          md5(concat(lit("ord-"), col("doc_id").cast("string"), lit("-"),
+            col("rep").cast("string"))))
+        .orderBy("doc_id", "rep")
+    }
+  }
+
+  val all: Seq[Q] =
+    Seq(qHashSample, qVocabOov, qTopKPerGroup, qTfidfKeywords,
+      qMixtureEpoch)
 }

@@ -73,6 +73,50 @@ class CurationSpec extends AnyFunSuite {
     assert(got.collect().toSeq == expect.collect().toSeq)
   }
 
+  test("tf-idf ranks corpus-rare terms above common ones") {
+    val out = Curation.qTfidfKeywords.build(spark, Dir).collect()
+    assert(out.length == 500 * Curation.KeywordsPerDoc)
+    out.foreach { r =>
+      // integer tf-idf: score = tf * ((N*10000) // df), df ≤ N = 500
+      val tf = r.getLong(3); val df = r.getLong(4); val score = r.getLong(5)
+      assert(score == tf * ((500L * 10000L) / df))
+    }
+    // within a doc, ranks are strictly ordered by (score desc, term asc)
+    out.groupBy(_.getLong(0)).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(1))
+      sorted.sliding(2).foreach { pair =>
+        if (pair.length == 2) {
+          val (a, b) = (pair(0), pair(1))
+          val ka = (-a.getLong(5), a.getString(2))
+          val kb = (-b.getLong(5), b.getString(2))
+          assert(Ordering.Tuple2[Long, String].lt(ka, kb))
+        }
+      }
+    }
+  }
+
+  test("mixture epoch repeats docs per tier and drops downsampled docs") {
+    val docs = graft.io.Tables.load(spark, Dir, "documents")
+    val out = Curation.qMixtureEpoch.build(spark, Dir).collect()
+    val repsByDoc = out.groupBy(_.getLong(0)).view.mapValues(_.length)
+    val srcOf = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    srcOf.foreach { case (id, src) =>
+      val n = repsByDoc.getOrElse(id, 0)
+      if (Curation.UpSources.contains(src)) assert(n == 3 || n == 4)
+      else if (Curation.MidSources.contains(src)) assert(n == 2)
+      else assert(n == 0 || n == 1) // tail tier: 75% kept once
+    }
+    // some tail docs must actually be dropped AND some kept
+    val tailCounts = srcOf.collect {
+      case (id, src) if !Curation.UpSources.contains(src) &&
+        !Curation.MidSources.contains(src) => repsByDoc.getOrElse(id, 0)
+    }.toSeq
+    assert(tailCounts.contains(0) && tailCounts.contains(1))
+    // shuffle keys are unique across the whole epoch
+    assert(out.map(_.getString(3)).distinct.length == out.length)
+  }
+
   test("group top-k aggregates map-side (ObjectHashAggregate, no window)") {
     val plan = Curation.qTopKPerGroup.build(spark, Dir)
       .queryExecution.executedPlan.toString
