@@ -1,0 +1,60 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.analytics.TextOps
+
+/** Streaming corpus ingestion for the LLM-data tier: the batch curation
+  * operators (fingerprint, quality scoring, PII scrub — q19/q20/q41)
+  * applied to an unbounded document feed.
+  *
+  *  batch primitive                     → streaming primitive
+  *  ──────────────────────────────────────────────────────────────
+  *  exact dedup: groupBy(fingerprint)   → `dropDuplicatesWithinWatermark`
+  *    keep min doc_id                     on the fingerprint (first
+  *                                        delivery wins; state bounded
+  *                                        by the watermark window)
+  *  quality score / scrub (scan-local)  → same Column expressions —
+  *                                        stateless, unchanged
+  *
+  * The dedup state holds one fingerprint hash per UNIQUE document seen
+  * within the watermark horizon — bounded by arrival rate × horizon,
+  * not corpus size, which is what makes this viable on an unbounded
+  * 100 TB/day feed. Cross-horizon exact dedup (forever-uniqueness) is
+  * the batch job's contract (q19), not the stream's: the stream
+  * guarantees no duplicate within the horizon and at-least-once
+  * delivery of the first copy.
+  */
+object DocStream {
+
+  /** An ingested document: event-time + the raw text payload. */
+  final case class IngestedDoc(
+      docId: Long,
+      ingestTs: Timestamp,
+      text: String)
+
+  /** Curated stream: normalized-content fingerprint dedup (first copy
+    * wins within the watermark), then stateless quality + scrub
+    * columns. Emits one row per unique fingerprint per horizon. */
+  def curate(docs: Dataset[IngestedDoc], watermarkDelay: String)
+      : DataFrame = {
+    val t = TextOps.tokens(col("text"))
+    val nWords = size(t).cast("long")
+    val nStop =
+      size(filter(t, w => w.isInCollection(TextOps.Stopwords))).cast("long")
+    docs.toDF()
+      .withColumn("content_hash", md5(TextOps.normalized(col("text"))))
+      .withWatermark("ingestTs", watermarkDelay)
+      .dropDuplicatesWithinWatermark("content_hash")
+      .withColumn("clean_text", TextOps.scrubPii(col("text")))
+      .withColumn("n_words", nWords)
+      .withColumn("quality_band",
+        when(nWords >= 40 && nStop > 0, "HIGH")
+          .when(nWords >= 15, "MEDIUM").otherwise("LOW"))
+      .select("docId", "ingestTs", "content_hash", "clean_text",
+        "n_words", "quality_band")
+  }
+}

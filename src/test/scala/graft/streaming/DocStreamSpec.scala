@@ -1,0 +1,76 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.streaming.DocStream.IngestedDoc
+
+/** Streaming corpus ingestion: fingerprint dedup keeps the first copy
+  * within the watermark horizon and the stateless curation columns
+  * match their batch (q20/q41) semantics. */
+class DocStreamSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def doc(id: Long, ts: String, text: String): IngestedDoc =
+    IngestedDoc(id, Timestamp.valueOf(ts), text)
+
+  test("first copy wins; later exact duplicates within horizon drop") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[IngestedDoc]
+    val query = DocStream.curate(input.toDS(), "10 minutes")
+      .writeStream.format("memory").queryName("doc_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        doc(1, "2024-03-15 10:00:00", "the quick brown fox jumps"),
+        // same normalized content (case/whitespace differ) — duplicate
+        doc(2, "2024-03-15 10:01:00", "  The  Quick  Brown  Fox  Jumps"
+          .toLowerCase),
+        doc(3, "2024-03-15 10:02:00", "a different document entirely"))
+      query.processAllAvailable()
+      input.addData(
+        // same batch-1 content again, still inside the horizon
+        doc(4, "2024-03-15 10:03:00", "the quick brown fox jumps"),
+        // email to scrub, enough words for a band check
+        doc(5, "2024-03-15 10:04:00",
+          "contact me at jane.doe@example.com for the offer details"))
+      query.processAllAvailable()
+
+      val rows = spark.table("doc_out").collect()
+      val ids = rows.map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 3L, 5L)) // 2 and 4 deduped
+      val scrubbed = rows.find(_.getLong(0) == 5L).get.getString(3)
+      assert(scrubbed.contains("<EMAIL>") && !scrubbed.contains("@"))
+      // stateless columns agree with the batch expressions
+      val d1 = rows.find(_.getLong(0) == 1L).get
+      assert(d1.getLong(4) == 5L && d1.getString(5) == "LOW")
+    } finally query.stop()
+  }
+
+  test("duplicate arriving beyond the horizon is admitted again") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[IngestedDoc]
+    val query = DocStream.curate(input.toDS(), "10 minutes")
+      .writeStream.format("memory").queryName("doc_out2")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(doc(1, "2024-03-15 10:00:00", "repeated content here"))
+      query.processAllAvailable()
+      // advance the watermark far past 10:10, expiring the state
+      input.addData(doc(2, "2024-03-15 11:00:00", "unrelated filler row"))
+      query.processAllAvailable()
+      input.addData(doc(3, "2024-03-15 11:01:00", "repeated content here"))
+      query.processAllAvailable()
+      val ids = spark.table("doc_out2").collect().map(_.getLong(0)).toSet
+      // doc 3's fingerprint state expired with the horizon → re-admitted
+      assert(ids == Set(1L, 2L, 3L))
+    } finally query.stop()
+  }
+}
