@@ -1,0 +1,210 @@
+package graft.quality
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.ops.Exact
+import graft.queries.Q
+
+/** Data-quality and profiling tier — the native analog of dbt's schema
+  * tests (`not_null` / `unique` / `accepted_values` / `relationships`)
+  * and of warehouse `ANALYZE` column statistics.
+  *
+  * The reference declares no dbt tests (its `tests/` dir is empty and
+  * its model YAMLs carry only docs — `customers_latest.yml:1-45`), but
+  * its models ENCODE the constraints these rules check: one row per
+  * merge key (`customers_latest.sql:4` `unique_key='customer_id'`),
+  * canonical status domains (`orders_cleaned.sql:77-85`), and
+  * validated FK enrichment joins (`orders_cleaned.sql:308-314`). This
+  * module makes those contracts checkable as data.
+  */
+object Validate {
+
+  /** Schema shared by every rule: one row per rule with its violation
+    * count. Each rule is a single aggregate / anti-join — one bounded
+    * job per rule, map-side combined, no driver-side row handling. */
+  private def result(rule: String, table: String, column: String,
+      violations: DataFrame): DataFrame =
+    violations.select(lit(rule).as("rule"), lit(table).as("tbl"),
+      lit(column).as("col"), col("n_violations"))
+
+  /** Rows where the column is NULL. */
+  def notNull(df: DataFrame, table: String, column: String): DataFrame =
+    result(s"not_null_${table}_$column", table, column,
+      df.filter(col(column).isNull)
+        .agg(count(lit(1)).as("n_violations")))
+
+  /** Distinct key values that occur more than once. */
+  def unique(df: DataFrame, table: String, column: String): DataFrame =
+    result(s"unique_${table}_$column", table, column,
+      df.groupBy(column).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .agg(count(lit(1)).as("n_violations")))
+
+  /** Rows whose value falls outside the accepted domain (NULLs are the
+    * `not_null` rule's business, not this one's). */
+  def acceptedValues(df: DataFrame, table: String, column: String,
+      values: Seq[String]): DataFrame =
+    result(s"accepted_${table}_$column", table, column,
+      df.filter(col(column).isNotNull &&
+          !col(column).isInCollection(values))
+        .agg(count(lit(1)).as("n_violations")))
+
+  /** Child rows whose FK has no matching parent row (left-anti join —
+    * shuffles on the key, prunable/broadcastable like any join). */
+  def relationship(child: DataFrame, childTable: String, fk: String,
+      parent: DataFrame, pk: String): DataFrame =
+    result(s"ri_${childTable}_$fk", childTable, fk,
+      child.filter(col(fk).isNotNull)
+        .join(parent.select(col(pk).as(fk)), Seq(fk), "left_anti")
+        .agg(count(lit(1)).as("n_violations")))
+
+  /** Union the per-rule rows into one report. */
+  def report(rules: Seq[DataFrame]): DataFrame =
+    rules.reduce(_ unionByName _)
+      .withColumn("passed", col("n_violations") === 0L)
+      .orderBy("rule")
+}
+
+/** Driver-checkable quality/profiling queries. */
+object Quality {
+
+  private def T(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.load(s, d, n)
+
+  // ------------------------------------------------ DQ rule report
+  // The implicit reference contracts, checked over the testdata star
+  // schema. The testdata happens to be clean (all rules pass) — the
+  // SPEC proves each rule fires on synthesized dirty data; the oracle
+  // proves the report's cross-engine shape and counts.
+  val qDqReport: Q = Q(
+    "q51_dq_report",
+    """WITH r AS (
+      |  SELECT 'unique_customer_c_custkey' AS rule, 'customer' AS tbl,
+      |    'c_custkey' AS col,
+      |    CAST((SELECT count(*) FROM (SELECT c_custkey FROM customer
+      |      GROUP BY 1 HAVING count(*) > 1) t) AS BIGINT) AS n_violations
+      |  UNION ALL
+      |  SELECT 'not_null_orders_o_custkey', 'orders', 'o_custkey',
+      |    CAST((SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+      |      AS BIGINT)
+      |  UNION ALL
+      |  SELECT 'accepted_orders_o_orderstatus', 'orders', 'o_orderstatus',
+      |    CAST((SELECT count(*) FROM orders WHERE o_orderstatus IS NOT NULL
+      |      AND o_orderstatus NOT IN ('F', 'O', 'P')) AS BIGINT)
+      |  UNION ALL
+      |  SELECT 'ri_orders_o_custkey', 'orders', 'o_custkey',
+      |    CAST((SELECT count(*) FROM orders o LEFT JOIN customer c
+      |      ON o.o_custkey = c.c_custkey
+      |      WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL)
+      |      AS BIGINT)
+      |  UNION ALL
+      |  SELECT 'ri_lineitem_l_orderkey', 'lineitem', 'l_orderkey',
+      |    CAST((SELECT count(*) FROM lineitem l LEFT JOIN orders o
+      |      ON l.l_orderkey = o.o_orderkey
+      |      WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL)
+      |      AS BIGINT))
+      |SELECT rule, tbl, col, n_violations, n_violations = 0 AS passed
+      |FROM r ORDER BY rule""".stripMargin) { (s, d) =>
+    val customer = T(s, d, "customer")
+    val orders = T(s, d, "orders")
+    val lineitem = T(s, d, "lineitem")
+    Validate.report(Seq(
+      Validate.unique(customer, "customer", "c_custkey"),
+      Validate.notNull(orders, "orders", "o_custkey"),
+      Validate.acceptedValues(orders, "orders", "o_orderstatus",
+        Seq("F", "O", "P")),
+      Validate.relationship(orders, "orders", "o_custkey",
+        customer, "c_custkey"),
+      Validate.relationship(lineitem, "lineitem", "l_orderkey",
+        orders, "o_orderkey")))
+  }
+
+  // ------------------------------------------------ column profiling
+  // ANALYZE-style statistics in ONE scan: all aggregates (counts,
+  // exact NDVs, extrema) computed together, then pivoted to one row
+  // per column with `inline`. Extrema are emitted as strings built
+  // from cross-engine-stable forms (pinned DECIMAL for money, DATE for
+  // dates) — never a raw double→string cast (engine-specific repr).
+  // At 100 TB the exact NDVs are the expensive part (Catalyst expands
+  // one scan into one aggregation path per distinct column); the
+  // HLL sketch variant (q33's approx_count_distinct) is the cheap path.
+  val qColumnProfile: Q = Q(
+    "q52_column_profile",
+    s"""WITH a AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(count(l_quantity) AS BIGINT) AS nn_q,
+      |    CAST(count(DISTINCT l_quantity) AS BIGINT) AS ndv_q,
+      |    CAST(${Exact.dec2Sql(s"min(${Exact.centsSql("l_quantity")})")}
+      |      AS VARCHAR) AS min_q,
+      |    CAST(${Exact.dec2Sql(s"max(${Exact.centsSql("l_quantity")})")}
+      |      AS VARCHAR) AS max_q,
+      |    CAST(count(l_extendedprice) AS BIGINT) AS nn_p,
+      |    CAST(count(DISTINCT l_extendedprice) AS BIGINT) AS ndv_p,
+      |    CAST(${Exact.dec2Sql(
+             s"min(${Exact.centsSql("l_extendedprice")})")}
+      |      AS VARCHAR) AS min_p,
+      |    CAST(${Exact.dec2Sql(
+             s"max(${Exact.centsSql("l_extendedprice")})")}
+      |      AS VARCHAR) AS max_p,
+      |    CAST(count(l_returnflag) AS BIGINT) AS nn_f,
+      |    CAST(count(DISTINCT l_returnflag) AS BIGINT) AS ndv_f,
+      |    min(l_returnflag) AS min_f, max(l_returnflag) AS max_f,
+      |    CAST(count(l_shipdate) AS BIGINT) AS nn_d,
+      |    CAST(count(DISTINCT CAST(l_shipdate AS DATE)) AS BIGINT)
+      |      AS ndv_d,
+      |    CAST(CAST(min(l_shipdate) AS DATE) AS VARCHAR) AS min_d,
+      |    CAST(CAST(max(l_shipdate) AS DATE) AS VARCHAR) AS max_d
+      |  FROM lineitem)
+      |SELECT col_name, n_rows, n_notnull, ndv, min_val, max_val FROM (
+      |  SELECT 'l_quantity' AS col_name, n_rows, nn_q AS n_notnull,
+      |    ndv_q AS ndv, min_q AS min_val, max_q AS max_val FROM a
+      |  UNION ALL SELECT 'l_extendedprice', n_rows, nn_p, ndv_p, min_p,
+      |    max_p FROM a
+      |  UNION ALL SELECT 'l_returnflag', n_rows, nn_f, ndv_f, min_f,
+      |    max_f FROM a
+      |  UNION ALL SELECT 'l_shipdate', n_rows, nn_d, ndv_d, min_d,
+      |    max_d FROM a) t
+      |ORDER BY col_name""".stripMargin) { (s, d) =>
+    def prof(name: String, nn: org.apache.spark.sql.Column,
+        ndv: org.apache.spark.sql.Column, mn: org.apache.spark.sql.Column,
+        mx: org.apache.spark.sql.Column) =
+      struct(lit(name).as("col_name"), col("n_rows"), nn.as("n_notnull"),
+        ndv.as("ndv"), mn.as("min_val"), mx.as("max_val"))
+    T(s, d, "lineitem")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("l_quantity")).as("nn_q"),
+        countDistinct(col("l_quantity")).as("ndv_q"),
+        Exact.dec2(min(Exact.cents(col("l_quantity")))).cast("string")
+          .as("min_q"),
+        Exact.dec2(max(Exact.cents(col("l_quantity")))).cast("string")
+          .as("max_q"),
+        count(col("l_extendedprice")).as("nn_p"),
+        countDistinct(col("l_extendedprice")).as("ndv_p"),
+        Exact.dec2(min(Exact.cents(col("l_extendedprice"))))
+          .cast("string").as("min_p"),
+        Exact.dec2(max(Exact.cents(col("l_extendedprice"))))
+          .cast("string").as("max_p"),
+        count(col("l_returnflag")).as("nn_f"),
+        countDistinct(col("l_returnflag")).as("ndv_f"),
+        min(col("l_returnflag")).as("min_f"),
+        max(col("l_returnflag")).as("max_f"),
+        count(col("l_shipdate")).as("nn_d"),
+        countDistinct(col("l_shipdate").cast("date")).as("ndv_d"),
+        min(col("l_shipdate")).cast("date").cast("string").as("min_d"),
+        max(col("l_shipdate")).cast("date").cast("string").as("max_d"))
+      .select(inline(array(
+        prof("l_quantity", col("nn_q"), col("ndv_q"), col("min_q"),
+          col("max_q")),
+        prof("l_extendedprice", col("nn_p"), col("ndv_p"), col("min_p"),
+          col("max_p")),
+        prof("l_returnflag", col("nn_f"), col("ndv_f"), col("min_f"),
+          col("max_f")),
+        prof("l_shipdate", col("nn_d"), col("ndv_d"), col("min_d"),
+          col("max_d")))))
+      .orderBy("col_name")
+  }
+
+  val all: Seq[Q] = Seq(qDqReport, qColumnProfile)
+}

@@ -7,7 +7,8 @@ object Registry {
 
   val all: Seq[Q] =
     RefQueries.all ++ TextOps.all ++ NearDup.all ++ VectorOps.all ++
-      Multimodal.all ++ Temporal.all ++ Curation.all ++ Quantiles.all :+
+      Multimodal.all ++ Temporal.all ++ Curation.all ++ Quantiles.all ++
+      graft.quality.Quality.all :+
       graft.pipeline.PipelineQuery.qPipelineE2e
 
   val flagship: Q = RefQueries.q15Flagship

@@ -1,0 +1,58 @@
+package graft.quality
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class ValidateSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("each rule fires on synthesized dirty data") {
+    val child = Seq(
+      (Some(1L), "F"), (Some(1L), "F"), // duplicate key 1
+      (Some(2L), "X"), // bad status, orphan FK
+      (None, "O")) // null key
+      .toDF("k", "status")
+    val parent = Seq(1L).toDF("pk")
+
+    val report = Validate.report(Seq(
+      Validate.unique(child, "c", "k"),
+      Validate.notNull(child, "c", "k"),
+      Validate.acceptedValues(child, "c", "status", Seq("F", "O", "P")),
+      Validate.relationship(child, "c", "k", parent, "pk")))
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getBoolean(4)))
+      .toMap
+
+    assert(report("unique_c_k") == (1L, false)) // one duplicated value
+    assert(report("not_null_c_k") == (1L, false))
+    assert(report("accepted_c_status") == (1L, false)) // 'X'
+    assert(report("ri_c_k") == (1L, false)) // key 2 orphaned; NULL exempt
+  }
+
+  test("clean data passes every rule") {
+    val child = Seq((1L, "F"), (2L, "O")).toDF("k", "status")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val report = Validate.report(Seq(
+      Validate.unique(child, "c", "k"),
+      Validate.notNull(child, "c", "k"),
+      Validate.acceptedValues(child, "c", "status", Seq("F", "O", "P")),
+      Validate.relationship(child, "c", "k", parent, "pk")))
+      .collect()
+    assert(report.length == 4 && report.forall(_.getBoolean(4)))
+    assert(report.forall(_.getLong(3) == 0L))
+  }
+
+  test("profile emits one stats row per column in one scan") {
+    val out = Quality.qColumnProfile.build(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.map(_.getString(0)).toSeq ==
+      Seq("l_extendedprice", "l_quantity", "l_returnflag", "l_shipdate"))
+    out.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) <= r.getLong(2)) // ndv ≤ non-null count
+      assert(r.getString(4) <= r.getString(5) ||
+        r.getString(0) != "l_returnflag") // string extrema ordered
+    }
+  }
+}
