@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+import graft.io.Tables
+import graft.ops.Exact
+
+/** OLAP surface beyond the reference's models: grouping-set rollups
+  * and frame-based moving-window aggregates — the two classic
+  * dashboard/report families a user of a general analytics engine
+  * expects alongside the §2 inventory.
+  */
+object OlapQueries {
+
+  private def T(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.load(s, d, n)
+
+  /** orders → customer → nation → region star join with exact cents.
+    * Dimension joins broadcast (verified in PLANS.md for the same
+    * shape in q47); the fact shuffles once on its group keys. */
+  private def starRevenue(s: SparkSession, d: String): DataFrame =
+    T(s, d, "orders")
+      .join(T(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(T(s, d, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(T(s, d, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("n_name"),
+        col("o_orderdate").cast("date").as("day"),
+        Exact.cents(col("o_totalprice")).as("cents"))
+
+  // ------------------------------------------------ rollup subtotals
+  // GROUP BY ROLLUP(region, nation): detail rows + per-region
+  // subtotals + grand total in ONE aggregation (Catalyst's Expand —
+  // each input row feeds every grouping set map-side, so the shuffle
+  // stays one exchange). NULL group labels are coalesced to '(all)'
+  // because Spark and DuckDB disagree on NULL sort placement.
+  val qRollup: Q = Q(
+    "q53_rollup_subtotals",
+    s"""SELECT coalesce(r_name, '(all)') AS region,
+      |  coalesce(n_name, '(all)') AS nation,
+      |  CAST(GROUPING(r_name, n_name) AS INTEGER) AS gid,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  ${Exact.dec2Sql(s"sum(${Exact.centsSql("o_totalprice")})")}
+      |    AS revenue
+      |FROM orders o
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY gid, region, nation""".stripMargin) { (s, d) =>
+    starRevenue(s, d)
+      // alias the grouping columns: their rollup outputs are fresh
+      // attributes, which sidesteps Spark's ambiguous-lineage check
+      // when re-selecting them after the agg
+      .rollup(col("r_name").as("region_g"), col("n_name").as("nation_g"))
+      .agg(grouping_id().cast(IntegerType).as("gid"),
+        count(lit(1)).as("n_orders"),
+        Exact.dec2(sum(col("cents"))).as("revenue"))
+      .select(coalesce(col("region_g"), lit("(all)")).as("region"),
+        coalesce(col("nation_g"), lit("(all)")).as("nation"),
+        col("gid"), col("n_orders"), col("revenue"))
+      .orderBy("gid", "region", "nation")
+  }
+
+  // --------------------------------------- moving-window aggregates
+  // Daily revenue per region with a trailing-7-rows sum and a
+  // day-over-day delta: ROWS-frame running aggregate + lag, the
+  // general report-window family (q17's sessionization exercises lag;
+  // this adds explicit frames). All money stays integer cents until
+  // the pinned-decimal presentation. One shuffle on region for the
+  // windows, after the daily pre-aggregation.
+  val qMovingWindow: Q = Q(
+    "q54_moving_window",
+    s"""WITH daily AS (
+      |  SELECT r_name AS region, CAST(o_orderdate AS DATE) AS day,
+      |    sum(${Exact.centsSql("o_totalprice")}) AS cents
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  JOIN region r ON n.n_regionkey = r.r_regionkey
+      |  GROUP BY 1, 2)
+      |SELECT region, day,
+      |  ${Exact.dec2Sql("cents")} AS revenue,
+      |  ${Exact.dec2Sql("sum(cents) OVER (PARTITION BY region ORDER BY day" +
+           " ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)")} AS trailing7,
+      |  ${Exact.dec2Sql("cents - coalesce(lag(cents, 1)" +
+           " OVER (PARTITION BY region ORDER BY day), cents)")} AS dod_delta
+      |FROM daily ORDER BY region, day""".stripMargin) { (s, d) =>
+    val daily = starRevenue(s, d)
+      .groupBy(col("r_name").as("region"), col("day"))
+      .agg(sum("cents").as("cents"))
+    val ord = Window.partitionBy("region").orderBy("day")
+    val frame = ord.rowsBetween(-6, Window.currentRow)
+    daily.select(col("region"), col("day"),
+      Exact.dec2(col("cents")).as("revenue"),
+      Exact.dec2(sum("cents").over(frame)).as("trailing7"),
+      Exact.dec2(col("cents") -
+        coalesce(lag("cents", 1).over(ord), col("cents"))).as("dod_delta"))
+      .orderBy("region", "day")
+  }
+
+  val all: Seq[Q] = Seq(qRollup, qMovingWindow)
+}

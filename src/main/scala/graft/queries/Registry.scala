@@ -6,9 +6,9 @@ object Registry {
   import graft.analytics.{Curation, Multimodal, NearDup, Quantiles, Temporal, TextOps, VectorOps}
 
   val all: Seq[Q] =
-    RefQueries.all ++ TextOps.all ++ NearDup.all ++ VectorOps.all ++
-      Multimodal.all ++ Temporal.all ++ Curation.all ++ Quantiles.all ++
-      graft.quality.Quality.all :+
+    RefQueries.all ++ OlapQueries.all ++ TextOps.all ++ NearDup.all ++
+      VectorOps.all ++ Multimodal.all ++ Temporal.all ++ Curation.all ++
+      Quantiles.all ++ graft.quality.Quality.all :+
       graft.pipeline.PipelineQuery.qPipelineE2e
 
   val flagship: Q = RefQueries.q15Flagship
