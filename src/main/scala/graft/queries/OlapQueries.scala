@@ -103,5 +103,119 @@ object OlapQueries {
       .orderBy("region", "day")
   }
 
-  val all: Seq[Q] = Seq(qRollup, qMovingWindow)
+  // ------------------------------------------------------- pivot
+  // Status counts pivoted to columns with EXPLICIT pivot values — the
+  // deterministic (and scale-sane) form: no pre-pass to discover
+  // columns, single aggregation, cells with no rows coalesced to 0
+  // (Spark pivots them to NULL, the conditional-agg oracle counts 0).
+  val qPivot: Q = Q(
+    "q55_pivot_status",
+    """SELECT n_name,
+      |  CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT)
+      |    AS n_f,
+      |  CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT)
+      |    AS n_o,
+      |  CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT)
+      |    AS n_p
+      |FROM orders o
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, d) =>
+    T(s, d, "orders")
+      .join(T(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(T(s, d, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .select(col("n_name"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy("n_name")
+  }
+
+  // ----------------------------------------------------- set ops
+  // §2.7 family: EXCEPT / INTERSECT over nation-key membership
+  // (customer nations vs supplier nations). Both rewrite to joins over
+  // distinct inputs in Catalyst — one shuffle each on the compared key.
+  val qSetOps: Q = Q(
+    "q56_set_ops",
+    """WITH cn AS (SELECT DISTINCT c_nationkey AS k FROM customer),
+      |sn AS (SELECT DISTINCT s_nationkey AS k FROM supplier)
+      |SELECT 'both' AS op, k
+      |FROM (SELECT k FROM cn INTERSECT SELECT k FROM sn) b
+      |UNION ALL
+      |SELECT 'customer_only', k
+      |FROM (SELECT k FROM cn EXCEPT SELECT k FROM sn) a
+      |UNION ALL
+      |SELECT 'supplier_only', k
+      |FROM (SELECT k FROM sn EXCEPT SELECT k FROM cn) c
+      |ORDER BY op, k""".stripMargin) { (s, d) =>
+    val cn = T(s, d, "customer").select(col("c_nationkey").as("k")).distinct()
+    val sn = T(s, d, "supplier").select(col("s_nationkey").as("k")).distinct()
+    cn.intersect(sn).select(lit("both").as("op"), col("k"))
+      .unionByName(
+        cn.except(sn).select(lit("customer_only").as("op"), col("k")))
+      .unionByName(
+        sn.except(cn).select(lit("supplier_only").as("op"), col("k")))
+      .orderBy("op", "k")
+  }
+
+  // ------------------------------------------------- date spine
+  // Gap-filled daily series (dbt-utils `date_spine` analog): generate
+  // the per-group calendar between its min and max day, left-join the
+  // actual dailies, zero-fill misses. The spine is generated from the
+  // GROUP BOUNDS (one row per group exploded to its day range) — no
+  // driver-side date loop, and the join back is a key-equal join on
+  // (group, day), broadcastable when the spine is small.
+  val qDateSpine: Q = Q(
+    "q57_date_spine",
+    s"""WITH daily AS (
+      |  SELECT n_name AS nation, CAST(o_orderdate AS DATE) AS day,
+      |    sum(${Exact.centsSql("o_totalprice")}) AS cents
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  WHERE CAST(o_orderdate AS DATE) >= DATE '2001-06-01'
+      |    AND CAST(o_orderdate AS DATE) < DATE '2001-08-01'
+      |  GROUP BY 1, 2),
+      |bounds AS (
+      |  SELECT nation, min(day) AS d0, max(day) AS d1 FROM daily
+      |  GROUP BY 1),
+      |spine AS (
+      |  SELECT nation,
+      |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+      |      AS day
+      |  FROM bounds)
+      |SELECT s.nation, s.day,
+      |  ${Exact.dec2Sql("coalesce(dl.cents, 0)")} AS revenue,
+      |  dl.cents IS NULL AS is_gap
+      |FROM spine s LEFT JOIN daily dl
+      |  ON s.nation = dl.nation AND s.day = dl.day
+      |ORDER BY s.nation, s.day""".stripMargin) { (s, d) =>
+    val daily = T(s, d, "orders")
+      .join(T(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(T(s, d, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"),
+        col("o_orderdate").cast("date").as("day"),
+        Exact.cents(col("o_totalprice")).as("cents"))
+      .filter(col("day") >= lit(java.sql.Date.valueOf("2001-06-01")) &&
+        col("day") < lit(java.sql.Date.valueOf("2001-08-01")))
+      .groupBy("nation", "day").agg(sum("cents").as("cents"))
+    val spine = daily.groupBy("nation")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("nation"),
+        explode(sequence(col("d0"), col("d1"),
+          expr("interval 1 day"))).as("day"))
+    spine.join(daily, Seq("nation", "day"), "left")
+      .select(col("nation"), col("day"),
+        Exact.dec2(coalesce(col("cents"), lit(0L))).as("revenue"),
+        col("cents").isNull.as("is_gap"))
+      .orderBy("nation", "day")
+  }
+
+  val all: Seq[Q] =
+    Seq(qRollup, qMovingWindow, qPivot, qSetOps, qDateSpine)
 }
