@@ -122,14 +122,16 @@ object Quality {
   }
 
   // ------------------------------------------------ column profiling
-  // ANALYZE-style statistics in ONE scan: all aggregates (counts,
-  // exact NDVs, extrema) computed together, then pivoted to one row
-  // per column with `inline`. Extrema are emitted as strings built
-  // from cross-engine-stable forms (pinned DECIMAL for money, DATE for
-  // dates) — never a raw double→string cast (engine-specific repr).
-  // At 100 TB the exact NDVs are the expensive part (Catalyst expands
-  // one scan into one aggregation path per distinct column); the
-  // HLL sketch variant (q33's approx_count_distinct) is the cheap path.
+  // ANALYZE-style statistics, one pruned scan PER COLUMN. The obvious
+  // single-agg form (all countDistincts together) makes Catalyst
+  // Expand every input row once per distinct aggregate — ×5 the scan
+  // volume here, 5.5 s at sf0.1 vs 0.7 s for this shape. Per-column
+  // scans each read ONE column (parquet pruning) and run a plain
+  // two-phase distinct, then the 1-row results union. Extrema are
+  // emitted as strings built from cross-engine-stable forms (pinned
+  // DECIMAL for money, DATE for dates) — never a raw double→string
+  // cast (engine-specific repr). At 100 TB exact NDV is the expensive
+  // stat either way; q33's approx_count_distinct is the sketch path.
   val qColumnProfile: Q = Q(
     "q52_column_profile",
     s"""WITH a AS (
@@ -167,42 +169,31 @@ object Quality {
       |  UNION ALL SELECT 'l_shipdate', n_rows, nn_d, ndv_d, min_d,
       |    max_d FROM a) t
       |ORDER BY col_name""".stripMargin) { (s, d) =>
-    def prof(name: String, nn: org.apache.spark.sql.Column,
-        ndv: org.apache.spark.sql.Column, mn: org.apache.spark.sql.Column,
-        mx: org.apache.spark.sql.Column) =
-      struct(lit(name).as("col_name"), col("n_rows"), nn.as("n_notnull"),
-        ndv.as("ndv"), mn.as("min_val"), mx.as("max_val"))
-    T(s, d, "lineitem")
-      .agg(count(lit(1)).as("n_rows"),
-        count(col("l_quantity")).as("nn_q"),
-        countDistinct(col("l_quantity")).as("ndv_q"),
-        Exact.dec2(min(Exact.cents(col("l_quantity")))).cast("string")
-          .as("min_q"),
-        Exact.dec2(max(Exact.cents(col("l_quantity")))).cast("string")
-          .as("max_q"),
-        count(col("l_extendedprice")).as("nn_p"),
-        countDistinct(col("l_extendedprice")).as("ndv_p"),
-        Exact.dec2(min(Exact.cents(col("l_extendedprice"))))
-          .cast("string").as("min_p"),
-        Exact.dec2(max(Exact.cents(col("l_extendedprice"))))
-          .cast("string").as("max_p"),
-        count(col("l_returnflag")).as("nn_f"),
-        countDistinct(col("l_returnflag")).as("ndv_f"),
-        min(col("l_returnflag")).as("min_f"),
-        max(col("l_returnflag")).as("max_f"),
-        count(col("l_shipdate")).as("nn_d"),
-        countDistinct(col("l_shipdate").cast("date")).as("ndv_d"),
-        min(col("l_shipdate")).cast("date").cast("string").as("min_d"),
-        max(col("l_shipdate")).cast("date").cast("string").as("max_d"))
-      .select(inline(array(
-        prof("l_quantity", col("nn_q"), col("ndv_q"), col("min_q"),
-          col("max_q")),
-        prof("l_extendedprice", col("nn_p"), col("ndv_p"), col("min_p"),
-          col("max_p")),
-        prof("l_returnflag", col("nn_f"), col("ndv_f"), col("min_f"),
-          col("max_f")),
-        prof("l_shipdate", col("nn_d"), col("ndv_d"), col("min_d"),
-          col("max_d")))))
+    import org.apache.spark.sql.Column
+    val li = T(s, d, "lineitem")
+    // one pruned scan per column: (raw column, ndv key, min/max repr)
+    def prof(name: String, c: Column, ndvKey: Column,
+        mn: Column, mx: Column): DataFrame =
+      li.agg(count(lit(1)).as("n_rows"), count(c).as("n_notnull"),
+          countDistinct(ndvKey).as("ndv"),
+          mn.as("min_val"), mx.as("max_val"))
+        .select(lit(name).as("col_name"), col("n_rows"),
+          col("n_notnull"), col("ndv"), col("min_val"), col("max_val"))
+    def money(name: String): DataFrame = {
+      val c = col(name)
+      prof(name, c, c,
+        Exact.dec2(min(Exact.cents(c))).cast("string"),
+        Exact.dec2(max(Exact.cents(c))).cast("string"))
+    }
+    money("l_quantity")
+      .unionByName(money("l_extendedprice"))
+      .unionByName(prof("l_returnflag", col("l_returnflag"),
+        col("l_returnflag"),
+        min(col("l_returnflag")), max(col("l_returnflag"))))
+      .unionByName(prof("l_shipdate", col("l_shipdate"),
+        col("l_shipdate").cast("date"),
+        min(col("l_shipdate")).cast("date").cast("string"),
+        max(col("l_shipdate")).cast("date").cast("string")))
       .orderBy("col_name")
   }
 

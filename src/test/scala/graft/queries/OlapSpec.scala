@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Plan-shape and semantics checks for the OLAP family. */
+class OlapSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val Dir = "/root/testdata/sf0.001"
+
+  test("rollup computes all grouping sets in one aggregation (Expand)") {
+    val df = OlapQueries.qRollup.build(spark, Dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"))
+    // detail + per-region subtotal + grand total present
+    val gids = df.collect().map(_.getInt(2)).toSet
+    assert(gids == Set(0, 1, 3))
+    // grand total equals the sum of detail rows
+    val rows = df.collect()
+    val detail = rows.filter(_.getInt(2) == 0)
+      .map(_.getDecimal(4).doubleValue).sum
+    val grand = rows.find(_.getInt(2) == 3).get.getDecimal(4).doubleValue
+    assert(math.abs(detail - grand) < 0.005)
+  }
+
+  test("trailing7 window equals a hand-rolled sliding sum") {
+    val rows = OlapQueries.qMovingWindow.build(spark, Dir).collect()
+    val byRegion = rows.groupBy(_.getString(0))
+    byRegion.values.foreach { rs =>
+      val seq = rs.sortBy(_.getDate(1).getTime)
+      seq.zipWithIndex.foreach { case (r, i) =>
+        val expect = seq.slice(math.max(0, i - 6), i + 1)
+          .map(_.getDecimal(2).doubleValue).sum
+        assert(math.abs(r.getDecimal(3).doubleValue - expect) < 0.005)
+      }
+    }
+  }
+
+  test("date spine has no calendar holes and flags real gaps") {
+    val rows = OlapQueries.qDateSpine.build(spark, Dir).collect()
+    rows.groupBy(_.getString(0)).values.foreach { rs =>
+      val days = rs.map(_.getDate(1).toLocalDate).sortBy(_.toEpochDay)
+      days.sliding(2).foreach { pair =>
+        if (pair.length == 2)
+          assert(pair(1).toEpochDay - pair(0).toEpochDay == 1L,
+            s"hole between ${pair(0)} and ${pair(1)}")
+      }
+    }
+    // gap rows carry exactly zero revenue
+    rows.filter(_.getBoolean(3))
+      .foreach(r => assert(r.getDecimal(2).doubleValue == 0.0))
+    assert(rows.exists(_.getBoolean(3)) && rows.exists(!_.getBoolean(3)))
+  }
+
+  test("set ops partition the key space") {
+    val rows = OlapQueries.qSetOps.build(spark, Dir).collect()
+      .map(r => r.getString(0) -> r.getInt(1))
+    val both = rows.filter(_._1 == "both").map(_._2).toSet
+    val co = rows.filter(_._1 == "customer_only").map(_._2).toSet
+    val so = rows.filter(_._1 == "supplier_only").map(_._2).toSet
+    assert((both & co).isEmpty && (both & so).isEmpty && (co & so).isEmpty)
+  }
+}
