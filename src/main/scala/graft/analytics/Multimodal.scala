@@ -14,10 +14,11 @@ import graft.queries.Q
   * Dataset; the Scala analog of Python's `mapInPandas` batch UDF),
   * aggregation over extracted features. Image decode is REAL for the
   * formats the JDK ships codecs for (PNG/JPEG/BMP/GIF via
-  * `javax.imageio`, see [[decodeImage]]); payloads that aren't
-  * decodable images fall back to the deterministic byte-level stub
-  * [[fakeDecode]] (which also stands in for codecs this container
-  * lacks, e.g. audio/video).
+  * `javax.imageio`, see [[decodeImage]]), as is audio decode
+  * (WAV/AU/AIFF PCM via `javax.sound.sampled`, see [[decodeAudio]]);
+  * payloads that don't decode fall back to the deterministic
+  * byte-level stub [[fakeDecode]] (which also stands in for codecs
+  * this container lacks, e.g. video).
   */
 object Multimodal {
 
@@ -103,6 +104,74 @@ object Multimodal {
       : DataFrame = {
     import spark.implicits._
     media.as[MediaItem].mapPartitions(_.map(decodeImage)).toDF()
+  }
+
+  /** Real decoded-audio features (or the stub fallback for payloads
+    * that aren't decodable audio). */
+  final case class AudioFeatures(doc_id: Long, source: String,
+      n_bytes: Long, decoded: Boolean, sample_rate: Int, channels: Int,
+      n_frames: Long, rms: Double, checksum: Long)
+
+  /** REAL audio decode for the formats the JDK ships codecs for
+    * (WAV/AU/AIFF PCM via `javax.sound.sampled` — zero external jars):
+    * format metadata plus RMS amplitude over the 16-bit samples, the
+    * canonical loudness feature. Non-audio payloads fall back to
+    * [[fakeDecode]]'s byte-level features, keeping the operator total
+    * over arbitrary binary columns. Per-item work is capped by a
+    * sample budget, the audio analog of the image path's stride
+    * subsampling. */
+  def decodeAudio(item: MediaItem): AudioFeatures = {
+    val decodedOpt =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(item.payload))
+        try {
+          val fmt = ais.getFormat
+          if (fmt.getSampleSizeInBits != 16) None
+          else {
+            val bytesPerFrame = fmt.getFrameSize
+            val big = fmt.isBigEndian
+            // sample budget: read ≤ 64k frames no matter the duration
+            val maxFrames = 65536L
+            val buf = new Array[Byte](8192)
+            var sumSq = 0.0
+            var nSamples = 0L
+            var frames = 0L
+            var read = ais.read(buf)
+            while (read > 0 && frames < maxFrames) {
+              var i = 0
+              while (i + 1 < read) {
+                val s =
+                  if (big) ((buf(i) << 8) | (buf(i + 1) & 0xff)).toShort
+                  else ((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort
+                sumSq += s.toDouble * s.toDouble
+                nSamples += 1
+                i += 2
+              }
+              frames += read / bytesPerFrame
+              read = ais.read(buf)
+            }
+            val rms =
+              if (nSamples == 0) 0.0
+              else math.sqrt(sumSq / nSamples) / 32768.0
+            Some(AudioFeatures(item.doc_id, item.source, item.n_bytes,
+              decoded = true, fmt.getSampleRate.toInt, fmt.getChannels,
+              ais.getFrameLength, rms, 0L))
+          }
+        } finally ais.close()
+      } catch { case _: Exception => None }
+    decodedOpt.getOrElse {
+      val f = fakeDecode(item)
+      AudioFeatures(item.doc_id, item.source, item.n_bytes,
+        decoded = false, 0, 0, 0L, f.feat0, f.checksum)
+    }
+  }
+
+  /** Partition-parallel audio decode over the typed Dataset. */
+  def decodeAudioFeatures(spark: SparkSession, media: DataFrame)
+      : DataFrame = {
+    import spark.implicits._
+    media.as[MediaItem].mapPartitions(_.map(decodeAudio)).toDF()
   }
 
   /** documents.text → opaque binary payload + metadata (the ingest step

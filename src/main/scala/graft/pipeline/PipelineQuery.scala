@@ -47,7 +47,7 @@ object PipelineQuery {
       tempDirs.forEach(rm(_))
     }))
   }
-  private def tempStoreDir(): String = {
+  private[graft] def tempStoreDir(): String = {
     val dir = Files.createTempDirectory("graft-e2e")
     tempDirs.add(dir.toFile)
     dir.toString

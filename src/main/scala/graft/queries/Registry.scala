@@ -9,6 +9,7 @@ object Registry {
     RefQueries.all ++ OlapQueries.all ++ TextOps.all ++ NearDup.all ++
       VectorOps.all ++ Multimodal.all ++ Temporal.all ++ Curation.all ++
       Quantiles.all ++ graft.quality.Quality.all :+
+      graft.model.IncrementalAgg.qIncrementalAgg :+
       graft.pipeline.PipelineQuery.qPipelineE2e
 
   val flagship: Q = RefQueries.q15Flagship

@@ -87,6 +87,51 @@ class MultimodalSpec extends AnyFunSuite {
         "not an image".getBytes("UTF-8"), "text/plain", 12L)).checksum)
   }
 
+  test("decodeAudio: real WAV decodes to format + RMS; non-audio falls " +
+    "back to the stub") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // synthesize 0.1 s of a full-scale 440 Hz sine, 16-bit mono 8 kHz
+    val rate = 8000
+    val n = 800
+    val amp = 0.5
+    val pcm = new Array[Byte](n * 2)
+    (0 until n).foreach { i =>
+      val s = (amp * 32767.0 *
+        math.sin(2 * math.Pi * 440.0 * i / rate)).toInt.toShort
+      pcm(2 * i) = (s & 0xff).toByte // little-endian
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt,
+        n.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaItem(20L, "aud", wav, "audio/wav", wav.length.toLong),
+      Multimodal.MediaItem(21L, "aud", "not audio".getBytes("UTF-8"),
+        "text/plain", 9L)).toDF()
+    val out = Multimodal.decodeAudioFeatures(spark, media)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    val a = out(20L)
+    assert(a.getAs[Boolean]("decoded"))
+    assert(a.getAs[Int]("sample_rate") == rate)
+    assert(a.getAs[Int]("channels") == 1)
+    assert(a.getAs[Long]("n_frames") == n.toLong)
+    // RMS of a sine of amplitude 0.5 is 0.5/√2 ≈ 0.3536
+    assert(math.abs(a.getAs[Double]("rms") - amp / math.sqrt(2)) < 0.01)
+
+    val fb = out(21L)
+    assert(!fb.getAs[Boolean]("decoded"))
+    assert(fb.getAs[Long]("checksum") ==
+      Multimodal.fakeDecode(Multimodal.MediaItem(21L, "aud",
+        "not audio".getBytes("UTF-8"), "text/plain", 9L)).checksum)
+  }
+
   test("decodeFeatures: deterministic, schema stable, per-item correct") {
     val media = Multimodal.asMedia(spark, docs)
     val f1 = Multimodal.decodeFeatures(spark, media).collect()
