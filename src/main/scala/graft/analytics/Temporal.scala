@@ -59,5 +59,70 @@ object Temporal {
       .orderBy("event_id")
   }
 
-  val all: Seq[Q] = Seq(qAsOfJoin)
+  // ------------------------------------------------------ range join
+  /** Binned range join: match left rows to right rows with
+    * `rt ∈ [lt − window, lt)` on an equality key, WITHOUT the naive
+    * per-key cross product. Both sides are bucketed into window-sized
+    * time bins; a left row can only match right rows in its own bin or
+    * the previous one, so the join is an EQUI-join on (key, bin) — 2
+    * candidate bins per left row — followed by the exact range filter.
+    * Candidate volume is bounded by per-(key, bin) density rather than
+    * per-key totals: the standard plan for interval joins at scale
+    * (a theta-join would degenerate quadratically inside hot keys).
+    */
+  def rangeJoinCandidates(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, windowMicros: Long)
+      : DataFrame = {
+    val lb = Exact.floorDiv(unix_micros(col(leftTime)), lit(windowMicros))
+    val rb = Exact.floorDiv(unix_micros(col(rightTime)), lit(windowMicros))
+    val probes = left
+      .withColumn("__bin", explode(array(lb, lb - 1)))
+    val build = right.withColumn("__bin", rb)
+    probes.join(build, Seq(key, "__bin"))
+      .filter(unix_micros(col(rightTime)) >=
+        unix_micros(col(leftTime)) - windowMicros &&
+        unix_micros(col(rightTime)) < unix_micros(col(leftTime)))
+      .drop("__bin")
+  }
+
+  // Attribution: for each purchase, how many views/clicks the same
+  // user made in the trailing 24 h. Purchases with no matches survive
+  // via the left join back onto the aggregated candidates.
+  val AttributionWindowMicros: Long = 24L * 3600 * 1000000
+
+  val qRangeJoin: Q = Q(
+    "q59_range_join_attribution",
+    """WITH p AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS pts
+      |  FROM events WHERE event_type = 'purchase'),
+      |e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ets, event_type
+      |  FROM events WHERE event_type IN ('view', 'click'))
+      |SELECT p.event_id, p.user_id, p.pts,
+      |  CAST(count(CASE WHEN e.event_type = 'view' THEN 1 END) AS BIGINT)
+      |    AS n_views_24h,
+      |  CAST(count(CASE WHEN e.event_type = 'click' THEN 1 END) AS BIGINT)
+      |    AS n_clicks_24h
+      |FROM p LEFT JOIN e
+      |  ON p.user_id = e.user_id
+      |  AND e.ets >= p.pts - INTERVAL 24 HOUR AND e.ets < p.pts
+      |GROUP BY 1, 2, 3 ORDER BY event_id""".stripMargin) { (s, d) =>
+    val ev = T(s, d, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("pts"))
+    val signals = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("ts").as("ets"), col("event_type"))
+    val matched = rangeJoinCandidates(purchases, signals, "user_id",
+      "pts", "ets", AttributionWindowMicros)
+      .groupBy("event_id")
+      .agg(count(when(col("event_type") === "view", 1)).as("n_views_24h"),
+        count(when(col("event_type") === "click", 1)).as("n_clicks_24h"))
+    purchases.join(matched, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"), col("pts"),
+        coalesce(col("n_views_24h"), lit(0L)).as("n_views_24h"),
+        coalesce(col("n_clicks_24h"), lit(0L)).as("n_clicks_24h"))
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Q] = Seq(qAsOfJoin, qRangeJoin)
 }
