@@ -112,7 +112,11 @@ final class ModelStore(root: String) {
     // ZORDER analog: cluster before write. The repartitions carry no
     // explicit partition count, so AQE coalesces the write parallelism
     // to the data size instead of fanning tiny files out across every
-    // shuffle partition.
+    // shuffle partition. Lexicographic sort favors the FIRST zorder
+    // column (the dominant filter in every reference query); for
+    // balanced multi-dimension skipping callers can pre-cluster with
+    // graft.functions.ZOrder.cluster (true Morton interleave) at the
+    // cost of one extra min/max pass over the model.
     val clustered =
       if (partitionBy.nonEmpty)
         df.repartition(partitionBy.map(col): _*)
