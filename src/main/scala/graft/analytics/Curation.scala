@@ -230,7 +230,47 @@ object Curation {
     }
   }
 
+  // ------------------------------------------- heavy hitters (sketch)
+  // Per-language frequent leading characters via the Misra–Gries
+  // sketch (k counters per group, bounded state at ANY cardinality),
+  // then the candidates-then-recount pattern: the sketch's guarantee —
+  // every item with true frequency > n/(k+1) survives, whatever the
+  // merge order — makes the RECOUNTED-and-thresholded output
+  // deterministic, and therefore oracle-checkable even though raw
+  // sketch counts are merge-order dependent.
+  val HeavyK = 6
+
+  val qHeavyHitters: Q = {
+    val oChars = s"""SELECT lang,
+      | substr(unnest(regexp_split_to_array(text, '\\s+')), 1, 1) AS ch
+      |FROM documents""".stripMargin
+    Q("q60_heavy_hitters",
+      s"""WITH chars AS ($oChars),
+        |c AS (SELECT lang, ch, count(*) AS n FROM chars GROUP BY 1, 2),
+        |t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS total FROM c
+        |  GROUP BY 1)
+        |SELECT c.lang, c.ch, CAST(c.n AS BIGINT) AS n, t.total
+        |FROM c JOIN t USING (lang)
+        |WHERE c.n * ${HeavyK + 1} > t.total
+        |ORDER BY lang, ch""".stripMargin) { (s, d) =>
+      val mg = udaf(new graft.functions.MisraGries(HeavyK))
+      val chars = T(s, d, "documents")
+        .select(col("lang"),
+          explode(TextOps.tokens(col("text"))).as("tok"))
+        .select(col("lang"), substring(col("tok"), 1, 1).as("ch"))
+      val candidates = chars.groupBy("lang").agg(mg(col("ch")).as("hh"))
+        .select(col("lang"), explode(map_keys(col("hh"))).as("ch"))
+      val totals = chars.groupBy("lang").agg(count(lit(1)).as("total"))
+      chars.join(broadcast(candidates), Seq("lang", "ch"))
+        .groupBy("lang", "ch").agg(count(lit(1)).as("n"))
+        .join(broadcast(totals), Seq("lang"))
+        .filter(col("n") * (HeavyK + 1) > col("total"))
+        .select("lang", "ch", "n", "total")
+        .orderBy("lang", "ch")
+    }
+  }
+
   val all: Seq[Q] =
     Seq(qHashSample, qVocabOov, qTopKPerGroup, qTfidfKeywords,
-      qMixtureEpoch)
+      qMixtureEpoch, qHeavyHitters)
 }
