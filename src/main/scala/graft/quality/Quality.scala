@@ -197,5 +197,52 @@ object Quality {
       .orderBy("col_name")
   }
 
-  val all: Seq[Q] = Seq(qDqReport, qColumnProfile)
+  // ------------------------------------------------ outlier bands
+  // Per-group z-score banding WITHOUT floating point: x−μ > kσ is
+  // equivalent to (n·x − S)² > k²·(n·Q − S²) over the exact integer
+  // moments (S = Σx, Q = Σx²), so the classification is bit-identical
+  // across engines — no sqrt, no division. The moments are one
+  // map-side-combined aggregate per group; the per-row test is a
+  // broadcast join + scan-local arithmetic in DECIMAL(38,0) (HUGEINT
+  // on the oracle side) so the squares can't overflow at large n.
+  // Curation use: drop/flag length outliers before training.
+  val qOutlierBands: Q = Q(
+    "q61_outlier_bands",
+    """WITH m AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(n_chars) AS BIGINT) AS s,
+      |    CAST(sum(n_chars * n_chars) AS BIGINT) AS q
+      |  FROM documents GROUP BY 1)
+      |SELECT d.doc_id, d.lang, d.n_chars,
+      |  CASE
+      |    WHEN (CAST(m.n AS HUGEINT) * d.n_chars - m.s)
+      |       * (CAST(m.n AS HUGEINT) * d.n_chars - m.s)
+      |       > 9 * (CAST(m.n AS HUGEINT) * m.q
+      |              - CAST(m.s AS HUGEINT) * m.s) THEN 'gt3s'
+      |    WHEN (CAST(m.n AS HUGEINT) * d.n_chars - m.s)
+      |       * (CAST(m.n AS HUGEINT) * d.n_chars - m.s)
+      |       > 4 * (CAST(m.n AS HUGEINT) * m.q
+      |              - CAST(m.s AS HUGEINT) * m.s) THEN 'gt2s'
+      |    ELSE 'normal' END AS band
+      |FROM documents d JOIN m USING (lang)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    val D = DecimalType(38, 0)
+    val docs = T(s, d, "documents")
+    val m = docs.groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum("n_chars").as("s"),
+        sum(col("n_chars") * col("n_chars")).as("q"))
+    val dev = col("n").cast(D) * col("n_chars").cast(D) - col("s").cast(D)
+    val varN2 = col("n").cast(D) * col("q").cast(D) -
+      col("s").cast(D) * col("s").cast(D)
+    docs.join(broadcast(m), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        when(dev * dev > lit(9) * varN2, "gt3s")
+          .when(dev * dev > lit(4) * varN2, "gt2s")
+          .otherwise("normal").as("band"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(qDqReport, qColumnProfile, qOutlierBands)
 }
