@@ -270,7 +270,87 @@ object Curation {
     }
   }
 
+  // ------------------------------------------- curation E2E pipeline
+  // The LLM-tier analog of q34's medallion E2E: quality gate → PII
+  // scrub → exact dedup (first copy per normalized-content hash) →
+  // stratified hash sample → mixture-epoch expansion, composed from
+  // the same operator functions the individual queries use, and
+  // expressible as ONE SQL chain for the oracle. Every stage is
+  // scan-local or a single key shuffle; the only wide ops are the
+  // dedup groupBy and its keep-row join.
+  val qCurationE2e: Q = {
+    val upList = UpSources.map(x => s"'$x'").mkString(", ")
+    val midList = MidSources.map(x => s"'$x'").mkString(", ")
+    val nW = "len(regexp_split_to_array(text, '\\s+'))"
+    val nStop = s"""len(list_filter(regexp_split_to_array(text, '\\s+'),
+      | w -> w IN (${TextOps.Stopwords.map(w => s"'$w'").mkString(", ")})))"""
+      .stripMargin
+    Q("q62_curation_e2e",
+      s"""WITH gated AS (
+        |  SELECT doc_id, lang, source,
+        |    regexp_replace(regexp_replace(text, '${TextOps.EmailRe}',
+        |      '<EMAIL>', 'g'), '${TextOps.PhoneRe}', '<PHONE>', 'g')
+        |      AS clean_text
+        |  FROM documents
+        |  WHERE $nW >= 15 AND $nStop >= 1),
+        |fp AS (
+        |  SELECT *, md5(regexp_replace(lower(trim(clean_text)), '\\s+',
+        |    ' ', 'g')) AS content_fp
+        |  FROM gated),
+        |keep AS (SELECT content_fp, min(doc_id) AS doc_id FROM fp
+        |  GROUP BY 1),
+        |deduped AS (SELECT f.* FROM fp f JOIN keep k
+        |  ON f.content_fp = k.content_fp AND f.doc_id = k.doc_id),
+        |sampled AS (
+        |  SELECT * FROM deduped
+        |  WHERE md5(CAST(doc_id AS VARCHAR)) <
+        |    (CASE WHEN lang = 'en' THEN '8' ELSE 'c' END)),
+        |w AS (
+        |  SELECT doc_id, lang, source, content_fp,
+        |    CASE WHEN source IN ($upList) THEN 3
+        |         WHEN source IN ($midList) THEN 2 ELSE 0 END
+        |      + CASE WHEN md5('mix-' || CAST(doc_id AS VARCHAR)) <
+        |          (CASE WHEN source IN ($upList) THEN '8'
+        |                WHEN source IN ($midList) THEN '0'
+        |                ELSE 'c' END) THEN 1 ELSE 0 END AS n_rep
+        |  FROM sampled)
+        |SELECT doc_id, lang, source, content_fp,
+        |  CAST(unnest(range(1, n_rep + 1)) AS BIGINT) AS rep,
+        |  md5('ord-' || CAST(doc_id AS VARCHAR) || '-' ||
+        |    CAST(unnest(range(1, n_rep + 1)) AS VARCHAR)) AS shuffle_key
+        |FROM w ORDER BY doc_id, rep""".stripMargin) { (s, d) =>
+      val t = TextOps.tokens(col("text"))
+      val nWords = size(t)
+      val nStopC = size(filter(t, x => x.isInCollection(TextOps.Stopwords)))
+      val gated = T(s, d, "documents")
+        .filter(nWords >= 15 && nStopC >= 1)
+        .select(col("doc_id"), col("lang"), col("source"),
+          TextOps.scrubPii(col("text")).as("clean_text"))
+      val fp = gated.withColumn("content_fp",
+        md5(TextOps.normalized(col("clean_text"))))
+      val keep = fp.groupBy("content_fp").agg(min("doc_id").as("doc_id"))
+      val deduped = fp.join(keep, Seq("content_fp", "doc_id"))
+      val sampled = deduped.filter(sampleKey(col("doc_id")) <
+        when(col("lang") === "en", "8").otherwise("c"))
+      val base = when(col("source").isInCollection(UpSources), 3L)
+        .when(col("source").isInCollection(MidSources), 2L).otherwise(0L)
+      val frTh = when(col("source").isInCollection(UpSources), "8")
+        .when(col("source").isInCollection(MidSources), "0").otherwise("c")
+      val nRep = base +
+        when(sampleKey(col("doc_id"), "mix-") < frTh, 1L).otherwise(0L)
+      sampled
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("content_fp"),
+          explode(when(nRep >= 1, sequence(lit(1L), nRep))
+            .otherwise(array().cast("array<bigint>"))).as("rep"))
+        .withColumn("shuffle_key",
+          md5(concat(lit("ord-"), col("doc_id").cast("string"), lit("-"),
+            col("rep").cast("string"))))
+        .orderBy("doc_id", "rep")
+    }
+  }
+
   val all: Seq[Q] =
     Seq(qHashSample, qVocabOov, qTopKPerGroup, qTfidfKeywords,
-      qMixtureEpoch, qHeavyHitters)
+      qMixtureEpoch, qHeavyHitters, qCurationE2e)
 }
