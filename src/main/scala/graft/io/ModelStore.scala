@@ -77,6 +77,22 @@ final class ModelStore(root: String) {
     commit(spark, layer, name, next, description, meta)
   }
 
+  /** Small-file compaction — the bin-packing half of the reference's
+    * `OPTIMIZE` post-hook (`orders_cleaned.sql:15`; the ZORDER half is
+    * the clustering sort in [[write]] / `functions.ZOrder`). Rewrites
+    * the CURRENT version into a new one through the normal clustered
+    * write path, whose AQE-coalesced repartition sizes output files to
+    * the data — collapsing the many tiny files an incremental
+    * ingestion accumulates. A no-op for missing tables. Readers are
+    * unaffected (pointer commit); old versions age out via vacuum. */
+  def compact(spark: SparkSession, layer: String, name: String,
+      partitionBy: Seq[String] = Nil, zorderBy: Seq[String] = Nil)
+      : Unit =
+    read(spark, layer, name).foreach { df =>
+      write(df, layer, name, partitionBy, zorderBy,
+        description = "compact")
+    }
+
   /** Partition-pruned incremental write (the Delta-MERGE file-pruning
     * analog, reference `orders_cleaned.sql:14`): `df` holds the merged
     * content of ONLY the touched partitions; they are written fresh

@@ -53,6 +53,34 @@ class ModelStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("compact collapses many tiny files into few, data unchanged") {
+    val store = new ModelStore(
+      Files.createTempDirectory("graft-store-compact").toString)
+    // simulate accumulated tiny-file state: a 32-way repartitioned write
+    val df = spark.range(1000).selectExpr("id AS k", "id * 2 AS v")
+      .repartition(32)
+    store.write(df, "silver", "t")
+    def parquetFiles(v: Int): Int = {
+      val dir = new java.io.File(store.versionDir("silver", "t", v))
+      Option(dir.listFiles).map(_.count(_.getName.endsWith(".parquet")))
+        .getOrElse(0)
+    }
+    val before = parquetFiles(1)
+    assert(before > 8, s"setup should fan out files, got $before")
+
+    store.compact(spark, "silver", "t")
+    assert(store.currentVersion(spark, "silver", "t") == 2)
+    val after = parquetFiles(2)
+    assert(after < before / 2, s"compact: $before → $after files")
+    // byte-identical content
+    val a = store.readVersion(spark, "silver", "t", 1)
+    val b = store.read(spark, "silver", "t").get
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // compacting a missing table is a no-op
+    store.compact(spark, "silver", "nope")
+    assert(store.currentVersion(spark, "silver", "nope") == 0)
+  }
+
   test("missing table reads as None, version 0") {
     val store = new ModelStore(
       Files.createTempDirectory("graft-store3").toString)
