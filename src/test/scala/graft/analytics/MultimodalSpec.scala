@@ -132,6 +132,47 @@ class MultimodalSpec extends AnyFunSuite {
         "not audio".getBytes("UTF-8"), "text/plain", 9L)).checksum)
   }
 
+  test("decodeFrames: animated GIF yields per-frame lumas; non-media " +
+    "falls back") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.{IIOImage, ImageIO}
+    // 3-frame animated GIF with increasing brightness
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    val levels = Seq(40, 120, 220)
+    levels.foreach { lvl =>
+      val im = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+      (0 until 8).foreach(x => (0 until 8).foreach(y =>
+        im.setRGB(x, y, (lvl << 16) | (lvl << 8) | lvl)))
+      writer.writeToSequence(new IIOImage(im, null, null),
+        writer.getDefaultWriteParam)
+    }
+    writer.endWriteSequence(); ios.close()
+    val gif = bos.toByteArray
+
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaItem(30L, "vid", gif, "image/gif", gif.length.toLong),
+      Multimodal.MediaItem(31L, "vid", "not media".getBytes("UTF-8"),
+        "text/plain", 9L)).toDF()
+    val out = Multimodal.decodeFrameFeatures(spark, media, maxFrames = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    val g = out(30L)
+    assert(g.getAs[Boolean]("decoded"))
+    assert(g.getAs[Int]("n_frames") == 3 && g.getAs[Int]("n_sampled") == 3)
+    val lumas = g.getAs[scala.collection.Seq[Double]]("frame_lumas")
+    // GIF palette quantization shifts levels slightly — order + rough
+    // magnitude is the decode-correctness signal
+    assert(lumas.size == 3 && lumas(0) < lumas(1) && lumas(1) < lumas(2))
+    assert(math.abs(lumas(0) - 40) < 25 && math.abs(lumas(2) - 220) < 25)
+
+    assert(!out(31L).getAs[Boolean]("decoded"))
+  }
+
   test("decodeFeatures: deterministic, schema stable, per-item correct") {
     val media = Multimodal.asMedia(spark, docs)
     val f1 = Multimodal.decodeFeatures(spark, media).collect()
