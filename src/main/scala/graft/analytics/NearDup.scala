@@ -367,5 +367,50 @@ object NearDup {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(qNgramJaccard, qMinhashLsh, qSimhash, qDedupCorpus)
+  // -------------------------------------- edit-distance verification
+  // Character-level near-dup verification (complement of the
+  // token-level Jaccard/MinHash paths): block on the 5-token prefix
+  // fingerprint (the q19 key — bounded blocks), then verify candidate
+  // pairs by Levenshtein distance over a normalized 80-char prefix.
+  // levenshtein is codegen'd in Spark and unit-cost in both engines,
+  // so the distances hash-match exactly; the prefix cap bounds the
+  // O(len²) DP per pair.
+  val EditDistMax = 20
+  val EditPrefix = 80
+
+  val qEditDistance: Q = Q(
+    "q65_edit_distance",
+    s"""WITH fp AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string(regexp_split_to_array(text, '\\s+')[1:5],
+      |      ' ')) AS fp5,
+      |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+      |  FROM documents)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(levenshtein(substr(a.norm, 1, $EditPrefix),
+      |    substr(b.norm, 1, $EditPrefix)) AS INTEGER) AS edist
+      |FROM fp a JOIN fp b ON a.fp5 = b.fp5 AND a.doc_id < b.doc_id
+      |WHERE levenshtein(substr(a.norm, 1, $EditPrefix),
+      |  substr(b.norm, 1, $EditPrefix)) <= $EditDistMax
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    val fp = T(s, d, "documents")
+      .select(col("doc_id"),
+        md5(array_join(slice(TextOps.tokens(col("text")), 1, 5), " "))
+          .as("fp5"),
+        substring(TextOps.normalized(col("text")), 1, EditPrefix)
+          .as("norm"))
+    val a = fp.select(col("fp5"), col("doc_id").as("id_a"),
+      col("norm").as("norm_a"))
+    val b = fp.select(col("fp5"), col("doc_id").as("id_b"),
+      col("norm").as("norm_b"))
+    a.join(b, Seq("fp5"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("norm_a"), col("norm_b")).as("edist"))
+      .filter(col("edist") <= EditDistMax)
+      .orderBy("id_a", "id_b")
+  }
+
+  val all: Seq[Q] =
+    Seq(qNgramJaccard, qMinhashLsh, qSimhash, qDedupCorpus, qEditDistance)
 }

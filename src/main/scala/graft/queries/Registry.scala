@@ -4,11 +4,12 @@ package graft.queries
   * (SURVEY.md §2 inventory + north-star LLM-pipeline extensions). */
 object Registry {
   import graft.analytics.{Curation, Multimodal, NearDup, Quantiles, Temporal, TextOps, VectorOps}
+  import graft.analytics.{Product => ProductOps} // shadows scala.Product
 
   val all: Seq[Q] =
     RefQueries.all ++ OlapQueries.all ++ TextOps.all ++ NearDup.all ++
       VectorOps.all ++ Multimodal.all ++ Temporal.all ++ Curation.all ++
-      Quantiles.all ++ graft.quality.Quality.all :+
+      Quantiles.all ++ graft.quality.Quality.all ++ ProductOps.all :+
       graft.model.IncrementalAgg.qIncrementalAgg :+
       graft.pipeline.PipelineQuery.qPipelineE2e
 
