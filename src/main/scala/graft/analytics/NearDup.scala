@@ -370,13 +370,16 @@ object NearDup {
   // -------------------------------------- edit-distance verification
   // Character-level near-dup verification (complement of the
   // token-level Jaccard/MinHash paths): block on the 5-token prefix
-  // fingerprint (the q19 key — bounded blocks), then verify candidate
+  // fingerprint (the q19 key), drop degenerate blocks past
+  // EditMaxBlock (the MaxDf/MaxBucket discipline — a pathological
+  // common prefix would otherwise go quadratic), then verify candidate
   // pairs by Levenshtein distance over a normalized 80-char prefix.
   // levenshtein is codegen'd in Spark and unit-cost in both engines,
   // so the distances hash-match exactly; the prefix cap bounds the
   // O(len²) DP per pair.
   val EditDistMax = 20
   val EditPrefix = 80
+  val EditMaxBlock = 64
 
   val qEditDistance: Q = Q(
     "q65_edit_distance",
@@ -385,11 +388,14 @@ object NearDup {
       |    md5(array_to_string(regexp_split_to_array(text, '\\s+')[1:5],
       |      ' ')) AS fp5,
       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
-      |  FROM documents)
+      |  FROM documents),
+      |ok AS (SELECT fp5 FROM fp GROUP BY 1
+      |  HAVING count(*) <= $EditMaxBlock),
+      |fpb AS (SELECT f.* FROM fp f JOIN ok USING (fp5))
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |  CAST(levenshtein(substr(a.norm, 1, $EditPrefix),
       |    substr(b.norm, 1, $EditPrefix)) AS INTEGER) AS edist
-      |FROM fp a JOIN fp b ON a.fp5 = b.fp5 AND a.doc_id < b.doc_id
+      |FROM fpb a JOIN fpb b ON a.fp5 = b.fp5 AND a.doc_id < b.doc_id
       |WHERE levenshtein(substr(a.norm, 1, $EditPrefix),
       |  substr(b.norm, 1, $EditPrefix)) <= $EditDistMax
       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
@@ -399,9 +405,12 @@ object NearDup {
           .as("fp5"),
         substring(TextOps.normalized(col("text")), 1, EditPrefix)
           .as("norm"))
-    val a = fp.select(col("fp5"), col("doc_id").as("id_a"),
+    val ok = fp.groupBy("fp5").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= EditMaxBlock).select("fp5")
+    val fpb = fp.join(ok, "fp5")
+    val a = fpb.select(col("fp5"), col("doc_id").as("id_a"),
       col("norm").as("norm_a"))
-    val b = fp.select(col("fp5"), col("doc_id").as("id_b"),
+    val b = fpb.select(col("fp5"), col("doc_id").as("id_b"),
       col("norm").as("norm_b"))
     a.join(b, Seq("fp5"))
       .filter(col("id_a") < col("id_b"))
