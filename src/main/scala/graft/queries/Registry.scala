@@ -9,7 +9,8 @@ object Registry {
   val all: Seq[Q] =
     RefQueries.all ++ OlapQueries.all ++ TextOps.all ++ NearDup.all ++
       VectorOps.all ++ Multimodal.all ++ Temporal.all ++ Curation.all ++
-      Quantiles.all ++ graft.quality.Quality.all ++ ProductOps.all :+
+      Quantiles.all ++ graft.quality.Quality.all ++ ProductOps.all ++
+      graft.analytics.NgramOps.all :+
       graft.model.IncrementalAgg.qIncrementalAgg :+
       graft.pipeline.PipelineQuery.qPipelineE2e
 
