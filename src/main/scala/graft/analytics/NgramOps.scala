@@ -76,6 +76,15 @@ object NgramOps {
         i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
       .otherwise(typedLit(Seq.empty[String]))
 
+  /** Adjacent-token bigram xxhash64 fingerprints (8-byte shuffle
+    * width — see the width-discipline note on [[qBigramLm]]). */
+  def bigramHashes(t: Column): Column =
+    when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => xxhash64(concat_ws(" ",
+          element_at(t, i), element_at(t, i + 1)))))
+      .otherwise(typedLit(Seq.empty[Long]))
+
   // ------------------------------------- benchmark contamination check
   // The canonical decontamination op: a deterministic eval split's
   // distinct n-grams vs every training doc's distinct n-grams; a train
@@ -150,8 +159,9 @@ object NgramOps {
       |FROM chunks c LEFT JOIN dup d USING (ch)
       |GROUP BY c.doc_id HAVING n_dup_chunks > 0
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val chunks = T(s, d, "documents").select(col("doc_id"),
-      explode(chunkHashes(TextOps.tokens(col("text")), ChunkW)).as("ch"))
+    val chunks = T(s, d, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(chunkHashes(col("t"), ChunkW)).as("ch"))
     val dup = chunks.groupBy("ch")
       .agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") >= 2)
@@ -176,6 +186,14 @@ object NgramOps {
   // the frequency lookup matches exactly one row per bigram (AQE
   // broadcasts the count table when it is small); doc agg = one
   // shuffle on doc_id. All arithmetic in exact integer space.
+  //
+  // Width discipline: bigrams leave the scan as xxhash64 LONGS, not
+  // strings — the count shuffle and the frequency join carry 8 bytes
+  // per gram regardless of token length (first cut shuffled the raw
+  // strings and was 5× slower at sf0.1). The oracle joins on the
+  // string form; equality holds unless xxhash64 collides inside one
+  // corpus (~n²/2⁶⁵ — absent at test scale, and at 100 TB a collision
+  // merely merges two frequency counts of a scoring proxy).
   val qBigramLm: Q = Q(
     "q68_bigram_lm",
     s"""WITH toks AS (
@@ -197,10 +215,14 @@ object NgramOps {
            "count(*)"))} AS rare_ratio
       |FROM bg b JOIN cf USING (bigram)
       |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val bg = T(s, d, "documents").select(col("doc_id"),
-      explode(bigrams(TextOps.tokens(col("text")))).as("bigram"))
-    val cf = bg.groupBy("bigram").agg(count(lit(1)).as("f"))
-    bg.join(cf, "bigram")
+    // tokenize in a separate projection: inlining `split` into the
+    // transform lambda re-evaluates the regex split per element_at —
+    // O(tokens²) regex work per doc (measured 8× on this query)
+    val bg = T(s, d, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(bigramHashes(col("t"))).as("bh"))
+    val cf = bg.groupBy("bh").agg(count(lit(1)).as("f"))
+    bg.join(cf, "bh")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("f")).as("total_f"),

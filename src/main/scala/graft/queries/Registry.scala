@@ -11,6 +11,7 @@ object Registry {
       VectorOps.all ++ Multimodal.all ++ Temporal.all ++ Curation.all ++
       Quantiles.all ++ graft.quality.Quality.all ++ ProductOps.all ++
       graft.analytics.NgramOps.all :+
+      graft.ops.BloomJoin.qBloomSemiJoin :+
       graft.model.IncrementalAgg.qIncrementalAgg :+
       graft.pipeline.PipelineQuery.qPipelineE2e
 
