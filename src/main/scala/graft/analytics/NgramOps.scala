@@ -69,6 +69,15 @@ object NgramOps {
       .otherwise(typedLit(Seq.empty[String]))
   }
 
+  /** Overlapping word n-gram xxhash64 fingerprints (long form, for
+    * sketch probes — the md5 form above is the oracle-mirrorable
+    * one). */
+  def gramLongHashes(t: Column, n: Int): Column =
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => xxhash64(concat_ws(" ", slice(t, i, lit(n))))))
+      .otherwise(typedLit(Seq.empty[Long]))
+
   /** Adjacent-token bigrams ("a b") of a token array. */
   def bigrams(t: Column): Column =
     when(size(t) >= 2,

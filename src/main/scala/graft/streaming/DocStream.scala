@@ -57,4 +57,30 @@ object DocStream {
       .select("docId", "ingestTs", "content_hash", "clean_text",
         "n_words", "quality_band")
   }
+
+  /** Decontamination-at-ingest: flag streaming docs sharing any word
+    * n-gram with a static eval/benchmark suite.
+    *
+    * The eval suite's gram set is compiled ONCE (batch side) into a
+    * Bloom sketch ([[graft.ops.BloomJoin.buildSketch]] over
+    * [[graft.analytics.NgramOps.gramLongHashes]]); the stream probes
+    * each doc's grams against the sketch literal — a pure scan-local
+    * expression, so the gate is STATELESS (no streaming state, no
+    * watermark interaction, works in append mode at any rate). False
+    * positives can only over-flag (a clean doc marked contaminated) —
+    * the safe direction for decontamination; there are no false
+    * negatives. Sketch size is bounded by the eval suite, not the
+    * stream. */
+  def contaminationGate(docs: DataFrame, evalSketch: Array[Byte],
+      gramN: Int): DataFrame = {
+    import graft.analytics.NgramOps
+    import graft.ops.BloomJoin
+    docs
+      .withColumn("__t", TextOps.tokens(col("text")))
+      .withColumn("n_flagged_grams",
+        size(filter(NgramOps.gramLongHashes(col("__t"), gramN),
+          g => BloomJoin.mightContain(evalSketch, g))).cast("long"))
+      .withColumn("is_contaminated", col("n_flagged_grams") > 0)
+      .drop("__t")
+  }
 }

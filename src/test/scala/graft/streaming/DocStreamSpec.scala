@@ -73,4 +73,37 @@ class DocStreamSpec extends AnyFunSuite {
       assert(ids == Set(1L, 2L, 3L))
     } finally query.stop()
   }
+
+  test("contamination gate flags eval-overlapping docs statelessly") {
+    import org.apache.spark.sql.functions.{col, explode}
+    implicit val sqlCtx = spark.sqlContext
+    val n = 3
+    // static eval suite → gram sketch (batch side, built once)
+    val eval = Seq("alpha beta gamma delta epsilon").toDF("text")
+      .select(explode(graft.analytics.NgramOps.gramLongHashes(
+        graft.analytics.TextOps.tokens(col("text")), n)).as("g"))
+    val sketch = graft.ops.BloomJoin.buildSketch(eval, col("g"))
+
+    val input = MemoryStream[IngestedDoc]
+    val query = DocStream
+      .contaminationGate(input.toDS().toDF(), sketch, n)
+      .writeStream.format("memory").queryName("contam_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        // shares the window "beta gamma delta" with the eval doc
+        doc(1, "2024-03-15 10:00:00",
+          "zero one beta gamma delta two three"),
+        doc(2, "2024-03-15 10:01:00",
+          "totally unrelated words with no overlap at all"))
+      query.processAllAvailable()
+      val rows = spark.table("contam_out")
+        .select("docId", "n_flagged_grams", "is_contaminated")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getBoolean(2)))).toMap
+      assert(rows(1L)._2 && rows(1L)._1 >= 1)
+      assert(!rows(2L)._2 && rows(2L)._1 == 0)
+    } finally query.stop()
+  }
 }
