@@ -106,5 +106,54 @@ object Quantiles {
       .orderBy("n_name")
   }
 
-  val all: Seq[Q] = Seq(qExactPercentiles, qQuantileSketch)
+  // ------------------------------------------- decile binning
+  // Bucket documents into length deciles for mixture weighting —
+  // WITHOUT the naive global-sort `ntile(10)`: decile thresholds come
+  // from the same cumulative histogram as q47 (shuffle is |distinct
+  // n_chars|, bounded by the length domain, not |docs|), and bin
+  // assignment is a scan-local comparison against the broadcast 9-row
+  // threshold table. Unlike ntile, equal values always land in the
+  // same bin (value-stable), which is what a reproducible mixture
+  // needs. bin = 1 + |{k : th_k < n_chars}|.
+  val qDecileBins: Q = Q(
+    "q71_decile_bins",
+    """WITH counts AS (
+      |  SELECT n_chars, count(*) AS c FROM documents GROUP BY 1),
+      |cum AS (
+      |  SELECT n_chars, sum(c) OVER (ORDER BY n_chars) AS cc FROM counts),
+      |tot AS (SELECT count(*) AS nn FROM documents),
+      |th AS (SELECT u.k, min(n_chars) AS thv FROM cum CROSS JOIN tot
+      |       CROSS JOIN unnest(range(1,10)) AS u(k)
+      |       WHERE cc*10 >= u.k*nn GROUP BY u.k),
+      |b AS (SELECT d.doc_id, d.n_chars, 1 + count(th.thv) AS bin
+      |      FROM documents d LEFT JOIN th ON th.thv < d.n_chars
+      |      GROUP BY 1, 2)
+      |SELECT CAST(bin AS INTEGER) AS bin, CAST(count(*) AS BIGINT) AS n_docs,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM b GROUP BY bin ORDER BY bin""".stripMargin) { (s, d) =>
+    val docs = T(s, d, "documents").select(col("doc_id"), col("n_chars"))
+    val counts = docs.groupBy("n_chars").agg(count(lit(1)).as("c"))
+    // single-partition window over DISTINCT lengths only (same bounded-
+    // cardinality argument as q47's histogram walk)
+    val cum = counts.withColumn("cc",
+      sum("c").over(Window.orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = docs.groupBy().agg(count(lit(1)).as("nn"))
+    val ks = s.range(1, 10).toDF("k")
+    val th = cum.crossJoin(broadcast(tot))
+      .join(broadcast(ks), col("cc") * 10 >= col("k") * col("nn"))
+      .groupBy("k").agg(min("n_chars").as("thv"))
+    docs.join(broadcast(th), col("thv") < col("n_chars"), "left")
+      .groupBy("doc_id", "n_chars")
+      .agg((count(col("thv")) + 1).cast("int").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"),
+        sum("n_chars").as("total_chars"))
+      .orderBy("bin")
+  }
+
+  val all: Seq[Q] =
+    Seq(qExactPercentiles, qQuantileSketch, qDecileBins)
 }

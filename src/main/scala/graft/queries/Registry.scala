@@ -12,6 +12,7 @@ object Registry {
       Quantiles.all ++ graft.quality.Quality.all ++ ProductOps.all ++
       graft.analytics.NgramOps.all :+
       graft.ops.BloomJoin.qBloomSemiJoin :+
+      graft.analytics.Compress.qCompressRatio :+
       graft.model.IncrementalAgg.qIncrementalAgg :+
       graft.pipeline.PipelineQuery.qPipelineE2e
 

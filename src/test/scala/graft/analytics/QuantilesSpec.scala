@@ -66,4 +66,23 @@ class QuantilesSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"))
     assert(plan.contains("n_name"))
   }
+
+  test("decile bins cover all docs, are value-stable, and near-even") {
+    val bins = Quantiles.qDecileBins.build(spark, Dir).collect()
+    val docs = graft.io.Tables.load(spark, Dir, "documents")
+    val n = docs.count()
+    assert(bins.map(_.getLong(1)).sum == n) // partition of the corpus
+    // bins are ordered, non-overlapping ranges
+    val sorted = bins.sortBy(_.getInt(0))
+    sorted.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(3) < b.getLong(2)) // max < next min
+      case _ =>
+    }
+    // near-even: every bin within 3x of the ideal tenth (ties can skew)
+    sorted.foreach { r =>
+      assert(r.getLong(1) <= (n / 10) * 3 + 10, s"bin ${r.getInt(0)}")
+    }
+    // value-stable: same n_chars can never straddle two bins — implied
+    // by non-overlapping [min,max] ranges above
+  }
 }
