@@ -13,6 +13,7 @@ object Registry {
       graft.analytics.NgramOps.all :+
       graft.ops.BloomJoin.qBloomSemiJoin :+
       graft.analytics.Compress.qCompressRatio :+
+      graft.ops.Scd2.qScd2Snapshot :+
       graft.model.IncrementalAgg.qIncrementalAgg :+
       graft.pipeline.PipelineQuery.qPipelineE2e
 
