@@ -350,7 +350,50 @@ object Curation {
     }
   }
 
+  // ------------------------------------------- sequence packing
+  // The "pack documents into fixed-token training sequences" op:
+  // within each source shard, docs fill packs contiguously in stable
+  // doc_id order; pack = ⌊(cumulative_tokens − 1) / budget⌋ — a pure
+  // prefix sum, so the whole assignment is ONE window pass partitioned
+  // by shard (state per group = running sum; group size = shard size,
+  // which is how real pipelines pack — per input shard, not globally).
+  // Deterministic: re-running over a grown corpus never reassigns docs
+  // of already-full packs within a shard.
+  val PackBudget = 512L
+
+  val qSequencePacking: Q = Q(
+    "q73_sequence_packing",
+    s"""WITH toks AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT)
+      |      AS n_tokens
+      |  FROM documents),
+      |packed AS (
+      |  SELECT source, doc_id, n_tokens,
+      |    (sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |       ROWS UNBOUNDED PRECEDING) - 1) // $PackBudget AS pack_id
+      |  FROM toks)
+      |SELECT source, CAST(pack_id AS BIGINT) AS pack_id,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+      |FROM packed GROUP BY source, pack_id
+      |ORDER BY source, pack_id""".stripMargin) { (s, d) =>
+    val toks = T(s, d, "documents").select(col("source"), col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    toks
+      .withColumn("pack_id",
+        Exact.floorDiv(sum("n_tokens").over(w) - 1, lit(PackBudget)))
+      .groupBy("source", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"))
+      .orderBy("source", "pack_id")
+  }
+
   val all: Seq[Q] =
     Seq(qHashSample, qVocabOov, qTopKPerGroup, qTfidfKeywords,
-      qMixtureEpoch, qHeavyHitters, qCurationE2e)
+      qMixtureEpoch, qHeavyHitters, qCurationE2e, qSequencePacking)
 }

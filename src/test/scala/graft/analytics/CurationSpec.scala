@@ -123,4 +123,51 @@ class CurationSpec extends AnyFunSuite {
     assert(plan.contains("ObjectHashAggregate"))
     assert(!plan.contains("RunningWindowFunction") && !plan.contains("Window("))
   }
+
+  test("sequence packing: packs fill to budget and are append-stable") {
+    val B = Curation.PackBudget
+    val packs = Curation.qSequencePacking.build(spark, Dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val bySource = packs.groupBy(_._1)
+    bySource.foreach { case (_, ps) =>
+      val sorted = ps.sortBy(_._2)
+      // consecutive ids from 0 (no doc exceeds the budget in testdata)
+      assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong))
+      // every non-final pack lands within one doc of the budget
+      sorted.init.foreach { case (_, _, _, toks) =>
+        assert(toks > B - 200 && toks < B + 200, s"pack tokens $toks")
+      }
+    }
+    // append stability: packing only the first half of each source's
+    // docs reproduces the full run's packs except the cut pack
+    val docs = graft.io.Tables.load(spark, Dir, "documents")
+    val cut = docs.agg(
+      org.apache.spark.sql.functions.expr("percentile(doc_id, 0.5)"))
+      .collect()(0).getDouble(0).toLong
+    // recompute on the subset via a temp dir-free path: reuse the same
+    // expressions on a filtered view through a temp view swap
+    val full = packs.map(p => (p._1, p._2) -> ((p._3, p._4))).toMap
+    val sub = {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val toks = docs.filter(col("doc_id") <= cut)
+        .select(col("source"), col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      toks.withColumn("pack_id",
+          graft.ops.Exact.floorDiv(sum("n_tokens").over(w) - 1, lit(B)))
+        .groupBy("source", "pack_id")
+        .agg(count(lit(1)).as("n"), sum("n_tokens").as("t"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    }
+    sub.groupBy(_._1).foreach { case (src, ps) =>
+      val lastPack = ps.map(_._2).max
+      ps.filter(_._2 < lastPack).foreach { case (s, p, n, t) =>
+        assert(full((s, p)) == ((n, t)),
+          s"pack ($s,$p) changed when later docs were appended")
+      }
+    }
+  }
 }
