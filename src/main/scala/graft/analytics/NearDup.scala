@@ -199,6 +199,19 @@ object NearDup {
     * oversized (same blocking-cap idea as MaxDf for shingles). */
   val MaxBucket = 64
 
+  /** Scan-local 64-bit SimHash of a MATERIALIZED xxhash64 token-hash
+    * array column (alias the array in its own projection first — an
+    * inlined expression would re-tokenize per bit). Semantics are
+    * identical to [[simhash]]'s aggregate form (spec-checked); this
+    * form has no shuffle at all, which is what a per-row streaming
+    * signature needs. Cost O(64·|tokens|) per row. */
+  def simhashExpr(ths: Column, n: Column): Column =
+    (0 until SimBits).map { bit =>
+      val cnt = size(filter(ths,
+        h => shiftright(h, bit).bitwiseAND(lit(1L)) === 1L))
+      when(cnt * 2 > n, lit(1L << bit)).otherwise(0L)
+    }.reduce(_ + _)
+
   def simhash(df: DataFrame, id: String, text: Column): DataFrame = {
     val tok = df.select(col(id), explode(array_distinct(split(text, "\\s+")))
       .as("tok"))

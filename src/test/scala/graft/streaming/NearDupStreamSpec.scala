@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.analytics.{NearDup, TextOps}
+import graft.streaming.DocStream.IngestedDoc
+
+class NearDupStreamSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def doc(id: Long, ts: String, text: String): IngestedDoc =
+    IngestedDoc(id, Timestamp.valueOf(ts), text)
+
+  test("scan-local simhashExpr equals the aggregate batch simhash") {
+    val docs = graft.io.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+    val local = docs
+      .withColumn("__ths",
+        transform(array_distinct(TextOps.tokens(col("text"))),
+          x => xxhash64(x)))
+      .select(col("doc_id"),
+        NearDup.simhashExpr(col("__ths"), size(col("__ths")))
+          .as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agg = NearDup.simhash(docs, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == agg)
+  }
+
+  test("stream flags near-dups after in-band Hamming verification") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val b = a.replace("upsilon", "phi") // near-identical rewrite
+    val c = "completely different content about spark shuffles and " +
+      "parquet row groups and adaptive query execution plans"
+
+    // expectation computed from the operator's own batch semantics
+    val sigs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+      .withColumn("__ths",
+        transform(array_distinct(TextOps.tokens(col("text"))),
+          x => xxhash64(x)))
+      .select(col("doc_id"),
+        NearDup.simhashExpr(col("__ths"), size(col("__ths")))
+          .as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sameBand = (sigs(1L) & 0xffffL) == (sigs(2L) & 0xffffL)
+    val close = java.lang.Long.bitCount(sigs(1L) ^ sigs(2L)) <=
+      NearDup.MaxHamming
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[IngestedDoc]
+    val query = NearDupStream.nearDedup(input.toDS(), "10 minutes")
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(doc(1, "2024-03-15 10:00:00", a))
+      query.processAllAvailable()
+      input.addData(
+        doc(2, "2024-03-15 10:01:00", b),
+        doc(3, "2024-03-15 10:02:00", c),
+        doc(4, "2024-03-15 10:03:00", a)) // exact re-send of doc 1
+      query.processAllAvailable()
+      val rows = spark.table("neardup_out").collect()
+        .map(r => r.getLong(0) -> ((r.getBoolean(3), r.getLong(4))))
+        .toMap
+      assert(!rows(1L)._1)                        // first copy kept
+      assert(rows(4L) == ((true, 1L)))            // exact dup flagged
+      assert(!rows(3L)._1)                        // different doc kept
+      // near-dup flagged exactly when the single-band blocking says so
+      assert(rows(2L)._1 == (sameBand && close),
+        s"doc2 flag ${rows(2L)} vs sameBand=$sameBand close=$close")
+    } finally query.stop()
+  }
+}
