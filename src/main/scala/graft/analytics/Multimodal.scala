@@ -208,6 +208,51 @@ object Multimodal {
     }
   }
 
+  /** REAL image resize via the JDK: decode (`javax.imageio`), scale
+    * the longest side down to `maxDim` with bilinear interpolation
+    * (`java.awt.Graphics2D`), re-encode as PNG — the actual
+    * payload-in→payload-out thumbnailing transform a training
+    * pipeline runs before feature extraction. Non-image payloads and
+    * images already within bounds pass through untouched (the latter
+    * byte-identically, so re-running is idempotent on processed
+    * corpora). Partition-parallel like every codec step here. */
+  def resizeImage(item: MediaItem, maxDim: Int): MediaItem = {
+    val resized =
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(item.payload))
+        if (img == null || math.max(img.getWidth, img.getHeight) <= maxDim)
+          None // not an image, or already small enough
+        else {
+          val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
+          val w = math.max(1, math.round(img.getWidth * scale).toInt)
+          val h = math.max(1, math.round(img.getHeight * scale).toInt)
+          val out = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          val bytes = bos.toByteArray
+          Some(item.copy(payload = bytes, mime = "image/png",
+            n_bytes = bytes.length.toLong))
+        }
+      } catch { case _: Exception => None }
+    resized.getOrElse(item)
+  }
+
+  /** Partition-parallel real-image resize over the typed Dataset. */
+  def resizeImages(spark: SparkSession, media: DataFrame, maxDim: Int)
+      : DataFrame = {
+    import spark.implicits._
+    media.as[MediaItem].mapPartitions(_.map(resizeImage(_, maxDim))).toDF()
+  }
+
   /** Real decoded frame-sample features (or the stub fallback). */
   final case class FrameFeatures(doc_id: Long, source: String,
       decoded: Boolean, n_frames: Int, n_sampled: Int,

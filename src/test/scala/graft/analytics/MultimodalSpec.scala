@@ -185,4 +185,37 @@ class MultimodalSpec extends AnyFunSuite {
       1L, "srcA", "hello world".getBytes("UTF-8"), "text/plain", 11L))
     assert(f1(1L) == expected.checksum)
   }
+
+  test("resizeImage: real thumbnail preserves aspect; small/non-image " +
+      "pass through byte-identically") {
+    // 64×32 gradient PNG
+    val img = new java.awt.image.BufferedImage(
+      64, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 64; y <- 0 until 32)
+      img.setRGB(x, y, (x * 4) << 16 | (y * 8) << 8)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val png = buf.toByteArray
+
+    val item = Multimodal.MediaItem(1L, "imgs", png, "image/png",
+      png.length.toLong)
+    val small = Multimodal.resizeImage(item, 16)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(small.payload))
+    assert(back.getWidth == 16 && back.getHeight == 8) // aspect kept
+    assert(small.n_bytes == small.payload.length.toLong)
+
+    // already within bounds → byte-identical pass-through (idempotent)
+    assert(Multimodal.resizeImage(small, 16).payload eq small.payload)
+    // non-image → untouched
+    val txt = Multimodal.MediaItem(2L, "t", "plain".getBytes, "text/plain", 5L)
+    assert(Multimodal.resizeImage(txt, 16).payload eq txt.payload)
+
+    // partition-parallel form keeps schema and decodes end-to-end
+    val media = Seq((1L, "imgs", png, "image/png", png.length.toLong))
+      .toDF("doc_id", "source", "payload", "mime", "n_bytes")
+    val out = Multimodal.resizeImages(spark, media, 16).collect()(0)
+    assert(out.getAs[String]("mime") == "image/png")
+    assert(out.getAs[Long]("n_bytes") < png.length)
+  }
 }
