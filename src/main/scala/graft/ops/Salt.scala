@@ -37,4 +37,24 @@ object Salt {
     partial.groupBy(col(key))
       .agg(finalAggs.head, finalAggs.tail: _*)
   }
+
+  /** Skew-safe shuffle JOIN — the join-side complement of
+    * [[saltedAgg]] for the regime AQE can't fix alone: a hot fact key
+    * (one user with 10^9 rows) joined against a dim TOO BIG to
+    * broadcast. The fact side salts each row into one of `buckets`
+    * sub-keys; the dim side replicates each row across ALL buckets
+    * (cost: |dim|·buckets — the explicit price of spreading one hot
+    * key over `buckets` reducers); the join runs on (key, salt) and
+    * is row-for-row identical to the plain join (q74's oracle). The
+    * `shuffle_hash` hint keeps the demo on the shuffle path a
+    * too-big-to-broadcast dim would take anyway. */
+  def saltedJoin(fact: DataFrame, factKey: Column, uniq: Column,
+      dim: DataFrame, dimKey: Column, buckets: Int): DataFrame = {
+    val saltedFact = fact.withColumn("__salt", saltCol(uniq, buckets))
+    val saltedDim = dim.withColumn("__salt",
+      explode(array((0 until buckets).map(b => lit(b.toLong)): _*)))
+    saltedFact.join(saltedDim.hint("shuffle_hash"),
+        factKey === dimKey && saltedFact("__salt") === saltedDim("__salt"))
+      .drop("__salt")
+  }
 }

@@ -588,11 +588,31 @@ object RefQueries {
         .orderBy("o_custkey")
   }
 
+  // --------------------------------------------- skew-safe salted join
+  // Join-side complement of q37: the salted shuffle join must be
+  // row-for-row the plain join — the oracle IS the plain-join form.
+  val q74SaltedJoin: Q = Q(
+    "q74_salted_join",
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) {
+    (s, d) =>
+      import graft.ops.Salt
+      Salt.saltedJoin(
+          T(s, d, "events"), col("user_id"), uniq = col("event_id"),
+          T(s, d, "customer"), col("c_custkey"), buckets = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct("user_id").as("n_users"))
+        .orderBy("c_mktsegment")
+  }
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02FilterPred, q03CaseStatus, q04StringClean, q05Dates,
     q06MathRound, q07AggGroup, q08AggGlobal, q09JoinLeftValidate,
     q10JoinEnrichChain, q11WindowDedupLatest, q12CdcDedup, q13FirstSeen,
     q14WatermarkFilter, q15Flagship, q16EventWindows, q17Sessionize,
     q18JsonExtract, q33ApproxDistinct, q40ExactDistinct, q36MergeUpsert,
-    q37SaltedAgg)
+    q37SaltedAgg, q74SaltedJoin)
 }

@@ -39,4 +39,21 @@ class SaltSpec extends AnyFunSuite {
       .distinct().count()
     assert(buckets >= 6)   // 10k rows over 8 buckets → all occupied
   }
+
+  test("salted join equals the plain join and stays off broadcast") {
+    val Dir = "/root/testdata/sf0.001"
+    val events = graft.io.Tables.load(spark, Dir, "events")
+    val cust = graft.io.Tables.load(spark, Dir, "customer")
+    val salted = Salt.saltedJoin(events, col("user_id"),
+      uniq = col("event_id"), cust, col("c_custkey"), buckets = 8)
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      "salted demo must exercise the shuffle-join path")
+    val a = salted.select("event_id", "c_custkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = events.join(cust, col("user_id") === col("c_custkey"))
+      .select("event_id", "c_custkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }
