@@ -88,6 +88,90 @@ object Quantiles {
       .orderBy("n_name")
   }
 
+  /** Lower-median per group via the histogram walk (rank ⌈n/2⌉;
+    * shuffle = |distinct values| per group, never a row sort). */
+  def medianByGroup(df: DataFrame, group: String, value: String)
+      : DataFrame = {
+    val hist = df.groupBy(group, value).agg(count(lit(1)).as("cnt"))
+    val cum = Window.partitionBy(group).orderBy(value)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(group)
+    hist
+      .withColumn("cum", sum("cnt").over(cum))
+      .withColumn("n", sum("cnt").over(all))
+      .groupBy(group)
+      .agg(max("n").as("__n"),
+        min(when(col("cum") >= rankP50(col("n")), col(value)))
+          .as("__med"))
+  }
+
+  // --------------------------------------- MAD robust outliers
+  // Median-absolute-deviation outlier flags — the robust complement
+  // of q61's z-score bands (a mean/stddev band is itself dragged by
+  // the outliers it hunts; median/MAD is not). Two histogram-walk
+  // medians (values, then absolute deviations) and one scan-local
+  // flag pass, all in exact integer cents — no row ever sorts, no
+  // float appears, so the oracle (textbook double-row_number form)
+  // hashes identically.
+  val qMadOutliers: Q = Q(
+    "q75_mad_outliers",
+    s"""WITH oc AS (
+      |  SELECT n.n_name, ${Exact.centsSql("o.o_totalprice")} AS cents
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+      |r AS (
+      |  SELECT n_name, cents,
+      |    row_number() OVER (PARTITION BY n_name ORDER BY cents) AS rk,
+      |    count(*) OVER (PARTITION BY n_name) AS n
+      |  FROM oc),
+      |med AS (
+      |  SELECT n_name, CAST(max(n) AS BIGINT) AS n,
+      |    max(CASE WHEN rk = (n+1)//2 THEN cents END) AS med
+      |  FROM r GROUP BY n_name),
+      |dev AS (
+      |  SELECT o.n_name, abs(o.cents - m.med) AS ad
+      |  FROM oc o JOIN med m USING (n_name)),
+      |r2 AS (
+      |  SELECT n_name, ad,
+      |    row_number() OVER (PARTITION BY n_name ORDER BY ad) AS rk,
+      |    count(*) OVER (PARTITION BY n_name) AS n
+      |  FROM dev),
+      |mad AS (
+      |  SELECT n_name, max(CASE WHEN rk = (n+1)//2 THEN ad END) AS mad
+      |  FROM r2 GROUP BY n_name),
+      |flags AS (
+      |  SELECT m.n_name, m.n, m.med, d.mad,
+      |    sum(CASE WHEN abs(o.cents - m.med) > 3 * d.mad
+      |        THEN 1 ELSE 0 END) AS n_outliers
+      |  FROM oc o JOIN med m USING (n_name) JOIN mad d USING (n_name)
+      |  GROUP BY m.n_name, m.n, m.med, d.mad)
+      |SELECT n_name, n AS n_orders,
+      |  ${Exact.dec2Sql("med")} AS p50,
+      |  ${Exact.dec2Sql("mad")} AS mad,
+      |  CAST(n_outliers AS BIGINT) AS n_outliers
+      |FROM flags ORDER BY n_name""".stripMargin) { (s, d) =>
+    val oc = nationCents(s, d)
+    val med = medianByGroup(oc, "n_name", "cents")
+      .select(col("n_name"), col("__n").as("n_orders"),
+        col("__med").as("med"))
+    val dev = oc.join(broadcast(med), "n_name")
+      .withColumn("ad", abs(col("cents") - col("med")))
+    val mad = medianByGroup(dev, "n_name", "ad")
+      .select(col("n_name"), col("__med").as("mad"))
+    oc.join(broadcast(med), "n_name").join(broadcast(mad), "n_name")
+      .groupBy("n_name")
+      .agg(max("n_orders").as("n_orders"), max("med").as("medc"),
+        max("mad").as("madc"),
+        sum(when(abs(col("cents") - col("med")) > col("mad") * 3, 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col("n_name"), col("n_orders"),
+        Exact.dec2(col("medc")).as("p50"),
+        Exact.dec2(col("madc")).as("mad"),
+        col("n_outliers"))
+      .orderBy("n_name")
+  }
+
   // ------------------------------------------- percentile sketch
   // Mergeable one-pass sketch (Spark's approx_percentile / Greenwald-
   // Khanna): the path for high-cardinality value domains where the
@@ -155,5 +239,5 @@ object Quantiles {
   }
 
   val all: Seq[Q] =
-    Seq(qExactPercentiles, qQuantileSketch, qDecileBins)
+    Seq(qExactPercentiles, qQuantileSketch, qDecileBins, qMadOutliers)
 }

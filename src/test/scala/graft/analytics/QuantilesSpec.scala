@@ -85,4 +85,34 @@ class QuantilesSpec extends AnyFunSuite {
     // value-stable: same n_chars can never straddle two bins — implied
     // by non-overlapping [min,max] ranges above
   }
+
+  test("MAD outliers match brute-force medians and resist an outlier") {
+    import spark.implicits._
+    val rows = Quantiles.qMadOutliers.build(spark, Dir).collect()
+    assert(rows.nonEmpty)
+    // brute-force recompute of one group
+    val name = rows.head.getString(0)
+    val cents = graft.io.Tables.load(spark, Dir, "orders")
+      .join(graft.io.Tables.load(spark, Dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(graft.io.Tables.load(spark, Dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === name)
+      .select(graft.ops.Exact.cents(col("o_totalprice")))
+      .collect().map(_.getLong(0)).sorted
+    def lowerMed(xs: Array[Long]) = xs((xs.length + 1) / 2 - 1)
+    val med = lowerMed(cents)
+    val mad = lowerMed(cents.map(c => math.abs(c - med)).sorted)
+    val got = rows.find(_.getString(0) == name).get
+    assert(got.getDecimal(2).movePointRight(2).longValueExact() == med)
+    assert(got.getDecimal(3).movePointRight(2).longValueExact() == mad)
+    assert(got.getLong(4) ==
+      cents.count(c => math.abs(c - med) > 3 * mad))
+
+    // robustness: one absurd value barely moves median/MAD
+    val spiked = (cents :+ Long.MaxValue / 1000).sorted
+    val med2 = lowerMed(spiked)
+    assert(math.abs(med2 - med) <= math.abs(cents.max - med) / 10,
+      "median dragged by a single outlier")
+  }
 }
