@@ -231,11 +231,19 @@ object VectorOps {
     * (c_id, c_qv, c_n2). */
   def kmeansCentroids(base: DataFrame, k: Int = NumCentroids,
       iters: Int = KmeansIters): DataFrame = {
+    // train on a deterministic 1/4 hash sample: centroid QUALITY needs
+    // only a representative sample (standard IVF practice — quantizers
+    // train on a corpus subset), while the per-iteration assignment
+    // crossJoin cost is sample-linear. Assignment of the FULL corpus
+    // to the trained centroids happens in the caller, unsampled.
+    val train = base
+      .filter(pmod(xxhash64(col("vec_id")), lit(4L)) === 0L ||
+        col("vec_id") < k) // keep the seed rows so init is unchanged
     var centroids = base.filter(col("vec_id") < k)
       .select(col("vec_id").as("c_id"), col("qv").as("c_qv"),
         col("n2").as("c_n2"))
     for (_ <- 0 until iters) {
-      centroids = ivfAssign(base, centroids)
+      centroids = ivfAssign(train, centroids)
         .select(col("c_id"), posexplode(col("qv")).as(Seq("pos", "v")))
         .groupBy("c_id", "pos").agg(avg("v").as("m"))
         .groupBy("c_id")

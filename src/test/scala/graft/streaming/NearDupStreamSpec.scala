@@ -29,9 +29,13 @@ class NearDupStreamSpec extends AnyFunSuite {
         NearDup.simhashExpr(col("__ths"), size(col("__ths")))
           .as("simhash"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val agg = NearDup.simhash(docs, "doc_id", col("text"))
+    val agg = NearDup.simhashAgg(docs, "doc_id", col("text"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(local == agg)
+    // and the production scan-local form is the same computation
+    val prod = NearDup.simhash(docs, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prod == agg)
   }
 
   test("stream flags near-dups after in-band Hamming verification") {
