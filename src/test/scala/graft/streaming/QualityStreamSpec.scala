@@ -1,0 +1,72 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.io.ModelStore
+import graft.streaming.DocStream.IngestedDoc
+import graft.streaming.QualityStream.RowRule
+
+class QualityStreamSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def doc(id: Long, ts: String, text: String): IngestedDoc =
+    IngestedDoc(id, Timestamp.valueOf(ts), text)
+
+  private val rules = Seq(
+    RowRule("text_not_blank", length(trim(col("text"))) > 0),
+    RowRule("min_words", size(split(col("text"), "\\s+")) >= 3),
+    RowRule("positive_id", col("docId") > 0))
+
+  test("annotate: strict NULL handling and named violations") {
+    val rows = Seq((1L, "a fine document here"), (2L, "  "), (-3L, "x y z"))
+      .toDF("docId", "text")
+    val out = QualityStream.annotate(rows, rules)
+      .select("docId", "failed_rules", "is_valid")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[String](1).toSet, r.getBoolean(2)))).toMap
+    assert(out(1L) == ((Set.empty[String], true)))
+    assert(out(2L)._1 == Set("text_not_blank", "min_words"))
+    assert(out(-3L)._1 == Set("positive_id"))
+  }
+
+  test("stream routes rows to target vs quarantine across batches") {
+    val store = new ModelStore(
+      java.nio.file.Files.createTempDirectory("graft-qs").toString)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[IngestedDoc]
+    val query = input.toDS().toDF()
+      .writeStream
+      .foreachBatch(QualityStream.gatedSink(store, "silver", "docs", rules) _)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-qs-ckpt").toString)
+      .start()
+    try {
+      input.addData(
+        doc(1, "2024-03-15 10:00:00", "one perfectly valid document"),
+        doc(2, "2024-03-15 10:01:00", ""))
+      query.processAllAvailable()
+      input.addData(
+        doc(3, "2024-03-15 10:02:00", "another valid document arrives"),
+        doc(-4, "2024-03-15 10:03:00", "id is broken here"))
+      query.processAllAvailable()
+
+      val good = store.read(spark, "silver", "docs").get
+        .select("docId").collect().map(_.getLong(0)).toSet
+      assert(good == Set(1L, 3L))
+      val quarantined = store.read(spark, "silver", "docs_quarantine").get
+        .select(col("docId"), col("failed_rules"), col("stream_batch_id"))
+        .collect()
+      assert(quarantined.map(_.getLong(0)).toSet == Set(2L, -4L))
+      // triage columns survive: rule names + the batch that brought it
+      val bad4 = quarantined.find(_.getLong(0) == -4L).get
+      assert(bad4.getSeq[String](1) == Seq("positive_id"))
+      assert(bad4.getLong(2) >= 1L)
+    } finally query.stop()
+  }
+}
