@@ -3,7 +3,7 @@ package graft.io
 import org.apache.hadoop.fs.{FileSystem, Path}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, struct, when}
 
 /** Materialized-model storage with Delta-style versioning:
   *
@@ -253,6 +253,34 @@ final class ModelStore(root: String) {
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       ptr.toUri, spark.sparkContext.hadoopConfiguration)
     fc.rename(ptrTmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Keyed diff of two retained versions — the CDC-audit operator
+    * time travel exists for ("what changed between the run the
+    * 2024-03 training job read and today's?"). Full outer join on the
+    * key, rows classified ADDED / REMOVED / CHANGED (any non-key
+    * column differs; NULL-safe compare) — unchanged rows drop out.
+    * One shuffle on the key, prunable like any join; output is
+    * change-volume-sized, not table-sized. */
+  def diffVersions(spark: SparkSession, layer: String, name: String,
+      key: String, fromV: Int, toV: Int): DataFrame = {
+    val a = readVersion(spark, layer, name, fromV)
+    val b = readVersion(spark, layer, name, toV)
+    val cols = a.columns.filter(_ != key).toSeq
+    require(cols.toSet == b.columns.filter(_ != key).toSet,
+      s"diffVersions: schemas differ between v$fromV and v$toV")
+    val oldSide = a.select(col(key).as("__k"),
+      struct(cols.map(col): _*).as("__old"))
+    val newSide = b.select(col(key).as("__k"),
+      struct(cols.map(col): _*).as("__new"))
+    oldSide.join(newSide, Seq("__k"), "full_outer")
+      .withColumn("change_type",
+        when(col("__old").isNull, "ADDED")
+          .when(col("__new").isNull, "REMOVED")
+          .when(!(col("__old") <=> col("__new")), "CHANGED"))
+      .filter(col("change_type").isNotNull)
+      .select(col("__k").as(key), col("change_type"),
+        col("__old").as("old_row"), col("__new").as("new_row"))
   }
 
   /** Drop all but the last `keepLast` versions (Delta VACUUM analog). */

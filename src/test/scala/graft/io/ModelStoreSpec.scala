@@ -120,4 +120,18 @@ class ModelStoreSpec extends AnyFunSuite {
     store.vacuum(spark, "silver", "t", keepLast = 1)
     assert(store.read(spark, "silver", "t").get.count() == 4)
   }
+
+  test("diffVersions classifies added/removed/changed, drops unchanged") {
+    val store = new ModelStore(
+      Files.createTempDirectory("graft-store").toString)
+    store.write(Seq((1, "a", 10), (2, "b", 20), (3, "c", 30))
+      .toDF("k", "v", "n"), "silver", "t")
+    store.write(Seq((1, "a", 10), (2, "B", 20), (4, "d", 40))
+      .toDF("k", "v", "n"), "silver", "t")
+    val diff = store.diffVersions(spark, "silver", "t", "k", 1, 2)
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(diff == Map(2 -> "CHANGED", 3 -> "REMOVED", 4 -> "ADDED"))
+    // self-diff is empty
+    assert(store.diffVersions(spark, "silver", "t", "k", 2, 2).isEmpty)
+  }
 }
