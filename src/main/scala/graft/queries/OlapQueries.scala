@@ -216,6 +216,79 @@ object OlapQueries {
       .orderBy("nation", "day")
   }
 
+  // ------------------------------------------------ cube totals
+  // GROUP BY CUBE: all four grouping sets of (region, order-year) in
+  // one Expand aggregation — the rollup's lattice-complete sibling
+  // (per-year-all-regions subtotals, which ROLLUP's hierarchy lacks).
+  val qCube: Q = Q(
+    "q76_cube_totals",
+    s"""SELECT coalesce(r_name, '(all)') AS region,
+      |  coalesce(CAST(yr AS VARCHAR), '(all)') AS order_year,
+      |  CAST(GROUPING(r_name, yr) AS INTEGER) AS gid,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  ${Exact.dec2Sql(s"sum(cents)")} AS revenue
+      |FROM (
+      |  SELECT r.r_name, CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+      |    ${Exact.centsSql("o.o_totalprice")} AS cents
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  JOIN region r ON n.n_regionkey = r.r_regionkey) t
+      |GROUP BY CUBE(r_name, yr)
+      |ORDER BY gid, region, order_year""".stripMargin) { (s, d) =>
+    starRevenue(s, d)
+      .withColumn("yr", year(col("day")).cast("long"))
+      .cube(col("r_name").as("region_g"), col("yr").as("yr_g"))
+      .agg(grouping_id().cast(IntegerType).as("gid"),
+        count(lit(1)).as("n_orders"),
+        Exact.dec2(sum(col("cents"))).as("revenue"))
+      .select(coalesce(col("region_g"), lit("(all)")).as("region"),
+        coalesce(col("yr_g").cast("string"), lit("(all)"))
+          .as("order_year"),
+        col("gid"), col("n_orders"), col("revenue"))
+      .orderBy("gid", "region", "order_year")
+  }
+
+  // ------------------------------------------------ unpivot (melt)
+  // The pivot's inverse: wide per-status revenue columns back to
+  // (status, value) rows via Spark's native unpivot — scan-local
+  // Expand, no shuffle beyond the source agg. Oracle melts with
+  // UNION ALL (the portable form).
+  val qUnpivot: Q = {
+    val statuses = Seq("O", "F", "P")
+    Q("q77_unpivot_melt",
+      s"""WITH wide AS (
+        |  SELECT o_custkey,
+        |    ${statuses.map(st =>
+             s"sum(CASE WHEN o_orderstatus = '$st' THEN " +
+               Exact.centsSql("o_totalprice") +
+               s" ELSE 0 END) AS c_$st").mkString(",\n    ")}
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey, status, ${Exact.dec2Sql("cents")} AS revenue
+        |FROM (
+        |  ${statuses.map(st =>
+             s"SELECT o_custkey, '$st' AS status, c_$st AS cents " +
+               "FROM wide").mkString("\n  UNION ALL\n  ")})
+        |WHERE cents > 0
+        |ORDER BY o_custkey, status""".stripMargin) { (s, d) =>
+      val aggs = statuses.map(st =>
+        sum(when(col("o_orderstatus") === st,
+          Exact.cents(col("o_totalprice"))).otherwise(0L))
+          .as(s"c_$st"))
+      val wide = T(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(aggs.head, aggs.tail: _*)
+      wide.unpivot(Array(col("o_custkey")),
+          statuses.map(st => col(s"c_$st")).toArray, "status", "cents")
+        .withColumn("status", expr("substring(status, 3)"))
+        .filter(col("cents") > 0)
+        .select(col("o_custkey"), col("status"),
+          Exact.dec2(col("cents")).as("revenue"))
+        .orderBy("o_custkey", "status")
+    }
+  }
+
   val all: Seq[Q] =
-    Seq(qRollup, qMovingWindow, qPivot, qSetOps, qDateSpine)
+    Seq(qRollup, qMovingWindow, qPivot, qSetOps, qDateSpine, qCube,
+      qUnpivot)
 }
