@@ -1,0 +1,106 @@
+package graft.analytics
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.queries.Q
+
+/** BPE tokenizer-merge training as a distributed operator — the
+  * "train the tokenizer on the corpus you just curated" step of an
+  * LLM data pipeline.
+  *
+  * Trains from the WORD-FREQUENCY table, not the raw corpus (the
+  * standard trick: segmentations only depend on distinct words ×
+  * counts, so a 100 TB corpus compresses to a ~10⁷-row weighted
+  * vocabulary after one aggregate scan). Each merge round is:
+  *
+  *   1. adjacent symbol pairs of every word's current segmentation,
+  *      weighted by word count — scan-local transform + explode, one
+  *      aggregate shuffle on the pair;
+  *   2. argmax pair (count desc, then lexicographic — fully
+  *      deterministic) — a bounded 1-row driver scalar, like the
+  *      watermark;
+  *   3. apply the merge to every segmentation with a LITERAL
+  *      left-to-right string replace (greedy-left, the BPE
+  *      convention) — scan-local.
+  *
+  * The per-round table stays vocabulary-sized; `localCheckpoint`
+  * truncates the k-round lineage (the iterative-loop discipline from
+  * `clusterPairs`). Segmentations ride as sentinel-joined strings so
+  * the merge is one non-regex `replace` — no per-symbol arrays cross
+  * a shuffle.
+  */
+object Bpe {
+
+  /** Segmentation separator — a control char absent from any token. */
+  val Sep = ""
+
+  final case class Merge(rank: Int, left: String, right: String,
+      merged: String, pair_count: Long)
+
+  /** Word-frequency table of a token column: (w, wc, seg) where seg
+    * is the sentinel-wrapped character segmentation `·h·i·`. */
+  def wordTable(docs: DataFrame, text: String): DataFrame =
+    docs.select(explode(TextOps.tokens(col(text))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      // split(w, '') can emit empty edge entries — drop them before
+      // joining so the sentinel structure is exactly ·c·c·…·
+      .withColumn("seg",
+        concat(lit(Sep),
+          array_join(expr("filter(split(w, ''), x -> x != '')"), Sep),
+          lit(Sep)))
+
+  /** Train `k` merges; returns them in rank order. */
+  def trainMerges(spark: SparkSession, words: DataFrame, k: Int)
+      : Seq[Merge] = {
+    var cur = words.select("wc", "seg").localCheckpoint()
+    val merges = ArrayBuffer.empty[Merge]
+    var round = 0
+    while (round < k) {
+      // adjacent pairs of the current segmentation, weighted by wc
+      val top = cur
+        .withColumn("syms", expr(
+          s"filter(split(seg, '$Sep'), x -> x != '')"))
+        .filter(size(col("syms")) >= 2) // sequence(1,0) counts DOWN
+        .select(col("wc"),
+          explode(expr("transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(syms[i-1] AS a, syms[i] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("wc").as("c"))
+        .orderBy(col("c").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) round = k
+      else {
+        val (a, b, c) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += Merge(merges.size + 1, a, b, a + b, c)
+        // literal (non-regex) replace: greedy left-to-right, the BPE
+        // apply convention; sentinels make boundaries uniform. SQL
+        // string literals need quote/backslash escaping only.
+        def q(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+        cur = cur.withColumn("seg",
+            expr(s"replace(seg, '${q(Sep + a + Sep + b + Sep)}', " +
+              s"'${q(Sep + a + b + Sep)}')"))
+          .localCheckpoint()
+        round += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The learned merge table as a rows-only query (engine-internal
+    * string surgery — no practical single-SQL DuckDB mirror; BpeSpec
+    * pins the semantics against a reference implementation). */
+  val qBpeMerges: Q = Q.noOracle("q78_bpe_merges") { (s, d) =>
+    import s.implicits._
+    val words = wordTable(Tables.load(s, d, "documents"), "text")
+    trainMerges(s, words, k = 8).toDF()
+      .orderBy("rank")
+  }
+
+  val all: Seq[Q] = Seq(qBpeMerges)
+}

@@ -10,7 +10,7 @@ object Registry {
     RefQueries.all ++ OlapQueries.all ++ TextOps.all ++ NearDup.all ++
       VectorOps.all ++ Multimodal.all ++ Temporal.all ++ Curation.all ++
       Quantiles.all ++ graft.quality.Quality.all ++ ProductOps.all ++
-      graft.analytics.NgramOps.all :+
+      graft.analytics.NgramOps.all ++ graft.analytics.Bpe.all :+
       graft.ops.BloomJoin.qBloomSemiJoin :+
       graft.analytics.Compress.qCompressRatio :+
       graft.ops.Scd2.qScd2Snapshot :+

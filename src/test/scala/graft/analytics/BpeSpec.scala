@@ -1,0 +1,71 @@
+package graft.analytics
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class BpeSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Reference BPE trainer: plain Scala over a word-count map, the
+    * textbook algorithm (greedy-left apply, count-then-lex argmax). */
+  private def referenceBpe(wordCounts: Map[String, Long], k: Int)
+      : Seq[(String, String, Long)] = {
+    var segs = wordCounts.map { case (w, c) =>
+      (w.map(_.toString).toVector, c)
+    }
+    val out = Seq.newBuilder[(String, String, Long)]
+    for (_ <- 1 to k) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((seg, c) <- segs; i <- 0 until seg.length - 1)
+        counts((seg(i), seg(i + 1))) =
+          counts.getOrElse((seg(i), seg(i + 1)), 0L) + c
+      if (counts.nonEmpty) {
+        val ((a, b), c) = counts.toSeq
+          .sortBy { case ((a, b), c) => (-c, a, b) }.head
+        out += ((a, b, c))
+        segs = segs.map { case (seg, wc) =>
+          val merged = Vector.newBuilder[String]
+          var i = 0
+          while (i < seg.length) {
+            if (i + 1 < seg.length && seg(i) == a && seg(i + 1) == b) {
+              merged += (a + b); i += 2 // greedy left-to-right
+            } else { merged += seg(i); i += 1 }
+          }
+          (merged.result(), wc)
+        }
+      }
+    }
+    out.result()
+  }
+
+  test("distributed merges equal the reference implementation") {
+    val docs = Seq("low lower lowest low low",
+      "newer newest new low wider").toDF("text")
+    val words = Bpe.wordTable(docs, "text")
+    val got = Bpe.trainMerges(spark, words, 6)
+      .map(m => (m.left, m.right, m.pair_count))
+
+    val wc = docs.as[String].collect()
+      .flatMap(_.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    assert(got == referenceBpe(wc, 6))
+  }
+
+  test("merges on testdata are deterministic and well-formed") {
+    val q = Bpe.qBpeMerges.build(spark, "/root/testdata/sf0.001")
+      .collect()
+    val again = Bpe.qBpeMerges.build(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(q.toSeq == again.toSeq && q.length == 8)
+    q.foreach { r =>
+      assert(r.getString(3) == r.getString(1) + r.getString(2))
+      assert(r.getLong(4) > 0)
+    }
+    // ranks are 1..k in order and pair counts never increase faster
+    // than the vocabulary allows (merged symbols are reusable, so
+    // counts need not be monotone — but rank order must be)
+    assert(q.map(_.getInt(0)).toSeq == (1 to 8))
+  }
+}
