@@ -35,8 +35,17 @@ import graft.queries.Q
   */
 object Bpe {
 
-  /** Segmentation separator — a control char absent from any token. */
+  /** Segmentation separator — a control char absent from any token.
+    * Symbols are joined by DOUBLED separators and a merge pattern
+    * takes only the inner half of each outer boundary
+    * (`·a··b·` → `·ab·`): consecutive occurrences then never share
+    * a boundary character, so one literal left-to-right replace
+    * merges "abab" into TWO `ab` symbols exactly like the textbook
+    * greedy-left pass. (A single-separator scheme consumes the
+    * shared boundary and silently skips every second adjacent pair
+    * — the abab regression in BpeSpec pins this.) */
   val Sep = ""
+  private val Sep2 = Sep + Sep
 
   final case class Merge(rank: Int, left: String, right: String,
       merged: String, pair_count: Long)
@@ -50,9 +59,9 @@ object Bpe {
       // split(w, '') can emit empty edge entries — drop them before
       // joining so the sentinel structure is exactly ·c·c·…·
       .withColumn("seg",
-        concat(lit(Sep),
-          array_join(expr("filter(split(w, ''), x -> x != '')"), Sep),
-          lit(Sep)))
+        concat(lit(Sep2),
+          array_join(expr("filter(split(w, ''), x -> x != '')"), Sep2),
+          lit(Sep2)))
 
   /** Train `k` merges; returns them in rank order. */
   def trainMerges(spark: SparkSession, words: DataFrame, k: Int)
@@ -83,7 +92,7 @@ object Bpe {
         // string literals need quote/backslash escaping only.
         def q(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
         cur = cur.withColumn("seg",
-            expr(s"replace(seg, '${q(Sep + a + Sep + b + Sep)}', " +
+            expr(s"replace(seg, '${q(Sep + a + Sep2 + b + Sep)}', " +
               s"'${q(Sep + a + b + Sep)}')"))
           .localCheckpoint()
         round += 1
@@ -102,5 +111,39 @@ object Bpe {
       .orderBy("rank")
   }
 
-  val all: Seq[Q] = Seq(qBpeMerges)
+  /** Subword count of a sentinel-wrapped segmentation after applying
+    * `merges` in rank order — k nested literal replaces, all
+    * scan-local whole-stage codegen (the APPLY side of BPE: the
+    * "how many tokens is this corpus under the trained tokenizer"
+    * measurement every training-budget plan starts from). */
+  def subwordCount(seg: org.apache.spark.sql.Column,
+      merges: Seq[Merge]): org.apache.spark.sql.Column = {
+    val applied = merges.foldLeft(seg)((c, m) =>
+      call_function("replace", c,
+        lit(Sep + m.left + Sep2 + m.right + Sep),
+        lit(Sep + m.merged + Sep)))
+    size(filter(split(applied, Sep), x => x =!= ""))
+  }
+
+  /** Corpus token-count measurement under the trained tokenizer. */
+  val qBpeTokenize: Q = Q.noOracle("q79_bpe_tokenize") { (s, d) =>
+    val docs = Tables.load(s, d, "documents")
+    val merges = trainMerges(s, wordTable(docs, "text"), k = 8)
+    val perWord = docs
+      .select(col("doc_id"), col("source"),
+        explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .withColumn("seg",
+        concat(lit(Sep2),
+          array_join(expr("filter(split(w, ''), x -> x != '')"), Sep2),
+          lit(Sep2)))
+      .withColumn("n_sub", subwordCount(col("seg"), merges))
+    perWord.groupBy("source")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum("n_sub").as("total_subwords"))
+      .orderBy("source")
+  }
+
+  val all: Seq[Q] = Seq(qBpeMerges, qBpeTokenize)
 }

@@ -41,8 +41,10 @@ class BpeSpec extends AnyFunSuite {
   }
 
   test("distributed merges equal the reference implementation") {
+    // "abab" words force back-to-back occurrences of the top pair —
+    // the case where a boundary-sharing replace scheme under-merges
     val docs = Seq("low lower lowest low low",
-      "newer newest new low wider").toDF("text")
+      "newer newest new low wider", "abab abab ab abab").toDF("text")
     val words = Bpe.wordTable(docs, "text")
     val got = Bpe.trainMerges(spark, words, 6)
       .map(m => (m.left, m.right, m.pair_count))
@@ -67,5 +69,37 @@ class BpeSpec extends AnyFunSuite {
     // than the vocabulary allows (merged symbols are reusable, so
     // counts need not be monotone — but rank order must be)
     assert(q.map(_.getInt(0)).toSeq == (1 to 8))
+  }
+
+  test("apply side: subword counts match the reference segmentation") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq("low lower lowest low low",
+      "newer newest new low wider", "abab abab ab abab").toDF("text")
+    val words = Bpe.wordTable(docs, "text")
+    val merges = Bpe.trainMerges(spark, words, 6)
+
+    // reference apply: greedy-left merge loop per word
+    def refApply(w: String): Int = {
+      var seg = w.map(_.toString).toVector
+      for (m <- merges) {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < seg.length) {
+          if (i + 1 < seg.length && seg(i) == m.left &&
+              seg(i + 1) == m.right) { out += m.merged; i += 2 }
+          else { out += seg(i); i += 1 }
+        }
+        seg = out.result()
+      }
+      seg.length
+    }
+
+    val got = words
+      .withColumn("n_sub", Bpe.subwordCount(col("seg"), merges))
+      .select("w", "n_sub").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    got.foreach { case (w, n) => assert(n == refApply(w), s"word $w") }
+    // every merge strictly compresses the words containing its pair
+    assert(got("lower") < "lower".length)
   }
 }
