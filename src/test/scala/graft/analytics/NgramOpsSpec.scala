@@ -60,6 +60,15 @@ class NgramOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("contamination plan broadcasts the eval gram set") {
+    val plan = NgramOps.qContamination.build(spark, Dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"))
+    // the probe join must not be a sort-merge join on gram strings
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
   test("bigram LM: totals consistent and rare ratio in [0,1]") {
     val rows = NgramOps.qBigramLm.build(spark, Dir).collect()
     val docs = graft.io.Tables.load(spark, Dir, "documents").count()

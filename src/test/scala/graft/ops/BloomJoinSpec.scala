@@ -24,6 +24,18 @@ class BloomJoinSpec extends AnyFunSuite {
     assert(fps < 500, s"false-positive count $fps")
   }
 
+  test("the Bloom probe runs scan-side, before the join exchange") {
+    val fact = graft.io.Tables.load(spark, Dir, "orders")
+    val dim = graft.io.Tables.load(spark, Dir, "customer")
+      .filter(col("c_mktsegment") === BloomJoin.Segment)
+    val plan = BloomJoin
+      .semiJoin(fact, col("o_custkey"), dim, col("c_custkey"))
+      .queryExecution.executedPlan.toString
+    // the membership filter must appear as a plain Filter expression
+    // (codegen-local), not as a join operator
+    assert(plan.contains("might_contain"))
+  }
+
   test("semiJoin equals the exact semi-join (verify removes FPs)") {
     val fact = graft.io.Tables.load(spark, Dir, "orders")
     val dim = graft.io.Tables.load(spark, Dir, "customer")
