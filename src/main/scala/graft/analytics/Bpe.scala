@@ -145,5 +145,39 @@ object Bpe {
       .orderBy("source")
   }
 
-  val all: Seq[Q] = Seq(qBpeMerges, qBpeTokenize)
+  /** Sequence packing by TRAINED-tokenizer counts — the q73 × q79
+    * composition: production packs training sequences by real token
+    * counts, not whitespace proxies (a doc's subword count under the
+    * merges can differ from its word count by the whole morphology of
+    * the corpus). Same per-shard prefix-sum shape as q73; rows-only
+    * because the trained merges are engine-internal. */
+  val qBpePacking: Q = Q.noOracle("q81_bpe_packing") { (s, d) =>
+    val docs = Tables.load(s, d, "documents")
+    val merges = trainMerges(s, wordTable(docs, "text"), k = 8)
+    val perDoc = docs
+      .select(col("doc_id"), col("source"),
+        explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .withColumn("seg",
+        concat(lit(Sep2),
+          array_join(expr("filter(split(w, ''), x -> x != '')"), Sep2),
+          lit(Sep2)))
+      .groupBy("source", "doc_id")
+      .agg(sum(subwordCount(col("seg"), merges).cast("long"))
+        .as("doc_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    perDoc
+      .withColumn("pack_id", graft.ops.Exact.floorDiv(
+        sum("doc_tokens").over(w) - 1, lit(Curation.PackBudget)))
+      .groupBy("source", "pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("doc_tokens").as("pack_tokens"))
+      .orderBy("source", "pack_id")
+  }
+
+  val all: Seq[Q] = Seq(qBpeMerges, qBpeTokenize, qBpePacking)
 }

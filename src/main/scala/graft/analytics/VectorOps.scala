@@ -359,7 +359,30 @@ object VectorOps {
         .orderBy("vec_id")
   }
 
+  // ------------------------------------- corpus cluster profiling
+  // The "what domains does my corpus contain" organization step:
+  // reuse the IVF quantizer (trained k-means) to partition the
+  // embedding space, then profile each cluster with EXACT-integer
+  // centroid-affinity stats (quantized dot products — no double
+  // averaging, so re-runs are bit-identical; rows-only because the
+  // trained centroids are engine-internal). One broadcast-join
+  // assignment + one agg shuffle on the cluster id.
+  val qEmbeddingClusters: Q = Q.noOracle("q80_embedding_clusters") {
+    (s, d) =>
+      val base = withQuant(T(s, d, "embeddings")).persist()
+      val cents = kmeansCentroids(base).persist()
+      ivfAssign(base, cents)
+        .join(broadcast(cents), "c_id")
+        .withColumn("dot", dotQ(col("qv"), col("c_qv")))
+        .groupBy("c_id")
+        .agg(count(lit(1)).as("n_vectors"),
+          graft.ops.Exact.halfUpDiv(sum("dot"), count(lit(1)))
+            .as("mean_dot"),
+          min("dot").as("min_dot"), max("dot").as("max_dot"))
+        .orderBy("c_id")
+  }
+
   val all: Seq[Q] =
     Seq(qAnnTopK, qEmbeddingStats, qEmbeddingDedup, qAnnLshBuckets,
-      qAnnIvf, qEmbeddingDedupCorpus)
+      qAnnIvf, qEmbeddingDedupCorpus, qEmbeddingClusters)
 }

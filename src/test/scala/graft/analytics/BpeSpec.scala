@@ -102,4 +102,19 @@ class BpeSpec extends AnyFunSuite {
     // every merge strictly compresses the words containing its pair
     assert(got("lower") < "lower".length)
   }
+
+  test("token-count packing conserves totals against the tokenize view") {
+    val Dir = "/root/testdata/sf0.001"
+    val packs = Bpe.qBpePacking.build(spark, Dir).collect()
+    val totals = Bpe.qBpeTokenize.build(spark, Dir).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val packedTotals = packs.groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(3)).sum).toMap
+    assert(packedTotals == totals) // same corpus token count, re-binned
+    // pack ids consecutive from 0 within each source
+    packs.groupBy(_.getString(0)).foreach { case (_, ps) =>
+      val ids = ps.map(_.getLong(1)).sorted.toSeq
+      assert(ids == (0L until ids.length).toSeq)
+    }
+  }
 }

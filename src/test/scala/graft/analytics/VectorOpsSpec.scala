@@ -120,4 +120,21 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(top.getLong(0) == 1L)
     assert(top.getDouble(1) > 0.999)
   }
+
+  test("cluster profile partitions the corpus with exact affinity stats") {
+    val rows = VectorOps.qEmbeddingClusters
+      .build(spark, "/root/testdata/sf0.001").collect()
+    val n = graft.io.Tables.load(spark, "/root/testdata/sf0.001",
+      "embeddings").count()
+    assert(rows.length <= VectorOps.NumCentroids && rows.nonEmpty)
+    assert(rows.map(_.getLong(1)).sum == n) // every vector in one cluster
+    rows.foreach { r =>
+      val (mean, lo, hi) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(lo <= mean && mean <= hi)
+    }
+    // exact-integer stats: bit-identical on rerun
+    val again = VectorOps.qEmbeddingClusters
+      .build(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.toSeq == again.toSeq)
+  }
 }
