@@ -55,4 +55,45 @@ class IncrementalAggSpec extends AnyFunSuite {
     val scans = folded.queryExecution.optimizedPlan.collectLeaves()
     assert(scans.length == 2)
   }
+
+  test("applyBatch is a streaming sink: state from a stream equals batch") {
+    // applyBatch's (batch, store) shape IS the foreachBatch contract —
+    // feed the same rows through a real streaming query and the stored
+    // state must equal the one-shot aggregation
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = new graft.io.ModelStore(
+      java.nio.file.Files.createTempDirectory("graft-iagg").toString)
+    val orders = graft.io.Tables.load(spark, Dir, "orders")
+      .select(col("o_custkey"), col("o_totalprice")).limit(300)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+
+    val input = MemoryStream[(Long, Double)]
+    val query = input.toDS().toDF("o_custkey", "o_totalprice")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        IncrementalAgg.applyBatch(spark, store, "agg", "s", batch, spec)
+        ()
+      }
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft-iagg-ckpt").toString)
+      .start()
+    try {
+      input.addData(orders.take(150).toSeq)
+      query.processAllAvailable()
+      input.addData(orders.drop(150).toSeq)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val streamed = IncrementalAgg
+      .present(store.read(spark, "agg", "s").get, spec)
+      .orderBy("o_custkey").collect().toSeq
+    val oneShot = IncrementalAgg.present(
+      IncrementalAgg.fold(None,
+        orders.toSeq.toDF("o_custkey", "o_totalprice"), spec), spec)
+      .orderBy("o_custkey").collect().toSeq
+    assert(streamed == oneShot && streamed.nonEmpty)
+  }
 }
