@@ -288,7 +288,91 @@ object OlapQueries {
     }
   }
 
+  // ------------------------------------------------ anti-join
+  // NOT EXISTS as a named surface (the anti-join otherwise lives only
+  // inside MERGE): churn detection — customers with no orders since a
+  // cutoff. The date filter pushes into the orders scan BEFORE the
+  // left-anti shuffle on the key (AQE-broadcastable right side).
+  val ChurnCutoff = "1998-01-01"
+
+  val qAntiJoin: Q = Q(
+    "q82_anti_join",
+    s"""SELECT c.c_custkey, c.c_mktsegment FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderdate >= DATE '$ChurnCutoff')
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    T(s, d, "customer")
+      .join(T(s, d, "orders")
+          .filter(col("o_orderdate") >= lit(ChurnCutoff).cast("date")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  // ------------------------------------------ ratio-to-report window
+  // Each nation's revenue share within its region: a window sum over
+  // ALREADY-AGGREGATED rows (25 rows — the window never sees fact
+  // rows), share in exact integer space.
+  val qRatioToReport: Q = Q(
+    "q83_ratio_to_report",
+    s"""WITH nr AS (
+      |  SELECT r.r_name, n.n_name,
+      |    CAST(sum(${Exact.centsSql("o.o_totalprice")}) AS BIGINT) AS c
+      |  FROM orders o
+      |  JOIN customer cu ON o.o_custkey = cu.c_custkey
+      |  JOIN nation n ON cu.c_nationkey = n.n_nationkey
+      |  JOIN region r ON n.n_regionkey = r.r_regionkey
+      |  GROUP BY r.r_name, n.n_name)
+      |SELECT r_name, n_name, ${Exact.dec2Sql("c")} AS revenue,
+      |  ${Exact.dec4Sql(Exact.halfUpDivSql(
+           "c*10000", "sum(c) OVER (PARTITION BY r_name)"))} AS share
+      |FROM nr ORDER BY r_name, n_name""".stripMargin) { (s, d) =>
+    val nr = starRevenue(s, d)
+      .groupBy("r_name", "n_name").agg(sum("cents").as("c"))
+    nr.withColumn("share", Exact.dec4(Exact.halfUpDiv(
+        col("c") * 10000,
+        sum("c").over(Window.partitionBy("r_name")))))
+      .select(col("r_name"), col("n_name"),
+        Exact.dec2(col("c")).as("revenue"), col("share"))
+      .orderBy("r_name", "n_name")
+  }
+
+  // ------------------------------------------- gaps and islands
+  // Consecutive-order-day runs per customer (the date − row_number
+  // trick): distinct days shuffle once on the key, the island key is
+  // a pure expression, and the output is run statistics — the classic
+  // activity-streak op.
+  val qIslands: Q = Q(
+    "q84_islands",
+    """WITH d AS (
+      |  SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS dt
+      |  FROM orders),
+      |r AS (
+      |  SELECT o_custkey, dt, row_number() OVER (PARTITION BY o_custkey
+      |    ORDER BY dt) AS rn
+      |  FROM d),
+      |i AS (
+      |  SELECT o_custkey, dt - CAST(rn AS INTEGER) AS grp,
+      |    count(*) AS len
+      |  FROM r GROUP BY o_custkey, dt - CAST(rn AS INTEGER))
+      |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_islands,
+      |  CAST(max(len) AS BIGINT) AS longest_run
+      |FROM i GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) {
+    (s, d) =>
+      val days = T(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderdate").cast("date").as("dt"))
+        .distinct()
+      val rn = days.withColumn("rn", row_number().over(
+        Window.partitionBy("o_custkey").orderBy("dt")))
+      rn.withColumn("grp", date_sub(col("dt"), col("rn")))
+        .groupBy("o_custkey", "grp").agg(count(lit(1)).as("len"))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_islands"), max("len").as("longest_run"))
+        .orderBy("o_custkey")
+  }
+
   val all: Seq[Q] =
     Seq(qRollup, qMovingWindow, qPivot, qSetOps, qDateSpine, qCube,
-      qUnpivot)
+      qUnpivot, qAntiJoin, qRatioToReport, qIslands)
 }
