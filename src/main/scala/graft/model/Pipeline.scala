@@ -116,6 +116,41 @@ final class Pipeline(
     order.map(m => m.name -> store.read(spark, m.layer, m.name).get).toMap
   }
 
+  /** Surgical partition backfill — the "re-run one month" repair: the
+    * model is rebuilt from sources in full-refresh semantics but ONLY
+    * the rows matching `partitionPred` are written, swapping exactly
+    * those partition directories in a new version (untouched
+    * partitions carry over by link — [[graft.io.ModelStore
+    * .writeTouchedPartitions]]). Full-refresh correctness at
+    * O(selected partitions) write cost; readers see a complete table
+    * at every moment (pointer commit).
+    *
+    * Contract: `partitionPred` must be a predicate over the model's
+    * partition columns only (a row-level predicate would write partial
+    * partition contents), and the stored layout must match the
+    * model's declared partitioning. */
+  def backfill(spark: SparkSession, modelName: String,
+      partitionPred: org.apache.spark.sql.Column): DataFrame = {
+    val m = byName(modelName)
+    require(m.partitionBy.nonEmpty, s"$modelName is not partitioned")
+    require(store.hasPartitionLayout(spark, m.layer, m.name,
+        m.partitionBy),
+      s"stored layout of ${m.layer}.${m.name} does not match " +
+        s"partitionBy=${m.partitionBy.mkString(",")}")
+    val ref = (name: String) => {
+      val dep = byName(name)
+      store.read(spark, dep.layer, dep.name).getOrElse(
+        sys.error(s"ref('$name') not materialized yet"))
+    }
+    val ctx = BuildCtx(spark = spark, source = sources, ref = ref,
+      existing = None, mode = RunMode.Bootstrap, vars = vars)
+    val rebuilt = m.build(ctx).filter(partitionPred)
+    store.writeTouchedPartitions(rebuilt, m.layer, m.name,
+      m.partitionBy, m.zorderBy, description = m.description)
+    store.vacuum(spark, m.layer, m.name, keepLast = retainVersions)
+    store.read(spark, m.layer, m.name).get
+  }
+
   private def materialize(spark: SparkSession, m: ModelDef,
       mode: RunMode): Unit = {
     val t0 = System.nanoTime()
