@@ -35,14 +35,19 @@ object QualityStream {
           when(!coalesce(r.holds, lit(false)), lit(r.name))): _*)))
       .withColumn("is_valid", size(col("failed_rules")) === 0)
 
-  /** Append rows to a store table as a new retained version. */
-  private def appendVersion(spark: SparkSession, store: ModelStore,
-      layer: String, name: String, rows: DataFrame): Unit = {
+  /** Append one micro-batch as a NEW `stream_batch_id` partition:
+    * `writeTouchedPartitions` writes only that partition's files and
+    * hard-links every earlier batch's directory into the new version —
+    * O(batch) write cost per micro-batch instead of the O(batches ×
+    * table) a full-table re-union would pay, while version dirs stay
+    * self-contained (time travel, vacuum, concurrent readers). The
+    * batch id is also the natural provenance/triage column. */
+  private def appendBatchPartition(spark: SparkSession,
+      store: ModelStore, layer: String, name: String,
+      rows: DataFrame): Unit = {
     if (!rows.isEmpty) {
-      val unioned = store.read(spark, layer, name)
-        .map(_.unionByName(rows, allowMissingColumns = true))
-        .getOrElse(rows)
-      store.write(unioned, layer, name)
+      store.writeTouchedPartitions(rows, layer, name,
+        partitionBy = Seq("stream_batch_id"))
       store.vacuum(spark, layer, name, keepLast = 2)
     }
   }
@@ -54,14 +59,14 @@ object QualityStream {
     val spark = batch.sparkSession
     // persist: the annotated batch feeds both routes; micro-batches
     // are arrival-rate-sized, not corpus-sized
-    val annotated = annotate(batch, rules).persist()
+    val annotated = annotate(batch, rules)
+      .withColumn("stream_batch_id", lit(batchId)).persist()
     try {
-      appendVersion(spark, store, layer, name,
+      appendBatchPartition(spark, store, layer, name,
         annotated.filter(col("is_valid"))
           .drop("failed_rules", "is_valid"))
-      appendVersion(spark, store, layer, s"${name}_quarantine",
+      appendBatchPartition(spark, store, layer, s"${name}_quarantine",
         annotated.filter(!col("is_valid"))
-          .withColumn("stream_batch_id", lit(batchId))
           .drop("is_valid"))
     } finally { annotated.unpersist(); () }
   }

@@ -59,14 +59,33 @@ class QualityStreamSpec extends AnyFunSuite {
       val good = store.read(spark, "silver", "docs").get
         .select("docId").collect().map(_.getLong(0)).toSet
       assert(good == Set(1L, 3L))
+      // partition discovery re-infers the batch id from the dir path
+      // (int-typed) — pin it back to long for the asserts
       val quarantined = store.read(spark, "silver", "docs_quarantine").get
-        .select(col("docId"), col("failed_rules"), col("stream_batch_id"))
+        .select(col("docId"), col("failed_rules"),
+          col("stream_batch_id").cast("long").as("stream_batch_id"))
         .collect()
       assert(quarantined.map(_.getLong(0)).toSet == Set(2L, -4L))
       // triage columns survive: rule names + the batch that brought it
       val bad4 = quarantined.find(_.getLong(0) == -4L).get
       assert(bad4.getSeq[String](1) == Seq("positive_id"))
       assert(bad4.getLong(2) >= 1L)
+
+      // O(batch) appends: the second batch's version links the first
+      // batch's partition dir (identical part files), writes only its own
+      val v = store.currentVersion(spark, "silver", "docs")
+      assert(v >= 2)
+      val firstBatchId = store.read(spark, "silver", "docs").get
+        .select(min(col("stream_batch_id")).cast("long"))
+        .collect()(0).getLong(0)
+      def files(ver: Int): Set[String] = {
+        val dir = new java.io.File(
+          store.versionDir("silver", "docs", ver) +
+            s"/stream_batch_id=$firstBatchId")
+        dir.listFiles().filter(_.getName.startsWith("part-"))
+          .map(_.getName).toSet
+      }
+      assert(files(v) == files(v - 1) && files(v).nonEmpty)
     } finally query.stop()
   }
 }
