@@ -112,5 +112,46 @@ object Product {
       .orderBy("cohort", "week_offset")
   }
 
-  val all: Seq[Q] = Seq(qFunnel, qCohortRetention)
+  // -------------------------------------------- growth accumulation
+  // Daily active users, daily NEW users, and cumulative distinct
+  // users in one pass family: the first-seen table (one shuffle on
+  // user_id shrinks events to one row per user) feeds the cumulative
+  // count, so the running "cumulative distinct" never re-scans
+  // events; DAU is the standard per-day distinct; the final window
+  // runs over |days| rows only.
+  val qUserGrowth: Q = Q(
+    "q85_user_growth",
+    """WITH f AS (
+      |  SELECT user_id, min(CAST(ts AS DATE)) AS d
+      |  FROM events GROUP BY user_id),
+      |nu AS (SELECT d, CAST(count(*) AS BIGINT) AS new_users
+      |       FROM f GROUP BY d),
+      |au AS (SELECT CAST(ts AS DATE) AS d,
+      |         CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+      |       FROM events GROUP BY 1)
+      |SELECT au.d, COALESCE(nu.new_users, 0) AS new_users,
+      |  CAST(sum(COALESCE(nu.new_users, 0)) OVER (ORDER BY au.d
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users,
+      |  au.active_users
+      |FROM au LEFT JOIN nu ON au.d = nu.d
+      |ORDER BY au.d""".stripMargin) { (s, d) =>
+    val events = T(s, d, "events")
+    val nu = events.groupBy("user_id")
+      .agg(min(col("ts").cast("date")).as("d"))
+      .groupBy("d").agg(count(lit(1)).as("new_users"))
+    val au = events.select(col("ts").cast("date").as("d"), col("user_id"))
+      .groupBy("d").agg(countDistinct("user_id").as("active_users"))
+    val win = org.apache.spark.sql.expressions.Window.orderBy("d")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    au.join(nu, Seq("d"), "left")
+      .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+      .select(col("d"), col("new_users"),
+        sum("new_users").over(win).as("cum_users"),
+        col("active_users"))
+      .orderBy("d")
+  }
+
+  val all: Seq[Q] = Seq(qFunnel, qCohortRetention, qUserGrowth)
 }
