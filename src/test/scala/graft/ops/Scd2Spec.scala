@@ -32,6 +32,50 @@ class Scd2Spec extends AnyFunSuite {
     }
   }
 
+  test("as-of lookup against SCD2 history == interval-scan lookup") {
+    import org.apache.spark.sql.functions._
+    // point-in-time question: which version of each user's record was
+    // valid at T? Two independent answers must agree:
+    //  (a) AsOfJoin against the history's valid_from axis,
+    //  (b) the interval scan valid_from <= T < valid_to.
+    val hist = Scd2.qScd2Snapshot.build(spark, Dir)
+      .select(col("user_id"), col("event_id"), col("valid_from"),
+        col("valid_to"))
+    val t = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val probes = hist.select(col("user_id")).distinct()
+      .withColumn("probe_ts", lit(t))
+
+    val viaAsOf = AsOfJoin.asOf(probes, hist
+          .select(col("user_id"), col("valid_from"),
+            col("event_id").as("matched_event")),
+        key = "user_id", leftTime = "probe_ts", rightTime = "valid_from",
+        payload = Seq("matched_event"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(r.fieldIndex("matched_event"))))
+      .toMap
+    val viaInterval = hist
+      .filter(col("valid_from") <= lit(t) &&
+        (col("valid_to").isNull || col("valid_to") > lit(t)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    viaInterval.foreach { case (u, ev) =>
+      assert(viaAsOf(u) == Some(ev), s"user $u")
+    }
+    // the two differ ONLY on users whose matched interval was closed
+    // before T (a DELETE gap): as-of returns the superseded row, the
+    // interval scan correctly returns none — assert that every such
+    // user's as-of match really was closed at or before T
+    val closedBeforeT = viaAsOf.collect {
+      case (u, Some(ev)) if !viaInterval.contains(u) => u -> ev
+    }
+    closedBeforeT.foreach { case (u, ev) =>
+      val vt = hist.filter(col("user_id") === u &&
+          col("event_id") === ev)
+        .collect()(0).getTimestamp(3)
+      assert(vt != null && !vt.after(t), s"user $u not actually closed")
+    }
+  }
+
   test("SCD1 latest == the current rows of the SCD2 history") {
     val cdc = graft.io.Tables.load(spark, Dir, "events")
       .withColumn("cdc_op",

@@ -74,6 +74,38 @@ class DocStreamSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming E2E: curate then contamination gate in one query") {
+    import org.apache.spark.sql.functions.{col, explode}
+    implicit val sqlCtx = spark.sqlContext
+    val n = 3
+    val eval = Seq("alpha beta gamma delta epsilon").toDF("text")
+      .select(explode(graft.analytics.NgramOps.gramLongHashes(
+        graft.analytics.TextOps.tokens(col("text")), n)).as("g"))
+    val sketch = graft.ops.BloomJoin.buildSketch(eval, col("g"))
+
+    val input = MemoryStream[IngestedDoc]
+    // one streaming query: watermark dedup (stateful) feeding the
+    // stateless gate — the composed ingest pipeline
+    val curated = DocStream.curate(input.toDS(), "10 minutes")
+      .withColumnRenamed("clean_text", "text")
+    val query = DocStream.contaminationGate(curated, sketch, n)
+      .writeStream.format("memory").queryName("e2e_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        doc(1, "2024-03-15 10:00:00", "zero one beta gamma delta two"),
+        doc(2, "2024-03-15 10:01:00", "zero one beta gamma delta two"),
+        doc(3, "2024-03-15 10:02:00", "totally unrelated clean words"))
+      query.processAllAvailable()
+      val rows = spark.table("e2e_out")
+        .select("docId", "is_contaminated").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(rows.keySet == Set(1L, 3L)) // doc 2 deduped upstream
+      assert(rows(1L) && !rows(3L))      // gate still sees the survivor
+    } finally query.stop()
+  }
+
   test("contamination gate flags eval-overlapping docs statelessly") {
     import org.apache.spark.sql.functions.{col, explode}
     implicit val sqlCtx = spark.sqlContext
