@@ -1,0 +1,92 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Exact
+
+/** Seeded randomized properties for the cross-engine determinism
+  * backbone (the primitives every oracle-checked query leans on) and
+  * for the clustering operator, against independent reference
+  * implementations. Fixed seeds: failures reproduce exactly. */
+class PropertySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("halfUpDiv == BigDecimal HALF_UP division on random inputs") {
+    val rnd = new Random(42)
+    val pairs = List.fill(500)(
+      (rnd.nextLong(1L << 40), 1L + rnd.nextLong(1L << 20)))
+    val got = pairs.toDF("num", "den")
+      .select(Exact.halfUpDiv(col("num"), col("den")).as("q"))
+      .collect().map(_.getLong(0)).toSeq
+    val want = pairs.map { case (n, d) =>
+      new java.math.BigDecimal(n)
+        .divide(new java.math.BigDecimal(d), 0,
+          java.math.RoundingMode.HALF_UP).longValueExact()
+    }
+    assert(got == want)
+  }
+
+  test("floorDiv == Math.floorDiv for non-negative numerators") {
+    val rnd = new Random(43)
+    val pairs = List.fill(500)(
+      (rnd.nextLong(1L << 40), 1L + rnd.nextLong(1L << 20)))
+    val got = pairs.toDF("a", "b")
+      .select(Exact.floorDiv(col("a"), col("b")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == pairs.map { case (a, b) => Math.floorDiv(a, b) })
+  }
+
+  test("dec2 renders with pinned 2-decimal scale for any cents value") {
+    val rnd = new Random(44)
+    val cents = List.fill(300)(rnd.nextLong(1L << 45))
+    val rendered = cents.toDF("c")
+      .select(Exact.dec2(col("c")).cast("string"))
+      .collect().map(_.getString(0)).toSeq
+    rendered.zip(cents).foreach { case (s, c) =>
+      assert(s.matches("-?\\d+\\.\\d{2}"), s)
+      assert(new java.math.BigDecimal(s).movePointRight(2)
+        .longValueExact() == c)
+    }
+  }
+
+  test("clusterPairs == reference union-find on random graphs") {
+    val rnd = new Random(45)
+    for (trial <- 1 to 8) {
+      val n = 2 + rnd.nextInt(39)
+      val m = 1 + rnd.nextInt(60)
+      val edges = List.fill(m)(
+          (rnd.nextLong(n.toLong + 1), rnd.nextLong(n.toLong + 1)))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      if (edges.nonEmpty) {
+        // reference union-find with path compression
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        // canonical labels: min member of each component
+        val roots = edges.flatMap(e => Seq(e._1, e._2)).distinct
+          .map(x => x -> find(x))
+        val canon = roots.groupBy(_._2).flatMap { case (_, members) =>
+          val mn = members.map(_._1).min
+          members.map(_._1 -> mn)
+        }
+
+        val got = graft.analytics.NearDup
+          .clusterPairs(edges.toDF("a_id", "b_id"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == canon, s"trial $trial: $edges")
+      }
+    }
+  }
+}
