@@ -10,11 +10,19 @@ import graft.queries.Q
 
 /** Similarity search over embedding columns (`Array[Float]`).
   *
-  * Portability trick: embeddings are quantized to integer milli-units
-  * (`round(x*1000)` — float halves are exactly representable, so the
-  * rounding agrees across engines), making dot products EXACT integer
-  * arithmetic; only the final `dot/(|a||b|)` division runs in floating
-  * point, on bit-identical inputs — so cosine scores hash-match DuckDB.
+  * Portability trick: embeddings are quantized to integer milli-units,
+  * making dot products EXACT integer arithmetic; only the final
+  * `dot/(|a||b|)` division runs in floating point, on bit-identical
+  * inputs — so cosine scores hash-match DuckDB.
+  *
+  * The quantizer is `sign(x)·floor(|x·1000| + 0.5)` — round-half-away
+  * built ONLY from binary-value operations (floor/abs/sign), which
+  * both engines evaluate identically on the same IEEE doubles. It is
+  * deliberately NOT `round(x·1000)`: Spark's `round` rounds the
+  * shortest decimal string repr while DuckDB rounds the binary value,
+  * and the ≈sf1 amplified corpus produced a real divergence (one
+  * dimension in 2M landed on the disagreement window; caught by the
+  * 10× oracle gate, q28).
   *
   * Scale shape: brute-force top-k broadcasts the (small) query set and
   * scans the corpus once — the right baseline plan at any corpus size.
@@ -23,11 +31,20 @@ import graft.queries.Q
   */
 object VectorOps {
 
-  /** Float embedding → exact integer milli-units. */
+  /** Float embedding → exact integer milli-units (portable
+    * round-half-away; see the object scaladoc). The float is cast to
+    * DOUBLE before the multiply on BOTH sides: float32→float64 is
+    * exact and the float64 product is IEEE-identical, whereas leaving
+    * the multiply in each engine's native float promotion produced a
+    * real divergence on amplified data. */
   def quantize(c: Column): Column =
-    transform(c, x => round(x * 1000).cast("long"))
+    transform(c, x =>
+      (signum(x) * floor(abs(x.cast("double") * 1000d) + 0.5))
+        .cast("long"))
   val QuantizeSql =
-    "list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT))"
+    "list_transform(embedding, " +
+      "x -> CAST(sign(x) * floor(abs(CAST(x AS DOUBLE)*1000) + 0.5) " +
+      "AS BIGINT))"
 
   /** Exact integer dot product of two quantized vectors — native
     * codegen'd Expression (graft.functions.LongArrayDot); the

@@ -31,9 +31,14 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        path = f"{sf_dir}/{t}.parquet"
+        # Spark-written tables (e.g. tools/ScaleUp output) are
+        # DIRECTORIES of part files; shipped testdata is single files
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
 
