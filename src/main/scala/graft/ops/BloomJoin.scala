@@ -40,12 +40,14 @@ object BloomJoin {
 
   /** Build the Bloom sketch of `keys` (a LongType column) and return
     * it as a binary scalar. One job; the result is sketch-sized, not
-    * data-sized. */
-  def buildSketch(df: DataFrame, key: Column): Array[Byte] = {
+    * data-sized. Sketch parameters must match across sketches that
+    * will be merged ([[graft.analytics.IncrementalDedup]]). */
+  def buildSketch(df: DataFrame, key: Column,
+      estKeys: Long = EstKeys, numBits: Long = NumBits): Array[Byte] = {
     val agg = GraftColumnBridge.column(
       new BloomFilterAggregate(
         GraftColumnBridge.expression(xxhash64(key)),
-        Literal(EstKeys), Literal(NumBits)).toAggregateExpression())
+        Literal(estKeys), Literal(numBits)).toAggregateExpression())
     df.select(agg.as("bf")).head().getAs[Array[Byte]](0)
   }
 

@@ -15,6 +15,7 @@ object Registry {
       graft.analytics.Compress.qCompressRatio :+
       graft.ops.Scd2.qScd2Snapshot :+
       graft.model.IncrementalAgg.qIncrementalAgg :+
+      graft.analytics.IncrementalDedup.qIncrementalDedup :+
       graft.pipeline.PipelineQuery.qPipelineE2e
 
   val flagship: Q = RefQueries.q15Flagship

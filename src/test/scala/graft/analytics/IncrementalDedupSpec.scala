@@ -1,0 +1,118 @@
+package graft.analytics
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.io.ModelStore
+
+class IncrementalDedupSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        md5(TextOps.normalized(col("text"))).as("content_fp"))
+
+  private def store() =
+    new ModelStore(Files.createTempDirectory("graft-incdedup").toString)
+
+  private def keptIds(df: DataFrame): Set[Long] =
+    df.select("doc_id").collect().map(_.getLong(0)).toSet
+
+  test("batch folding equals one-shot first-copy dedup") {
+    val st = store()
+    val all = Seq(
+      1L -> "alpha beta", 2L -> "gamma", 3L -> "ALPHA   beta", // 3 dups 1
+      4L -> "delta", 5L -> "gamma", 6L -> "epsilon", // 5 dups 2
+      7L -> "delta ", 8L -> "zeta") // 7 dups 4 (trim-normalized)
+    val batches = all.grouped(3).toSeq
+    batches.zipWithIndex.foreach { case (b, i) =>
+      IncrementalDedup.applyBatch(spark, st, "d", "fps",
+        docs(b: _*), i.toLong): Unit
+    }
+    val state = st.read(spark, "d", "fps").get
+    // one-shot: min doc_id per fingerprint over everything
+    val oneShot = docs(all: _*)
+      .groupBy("content_fp").agg(min("doc_id").as("doc_id"))
+    assert(keptIds(state) === keptIds(oneShot))
+    assert(keptIds(state) === Set(1L, 2L, 4L, 6L, 8L))
+    // the batch that introduced each fp is recorded
+    val byBatch = state
+      .select(col("doc_id"), col("ingest_batch").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byBatch === Map(1L -> 0L, 2L -> 0L, 4L -> 1L, 6L -> 1L,
+      8L -> 2L))
+  }
+
+  test("a later-batch duplicate is dropped; its return reflects it") {
+    val st = store()
+    IncrementalDedup.applyBatch(spark, st, "d", "fps",
+      docs(1L -> "same text"), 0L): Unit
+    val second = IncrementalDedup.applyBatch(spark, st, "d", "fps",
+      docs(10L -> "Same   TEXT", 11L -> "fresh"), 1L)
+    assert(keptIds(second) === Set(11L))
+    // an all-duplicates batch commits an empty partition set: nothing
+    // kept, and the surviving state is untouched
+    val third = IncrementalDedup.applyBatch(spark, st, "d", "fps",
+      docs(20L -> "same text", 21L -> "fresh"), 2L)
+    assert(third.isEmpty)
+    assert(keptIds(st.read(spark, "d", "fps").get) === Set(1L, 11L))
+  }
+
+  test("correctness survives a pathological all-colliding sketch") {
+    // 8-bit sketch: every fingerprint collides, so EVERY winner routes
+    // through exact verification — novel docs must still be kept (a
+    // Bloom false positive may only cost work, never a drop)
+    val st = store()
+    IncrementalDedup.applyBatch(spark, st, "d", "fps",
+      docs(1L -> "one"), 0L, estKeys = 1L, numBits = 8L): Unit
+    val out = IncrementalDedup.applyBatch(spark, st, "d", "fps",
+      docs(2L -> "two", 3L -> "one"), 1L, estKeys = 1L, numBits = 8L)
+    assert(keptIds(out) === Set(2L))
+  }
+
+  test("a deleted sketch degrades to verify-everything, not data loss") {
+    val rootDir = Files.createTempDirectory("graft-incdedup-nosketch")
+    val st = new ModelStore(rootDir.toString)
+    IncrementalDedup.applyBatch(spark, st, "d", "fps",
+      docs(1L -> "one", 2L -> "two"), 0L): Unit
+    // simulate sketch loss: the fps table survives, the sketch is gone
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(s"$rootDir/d/fps_sketch"))
+    val out = IncrementalDedup.applyBatch(spark, st, "d", "fps",
+      docs(3L -> "one", 4L -> "three"), 1L)
+    assert(keptIds(out) === Set(4L))
+  }
+
+  test("history append links prior batch partitions (O(batch) writes)") {
+    val st = store()
+    IncrementalDedup.applyBatch(spark, st, "d", "fps",
+      docs(1L -> "one", 2L -> "two"), 0L): Unit
+    val v1Files = filesUnder(st.versionDir("d", "fps", 1))
+    IncrementalDedup.applyBatch(spark, st, "d", "fps",
+      docs(3L -> "three"), 1L): Unit
+    val v2Files = filesUnder(st.versionDir("d", "fps", 2))
+    // batch 0's partition carried over with byte-identical file names
+    val b0 = v1Files.filter(_.contains("ingest_batch=0"))
+    assert(b0.nonEmpty &&
+      b0.forall(f => v2Files.contains(f)))
+    assert(v2Files.exists(_.contains("ingest_batch=1")))
+  }
+
+  private def filesUnder(dir: String): Set[String] = {
+    val base = new java.io.File(dir)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+    walk(base).filterNot(_.getName.startsWith(".")) // checksum files
+      .map(_.getAbsolutePath.stripPrefix(base.getAbsolutePath))
+      .filterNot(_.contains("_SUCCESS")).toSet
+  }
+}
