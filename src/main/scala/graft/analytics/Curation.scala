@@ -393,7 +393,86 @@ object Curation {
       .orderBy("source", "pack_id")
   }
 
+  // ------------------------------------- mixture rebalancing (computed)
+  // q50's mixture uses FIXED per-tier weights; real pipelines compute
+  // the weights from the data: given target corpus shares per language,
+  // derive each language's keep rate from its ACTUAL count and
+  // downsample deterministically. All arithmetic is exact-integer
+  // (rates in 256ths → a 2-hex-char md5 prefix threshold, the 256-level
+  // refinement of q44's 16-level single-char gate), so the kept set is
+  // a pure function of (doc_id, counts) — identical in both engines and
+  // stable across reruns. Languages under their target cap at rate 256
+  // (= keep all; a keep-filter cannot upsample — q50's repeat-explode
+  // is the upsampling half). Shapes: one count agg, a |langs|-row
+  // broadcast, a scan-local filter, one audit agg — nothing wide at any
+  // corpus size.
+  val TargetShares: Map[String, Long] =
+    Map("en" -> 10L, "de" -> 5L, "fr" -> 30L, "es" -> 30L, "zh" -> 25L)
+
+  /** Per-language keep-rate table: n docs, integer target count, keep
+    * rate in 256ths, and the md5-prefix threshold implementing it. */
+  def rebalanceRates(docs: DataFrame, shares: Map[String, Long])
+      : DataFrame = {
+    val share = shares.tail.foldLeft(
+        when(col("lang") === shares.head._1, shares.head._2)) {
+        case (acc, (l, s)) => acc.when(col("lang") === l, s)
+      }.otherwise(0L)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").cast("long").as("total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("target_cnt",
+        Exact.floorDiv(col("total") * share, lit(100L)))
+      .withColumn("rate256", least(lit(256L),
+        Exact.floorDiv(col("target_cnt") * 256, col("n"))))
+      .withColumn("th", lower(lpad(hex(col("rate256")), 2, "0")))
+  }
+
+  /** The kept (downsampled) documents under the computed rates. */
+  def rebalance(docs: DataFrame, shares: Map[String, Long]): DataFrame = {
+    val rates = rebalanceRates(docs, shares)
+    docs.join(broadcast(rates.select("lang", "rate256", "th")), "lang")
+      .filter(col("rate256") >= 256 ||
+        substring(sampleKey(col("doc_id"), "bal-"), 1, 2) < col("th"))
+      .drop("rate256", "th")
+  }
+
+  val qRebalanceMix: Q = {
+    val shareSql = "CASE lang " + TargetShares.toSeq.sortBy(_._1).map {
+      case (l, s) => s"WHEN '$l' THEN $s"
+    }.mkString(" ") + " ELSE 0 END"
+    Q("q87_rebalance_mix",
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+        |s AS (SELECT lang, n, (total * ($shareSql)) // 100 AS target_cnt
+        |  FROM c CROSS JOIN tot),
+        |r AS (SELECT lang, n, target_cnt,
+        |  least(256, (target_cnt * 256) // n) AS rate256 FROM s),
+        |k AS (
+        |  SELECT d.lang, count(*) AS n_kept
+        |  FROM documents d JOIN r ON d.lang = r.lang
+        |  WHERE r.rate256 >= 256 OR
+        |    substr(md5('bal-' || CAST(d.doc_id AS VARCHAR)), 1, 2) <
+        |      lower(lpad(to_hex(r.rate256), 2, '0'))
+        |  GROUP BY 1)
+        |SELECT r.lang, CAST(r.n AS BIGINT) AS n_docs,
+        |  CAST(r.target_cnt AS BIGINT) AS target_cnt,
+        |  CAST(r.rate256 AS BIGINT) AS rate256,
+        |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM r LEFT JOIN k ON r.lang = k.lang
+        |ORDER BY r.lang""".stripMargin) { (s, d) =>
+      val docs = T(s, d, "documents")
+      val kept = rebalance(docs, TargetShares)
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+      rebalanceRates(docs, TargetShares)
+        .join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("n").as("n_docs"), col("target_cnt"),
+          col("rate256"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("lang")
+    }
+  }
+
   val all: Seq[Q] =
     Seq(qHashSample, qVocabOov, qTopKPerGroup, qTfidfKeywords,
-      qMixtureEpoch, qHeavyHitters, qCurationE2e, qSequencePacking)
+      qMixtureEpoch, qHeavyHitters, qCurationE2e, qSequencePacking,
+      qRebalanceMix)
 }

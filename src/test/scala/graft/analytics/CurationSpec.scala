@@ -170,4 +170,41 @@ class CurationSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("rebalance: capped languages keep all, downsampled hit target") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.io.Tables.load(spark, Dir, "documents")
+    val audit = Curation.qRebalanceMix.build(spark, Dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    audit.foreach { case (lang, (n, target, rate, kept)) =>
+      if (rate >= 256) assert(kept == n, s"$lang capped but kept!=n")
+      else {
+        assert(kept < n, s"$lang should downsample")
+        // md5 uniformity: kept ≈ n·rate/256 (generous bound — the
+        // point is the exact value is deterministic, not its variance)
+        val expect = n * rate / 256.0
+        assert(math.abs(kept - expect) <= math.max(5.0, expect),
+          s"$lang kept=$kept expected≈$expect")
+      }
+      assert(target == audit.values.map(_._1).sum *
+        Curation.TargetShares(lang) / 100)
+    }
+    // at least one language exercises each arm on this data
+    assert(audit.values.exists(_._3 >= 256))
+    assert(audit.values.exists(_._3 < 256))
+    // the audit's n_kept IS the kept set's size (operator ≡ report)
+    val keptCounts = Curation.rebalance(docs, Curation.TargetShares)
+      .groupBy("lang").agg(count(lit(1)).as("k")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    audit.foreach { case (lang, (_, _, _, kept)) =>
+      assert(keptCounts.getOrElse(lang, 0L) == kept)
+    }
+    // determinism: a second evaluation returns the identical kept ids
+    val ids1 = Curation.rebalance(docs, Curation.TargetShares)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Curation.rebalance(docs, Curation.TargetShares)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+  }
 }
