@@ -131,6 +131,23 @@ object IncrementalDedup {
       .withColumn("ingest_batch", col("ingest_batch").cast("long"))
   }
 
+  /** foreachBatch sink: forever-dedup at ingest. Where
+    * [[graft.streaming.DocStream.curate]] dedups within its watermark
+    * horizon (bounded state), this sink dedups against ALL history via
+    * the persisted fingerprint store — the two compose: horizon dedup
+    * absorbs the hot duplicates cheaply in-stream, this sink catches
+    * re-crawls arriving days later. Replays are naturally idempotent:
+    * a re-delivered micro-batch's fingerprints are already in history,
+    * so nothing new commits (the empty write links existing partitions
+    * through) and the call returns the same kept set the original
+    * delivery did — no separate exactly-once marker needed
+    * (IncrementalDedupSpec proves both properties). */
+  def sink(store: ModelStore, layer: String, name: String,
+      keyCol: String = "content_fp", orderCol: String = "doc_id")(
+      batch: DataFrame, batchId: Long): Unit =
+    applyBatch(batch.sparkSession, store, layer, name, batch, batchId,
+      keyCol, orderCol): Unit
+
   // ------------------------------------------- driver-checkable query
   // Documents arrive as three doc_id-range batches (the driver-side
   // loop is batch-arrival orchestration, as in q58); the surviving

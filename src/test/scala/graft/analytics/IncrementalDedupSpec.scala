@@ -107,6 +107,47 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(v2Files.exists(_.contains("ingest_batch=1")))
   }
 
+  test("a replayed batch is idempotent (natural exactly-once)") {
+    val st = store()
+    val first = keptIds(IncrementalDedup.applyBatch(spark, st, "d",
+      "fps", docs(1L -> "one", 2L -> "two"), 0L))
+    val replay = IncrementalDedup.applyBatch(spark, st, "d", "fps",
+      docs(1L -> "one", 2L -> "two"), 0L)
+    // the replay commits nothing new and returns the SAME kept set as
+    // the original delivery (its rows live in the ingest_batch=0
+    // partition the replay's empty write carried over)
+    assert(keptIds(replay) === first)
+    assert(keptIds(st.read(spark, "d", "fps").get) === Set(1L, 2L))
+  }
+
+  test("sink: stream-fed state equals one-shot dedup across horizons") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val st = store()
+    val input = MemoryStream[(Long, String)]
+    val query = input.toDS().toDF("doc_id", "text")
+      .select(col("doc_id"),
+        md5(TextOps.normalized(col("text"))).as("content_fp"))
+      .writeStream
+      .foreachBatch(IncrementalDedup.sink(st, "d", "fps") _)
+      .option("checkpointLocation", Files
+        .createTempDirectory("graft-incdedup-ckpt").toString)
+      .start()
+    try {
+      input.addData(1L -> "alpha", 2L -> "beta", 3L -> "ALPHA")
+      query.processAllAvailable()
+      // a duplicate arriving arbitrarily later (no watermark bound)
+      input.addData(4L -> "alpha ", 5L -> "gamma")
+      query.processAllAvailable()
+    } finally query.stop()
+    val state = st.read(spark, "d", "fps").get
+    val oneShot = docs(1L -> "alpha", 2L -> "beta", 3L -> "ALPHA",
+      4L -> "alpha ", 5L -> "gamma")
+      .groupBy("content_fp").agg(min("doc_id").as("doc_id"))
+    assert(keptIds(state) === keptIds(oneShot))
+    assert(keptIds(state) === Set(1L, 2L, 5L))
+  }
+
   private def filesUnder(dir: String): Set[String] = {
     val base = new java.io.File(dir)
     def walk(f: java.io.File): Seq[java.io.File] =
