@@ -149,11 +149,11 @@ object IncrementalDedup {
       keyCol, orderCol): Unit
 
   // ------------------------------------------- driver-checkable query
-  // Documents arrive as three doc_id-range batches (the driver-side
-  // loop is batch-arrival orchestration, as in q58); the surviving
-  // corpus must equal the one-shot first-copy dedup over everything —
-  // exactly what the oracle computes, with each survivor tagged by the
-  // batch that introduced it.
+  // Documents arrive as two doc_id-range batches (the driver-side
+  // loop is batch-arrival orchestration, as in q58; the spec proves
+  // longer chains); the surviving corpus must equal the one-shot
+  // first-copy dedup over everything — exactly what the oracle
+  // computes, with each survivor tagged by the batch introducing it.
   val qIncrementalDedup: Q = Q(
     "q86_incremental_dedup",
     """WITH mx AS (SELECT max(doc_id) AS m FROM documents),
@@ -161,8 +161,7 @@ object IncrementalDedup {
       |  SELECT doc_id,
       |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
       |      AS content_fp,
-      |    CASE WHEN doc_id <= m // 3 THEN 0
-      |         WHEN doc_id <= (2 * m) // 3 THEN 1 ELSE 2 END AS bid
+      |    CASE WHEN doc_id <= m // 2 THEN 0 ELSE 1 END AS bid
       |  FROM documents CROSS JOIN mx),
       |keep AS (SELECT content_fp, min(doc_id) AS doc_id FROM fp
       |  GROUP BY 1)
@@ -175,14 +174,10 @@ object IncrementalDedup {
     val docs = Tables.load(s, d, "documents")
       .select(col("doc_id"),
         md5(TextOps.normalized(col("text"))).as("content_fp"))
-    // sanctioned scalar (as q58's year list): the batch boundaries
+    // sanctioned scalar (as q58's year list): the batch boundary
     val maxId = docs.agg(max("doc_id")).head().getLong(0)
-    val b1 = maxId / 3
-    val b2 = (2 * maxId) / 3
-    val bounds = Seq(
-      col("doc_id") <= b1,
-      col("doc_id") > b1 && col("doc_id") <= b2,
-      col("doc_id") > b2)
+    val b1 = maxId / 2
+    val bounds = Seq(col("doc_id") <= b1, col("doc_id") > b1)
     bounds.zipWithIndex.foreach { case (pred, i) =>
       applyBatch(s, store, "dedup", "doc_fps", docs.filter(pred),
         i.toLong): Unit
