@@ -89,4 +89,69 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("incremental dedup over random batch splits == one-shot") {
+    val rnd = new Random(46)
+    for (trial <- 1 to 3) {
+      // texts drawn from a small pool force cross-batch duplicates
+      val pool = Vector.fill(8)(
+        List.fill(4)(rnd.alphanumeric.take(5).mkString).mkString(" "))
+      val nDocs = 30 + rnd.nextInt(40)
+      val docs = (1L to nDocs.toLong)
+        .map(i => i -> pool(rnd.nextInt(pool.size)))
+      // random contiguous split in arrival (id) order
+      val nBatches = 2 + rnd.nextInt(3)
+      val cutsRaw = List.fill(nBatches - 1)(rnd.nextInt(nDocs)).sorted
+      val chunks = (0 :: cutsRaw).zip(cutsRaw :+ nDocs)
+        .map { case (a, b) => docs.slice(a, b) }
+      val store = new graft.io.ModelStore(java.nio.file.Files
+        .createTempDirectory(s"graft-prop-dedup$trial").toString)
+      chunks.zipWithIndex.filter(_._1.nonEmpty).foreach {
+        case (chunk, i) =>
+          graft.analytics.IncrementalDedup.applyBatch(spark, store,
+            "d", "fps",
+            chunk.toDF("doc_id", "text").select(col("doc_id"),
+              md5(graft.analytics.TextOps.normalized(col("text")))
+                .as("content_fp")),
+            i.toLong): Unit
+      }
+      val got = store.read(spark, "d", "fps").get
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      // JVM reference: first copy per normalized text
+      val want = docs
+        .groupBy(_._2.trim.toLowerCase.replaceAll("\\s+", " "))
+        .values.map(_.map(_._1).min).toSet
+      assert(got == want, s"trial $trial")
+    }
+  }
+
+  test("rebalance audit == JVM md5-threshold reference on random shares") {
+    val rnd = new Random(47)
+    val langs = Vector("aa", "bb", "cc", "dd")
+    for (trial <- 1 to 4) {
+      val docs = (1L to (80 + rnd.nextInt(120)).toLong)
+        .map(i => i -> langs(rnd.nextInt(langs.size)))
+      // random integer shares summing to 100
+      val cuts = List.fill(langs.size - 1)(rnd.nextInt(101)).sorted
+      val parts = (0 :: cuts).zip(cuts :+ 100).map { case (a, b) => b - a }
+      val shares = langs.zip(parts.map(_.toLong)).toMap
+      val df = docs.toDF("doc_id", "lang")
+      val kept = graft.analytics.Curation.rebalance(df, shares)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      // independent JVM reference of the whole threshold pipeline
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def md5hex(s: String): String =
+        md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val counts = docs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val total = docs.size.toLong
+      val want = docs.filter { case (id, lang) =>
+        val n = counts(lang)
+        val target = total * shares(lang) / 100
+        val rate = math.min(256L, target * 256 / n)
+        rate >= 256 ||
+          md5hex(s"bal-$id").substring(0, 2) < "%02x".format(rate)
+      }.map(_._1).toSet
+      assert(kept == want, s"trial $trial shares=$shares")
+    }
+  }
 }
