@@ -1,7 +1,8 @@
 package graft.io
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{assert_true, col, count, lit}
 
 /** Delta-MERGE emulation for environments without Delta jars
   * (SURVEY.md §2.1 S3/S6): the reference materializes every model with
@@ -21,9 +22,34 @@ object MergeWriter {
 
   /** Upsert `updates` into `existing` on `key`; output schema follows
     * `updates` (sync_all_columns: new columns appear null-backfilled,
-    * removed columns are dropped, changed types follow the update). */
-  def merge(existing: DataFrame, updates: DataFrame, key: String)
-      : DataFrame = {
+    * removed columns are dropped, changed types follow the update).
+    *
+    * Delta's MERGE raises when one target row matches multiple source
+    * rows; `checkUniqueKeys` (default on) enforces the same contract —
+    * duplicate keys in `updates` fail the job instead of silently
+    * breaking the one-row-per-key SCD-1 invariant. The check is an
+    * inline window count on the updates side (no extra job, no
+    * recomputation of the updates plan); callers that already reduce
+    * to one winner per key (e.g. `CdcStream.scd1Sink` via
+    * `CdcDedup.latestByKey`) may pass false to skip the window. */
+  def merge(existing: DataFrame, updates: DataFrame, key: String,
+      checkUniqueKeys: Boolean = true): DataFrame = {
+    val checked =
+      if (!checkUniqueKeys) updates
+      else {
+        val perKey = count(lit(1)).over(Window.partitionBy(col(key)))
+        updates
+          .withColumn("__merge_dup_chk", assert_true(perKey <= 1,
+            lit(s"duplicate merge key '$key' in updates batch " +
+              "(MERGE requires one source row per target key)")))
+          .filter(col("__merge_dup_chk").isNull)
+          .drop("__merge_dup_chk")
+      }
+    mergeUnique(existing, checked, key)
+  }
+
+  private def mergeUnique(existing: DataFrame, updates: DataFrame,
+      key: String): DataFrame = {
     val kept = existing.join(updates.select(key), Seq(key), "left_anti")
     val target = updates.schema
     val keptSynced = kept.unionByName(updates.limit(0),

@@ -128,7 +128,11 @@ object CdcStream {
       Seq(col("cdcTimestamp").desc, col("ingestedAt").desc))
     val updates = winners.filter(col("op") =!= "DELETE")
     val merged = store.read(spark, layer, name) match {
-      case Some(existing) => MergeWriter.merge(existing, updates, "key")
+      case Some(existing) =>
+        // checkUniqueKeys=false: latestByKey above already guarantees
+        // one winner per key, skip the redundant window.
+        MergeWriter.merge(existing, updates, "key",
+          checkUniqueKeys = false)
       case None => updates
     }
     store.write(merged, layer, name)

@@ -37,6 +37,19 @@ class MergeWriterSpec extends AnyFunSuite {
     assert(byK("b").getBoolean(2))
   }
 
+  test("duplicate merge keys in one batch fail fast (Delta contract)") {
+    val existing = Seq(("a", 1)).toDF("k", "v")
+    val updates = Seq(("b", 20), ("b", 21)).toDF("k", "v")
+    val ex = intercept[Exception] {
+      MergeWriter.merge(existing, updates, "k").collect()
+    }
+    assert(ex.getMessage.contains("duplicate merge key"))
+    // opt-out for callers that pre-dedup: no failure, both rows land
+    val unchecked = MergeWriter.merge(existing, updates, "k",
+      checkUniqueKeys = false)
+    assert(unchecked.count() == 3)
+  }
+
   test("type sync: existing column cast to the updates' type") {
     val existing = Seq(("a", 1)).toDF("k", "v")
     val updates = Seq(("b", 2L)).toDF("k", "v")
