@@ -181,6 +181,14 @@ object Pipeline {
       ref: String => DataFrame,
       vars: Map[String, String],
       meta: Map[String, String] = Map.empty): Unit = {
+    // Phase timings to stderr (diagnostics; stdout stays Bench-clean).
+    def timed[T](phase: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      System.err.println(f"[pipeline-io] ${m.layer}.${m.name} $phase " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
     val existing =
       if (mode == RunMode.Incremental) store.read(spark, m.layer, m.name)
       else None
@@ -218,7 +226,9 @@ object Pipeline {
         val u = updates.persist()
         try {
           val parts = m.partitionBy.map(c => functions.col(c))
-          val touched = u.select(parts: _*).distinct().collect()
+          val touched = timed("touched-discovery") {
+            u.select(parts: _*).distinct().collect()
+          }
           val pred = touched.map(r =>
               m.partitionBy.zipWithIndex.map { case (c, i) =>
                 functions.col(c) === functions.lit(r.get(i))
@@ -226,21 +236,29 @@ object Pipeline {
             .reduceOption(_ || _)
             .getOrElse(functions.lit(false))
           val merged = MergeWriter.merge(ex.filter(pred), u, key)
-          store.writeTouchedPartitions(merged, m.layer, m.name,
-            m.partitionBy, m.zorderBy, description = m.description,
-            meta = meta)
+          timed("pruned-merge-write") {
+            store.writeTouchedPartitions(merged, m.layer, m.name,
+              m.partitionBy, m.zorderBy, description = m.description,
+              meta = meta)
+          }
         } finally u.unpersist()
       case (Some(ex), Some(key)) =>
-        store.write(MergeWriter.merge(ex, updates, key), m.layer, m.name,
-          m.partitionBy, m.zorderBy, description = m.description,
-          meta = meta)
+        timed("merge-write") {
+          store.write(MergeWriter.merge(ex, updates, key), m.layer, m.name,
+            m.partitionBy, m.zorderBy, description = m.description,
+            meta = meta)
+        }
       case (Some(ex), None) =>
-        store.write(ex.unionByName(updates, allowMissingColumns = true),
-          m.layer, m.name, m.partitionBy, m.zorderBy,
-          description = m.description, meta = meta)
+        timed("append-write") {
+          store.write(ex.unionByName(updates, allowMissingColumns = true),
+            m.layer, m.name, m.partitionBy, m.zorderBy,
+            description = m.description, meta = meta)
+        }
       case _ =>
-        store.write(updates, m.layer, m.name, m.partitionBy, m.zorderBy,
-          description = m.description, meta = meta)
+        timed("bootstrap-write") {
+          store.write(updates, m.layer, m.name, m.partitionBy, m.zorderBy,
+            description = m.description, meta = meta)
+        }
     }
     // O6: post-hooks run against the materialized table (the dbt
     // post_hook analog; ZORDER itself is folded into the write above)

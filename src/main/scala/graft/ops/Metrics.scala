@@ -36,12 +36,18 @@ object Metrics {
       col("o_orderstatus").isin("O", "F", "P") &&
       col("o_totalprice") > 0)
 
+    // COUNT(DISTINCT o_orderkey …) computed as COUNT(…): o_orderkey is
+    // the orders table's primary key (one row per order), so the two
+    // are equal — and dropping the distincts removes a 3-way Expand of
+    // the scan (multiple distinct aggregates replicate every input
+    // row). m_active_months stays a true distinct; a single distinct
+    // aggregate plans without Expand.
     val cent = Exact.cents(col("o_totalprice"))
     val metrics = valid.groupBy("o_custkey").agg(
-      countDistinct(col("o_orderkey")).as("m_orders"),
+      count(col("o_orderkey")).as("m_orders"),
       Exact.dec2(sum(cent)).as("m_value"),
       Exact.dec2(Exact.halfUpDiv(sum(cent), count(lit(1)))).as("m_avg"),
-      countDistinct(when(col("o_orderstatus") === "F", col("o_orderkey")))
+      count(when(col("o_orderstatus") === "F", col("o_orderkey")))
         .as("m_completed"),
       Exact.dec2(sum(when(col("o_orderstatus") === "F", cent).otherwise(0L)))
         .as("m_completed_rev"),

@@ -326,6 +326,16 @@ final class ReferenceModels(clock: Clock) {
           "is_address_complete", "first_seen_at", "last_updated_at")
 
       // customer_order_metrics (:33–60)
+      // The reference counts DISTINCT order_ids throughout; here every
+      // COUNT(DISTINCT order_id [CASE…]) is computed as COUNT(…):
+      // orders_cleaned is merge-materialized on uniqueKey=order_id
+      // (one row per order, enforced — MergeWriter fails on duplicate
+      // merge keys), so the two are provably equal, and dropping the
+      // distincts removes a 7-way Expand of the whole orders scan from
+      // the plan (six distinct aggregates would each replicate every
+      // input row). `active_months` stays a true distinct (months are
+      // not unique per row) — a single distinct aggregate plans
+      // without Expand.
       val recent = col("order_date") >= date_sub(today, 90)
       val om = ctx.ref("orders_cleaned")
         .filter(col("customer_id").isNotNull &&
@@ -333,27 +343,27 @@ final class ReferenceModels(clock: Clock) {
           col("is_valid_order") === true)
         .groupBy("customer_id")
         .agg(
-          countDistinct(col("order_id")).as("lifetime_orders"),
+          count(col("order_id")).as("lifetime_orders"),
           sum("net_revenue").as("lifetime_value"),
           avg("net_revenue").as("average_order_value"),
           max("order_date").as("last_order_date"),
           min("order_date").as("first_order_date"),
-          countDistinct(when(col("order_status") === "DELIVERED",
+          count(when(col("order_status") === "DELIVERED",
             col("order_id"))).as("completed_orders"),
-          countDistinct(when(col("order_status") === "CANCELLED",
+          count(when(col("order_status") === "CANCELLED",
             col("order_id"))).as("cancelled_orders"),
           sum(when(col("order_status") === "DELIVERED", col("net_revenue"))
             .otherwise(0)).as("delivered_revenue"),
           countDistinct(date_trunc("month", col("order_date")))
             .as("active_months"),
-          countDistinct(when(recent, col("order_id")))
+          count(when(recent, col("order_id")))
             .as("orders_last_90_days"),
           sum(when(recent, col("net_revenue")).otherwise(0))
             .as("revenue_last_90_days"),
           datediff(today, to_date(max(col("order_date"))))
             .as("days_since_last_order"),
           // shadowed CTE columns kept for fidelity (:52–53)
-          countDistinct(col("order_id")).as("cte_frequency_score"),
+          count(col("order_id")).as("cte_frequency_score"),
           avg("net_revenue").as("cte_monetary_score"))
 
       // geographic_mapping (:63–73) — redundant self-join, kept
