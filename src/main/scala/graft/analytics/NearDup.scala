@@ -54,6 +54,41 @@ object NearDup {
     * bounds candidate-pair fan-out, same role as LSH banding. */
   val MaxDf = 50
 
+  /** Pair intersection counts over a df-capped inverted index, WITHOUT
+    * the classic index self-join: `groupBy(s)` collects each shingle's
+    * complete doc list into a [[graft.functions.BoundedSetAgg]] buffer
+    * (map-side capped at maxDf+1, overflowed stop-shingles dropped),
+    * then in-group pairs explode from the sorted list — one shuffle of
+    * the index instead of three (window df-count + both self-join
+    * sides) and no index-sized join hash table. Returns
+    * `(a_id, b_id, n_inter)` with `a_id < b_id`, and the per-doc
+    * kept-shingle sizes `(id, n)` — both over the SAME capped index
+    * the self-join form used, so results are identical.
+    */
+  private[analytics] def invertedPairCounts(sh: DataFrame, id: String,
+      maxDf: Int = MaxDf): (DataFrame, DataFrame) = {
+    val boundedSet = udaf(new graft.functions.BoundedSetAgg(maxDf),
+      org.apache.spark.sql.Encoders.scalaLong)
+    // persist: feeds pair explosion AND per-doc sizes
+    val lists = sh.groupBy("s").agg(boundedSet(col(id)).as("docs"))
+      .filter(size(col("docs")) <= maxDf)
+      .select("docs")
+      .persist()
+    val pairs = lists
+      .filter(size(col("docs")) >= 2)
+      .select(posexplode(col("docs")).as(Seq("i", "a_id")), col("docs"))
+      // docs is ascending (BoundedSetAgg.finish sorts), so every
+      // (element i, element j>i) pair already satisfies a_id < b_id
+      .select(col("a_id"), explode(
+        slice(col("docs"), col("i") + lit(2), size(col("docs"))))
+        .as("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_inter"))
+    val sizes = lists.select(explode(col("docs")).as(id))
+      .groupBy(id).agg(count(lit(1)).as("n"))
+    (pairs, sizes)
+  }
+
   private def T(s: SparkSession, d: String, n: String): DataFrame =
     Tables.load(s, d, n)
 
@@ -87,23 +122,7 @@ object NearDup {
       |WHERE p.n_inter * 10000 >= (sa.n + sb.n - p.n_inter) * 5000
       |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
     val sh = shingleIndex(T(s, d, "documents"), "doc_id", col("text"))
-    // df-cap via window (one shuffle, no extra join), then persist: the
-    // filtered inverted index is read by BOTH sides of the candidate
-    // self-join and by the per-doc sizes — without persist the whole
-    // shingle explosion is recomputed three times.
-    val shf = sh
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("s")))
-      .filter(col("df") <= MaxDf)
-      .select("doc_id", "s")
-      .persist()
-    val sizes = shf.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = shf.as("a")
-    val b = shf.as("b")
-    val pairs = a
-      .join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("n_inter"))
+    val (pairs, sizes) = invertedPairCounts(sh, "doc_id")
     // per-doc sizes are |docs| rows — broadcast both lookup sides
     val sa = broadcast(sizes.as("sa"))
     val sb = broadcast(sizes.as("sb"))
@@ -301,9 +320,14 @@ object NearDup {
     * the per-round convergence check is one count over the label table.
     */
   def clusterPairs(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
-    // undirected edge list, both directions
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    // undirected edge list, both directions — ONE pass over the pair
+    // plan (a union of two selects would compute the whole upstream
+    // candidate-generation plan once per branch)
+    val edges = pairs.select(explode(array(
+        struct(col("a_id").as("src"), col("b_id").as("dst")),
+        struct(col("b_id").as("src"), col("a_id").as("dst"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
     val nodes = edges.select(col("src").as("doc_id")).distinct()
     // localCheckpoint, NOT persist: every round reads the previous
@@ -357,19 +381,9 @@ object NearDup {
     * exact Jaccard ≥ `threshold`), clustered, smallest doc_id kept. */
   def dedupCorpus(docs: DataFrame, id: String, text: Column,
       threshold: Double = 0.5): DataFrame = {
-    val sh = shingleIndex(docs, id, text)
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("s")))
-      .filter(col("df") <= MaxDf)
-      .select(col(id), col("s"))
-      .persist()
-    val sizes = sh.groupBy(id).agg(count(lit(1)).as("n"))
-    val a = sh.as("a")
-    val b = sh.as("b")
-    val pairs = a
-      .join(b, col("a.s") === col("b.s") && col(s"a.$id") < col(s"b.$id"))
-      .groupBy(col(s"a.$id").as("a_id"), col(s"b.$id").as("b_id"))
-      .agg(count(lit(1)).as("n_inter"))
+    val (inter, sizes) =
+      invertedPairCounts(shingleIndex(docs, id, text), id)
+    val pairs = inter
       .join(broadcast(sizes.select(col(id).as("a_id"), col("n").as("na"))),
         Seq("a_id"))
       .join(broadcast(sizes.select(col(id).as("b_id"), col("n").as("nb"))),

@@ -12,7 +12,7 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names: Set[String] =
       if (args.length > 1) args(1).split(",").toSet else Set.empty
-    val spark = SparkSession.builder()
+    val spark = graft.SparkTuning(SparkSession.builder())
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

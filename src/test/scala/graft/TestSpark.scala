@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
   * expensive; ScalaTest suites run sequentially in one JVM). */
 object TestSpark {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
+    val s = graft.SparkTuning(SparkSession.builder())
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
