@@ -50,6 +50,23 @@ class InvertedPairSpec extends AnyFunSuite {
     }
   }
 
+  test("plan discipline: one index aggregation, no index self-join") {
+    val sh = (1L to 100L).flatMap(id =>
+      Seq("a", "b", "c").map(s => (id, s + (id % 7)))).toDF("doc_id", "s")
+    val (pairs, _) = NearDup.invertedPairCounts(sh, "doc_id", 10)
+    val plan = pairs.queryExecution.executedPlan.toString
+    // bounded-set collection runs as a (partial-capable) object
+    // aggregate on the shingle key…
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected ObjectHashAggregate in:\n$plan")
+    // …and pair generation is an in-group explode — the index is never
+    // joined against itself
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("BroadcastHashJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      s"expected no join operator in:\n$plan")
+  }
+
   test("a_id < b_id and no self-pairs") {
     val sh = Seq((3L, "x"), (1L, "x"), (2L, "x")).toDF("doc_id", "s")
     val (pairs, _) = NearDup.invertedPairCounts(sh, "doc_id", 10)
