@@ -37,6 +37,11 @@ object Compress {
     val textIdx = docs.schema.fieldIndex("text")
     docs.mapPartitions { rows =>
       val deflater = new Deflater(Level, /*nowrap=*/ true)
+      // Release native zlib buffers deterministically at task end
+      // rather than waiting for finalization (a long bench run would
+      // otherwise accumulate native memory across hundreds of tasks).
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => deflater.end()))
       val buf = new Array[Byte](1 << 16)
       rows.map { r =>
         val bytes = r.getString(textIdx)

@@ -127,7 +127,10 @@ object Multimodal {
           new java.io.ByteArrayInputStream(item.payload))
         try {
           val fmt = ais.getFormat
-          if (fmt.getSampleSizeInBits != 16) None
+          // Frame size may be AudioSystem.NOT_SPECIFIED (-1): guard it,
+          // else `frames += read / -1` drives the budget counter
+          // negative and the 64k-frame cap never fires.
+          if (fmt.getSampleSizeInBits != 16 || fmt.getFrameSize <= 0) None
           else {
             val bytesPerFrame = fmt.getFrameSize
             val big = fmt.isBigEndian
@@ -156,7 +159,7 @@ object Multimodal {
               else math.sqrt(sumSq / nSamples) / 32768.0
             Some(AudioFeatures(item.doc_id, item.source, item.n_bytes,
               decoded = true, fmt.getSampleRate.toInt, fmt.getChannels,
-              ais.getFrameLength, rms, 0L))
+              math.max(ais.getFrameLength, 0L), rms, 0L))
           }
         } finally ais.close()
       } catch { case _: Exception => None }

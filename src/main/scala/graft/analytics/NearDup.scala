@@ -65,8 +65,12 @@ object NearDup {
     * kept-shingle sizes `(id, n)` — both over the SAME capped index
     * the self-join form used, so results are identical.
     */
+  /** Third element releases the internal posting-list cache — call it
+    * once pairs/sizes are fully consumed (eager composers like
+    * [[dedupCorpus]] do; lazy query entries leave it to the
+    * harness-level cache clear). */
   private[analytics] def invertedPairCounts(sh: DataFrame, id: String,
-      maxDf: Int = MaxDf): (DataFrame, DataFrame) = {
+      maxDf: Int = MaxDf): (DataFrame, DataFrame, () => Unit) = {
     val boundedSet = udaf(new graft.functions.BoundedSetAgg(maxDf),
       org.apache.spark.sql.Encoders.scalaLong)
     // persist: feeds pair explosion AND per-doc sizes
@@ -86,7 +90,7 @@ object NearDup {
       .agg(count(lit(1)).as("n_inter"))
     val sizes = lists.select(explode(col("docs")).as(id))
       .groupBy(id).agg(count(lit(1)).as("n"))
-    (pairs, sizes)
+    (pairs, sizes, () => { lists.unpersist(); () })
   }
 
   private def T(s: SparkSession, d: String, n: String): DataFrame =
@@ -122,7 +126,7 @@ object NearDup {
       |WHERE p.n_inter * 10000 >= (sa.n + sb.n - p.n_inter) * 5000
       |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
     val sh = shingleIndex(T(s, d, "documents"), "doc_id", col("text"))
-    val (pairs, sizes) = invertedPairCounts(sh, "doc_id")
+    val (pairs, sizes, _) = invertedPairCounts(sh, "doc_id")
     // per-doc sizes are |docs| rows — broadcast both lookup sides
     val sa = broadcast(sizes.as("sa"))
     val sb = broadcast(sizes.as("sb"))
@@ -381,7 +385,7 @@ object NearDup {
     * exact Jaccard ≥ `threshold`), clustered, smallest doc_id kept. */
   def dedupCorpus(docs: DataFrame, id: String, text: Column,
       threshold: Double = 0.5): DataFrame = {
-    val (inter, sizes) =
+    val (inter, sizes, releaseLists) =
       invertedPairCounts(shingleIndex(docs, id, text), id)
     val pairs = inter
       .join(broadcast(sizes.select(col(id).as("a_id"), col("n").as("na"))),
@@ -398,7 +402,10 @@ object NearDup {
         collect_list(col(id)).as("ids"))
       .select(col("a_id"), explode(col("ids")).as("b_id"))
       .filter(col("a_id") < col("b_id"))
+    // clusterPairs is eager (per-round counts) and returns a
+    // checkpoint leaf, so the posting-list cache is dead afterwards.
     val clustered = clusterPairs(pairs.unionByName(exactPairs))
+    releaseLists()
     docs.select(col(id))
       .join(clustered, Seq(id), "left")
       .select(col(id), coalesce(col("keep_id"), col(id)).as("keep_id"))

@@ -359,8 +359,11 @@ object VectorOps {
         >= threshold)
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
       .distinct()
+    // clusterPairs is eager and returns a checkpoint leaf — the
+    // banded-signature cache is no longer referenced afterwards.
     val clustered = NearDup.clusterPairs(verified)
       .withColumnRenamed("doc_id", "vec_id")
+    base.unpersist()
     emb.select(col("vec_id"))
       .join(clustered, Seq("vec_id"), "left")
       .select(col("vec_id"),

@@ -65,8 +65,11 @@ object ZOrder {
     }.toMap
     val aggCols = cols.flatMap(n => Seq(min(asLong(n)), max(asLong(n))))
     val bounds = df.agg(aggCols.head, aggCols.tail: _*).head()
+    // Empty input / all-NULL column → NULL min/max; degrade to the
+    // lo==hi no-op rank rather than NPE on getLong.
     val keys = cols.zipWithIndex.map { case (n, i) =>
-      rank16(asLong(n), bounds.getLong(2 * i), bounds.getLong(2 * i + 1))
+      if (bounds.isNullAt(2 * i) || bounds.isNullAt(2 * i + 1)) lit(0L)
+      else rank16(asLong(n), bounds.getLong(2 * i), bounds.getLong(2 * i + 1))
     }
     df.withColumn("__z", zValue(keys))
       .repartitionByRange(col("__z"))

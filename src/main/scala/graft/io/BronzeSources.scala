@@ -122,14 +122,17 @@ object BronzeSources {
       .csv(path)
 
   /** Split a PERMISSIVE read into (clean rows sans corrupt column,
-    * quarantined raw records) — the ingest-side dead-letter fork.
-    * The parsed batch is cached first: Spark (correctly) refuses
+    * quarantined raw records, release) — the ingest-side dead-letter
+    * fork. The parsed batch is cached first: Spark (correctly) refuses
     * corrupt-column-only queries straight off raw files, and the fork
-    * reads the parse result twice anyway. */
-  def quarantine(df: DataFrame): (DataFrame, DataFrame) = {
+    * reads the parse result twice anyway. Call `release()` once both
+    * frames are consumed — the cache handle is internal, so without
+    * it a long-lived ingest session would accumulate one unreachable
+    * cached parse per batch. */
+  def quarantine(df: DataFrame): (DataFrame, DataFrame, () => Unit) = {
     val parsed = df.cache()
     val clean = parsed.filter(col(CorruptCol).isNull).drop(CorruptCol)
     val bad = parsed.filter(col(CorruptCol).isNotNull).select(CorruptCol)
-    (clean, bad)
+    (clean, bad, () => { parsed.unpersist(); () })
   }
 }

@@ -229,9 +229,12 @@ object Pipeline {
           val touched = timed("touched-discovery") {
             u.select(parts: _*).distinct().collect()
           }
+          // <=> (null-safe): a NULL partition value must still select
+          // its existing rows — `=== lit(null)` is never true, which
+          // would drop the whole NULL partition from the merge.
           val pred = touched.map(r =>
               m.partitionBy.zipWithIndex.map { case (c, i) =>
-                functions.col(c) === functions.lit(r.get(i))
+                functions.col(c) <=> functions.lit(r.get(i))
               }.reduce(_ && _))
             .reduceOption(_ || _)
             .getOrElse(functions.lit(false))

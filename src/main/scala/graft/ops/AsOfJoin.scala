@@ -37,29 +37,37 @@ object AsOfJoin {
       payload: Seq[String]): DataFrame = {
     val t = "__asof_t"
     val side = "__asof_side"
+    val pack = "__asof_payload"
     val leftCols = left.columns.toSeq
     require(leftCols.intersect(payload).isEmpty,
       s"payload ${payload.mkString(",")} collides with left columns")
 
+    // The payload rides as ONE struct per right row, so `last(_,
+    // ignoreNulls)` carries whole rows: a NULL field inside the matched
+    // right row stays NULL instead of being backfilled per-column from
+    // an older row (which would fabricate a row that never existed).
+    val packType = org.apache.spark.sql.types.StructType(
+      payload.map(p => right.schema(p).copy(name = p)))
     val lTagged = left.select(
       leftCols.map(col) ++
-        Seq(col(leftTime).as(t), lit(1).as(side)) ++
-        payload.map(p => lit(null).cast(right.schema(p).dataType).as(p)): _*)
+        Seq(col(leftTime).as(t), lit(1).as(side),
+          lit(null).cast(packType).as(pack)): _*)
     // Right rows sort BEFORE left rows at the same instant (side 0 < 1)
     // so an exactly-equal timestamp is visible to the left row.
     val rTagged = right.select(
       leftCols.map(c =>
         if (c == key) col(key)
         else lit(null).cast(left.schema(c).dataType).as(c)) ++
-        Seq(col(rightTime).as(t), lit(0).as(side)) ++
-        payload.map(col): _*)
+        Seq(col(rightTime).as(t), lit(0).as(side),
+          struct(payload.map(col): _*).as(pack)): _*)
 
     val w = Window.partitionBy(key).orderBy(col(t).asc, col(side).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lTagged.unionByName(rTagged)
-      .select(leftCols.map(col) ++ Seq(col(side)) ++
-        payload.map(p => last(col(p), ignoreNulls = true).over(w).as(p)): _*)
+      .select(leftCols.map(col) ++ Seq(col(side),
+        last(col(pack), ignoreNulls = true).over(w).as(pack)): _*)
       .filter(col(side) === 1)
-      .drop(side)
+      .select(leftCols.map(col) ++
+        payload.map(p => col(s"$pack.$p").as(p)): _*)
   }
 }

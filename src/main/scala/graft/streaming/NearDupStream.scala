@@ -47,7 +47,7 @@ object NearDupStream {
 
   /** Per-band stateful verify: flag arrivals within Hamming ≤
     * [[NearDup.MaxHamming]] of a signature seen inside the horizon. */
-  private def verifyBand(
+  private[streaming] def verifyBand(
       band: Long, rows: Iterator[SigDoc],
       state: GroupState[BandState]): Iterator[Flagged] = {
     if (state.hasTimedOut) {
@@ -63,7 +63,12 @@ object NearDupStream {
           val hit = sigs.find(e =>
             java.lang.Long.bitCount(e.sig ^ r.simhash) <=
               NearDup.MaxHamming)
-          if (hit.isEmpty && sigs.size < NearDup.MaxBucket)
+          // Flagged docs ALSO enter state (their signature differs
+          // from the anchor's by up to MaxHamming bits): a later doc
+          // near the dup but not the anchor — a transitive chain
+          // A~B~C with hamming(A,C) > MaxHamming — is then still
+          // flagged, matching batch clusterPairs transitivity.
+          if (sigs.size < NearDup.MaxBucket)
             sigs = SigEntry(r.docId, r.simhash,
               r.ingestTs.getTime) :: sigs
           Flagged(r.docId, r.ingestTs, r.simhash,

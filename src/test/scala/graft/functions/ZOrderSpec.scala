@@ -31,6 +31,15 @@ class ZOrderSpec extends AnyFunSuite {
     assert(ranks(0) == 0L && ranks(2) > ranks(1) && ranks(1) > ranks(0))
   }
 
+  test("cluster degrades to a no-op on empty input and all-NULL cols") {
+    // Empty incremental batches reach cluster() via partitioned
+    // writes; min/max come back NULL and must not NPE.
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(ZOrder.cluster(empty, Seq("a", "b")).count() == 0L)
+    val allNull = Seq((Option.empty[Long], 1L), (None, 2L)).toDF("a", "b")
+    assert(ZOrder.cluster(allNull, Seq("a")).count() == 2L)
+  }
+
   test("z-clustering bounds per-file spans in BOTH dimensions") {
     // uniform 128×128 grid; chunk the clustered order into 16 files
     val grid = (0 until 128).flatMap(x => (0 until 128).map(y =>

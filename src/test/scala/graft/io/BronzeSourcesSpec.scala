@@ -34,7 +34,7 @@ class BronzeSourcesSpec extends AnyFunSuite {
       (BronzeSources.customersCdc.fieldNames :+
         BronzeSources.CorruptCol).toSet)
 
-    val (clean, bad) = BronzeSources.quarantine(df)
+    val (clean, bad, release) = BronzeSources.quarantine(df)
     val rows = clean.collect()
     assert(rows.length == 1)
     val r = rows.head
@@ -46,6 +46,7 @@ class BronzeSourcesSpec extends AnyFunSuite {
     assert(r.getAs[String]("phone") == null)
     // the poison line is quarantined verbatim, not dropped
     assert(bad.collect().map(_.getString(0)).toSeq == Seq(poison))
+    release()
   }
 
   test("readCsv: headered CSV with declared types (positional)") {
@@ -58,7 +59,7 @@ class BronzeSourcesSpec extends AnyFunSuite {
     val path = write(Seq(
       fields.mkString(","),
       fields.map(f => values.getOrElse(f, "")).mkString(",")), ".csv")
-    val (clean, bad) = BronzeSources.quarantine(
+    val (clean, bad, release) = BronzeSources.quarantine(
       BronzeSources.readCsv(spark, "customers_cdc", path))
     val r = clean.collect().head
     assert(r.getAs[String]("customer_id") == "C2")
@@ -66,5 +67,6 @@ class BronzeSourcesSpec extends AnyFunSuite {
     assert(r.getAs[java.sql.Timestamp]("_cdc_timestamp") ==
       java.sql.Timestamp.valueOf("2024-03-15 11:00:00"))
     assert(bad.isEmpty)
+    release()
   }
 }

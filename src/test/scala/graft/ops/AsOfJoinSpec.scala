@@ -60,6 +60,21 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
   }
 
+  test("NULL payload field in the matched row stays NULL (no torn rows)") {
+    // Right rows: (t=1, v=5, w=x) then (t=2, v=NULL, w=y). A left row
+    // at t=3 matches t=2 — its v must be NULL, not backfilled from
+    // t=1 (per-column carry would fabricate a (5, y) row that never
+    // existed; DuckDB ASOF JOIN returns the t=2 row verbatim).
+    val left = Seq((1L, ts(3), "probe")).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, ts(1), Some(5L), "x"),
+      (1L, ts(2), None: Option[Long], "y"))
+      .toDF("k", "rt", "v", "w")
+    val out = AsOfJoin.asOf(left, right, "k", "t", "rt", Seq("v", "w"))
+      .select("v", "w").as[(Option[Long], String)].collect().toSeq
+    assert(out == Seq((None, "y")))
+  }
+
   test("one shuffle on the key: no range-join or cartesian in the plan") {
     val left = Seq((1L, ts(1), "x")).toDF("k", "t", "tag")
     val right = Seq((1L, ts(1), 1L)).toDF("k", "rt", "v")

@@ -256,6 +256,38 @@ class PipelineSpec extends AnyFunSuite {
       .contains("Latest customer snapshot (SCD Type-1) from CDC feed"))
   }
 
+  test("pruned merge keeps existing rows of a NULL-valued partition") {
+    // A NULL partition value must select its existing rows with a
+    // null-safe compare: `=== lit(null)` is never true, which would
+    // silently drop every untouched row of the NULL partition.
+    import spark.implicits._
+    val store = new ModelStore(
+      Files.createTempDirectory("graft-nullpart").toString)
+    def model(df: DataFrame) = graft.model.ModelDef(
+      name = "t", layer = "silver", uniqueKey = Some("k"),
+      partitionBy = Seq("p"), build = _ => df)
+    val noSrc = (_: String, _: String) => fail("no sources")
+    val noRef = (_: String) => fail("no refs")
+    val boot = Seq(
+      ("k1", Option.empty[String], 1L),
+      ("k3", Option.empty[String], 3L),
+      ("k2", Option("a"), 2L)).toDF("k", "p", "v")
+    Pipeline.materializeModel(spark, store, model(boot),
+      RunMode.Bootstrap, noSrc, noRef, Map.empty)
+    // incremental batch updates ONLY k1, still in the NULL partition
+    val upd = Seq(("k1", Option.empty[String], 10L)).toDF("k", "p", "v")
+    Pipeline.materializeModel(spark, store, model(upd),
+      RunMode.Incremental, noSrc, noRef, Map.empty)
+    val out = store.read(spark, "silver", "t").get.collect()
+      .map(r => r.getAs[String]("k") ->
+        ((Option(r.getAs[String]("p")), r.getAs[Long]("v"))))
+      .toMap
+    assert(out == Map(
+      "k1" -> ((None, 10L)),   // merged
+      "k3" -> ((None, 3L)),    // untouched row of the NULL partition
+      "k2" -> ((Some("a"), 2L))))
+  }
+
   test("tag selection runs only the selected subtree") {
     val (p, store) = newPipeline(Map(
       "customers_cdc" -> CdcFixtures.customersBatch1(),

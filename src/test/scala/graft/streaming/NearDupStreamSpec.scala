@@ -83,4 +83,35 @@ class NearDupStreamSpec extends AnyFunSuite {
         s"doc2 flag ${rows(2L)} vs sameBand=$sameBand close=$close")
     } finally query.stop()
   }
+
+  test("transitive chain A~B~C flags C even when hamming(A,C) > max") {
+    // Crafted signatures in one band (low 16 bits equal): B differs
+    // from A by 3 high bits, C from B by 3 MORE high bits —
+    // hamming(A,C) = 6 > MaxHamming. Batch clusterPairs merges the
+    // chain via the A-B and B-C edges; the stream matches it because
+    // flagged docs also enter band state.
+    import org.apache.spark.sql.streaming.TestGroupState
+    val A = 0L
+    val B = A ^ (7L << 16)             // 3 bits
+    val C = B ^ (7L << 32)             // 3 more bits
+    assert(java.lang.Long.bitCount(A ^ C) > NearDup.MaxHamming)
+    val t0 = Timestamp.valueOf("2024-03-15 10:00:00").getTime
+    val rows = Iterator(
+      NearDupStream.SigDoc(1L, new Timestamp(t0), A, 0L),
+      NearDupStream.SigDoc(2L, new Timestamp(t0 + 1000), B, 0L),
+      NearDupStream.SigDoc(3L, new Timestamp(t0 + 2000), C, 0L))
+    val state = TestGroupState.create[NearDupStream.BandState](
+      optionalState =
+        org.apache.spark.api.java.Optional.empty[NearDupStream.BandState](),
+      timeoutConf =
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout(),
+      batchProcessingTimeMs = t0, eventTimeWatermarkMs =
+        org.apache.spark.api.java.Optional.of(java.lang.Long.valueOf(0L)),
+      hasTimedOut = false)
+    val out = NearDupStream.verifyBand(0L, rows, state).toSeq
+      .map(f => f.docId -> ((f.isNearDup, f.dupOf))).toMap
+    assert(out(1L) == ((false, -1L)))
+    assert(out(2L) == ((true, 1L)))
+    assert(out(3L) == ((true, 2L)), "chain end must match via B's sig")
+  }
 }
