@@ -277,6 +277,32 @@ object VectorOps {
     centroids
   }
 
+  /** IVF probe width: queries search their `NumProbes` nearest cells,
+    * not just their own. A true neighbor straddling a cell boundary
+    * lands in a runner-up cell — multi-probe is the standard recall
+    * lever, costing ~nprobe/K of the corpus per query (still far from
+    * the brute-force |corpus|). */
+  val NumProbes = 3
+
+  /** (q_id, q_qv, q_n2, c_id) with `nprobe` rows per query: the
+    * query's top-`nprobe` centroid cells by quantized cosine, best
+    * first (ties to the smaller c_id). K centroids is a design
+    * constant, so the per-query ranking is a bounded collect over
+    * ≤ K broadcast rows — no shuffle wider than |queries|. */
+  def ivfProbeCells(queries: DataFrame, centroids: DataFrame,
+      nprobe: Int = NumProbes): DataFrame =
+    queries.crossJoin(broadcast(centroids))
+      .select(col("q_id"), col("q_qv"), col("q_n2"), col("c_id"),
+        cosineQ(col("q_qv"), col("c_qv"), col("q_n2"), col("c_n2"))
+          .as("c_cos"))
+      .groupBy("q_id")
+      .agg(first("q_qv").as("q_qv"), first("q_n2").as("q_n2"),
+        slice(array_sort(collect_list(
+          struct((-col("c_cos")).as("neg_cos"), col("c_id")))),
+          1, nprobe).as("cells"))
+      .select(col("q_id"), col("q_qv"), col("q_n2"),
+        explode(col("cells.c_id")).as("c_id"))
+
   /** (vec_id, qv, n2, c_id): nearest-centroid assignment by max
     * quantized cosine, ties to the smallest centroid id. Arg-max as a
     * max_by aggregate (map-side partial) rather than a window sort. */
@@ -292,13 +318,16 @@ object VectorOps {
 
   val qAnnIvf: Q = Q.noOracle("q32_ann_ivf") { (s, d) =>
     val base = withQuant(T(s, d, "embeddings")).persist()
-    val assigned =
-      ivfAssign(base, kmeansCentroids(base).persist()).persist()
-    val q = assigned.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
-        col("n2").as("q_n2"), col("c_id"))
+    val cents = kmeansCentroids(base).persist()
+    val assigned = ivfAssign(base, cents).persist()
+    // multi-probe: each query searches its NumProbes nearest cells
+    val q = ivfProbeCells(
+      assigned.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+          col("n2").as("q_n2")),
+      cents)
     topKRanked(
-      assigned.join(broadcast(q), Seq("c_id"))   // probe own cell only
+      assigned.join(broadcast(q), Seq("c_id"))
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"),
           cosineQ(col("q_qv"), col("qv"), col("q_n2"), col("n2"))

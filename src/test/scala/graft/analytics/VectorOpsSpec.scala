@@ -59,6 +59,33 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(assigned(40L) == assigned(25L))
   }
 
+  test("IVF multi-probe: nprobe ranked cells per query, own cell first") {
+    val vs = (0L until 40L).map { s =>
+      (s, (0 until 64).map(i => (math.sin(i * 13 + s * 7) / 3).toFloat))
+    }
+    val df = vs.toDF("vec_id", "embedding")
+    val base = df.select(col("vec_id"),
+        VectorOps.quantize(col("embedding")).as("qv"))
+      .withColumn("n2", VectorOps.norm2Q(col("qv")))
+    val cents = VectorOps.kmeansCentroids(base)
+    val nCells = cents.count().toInt
+    val own = VectorOps.ivfAssign(base, cents).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("c_id")).toMap
+    val queries = base.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+        col("n2").as("q_n2"))
+    val probes = VectorOps.ivfProbeCells(queries, cents, nprobe = 3)
+      .collect().map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("c_id"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    probes.foreach { case (q, cells) =>
+      assert(cells.length == math.min(3, nCells))
+      assert(cells.distinct.length == cells.length, s"dup cells for $q")
+      // best probe must agree with the single-cell assignment
+      // (same score, same smaller-id tie-break)
+      assert(cells.head == own(q), s"query $q first probe ${cells.head}")
+    }
+  }
+
   test("embeddingDedupCorpus: planted near-dup cluster collapses; " +
       "recall matches the exact verifier") {
     // three scaled copies of vec 5 (cos = 1 to each other) planted at
