@@ -36,13 +36,16 @@ class AsOfJoinSpec extends AnyFunSuite {
       (3L, "e", None))) // rt=11 is in the future
   }
 
-  test("agrees with a brute-force join on random data") {
+  test("agrees with a brute-force join on random data (incl. NULLs)") {
     val rnd = new scala.util.Random(7)
     val left = Seq.tabulate(400)(i =>
       (rnd.nextInt(20).toLong, ts(rnd.nextInt(1000).toLong), i.toLong))
       .toDF("k", "t", "row_id")
     val right = Seq.tabulate(150)(i =>
-      (rnd.nextInt(20).toLong, ts(rnd.nextInt(1000).toLong), i.toLong))
+      (rnd.nextInt(20).toLong, ts(rnd.nextInt(1000).toLong),
+        // ~1/4 NULL payload values: the matched row's NULL must
+        // survive verbatim, never backfilled from an older row
+        if (rnd.nextInt(4) == 0) None else Some(i.toLong)))
       .toDF("k", "rt", "rv")
       // enforce the one-row-per-(key,time) contract
       .groupBy("k", "rt").agg(max("rv").as("rv"))
@@ -50,7 +53,8 @@ class AsOfJoinSpec extends AnyFunSuite {
     val got = AsOfJoin.asOf(left, right, "k", "t", "rt", Seq("rt", "rv"))
       .select("row_id", "rt", "rv")
 
-    // brute force: all at-or-before candidates, keep max rt per left row
+    // brute force: all at-or-before candidates, keep max rt per left
+    // row (struct max is by rt first; rv rides along untouched)
     val expect = left.join(right.withColumnRenamed("k", "rk"),
         col("k") === col("rk") && col("rt") <= col("t"), "left")
       .groupBy("row_id", "k", "t")
