@@ -214,19 +214,37 @@ object VectorOps {
       .orderBy("q_id", "rnk")
   }
 
+  /** Banded OR-construction for ANN candidate generation: `bands`
+    * independent hyperplane sets, a candidate on ANY shared bucket.
+    * A single bucket function misses a true neighbor that straddles
+    * one of its planes; with p = P[same bucket], banding lifts recall
+    * to 1-(1-p)^bands (the same construction the embedding-dedup
+    * path uses). Cost: the corpus explodes ×bands into the bucket
+    * join, and multi-band hits dedup through one candidate-bounded
+    * (q_id, vec_id) aggregate before top-k. */
+  def lshBands(emb: DataFrame, dims: Int, bands: Int): DataFrame =
+    emb.select(col("vec_id"), quantize(col("embedding")).as("qv"),
+        explode(array((0 until bands).map(bd =>
+          struct(lit(bd).as("band_idx"),
+            lshBucket(col("embedding"), dims, seed = bd).as("bucket"))): _*))
+          .as("band"))
+      .select(col("vec_id"), col("qv"), norm2Q(col("qv")).as("n2"),
+        col("band.band_idx").as("band_idx"), col("band.bucket").as("bucket"))
+
   val qAnnLshBuckets: Q = Q.noOracle("q30_ann_lsh") { (s, d) =>
-    val base = T(s, d, "embeddings")
-      .select(col("vec_id"), quantize(col("embedding")).as("qv"),
-        lshBucket(col("embedding"), 64).as("bucket"))
-      .withColumn("n2", norm2Q(col("qv")))
+    val base = lshBands(T(s, d, "embeddings"), 64, DedupBands)
     topKRanked(
       base.join(broadcast(base.filter(col("vec_id") < NumQueries)
           .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
-            col("n2").as("q_n2"), col("bucket"))), Seq("bucket"))
+            col("n2").as("q_n2"), col("band_idx"), col("bucket"))),
+          Seq("band_idx", "bucket"))
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"),
           cosineQ(col("q_qv"), col("qv"), col("q_n2"), col("n2"))
-            .as("cos_sim")))
+            .as("cos_sim"))
+        // a pair hitting in m bands appears m times; top-k must rank
+        // each neighbor once
+        .groupBy("q_id", "vec_id").agg(max("cos_sim").as("cos_sim")))
   }
 
   // ----------------------------------------------- IVF-style ANN (scale)

@@ -59,6 +59,30 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(assigned(40L) == assigned(25L))
   }
 
+  test("banded LSH candidates contain the single-bucket candidates") {
+    // band 0 uses seed 0 — the original single-bucket function — so
+    // the OR-construction's candidate set is a strict superset by
+    // construction; this pins that the explode/join keeps it so.
+    val vs = (0L until 200L).map { s =>
+      (s, (0 until 64).map(i =>
+        (math.sin(i * 31 + s * 17) / 2).toFloat))
+    }
+    val df = vs.toDF("vec_id", "embedding")
+    val banded = VectorOps.lshBands(df, 64, 4)
+    def candidates(b: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+      val q = b.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("q_id"), col("band_idx"), col("bucket"))
+      b.join(q, Seq("band_idx", "bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select("q_id", "vec_id").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val multi = candidates(banded)
+    val single = candidates(banded.filter(col("band_idx") === 0))
+    assert(single.subsetOf(multi))
+    assert(multi.size >= single.size)
+  }
+
   test("IVF multi-probe: nprobe ranked cells per query, own cell first") {
     val vs = (0L until 40L).map { s =>
       (s, (0 until 64).map(i => (math.sin(i * 13 + s * 7) / 3).toFloat))
