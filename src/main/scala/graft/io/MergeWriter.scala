@@ -50,7 +50,15 @@ object MergeWriter {
 
   private def mergeUnique(existing: DataFrame, updates: DataFrame,
       key: String): DataFrame = {
-    val kept = existing.join(updates.select(key), Seq(key), "left_anti")
+    // Null-safe (<=>) anti-join: a NULL-key update must REPLACE the
+    // stored NULL-key row. Plain equality never matches NULL, so a
+    // malformed-envelope row with a null key would append once per
+    // incremental run — N duplicate null-key rows after N runs, and
+    // the per-batch uniqueness check above can't see it (it only
+    // counts within one batch). EqualNullSafe still hash-joins.
+    val kept = existing.join(
+      updates.select(col(key).as("__merge_k")),
+      col(key) <=> col("__merge_k"), "left_anti")
     val target = updates.schema
     val keptSynced = kept.unionByName(updates.limit(0),
       allowMissingColumns = true)   // null-backfill new columns

@@ -104,7 +104,8 @@ final class ModelStore(root: String) {
   def writeTouchedPartitions(df: DataFrame, layer: String, name: String,
       partitionBy: Seq[String], zorderBy: Seq[String] = Nil,
       description: String = "",
-      meta: Map[String, String] = Map.empty): Unit = {
+      meta: Map[String, String] = Map.empty,
+      touched: Option[DataFrame] = None): Unit = {
     require(partitionBy.nonEmpty, "writeTouchedPartitions needs partitions")
     val spark = df.sparkSession
     val cur = currentVersion(spark, layer, name)
@@ -114,7 +115,30 @@ final class ModelStore(root: String) {
     if (cur > 0) {
       val fs = fsFor(spark, dest)
       val src = new Path(versionDir(layer, name, cur))
-      val fresh = partitionRelPaths(fs, dest, partitionBy.length).toSet
+      // A partition counts as rewritten if the fresh write produced a
+      // dir for it OR the caller declared it touched via `touched` (a
+      // DataFrame of partition-value rows). The latter covers the
+      // emptied-partition case: a backfill whose rebuild yields ZERO
+      // rows for a selected partition writes no dir, and without the
+      // explicit set the stale dir would be carried over — deleted
+      // data silently resurrected. The declared rows are rendered to
+      // relative paths by Spark's own partitioned writer (a one-row
+      // marker write), so value escaping / NULL encoding always match
+      // the real layout.
+      val freshWritten = partitionRelPaths(fs, dest, partitionBy.length)
+        .toSet
+      val fresh = touched match {
+        case None => freshWritten
+        case Some(t) =>
+          val tmp = new Path(dest.toString + ".touched")
+          t.select(partitionBy.map(col): _*).distinct()
+            .withColumn("__m", org.apache.spark.sql.functions.lit(1))
+            .write.mode("overwrite").partitionBy(partitionBy: _*)
+            .parquet(tmp.toString)
+          val rels = partitionRelPaths(fs, tmp, partitionBy.length).toSet
+          fs.delete(tmp, true)
+          freshWritten ++ rels
+      }
       partitionRelPaths(fs, src, partitionBy.length)
         .filterNot(fresh)
         .foreach(rel => linkOrCopyDir(fs,
@@ -240,6 +264,24 @@ final class ModelStore(root: String) {
     metaAll.foreach { case (k, v) =>
       val out = fs.create(new Path(dest, s"_meta_$k"), true)
       try out.write(v.getBytes("UTF-8")) finally out.close()
+    }
+    // Carry prior-version metadata forward (Delta table-properties
+    // semantics: a property persists until overwritten). Without this,
+    // any batch write — compact(), a backfill — on a streaming-fed
+    // table would erase the stream_batch_id/stream_query_id
+    // exactly-once markers, and a crashed stream's replayed batch
+    // would then apply twice instead of being skipped.
+    if (next > 1) {
+      val prev = new Path(versionDir(layer, name, next - 1))
+      if (fs.exists(prev))
+        fs.listStatus(prev).toSeq
+          .filter(s => s.isFile && s.getPath.getName.startsWith("_meta_"))
+          .foreach { s =>
+            val k = s.getPath.getName.stripPrefix("_meta_")
+            if (!metaAll.contains(k))
+              org.apache.hadoop.fs.FileUtil.copy(fs, s.getPath, fs,
+                new Path(dest, s.getPath.getName), false, fs.getConf): Unit
+          }
     }
 
     // commit: write-temp + atomic OVERWRITE rename over the pointer —

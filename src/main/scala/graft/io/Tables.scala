@@ -33,12 +33,27 @@ object Tables {
       // Gate the conversion on the ACTUAL column type, not the table
       // name: a re-written events table (e.g. a ScaleUp-amplified dir)
       // already carries proper µs timestamps and must load as-is.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The conf is session-wide, so scope the flip: set it, inspect
+      // the actual schema, and RESTORE it when this file doesn't carry
+      // nanos — otherwise every later parquet read in the session
+      // would silently surface unrelated TIMESTAMP(NANOS) columns as
+      // LongType instead of failing loudly. When the file IS nanos,
+      // the conf must stay set for the lifetime of the returned plan
+      // (scan tasks re-read footers under the session conf) — the
+      // narrow, genuinely required case.
+      val confKey = "spark.sql.legacy.parquet.nanosAsLong"
+      val prior = spark.conf.getOption(confKey)
+      spark.conf.set(confKey, "true")
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
       df.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
           df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-        case _ => df
+        case _ =>
+          prior match {
+            case Some(v) => spark.conf.set(confKey, v)
+            case None => spark.conf.unset(confKey)
+          }
+          df
       }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")

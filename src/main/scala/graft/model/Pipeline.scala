@@ -123,7 +123,9 @@ final class Pipeline(
     * partitions carry over by link — [[graft.io.ModelStore
     * .writeTouchedPartitions]]). Full-refresh correctness at
     * O(selected partitions) write cost; readers see a complete table
-    * at every moment (pointer commit).
+    * at every moment (pointer commit). A selected partition whose
+    * rebuild yields no rows is emptied (upstream purge honored), not
+    * carried over.
     *
     * Contract: `partitionPred` must be a predicate over the model's
     * partition columns only (a row-level predicate would write partial
@@ -145,8 +147,18 @@ final class Pipeline(
     val ctx = BuildCtx(spark = spark, source = sources, ref = ref,
       existing = None, mode = RunMode.Bootstrap, vars = vars)
     val rebuilt = m.build(ctx).filter(partitionPred)
+    // Declare every EXISTING partition matching the predicate as
+    // touched, not just those the rebuild produced rows for: a
+    // selected partition whose rebuild is empty (upstream purged the
+    // month) must be dropped from the new version, not carried over —
+    // otherwise the purge silently fails. A partition-pruned,
+    // column-pruned distinct over the partition columns only.
+    val existingTouched = store.read(spark, m.layer, m.name).get
+      .filter(partitionPred)
+      .select(m.partitionBy.map(functions.col): _*).distinct()
     store.writeTouchedPartitions(rebuilt, m.layer, m.name,
-      m.partitionBy, m.zorderBy, description = m.description)
+      m.partitionBy, m.zorderBy, description = m.description,
+      touched = Some(existingTouched))
     store.vacuum(spark, m.layer, m.name, keepLast = retainVersions)
     store.read(spark, m.layer, m.name).get
   }

@@ -126,7 +126,11 @@ object CdcStream {
     val batch = batchDs.toDF()
     val winners = graft.ops.CdcDedup.latestByKey(batch, Seq("key"),
       Seq(col("cdcTimestamp").desc, col("ingestedAt").desc))
-    val updates = winners.filter(col("op") =!= "DELETE")
+    // Null-safe: `op =!= "DELETE"` is NULL for a NULL op, and filter
+    // drops NULL — a malformed envelope whose winner has op=null would
+    // silently lose that key's latest version. Only a literal DELETE
+    // excludes the winner.
+    val updates = winners.filter(!(col("op") <=> "DELETE"))
     val merged = store.read(spark, layer, name) match {
       case Some(existing) =>
         // checkUniqueKeys=false: latestByKey above already guarantees
@@ -136,5 +140,11 @@ object CdcStream {
       case None => updates
     }
     store.write(merged, layer, name)
+    // Retention per batch (as QualityStream.gatedSink and
+    // StreamingPipeline.modelSink do): each trigger commits a full new
+    // version — without a vacuum a long-running stream grows storage
+    // as O(batches × table size). ≥2 keeps the just-superseded version
+    // readable for in-flight readers.
+    store.vacuum(spark, layer, name, keepLast = 2)
   }
 }

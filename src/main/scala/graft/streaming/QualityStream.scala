@@ -46,8 +46,34 @@ object QualityStream {
       store: ModelStore, layer: String, name: String,
       rows: DataFrame): Unit = {
     if (!rows.isEmpty) {
-      store.writeTouchedPartitions(rows, layer, name,
-        partitionBy = Seq("stream_batch_id"))
+      // The linked append is only sound against a table already laid
+      // out as stream_batch_id= partitions with the same columns
+      // (ModelStore.hasPartitionLayout's contract) — against a
+      // pre-existing unpartitioned or schema-drifted table it would
+      // carry nothing over and the next vacuum would delete the
+      // original data permanently. Those cases fall back to one full
+      // rewrite (union, null-backfilled columns), which also migrates
+      // the table to the partitioned layout so later batches take the
+      // O(batch) path.
+      // The batch-id partition column is excluded from the schema
+      // comparison: its type round-trips lossily through directory-
+      // name inference (written long, read back int), and comparing
+      // it would push every batch onto the full-rewrite path.
+      def sig(df: DataFrame) = df.schema.fields
+        .filter(_.name != "stream_batch_id")
+        .map(f => f.name -> f.dataType).toSet
+      val compatible = store.currentVersion(spark, layer, name) == 0 ||
+        (store.hasPartitionLayout(spark, layer, name,
+          Seq("stream_batch_id")) &&
+          store.read(spark, layer, name).exists(ex => sig(ex) == sig(rows)))
+      if (compatible)
+        store.writeTouchedPartitions(rows, layer, name,
+          partitionBy = Seq("stream_batch_id"))
+      else {
+        val ex = store.read(spark, layer, name).get
+        store.write(ex.unionByName(rows, allowMissingColumns = true),
+          layer, name, partitionBy = Seq("stream_batch_id"))
+      }
       store.vacuum(spark, layer, name, keepLast = 2)
     }
   }

@@ -42,10 +42,13 @@ object StreamingPipeline {
     * @param refs resolves the model's `ref()` dependencies (e.g. stored
     *        silver tables)
     * @param queryId stable identity of the feeding streaming query —
-    *        use the checkpoint location (and pass a NEW id after
-    *        deleting a checkpoint, since its batch ids restart at 0).
-    *        Batch-id comparisons only apply within one queryId; a
-    *        mismatched marker raises instead of skipping. */
+    *        use the checkpoint location. Batch-id replay detection
+    *        only applies within one queryId; ANY foreign queryId
+    *        raises (behind-marker or ahead — an ahead writer silently
+    *        taking over the table and its marker is the same
+    *        split-brain, just detected later). To hand a table to a
+    *        new query deliberately (e.g. after deleting a checkpoint),
+    *        call [[adopt]] first. */
   def modelSink(store: ModelStore, model: ModelDef, sourceName: String,
       refs: String => DataFrame = n =>
         sys.error(s"unresolved ref('$n') in streaming context"),
@@ -58,14 +61,18 @@ object StreamingPipeline {
     val storedBatch = store.meta(spark, model.layer, model.name, BatchKey)
       .map(_.toLong)
     val sameQuery = storedQuery.forall(_ == queryId)
-    if (!sameQuery && storedBatch.exists(_ >= batchId))
+    if (!sameQuery) {
+      val kind =
+        if (storedBatch.exists(_ >= batchId)) "behind-marker" else "ahead"
       sys.error(
         s"${model.layer}.${model.name} was last written by streaming " +
-          s"query '${storedQuery.get}' at batch ${storedBatch.get}; " +
-          s"refusing behind-marker batch $batchId from '$queryId' — a " +
-          "reset checkpoint must pass a fresh queryId, a second writer " +
-          "must target its own table")
-    val replay = sameQuery && storedBatch.exists(_ >= batchId)
+          s"query '${storedQuery.get}' at batch " +
+          s"${storedBatch.getOrElse(-1L)}; " +
+          s"refusing $kind batch $batchId from '$queryId' — a second " +
+          "writer must target its own table; to hand this table to a " +
+          "new query, call StreamingPipeline.adopt first")
+    }
+    val replay = storedBatch.exists(_ >= batchId)
     if (!replay) {
       Pipeline.materializeModel(spark, store, model, RunMode.Incremental,
         sources = (_, name) =>
@@ -79,5 +86,21 @@ object StreamingPipeline {
       store.vacuum(spark, model.layer, model.name,
         keepLast = math.max(2, retainVersions))
     }
+  }
+
+  /** Explicit handover of a stream-fed table to a new query identity:
+    * re-points the stream markers at `queryId` with the batch counter
+    * reset, so the new query's batch 0 is accepted. Deliberate and
+    * loud — the alternative (a foreign writer silently adopting the
+    * table, [[modelSink]]'s raise) is split-brain. The data itself is
+    * untouched; on this store the marker change costs one version
+    * rewrite (a manifest-based store would make it a metadata-only
+    * commit). */
+  def adopt(spark: org.apache.spark.sql.SparkSession, store: ModelStore,
+      layer: String, name: String, queryId: String): Unit = {
+    val df = store.read(spark, layer, name).getOrElse(
+      sys.error(s"adopt: $layer.$name does not exist"))
+    store.write(df, layer, name, description = "",
+      meta = Map(QueryKey -> queryId, BatchKey -> "-1"))
   }
 }

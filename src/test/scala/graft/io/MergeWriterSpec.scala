@@ -50,6 +50,22 @@ class MergeWriterSpec extends AnyFunSuite {
     assert(unchecked.count() == 3)
   }
 
+  test("NULL merge key: the update REPLACES the stored NULL-key row " +
+      "instead of accumulating one copy per run") {
+    import org.apache.spark.sql.functions.col
+    val existing = Seq((Option("a"), 1), (Option.empty[String], 2))
+      .toDF("k", "v")
+    val updates = Seq((Option.empty[String], 20)).toDF("k", "v")
+    val merged = MergeWriter.merge(existing, updates, "k")
+    assert(merged.count() == 2)
+    val nullRows = merged.filter(col("k").isNull).collect()
+    assert(nullRows.length == 1 && nullRows(0).getInt(1) == 20)
+    // the accumulation bug: a second incremental run must still hold
+    // exactly one NULL-key row
+    val again = MergeWriter.merge(merged, updates, "k")
+    assert(again.filter(col("k").isNull).count() == 1)
+  }
+
   test("type sync: existing column cast to the updates' type") {
     val existing = Seq(("a", 1)).toDF("k", "v")
     val updates = Seq(("b", 2L)).toDF("k", "v")

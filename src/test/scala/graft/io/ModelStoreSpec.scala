@@ -121,6 +121,26 @@ class ModelStoreSpec extends AnyFunSuite {
     assert(store.read(spark, "silver", "t").get.count() == 4)
   }
 
+  test("metadata persists across writes until overwritten — compact " +
+      "cannot erase streaming exactly-once markers") {
+    val store = new ModelStore(
+      Files.createTempDirectory("graft-store-meta").toString)
+    store.write(Seq((1, "a")).toDF("k", "v"), "silver", "m",
+      meta = Map("stream_batch_id" -> "42", "stream_query_id" -> "q1"))
+    store.compact(spark, "silver", "m")
+    assert(store.meta(spark, "silver", "m", "stream_batch_id")
+      .contains("42"))
+    assert(store.meta(spark, "silver", "m", "stream_query_id")
+      .contains("q1"))
+    // an explicit value in a later write overrides; others persist
+    store.write(Seq((1, "b")).toDF("k", "v"), "silver", "m",
+      meta = Map("stream_batch_id" -> "43"))
+    assert(store.meta(spark, "silver", "m", "stream_batch_id")
+      .contains("43"))
+    assert(store.meta(spark, "silver", "m", "stream_query_id")
+      .contains("q1"))
+  }
+
   test("diffVersions classifies added/removed/changed, drops unchanged") {
     val store = new ModelStore(
       Files.createTempDirectory("graft-store").toString)

@@ -80,4 +80,39 @@ class BackfillSpec extends AnyFunSuite {
       p.backfill(spark, "customers_latest", lit(true))
     }
   }
+
+  test("backfill EMPTIES a selected partition whose rebuild yields no " +
+      "rows — an upstream purge must not resurrect via carry-over") {
+    val store = new ModelStore(
+      Files.createTempDirectory("graft-backfill3").toString)
+    def pipeline(orders: org.apache.spark.sql.DataFrame) =
+      new Pipeline(models.all, store,
+        (_, name) => name match {
+          case "customers_cdc" => CdcFixtures.customersBatch1()
+          case "orders_cdc" => orders
+        },
+        vars = Map("ingest_batch_date" -> "1900-01-01"))
+    pipeline(CdcFixtures.ordersBatch1()).run(spark, RunMode.Bootstrap)
+    val before = store.read(spark, "silver", "orders_cleaned").get
+    assert(before.filter(col("order_month") === 11).count() > 0)
+    val otherIds = before.filter(col("order_month") =!= 11)
+      .collect().map(r => r.getString(r.fieldIndex("order_id"))).toSet
+
+    // upstream purged the November order (O5) entirely
+    val purged = CdcFixtures.ordersBatch1()
+      .filter(col("order_id") =!= "O5")
+    val after = pipeline(purged).backfill(spark, "orders_cleaned",
+      col("order_year") === 2024 && col("order_month") === 11)
+
+    assert(after.filter(col("order_month") === 11).count() == 0)
+    assert(after.filter(col("order_month") =!= 11)
+      .collect().map(r => r.getString(r.fieldIndex("order_id")))
+      .toSet == otherIds)
+    // the partition dir itself is gone from the new version
+    val v = store.currentVersion(spark, "silver", "orders_cleaned")
+    val novDir = new java.io.File(
+      store.versionDir("silver", "orders_cleaned", v) +
+        "/order_year=2024/order_month=11")
+    assert(!novDir.exists())
+  }
 }

@@ -238,4 +238,26 @@ class CdcStreamSpec extends AnyFunSuite {
     // SCD-1 invariant: exactly one row per key
     assert(store.read(spark, "silver", "dups_t").get.count() == 1)
   }
+
+  test("scd1Sink: a NULL-op winner is still upserted (only a literal " +
+      "DELETE excludes), and version history is vacuumed per batch") {
+    val store = new ModelStore(
+      Files.createTempDirectory("graft-scd1-null").toString)
+    val sink = CdcStream.scd1Sink(spark, store, "silver", "null_t") _
+    sink(Seq(
+      ev("K1", "INSERT", "2024-03-15 10:00:00", payload = "a1")).toDS(), 0L)
+    // malformed envelope: op=null wins K1 — its update must not be
+    // silently dropped by three-valued `op =!= 'DELETE'`
+    sink(Seq(
+      ev("K1", null, "2024-03-15 11:00:00", payload = "a2")).toDS(), 1L)
+    sink(Seq(
+      ev("K2", "INSERT", "2024-03-15 11:30:00", payload = "b1")).toDS(), 2L)
+    val state = store.read(spark, "silver", "null_t").get
+      .as[CdcEvent].collect().map(e => e.key -> e.payload).toMap
+    assert(state == Map("K1" -> "a2", "K2" -> "b1"))
+    // retention: 3 committed versions, but at most 2 retained on disk
+    val vdir = new java.io.File(
+      store.versionDir("silver", "null_t", 1)).getParentFile
+    assert(vdir.listFiles().count(_.getName.startsWith("v")) <= 2)
+  }
 }

@@ -88,4 +88,26 @@ class QualityStreamSpec extends AnyFunSuite {
       assert(files(v) == files(v - 1) && files(v).nonEmpty)
     } finally query.stop()
   }
+
+  test("gatedSink onto a pre-existing UNPARTITIONED table migrates it " +
+      "instead of truncating it") {
+    val store = new ModelStore(
+      java.nio.file.Files.createTempDirectory("graft-qs-mig").toString)
+    // batch-written history: no stream_batch_id column, no partitions
+    store.write(
+      Seq((100L, Timestamp.valueOf("2024-03-01 00:00:00"),
+        "pre existing batch row")).toDF("docId", "ts", "text"),
+      "silver", "mix")
+    val sink = QualityStream.gatedSink(store, "silver", "mix", rules) _
+    sink(Seq(doc(1, "2024-03-15 10:00:00",
+      "one perfectly valid document")).toDF(), 0L)
+    sink(Seq(doc(2, "2024-03-15 10:01:00",
+      "two perfectly valid documents")).toDF(), 1L)
+    // all three survive: the old rows were unioned into the migrated
+    // layout (batch id null-backfilled), not dropped by a carry-over
+    // that found no partition dirs
+    val ids = store.read(spark, "silver", "mix").get
+      .select("docId").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(100L, 1L, 2L))
+  }
 }

@@ -81,6 +81,27 @@ class StreamingPipelineSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("refusing behind-marker batch"))
 
+    // a foreign query AHEAD of the marker must raise too — silently
+    // taking over the table and its marker is the same split-brain,
+    // just detected later (when the original query's next batch lands)
+    val e2 = intercept[RuntimeException] {
+      StreamingPipeline.modelSink(streamStore, models.customersLatest,
+        sourceName = "customers_cdc", queryId = "second-writer")(
+        CdcFixtures.customersBatch1(), 999L)
+    }
+    assert(e2.getMessage.contains("refusing ahead batch"))
+
+    // deliberate handover: adopt re-points the markers, then the new
+    // query's batch 0 is accepted
+    StreamingPipeline.adopt(spark, streamStore, "silver",
+      "customers_latest", "reset-ckpt")
+    StreamingPipeline.modelSink(streamStore, models.customersLatest,
+      sourceName = "customers_cdc", queryId = "reset-ckpt")(
+      CdcFixtures.customersBatch2(), 0L)
+    assert(streamStore.read(spark, "silver", "customers_latest")
+      .get.collect().map(_.getValuesMap[Any](Seq("customer_id", "email",
+        "city", "first_seen_at", "last_updated_at"))).toSet == expected)
+
     // retention: versions are vacuumed per batch, not accumulated
     val vdir = new java.io.File(
       streamStore.versionDir("silver", "customers_latest", 1))
