@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expressions for the vector-similarity hot path.
   *
@@ -16,11 +17,37 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
   * `doGenCode`: stays inside whole-stage codegen with zero boxing.
   * This is the SURVEY.md §7.4 "custom Expression" tier — used only
   * where built-ins genuinely can't express the op efficiently.
+  *
+  * NULL semantics match the built-in form exactly: mismatched lengths
+  * (zip_with pads with NULL → product NULL → sum NULL) and NULL
+  * elements both yield NULL, never a silently-wrong dot of a prefix —
+  * a corrupt embedding row must surface as NULL similarity, not a
+  * plausible score. The per-element null test is emitted only when the
+  * array type admits null elements, so clean primitive arrays keep the
+  * branch-free loop.
   */
 abstract class ArrayDotBase extends BinaryExpression {
   protected def elemType: DataType
   override def dataType: DataType = elemType
-  override def nullable: Boolean = left.nullable || right.nullable
+  // NULL also arises from length mismatch / null elements, not just
+  // null children — nullable unconditionally.
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(l, _), ArrayType(r, _))
+          if l == elemType && r == elemType =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"${getClass.getSimpleName} expects two array<$elemType> " +
+          s"arguments, got ${left.dataType.sql} and ${right.dataType.sql}")
+    }
+
+  private def elementsNullable: Boolean = Seq(left, right).exists(
+    _.dataType match {
+      case ArrayType(_, n) => n
+      case _ => true
+    })
 
   protected def jt: String = elemType match {
     case LongType => "long"
@@ -40,15 +67,27 @@ abstract class ArrayDotBase extends BinaryExpression {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val nullCheck =
+        if (elementsNullable)
+          s"""if ($a.isNullAt($i) || $b.isNullAt($i)) {
+             |    ${ev.isNull} = true; break;
+             |  }
+             |  """.stripMargin
+        else ""
       s"""
-        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        |$jt $acc = 0;
-        |for (int $i = 0; $i < $n; $i++) {
-        |  $acc += $a.$getter($i) * $b.$getter($i);
+        |if ($a.numElements() != $b.numElements()) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  int $n = $a.numElements();
+        |  $jt $acc = 0;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    $nullCheck$acc += $a.$getter($i) * $b.$getter($i);
+        |  }
+        |  if (!${ev.isNull}) ${ev.value} = $acc;
         |}
-        |${ev.value} = $acc;
       """.stripMargin
     })
+
 }
 
 /** Exact integer dot product over two `array<long>` columns. */
@@ -58,10 +97,15 @@ case class LongArrayDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var acc = 0L
     var i = 0
-    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
     acc
   }
   override protected def withNewChildrenInternal(l: Expression,
@@ -75,10 +119,15 @@ case class DoubleArrayDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     acc
   }
   override protected def withNewChildrenInternal(l: Expression,

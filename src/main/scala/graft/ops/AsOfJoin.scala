@@ -54,7 +54,11 @@ object AsOfJoin {
           lit(null).cast(packType).as(pack)): _*)
     // Right rows sort BEFORE left rows at the same instant (side 0 < 1)
     // so an exactly-equal timestamp is visible to the left row.
-    val rTagged = right.select(
+    // NULL-key right rows are excluded: the window's partitionBy groups
+    // NULLs together, which would hand their payload to NULL-key left
+    // rows — an equality-key match SQL (and the DuckDB ASOF oracle)
+    // never produces. NULL-key left rows keep NULL payload instead.
+    val rTagged = right.filter(col(key).isNotNull).select(
       leftCols.map(c =>
         if (c == key) col(key)
         else lit(null).cast(left.schema(c).dataType).as(c)) ++

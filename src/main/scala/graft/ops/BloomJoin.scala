@@ -72,9 +72,13 @@ object BloomJoin {
   // but the sketch broadcast is free.
   val Segment = "BUILDING"
 
+  // sideEffecting: buildSketch's .head() aggregates the full dim table
+  // at DataFrame-BUILD time — plan-only tools (Explain) must skip it.
   val qBloomSemiJoin: Q = Q(
-    "q69_bloom_semijoin",
-    s"""SELECT o_orderpriority,
+    name = "q69_bloom_semijoin",
+    sideEffecting = true,
+    oracle = Some(
+      s"""SELECT o_orderpriority,
       |  CAST(count(*) AS BIGINT) AS n_orders,
       |  ${Exact.dec2Sql("sum(" + Exact.centsSql("o_totalprice") + ")")}
       |    AS total_price
@@ -82,15 +86,16 @@ object BloomJoin {
       |WHERE o_custkey IN (SELECT c_custkey FROM customer
       |                    WHERE c_mktsegment = '$Segment')
       |GROUP BY o_orderpriority
-      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
-    val dim = Tables.load(s, d, "customer")
-      .filter(col("c_mktsegment") === Segment)
-    val fact = Tables.load(s, d, "orders")
-    semiJoin(fact, col("o_custkey"), dim, col("c_custkey"))
-      .groupBy("o_orderpriority")
-      .agg(count(lit(1)).as("n_orders"),
-        Exact.dec2(sum(Exact.cents(col("o_totalprice"))))
-          .as("total_price"))
-      .orderBy("o_orderpriority")
-  }
+      |ORDER BY o_orderpriority""".stripMargin),
+    build = { (s, d) =>
+      val dim = Tables.load(s, d, "customer")
+        .filter(col("c_mktsegment") === Segment)
+      val fact = Tables.load(s, d, "orders")
+      semiJoin(fact, col("o_custkey"), dim, col("c_custkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          Exact.dec2(sum(Exact.cents(col("o_totalprice"))))
+            .as("total_price"))
+        .orderBy("o_orderpriority")
+    })
 }

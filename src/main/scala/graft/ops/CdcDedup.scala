@@ -35,7 +35,10 @@ object CdcDedup {
       : DataFrame = {
     val latest = latestByKey(df, Seq(key),
       Seq(col("_cdc_timestamp").desc, col("_ingested_at").desc))
-    if (dropDeletes) latest.filter(col("_cdc_operation") =!= "DELETE")
+    // Null-safe: `=!=` evaluates to NULL for a NULL op and filter drops
+    // NULL — a malformed envelope winning its key would vanish from the
+    // output. Only a literal DELETE excludes the key.
+    if (dropDeletes) latest.filter(!(col("_cdc_operation") <=> "DELETE"))
     else latest
   }
 }

@@ -25,10 +25,14 @@ object Watermark {
     * the table is empty. */
   def highWatermark(df: DataFrame, tsCol: String, shiftDays: Int = 0)
       : Timestamp = {
-    val row = df.agg(max(col(tsCol))).head()
+    // String round-trip, as in newerThan below: `getTimestamp(0)` would
+    // throw ClassCastException for a TIMESTAMP_NTZ column (which
+    // surfaces as LocalDateTime) — the cast makes the scalar flavor-
+    // agnostic.
+    val row = df.agg(max(col(tsCol)).cast("string")).head()
     if (row.isNullAt(0)) DefaultWatermark
     else {
-      val ts = row.getTimestamp(0)
+      val ts = Timestamp.valueOf(row.getString(0))
       if (shiftDays == 0) ts
       else Timestamp.from(ts.toInstant.minusSeconds(shiftDays * 86400L))
     }

@@ -35,10 +35,14 @@ object Validate {
       df.filter(col(column).isNull)
         .agg(count(lit(1)).as("n_violations")))
 
-  /** Distinct key values that occur more than once. */
+  /** Distinct key values that occur more than once. NULL keys are
+    * skipped, matching the dbt `unique` test this mirrors (dbt filters
+    * `WHERE column IS NOT NULL` — NULLs are the `not_null` rule's
+    * business, as for acceptedValues below). */
   def unique(df: DataFrame, table: String, column: String): DataFrame =
     result(s"unique_${table}_$column", table, column,
-      df.groupBy(column).agg(count(lit(1)).as("n"))
+      df.filter(col(column).isNotNull)
+        .groupBy(column).agg(count(lit(1)).as("n"))
         .filter(col("n") > 1)
         .agg(count(lit(1)).as("n_violations")))
 
@@ -84,6 +88,7 @@ object Quality {
       |  SELECT 'unique_customer_c_custkey' AS rule, 'customer' AS tbl,
       |    'c_custkey' AS col,
       |    CAST((SELECT count(*) FROM (SELECT c_custkey FROM customer
+      |      WHERE c_custkey IS NOT NULL
       |      GROUP BY 1 HAVING count(*) > 1) t) AS BIGINT) AS n_violations
       |  UNION ALL
       |  SELECT 'not_null_orders_o_custkey', 'orders', 'o_custkey',
@@ -210,8 +215,8 @@ object Quality {
     "q61_outlier_bands",
     """WITH m AS (
       |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
-      |    CAST(sum(n_chars) AS BIGINT) AS s,
-      |    CAST(sum(n_chars * n_chars) AS BIGINT) AS q
+      |    CAST(sum(CAST(n_chars AS HUGEINT)) AS HUGEINT) AS s,
+      |    CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS q
       |  FROM documents GROUP BY 1)
       |SELECT d.doc_id, d.lang, d.n_chars,
       |  CASE
@@ -229,10 +234,16 @@ object Quality {
     import org.apache.spark.sql.types.DecimalType
     val D = DecimalType(38, 0)
     val docs = T(s, d, "documents")
+    // The moments themselves are summed in DECIMAL, not long: Σx² at
+    // 1e7 docs × 1e6 chars is ~1e19 > Long.MaxValue — the DECIMAL
+    // guard below would otherwise only protect arithmetic AFTER an
+    // aggregation that already overflowed (ANSI would crash the job;
+    // either way the claim "can't overflow at large n" must hold from
+    // the first addition).
     val m = docs.groupBy("lang")
       .agg(count(lit(1)).as("n"),
-        sum("n_chars").as("s"),
-        sum(col("n_chars") * col("n_chars")).as("q"))
+        sum(col("n_chars").cast(D)).as("s"),
+        sum(col("n_chars").cast(D) * col("n_chars")).as("q"))
     val dev = col("n").cast(D) * col("n_chars").cast(D) - col("s").cast(D)
     val varN2 = col("n").cast(D) * col("q").cast(D) -
       col("s").cast(D) * col("s").cast(D)

@@ -194,13 +194,11 @@ object OlapQueries {
       |FROM spine s LEFT JOIN daily dl
       |  ON s.nation = dl.nation AND s.day = dl.day
       |ORDER BY s.nation, s.day""".stripMargin) { (s, d) =>
-    val daily = T(s, d, "orders")
-      .join(T(s, d, "customer"), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(T(s, d, "nation")),
-        col("c_nationkey") === col("n_nationkey"))
-      .select(col("n_name").as("nation"),
-        col("o_orderdate").cast("date").as("day"),
-        Exact.cents(col("o_totalprice")).as("cents"))
+    // Same star/cents shape as every revenue query — via starRevenue
+    // so join hints and money conventions live in ONE place (the extra
+    // 5-row region broadcast can't drop rows: every nation has one).
+    val daily = starRevenue(s, d)
+      .select(col("n_name").as("nation"), col("day"), col("cents"))
       .filter(col("day") >= lit(java.sql.Date.valueOf("2001-06-01")) &&
         col("day") < lit(java.sql.Date.valueOf("2001-08-01")))
       .groupBy("nation", "day").agg(sum("cents").as("cents"))
@@ -326,13 +324,23 @@ object OlapQueries {
       |  GROUP BY r.r_name, n.n_name)
       |SELECT r_name, n_name, ${Exact.dec2Sql("c")} AS revenue,
       |  ${Exact.dec4Sql(Exact.halfUpDivSql(
-           "c*10000", "sum(c) OVER (PARTITION BY r_name)"))} AS share
+           "CAST(c AS HUGEINT)*10000",
+           "sum(c) OVER (PARTITION BY r_name)"))} AS share
       |FROM nr ORDER BY r_name, n_name""".stripMargin) { (s, d) =>
     val nr = starRevenue(s, d)
       .groupBy("r_name", "n_name").agg(sum("cents").as("c"))
+    // Widened to DECIMAL(38,0) before the ×10000: at the 100 TB
+    // sizing a regional cents total is ~2.5e16, so c*10000 overflows
+    // long (and 2·num inside halfUpDiv doubles it again). In DECIMAL
+    // the division inside halfUpDiv is exact decimal division, not
+    // the 2^53-bounded double round-trip; the quotient (≤ 10000)
+    // casts back to long losslessly. The oracle widens the same way
+    // (CAST(c AS HUGEINT) — DuckDB raises on BIGINT overflow rather
+    // than wrapping, so without it the oracle would crash, not drift).
+    val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
     nr.withColumn("share", Exact.dec4(Exact.halfUpDiv(
-        col("c") * 10000,
-        sum("c").over(Window.partitionBy("r_name")))))
+        col("c").cast(D38) * 10000,
+        sum(col("c").cast(D38)).over(Window.partitionBy("r_name")))))
       .select(col("r_name"), col("n_name"),
         Exact.dec2(col("c")).as("revenue"), col("share"))
       .orderBy("r_name", "n_name")

@@ -396,19 +396,24 @@ object RefQueries {
   // High-watermark incremental gate: scalar watermark collected to the
   // driver, injected as a literal predicate so Catalyst pushes it into the
   // parquet scan (reference orders_cleaned.sql:53–59).
+  // sideEffecting: highWatermark collects the scalar at BUILD time (the
+  // sanctioned driver-side collect) — plan-only tools must skip it.
   val q14WatermarkFilter: Q = Q(
-    "q14_watermark_filter",
-    """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+    name = "q14_watermark_filter",
+    sideEffecting = true,
+    oracle = Some(
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
       |FROM events
       |WHERE CAST(ts AS TIMESTAMP) >
       |  (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 7 DAY FROM events)
-      |ORDER BY event_id""".stripMargin) { (s, d) =>
-    val ev = T(s, d, "events")
-    val cutoff = graft.ops.Watermark.highWatermark(ev, "ts", shiftDays = 7)
-    ev.filter(col("ts") > lit(cutoff))
-      .select("event_id", "user_id", "ts", "event_type")
-      .orderBy("event_id")
-  }
+      |ORDER BY event_id""".stripMargin),
+    build = { (s, d) =>
+      val ev = T(s, d, "events")
+      val cutoff = graft.ops.Watermark.highWatermark(ev, "ts", shiftDays = 7)
+      ev.filter(col("ts") > lit(cutoff))
+        .select("event_id", "user_id", "ts", "event_type")
+        .orderBy("event_id")
+    })
 
   // ------------------------------------- Flagship: dim_customer rollup
   val q15Flagship: Q = Q(

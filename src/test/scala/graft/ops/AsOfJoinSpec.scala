@@ -79,6 +79,22 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out == Seq((None, "y")))
   }
 
+  test("NULL keys never match: NULL-key left rows keep NULL payload " +
+      "(SQL equality semantics, as the DuckDB ASOF oracle)") {
+    val left = Seq((Option.empty[Long], ts(10), 1L),
+        (Option(5L), ts(10), 2L))
+      .toDF("k", "t", "row_id")
+    val right = Seq((Option.empty[Long], ts(5), 100L),
+        (Option(5L), ts(5), 200L))
+      .toDF("k", "rt", "rv")
+    val got = AsOfJoin.asOf(left, right, "k", "t", "rt", Seq("rv"))
+      .collect().map(r => r.getLong(2) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    // the NULL-key left row must NOT receive the NULL-key right row's
+    // payload (window partitionBy groups NULLs; equality never matches)
+    assert(got == Map(1L -> None, 2L -> Some(200L)))
+  }
+
   test("one shuffle on the key: no range-join or cartesian in the plan") {
     val left = Seq((1L, ts(1), "x")).toDF("k", "t", "tag")
     val right = Seq((1L, ts(1), 1L)).toDF("k", "rt", "v")

@@ -12,7 +12,8 @@ class ValidateSpec extends AnyFunSuite {
     val child = Seq(
       (Some(1L), "F"), (Some(1L), "F"), // duplicate key 1
       (Some(2L), "X"), // bad status, orphan FK
-      (None, "O")) // null key
+      (None, "O"), (None, "O")) // TWO null keys: not_null's business,
+      // NOT a uniqueness violation (dbt unique filters IS NOT NULL)
       .toDF("k", "status")
     val parent = Seq(1L).toDF("pk")
 
@@ -24,8 +25,8 @@ class ValidateSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> (r.getLong(3), r.getBoolean(4)))
       .toMap
 
-    assert(report("unique_c_k") == (1L, false)) // one duplicated value
-    assert(report("not_null_c_k") == (1L, false))
+    assert(report("unique_c_k") == (1L, false)) // only key 1; NULLs exempt
+    assert(report("not_null_c_k") == (2L, false))
     assert(report("accepted_c_status") == (1L, false)) // 'X'
     assert(report("ri_c_k") == (1L, false)) // key 2 orphaned; NULL exempt
   }
