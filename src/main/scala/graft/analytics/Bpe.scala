@@ -2,7 +2,7 @@ package graft.analytics
 
 import scala.collection.mutable.ArrayBuffer
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
@@ -50,18 +50,24 @@ object Bpe {
   final case class Merge(rank: Int, left: String, right: String,
       merged: String, pair_count: Long)
 
+  /** Sentinel-wrapped character segmentation of a word column:
+    * `hi` → `··h··i··`. The doubled-separator structure above is
+    * load-bearing for merge correctness (the abab regression), so it
+    * lives in exactly one place — training, tokenize, and packing all
+    * segment through here. `split(w, '')` can emit empty edge entries;
+    * they are dropped so the structure is exactly `··c··c··…`. */
+  def charSeg(w: Column): Column =
+    concat(lit(Sep2),
+      array_join(filter(split(w, ""), x => x =!= lit("")), Sep2),
+      lit(Sep2))
+
   /** Word-frequency table of a token column: (w, wc, seg) where seg
     * is the sentinel-wrapped character segmentation `·h·i·`. */
   def wordTable(docs: DataFrame, text: String): DataFrame =
     docs.select(explode(TextOps.tokens(col(text))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("wc"))
-      // split(w, '') can emit empty edge entries — drop them before
-      // joining so the sentinel structure is exactly ·c·c·…·
-      .withColumn("seg",
-        concat(lit(Sep2),
-          array_join(expr("filter(split(w, ''), x -> x != '')"), Sep2),
-          lit(Sep2)))
+      .withColumn("seg", charSeg(col("w")))
 
   /** Train `k` merges; returns them in rank order. */
   def trainMerges(spark: SparkSession, words: DataFrame, k: Int)
@@ -133,10 +139,7 @@ object Bpe {
       .select(col("doc_id"), col("source"),
         explode(TextOps.tokens(col("text"))).as("w"))
       .filter(length(col("w")) > 0)
-      .withColumn("seg",
-        concat(lit(Sep2),
-          array_join(expr("filter(split(w, ''), x -> x != '')"), Sep2),
-          lit(Sep2)))
+      .withColumn("seg", charSeg(col("w")))
       .withColumn("n_sub", subwordCount(col("seg"), merges))
     perWord.groupBy("source")
       .agg(countDistinct("doc_id").as("n_docs"),
@@ -158,10 +161,7 @@ object Bpe {
       .select(col("doc_id"), col("source"),
         explode(TextOps.tokens(col("text"))).as("w"))
       .filter(length(col("w")) > 0)
-      .withColumn("seg",
-        concat(lit(Sep2),
-          array_join(expr("filter(split(w, ''), x -> x != '')"), Sep2),
-          lit(Sep2)))
+      .withColumn("seg", charSeg(col("w")))
       .groupBy("source", "doc_id")
       .agg(sum(subwordCount(col("seg"), merges).cast("long"))
         .as("doc_tokens"))

@@ -44,15 +44,22 @@ object Compress {
         _.addTaskCompletionListener[Unit](_ => deflater.end()))
       val buf = new Array[Byte](1 << 16)
       rows.map { r =>
-        val bytes = r.getString(textIdx)
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        deflater.reset()
-        deflater.setInput(bytes)
-        deflater.finish()
-        var total = 0L
-        while (!deflater.finished())
-          total += deflater.deflate(buf)
-        Row.fromSeq(r.toSeq :+ bytes.length.toLong :+ total)
+        // Total over nullable text, like every Catalyst text op in
+        // this tier (md5(NULL)=NULL): NULL text → NULL sizes, not an
+        // NPE that kills the task.
+        if (r.isNullAt(textIdx))
+          Row.fromSeq(r.toSeq :+ null :+ null)
+        else {
+          val bytes = r.getString(textIdx)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(bytes)
+          deflater.finish()
+          var total = 0L
+          while (!deflater.finished())
+            total += deflater.deflate(buf)
+          Row.fromSeq(r.toSeq :+ bytes.length.toLong :+ total)
+        }
       }
     }(Encoders.row(schema))
   }

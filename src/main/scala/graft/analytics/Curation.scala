@@ -428,13 +428,17 @@ object Curation {
   }
 
   /** The kept (downsampled) documents under the computed rates. */
-  def rebalance(docs: DataFrame, shares: Map[String, Long]): DataFrame = {
-    val rates = rebalanceRates(docs, shares)
+  def rebalance(docs: DataFrame, shares: Map[String, Long]): DataFrame =
+    rebalanceWith(docs, rebalanceRates(docs, shares))
+
+  /** Same, against an already-computed rates table — callers that also
+    * report the rates (q87) pass one shared instance instead of
+    * re-running the count aggregations. */
+  def rebalanceWith(docs: DataFrame, rates: DataFrame): DataFrame =
     docs.join(broadcast(rates.select("lang", "rate256", "th")), "lang")
       .filter(col("rate256") >= 256 ||
         substring(sampleKey(col("doc_id"), "bal-"), 1, 2) < col("th"))
       .drop("rate256", "th")
-  }
 
   val qRebalanceMix: Q = {
     val shareSql = "CASE lang " + TargetShares.toSeq.sortBy(_._1).map {
@@ -461,9 +465,13 @@ object Curation {
         |FROM r LEFT JOIN k ON r.lang = k.lang
         |ORDER BY r.lang""".stripMargin) { (s, d) =>
       val docs = T(s, d, "documents")
-      val kept = rebalance(docs, TargetShares)
+      // ONE rates instance feeds both the keep-filter and the report
+      // (persist: the two consumers sit in one action; without it the
+      // per-language count + total aggregations run twice)
+      val rates = rebalanceRates(docs, TargetShares).persist()
+      val kept = rebalanceWith(docs, rates)
         .groupBy("lang").agg(count(lit(1)).as("n_kept"))
-      rebalanceRates(docs, TargetShares)
+      rates
         .join(kept, Seq("lang"), "left")
         .select(col("lang"), col("n").as("n_docs"), col("target_cnt"),
           col("rate256"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))

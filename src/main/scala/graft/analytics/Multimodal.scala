@@ -35,10 +35,15 @@ object Multimodal {
     * (per-partition batch iteration, bytes → fixed-width features) is
     * exactly what a real decoder plugs into. */
   def fakeDecode(item: MediaItem): MediaFeatures = {
+    // NULL payloads (a null source column) decode as empty — every
+    // real-decoder path falls back HERE, so totality over null rests
+    // on this guard, not on each caller.
+    val payload =
+      if (item.payload == null) Array.emptyByteArray else item.payload
     var sum = 0L
     var i = 0
-    while (i < item.payload.length) {
-      sum = (sum * 31 + (item.payload(i) & 0xff)) & 0xffffffffL
+    while (i < payload.length) {
+      sum = (sum * 31 + (payload(i) & 0xff)) & 0xffffffffL
       i += 1
     }
     MediaFeatures(item.doc_id, item.source, item.n_bytes, sum,
@@ -201,7 +206,7 @@ object Multimodal {
     * standing in for an image resize / audio downsample. Keeps the
     * payload-in→payload-out shape a real codec transform has. */
   def resize(item: MediaItem, maxBytes: Int): MediaItem = {
-    if (item.payload.length <= maxBytes) item
+    if (item.payload == null || item.payload.length <= maxBytes) item
     else {
       val stride = math.ceil(item.payload.length.toDouble / maxBytes).toInt
       val out = item.payload.indices.collect {
@@ -279,36 +284,42 @@ object Multimodal {
           if (!readers.hasNext) None
           else {
             val r = readers.next()
-            r.setInput(iis)
-            val n = r.getNumImages(true)
-            if (n <= 0) None
-            else {
-              val step = math.max(1, n / maxFrames)
-              val idxs = (0 until n by step).take(maxFrames)
-              val lumas = idxs.map { i =>
-                val im = r.read(i)
-                val stepX = math.max(1, im.getWidth / 16)
-                val stepY = math.max(1, im.getHeight / 16)
-                var sum = 0L
-                var cnt = 0L
-                var y = 0
-                while (y < im.getHeight) {
-                  var x = 0
-                  while (x < im.getWidth) {
-                    val rgb = im.getRGB(x, y)
-                    sum += ((rgb >> 16 & 0xff) + (rgb >> 8 & 0xff) +
-                      (rgb & 0xff)) / 3
-                    cnt += 1
-                    x += stepX
+            // dispose in finally: the n<=0 branch and any exception in
+            // setInput/getNumImages/read would otherwise leak the
+            // reader's internal buffers until GC (ImageIO documents
+            // dispose() as required) — millions of malformed payloads
+            // would inflate executor heap pressure
+            try {
+              r.setInput(iis)
+              val n = r.getNumImages(true)
+              if (n <= 0) None
+              else {
+                val step = math.max(1, n / maxFrames)
+                val idxs = (0 until n by step).take(maxFrames)
+                val lumas = idxs.map { i =>
+                  val im = r.read(i)
+                  val stepX = math.max(1, im.getWidth / 16)
+                  val stepY = math.max(1, im.getHeight / 16)
+                  var sum = 0L
+                  var cnt = 0L
+                  var y = 0
+                  while (y < im.getHeight) {
+                    var x = 0
+                    while (x < im.getWidth) {
+                      val rgb = im.getRGB(x, y)
+                      sum += ((rgb >> 16 & 0xff) + (rgb >> 8 & 0xff) +
+                        (rgb & 0xff)) / 3
+                      cnt += 1
+                      x += stepX
+                    }
+                    y += stepY
                   }
-                  y += stepY
+                  sum.toDouble / cnt
                 }
-                sum.toDouble / cnt
+                Some(FrameFeatures(item.doc_id, item.source,
+                  decoded = true, n, idxs.size, lumas))
               }
-              r.dispose()
-              Some(FrameFeatures(item.doc_id, item.source,
-                decoded = true, n, idxs.size, lumas))
-            }
+            } finally r.dispose()
           }
         } finally iis.close()
       } catch { case _: Exception => None }
@@ -331,14 +342,16 @@ object Multimodal {
     * checksum each, standing in for video frame extraction (fixed
     * frame count per item, one feature row per item). */
   def sampleFrames(item: MediaItem, n: Int): MediaFrames = {
-    val len = item.payload.length
+    val payload =
+      if (item.payload == null) Array.emptyByteArray else item.payload
+    val len = payload.length
     val checksums = (0 until n).map { f =>
       val from = f * len / n
       val until = (f + 1) * len / n
       var sum = 0L
       var i = from
       while (i < until) {
-        sum = (sum * 31 + (item.payload(i) & 0xff)) & 0xffffffffL
+        sum = (sum * 31 + (payload(i) & 0xff)) & 0xffffffffL
         i += 1
       }
       sum

@@ -223,16 +223,27 @@ object VectorOps {
     * join, and multi-band hits dedup through one candidate-bounded
     * (q_id, vec_id) aggregate before top-k. */
   def lshBands(emb: DataFrame, dims: Int, bands: Int): DataFrame =
+    // n2 rides in the same projection as the generator: Catalyst
+    // evaluates non-generator expressions in the Generate node's child
+    // project, so the 64-element self-dot runs once per VECTOR — a
+    // post-explode select would run it once per band row (`bands`×)
     emb.select(col("vec_id"), quantize(col("embedding")).as("qv"),
+        norm2Q(quantize(col("embedding"))).as("n2"),
         explode(array((0 until bands).map(bd =>
           struct(lit(bd).as("band_idx"),
             lshBucket(col("embedding"), dims, seed = bd).as("bucket"))): _*))
           .as("band"))
-      .select(col("vec_id"), col("qv"), norm2Q(col("qv")).as("n2"),
+      .select(col("vec_id"), col("qv"), col("n2"),
         col("band.band_idx").as("band_idx"), col("band.bucket").as("bucket"))
 
   val qAnnLshBuckets: Q = Q.noOracle("q30_ann_lsh") { (s, d) =>
-    val base = lshBands(T(s, d, "embeddings"), 64, DedupBands)
+    // persist: the band index feeds BOTH sides of the bucket join —
+    // unpersisted, the broadcast query side would re-run the whole
+    // quantize+bucket pipeline (as qSimhash/qMinhashLsh already cache
+    // their indexes for the same reason)
+    // (no build-scoped unpersist: the DataFrame executes after build —
+    // the bench clears caches between queries, as for qSimhash's index)
+    val base = lshBands(T(s, d, "embeddings"), 64, DedupBands).persist()
     topKRanked(
       base.join(broadcast(base.filter(col("vec_id") < NumQueries)
           .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
@@ -382,15 +393,9 @@ object VectorOps {
     * at 20k vectors). */
   def embeddingDedupCorpus(emb: DataFrame, dims: Int,
       threshold: Double = 0.95): DataFrame = {
-    val base = emb
-      .select(col("vec_id"), quantize(col("embedding")).as("qv"),
-        explode(array((0 until DedupBands).map(bd =>
-          struct(lit(bd).as("band_idx"),
-            lshBucket(col("embedding"), dims, seed = bd).as("bucket"))): _*))
-          .as("band"))
-      .select(col("vec_id"), col("qv"), norm2Q(col("qv")).as("n2"),
-        col("band.band_idx").as("band_idx"),
-        col("band.bucket").as("bucket"))
+    // same banded index as q30 (lshBands: n2 computed pre-explode,
+    // once per vector), plus the bucket-size cap
+    val base = lshBands(emb, dims, DedupBands)
       .withColumn("bucket_n", count(lit(1)).over(
         Window.partitionBy("band_idx", "bucket")))
       .filter(col("bucket_n") <= DedupMaxBucket)
@@ -442,10 +447,17 @@ object VectorOps {
         .join(broadcast(cents), "c_id")
         .withColumn("dot", dotQ(col("qv"), col("c_qv")))
         .groupBy("c_id")
-        .agg(count(lit(1)).as("n_vectors"),
-          graft.ops.Exact.halfUpDiv(sum("dot"), count(lit(1)))
-            .as("mean_dot"),
+        .agg(count(lit(1)).as("n_vectors"), sum("dot").as("sum_dot"),
           min("dot").as("min_dot"), max("dot").as("max_dot"))
+        // halfUpDiv's contract is num ≥ 0; a cluster's net affinity
+        // can be negative, so round half AWAY FROM ZERO by sign
+        // (plain halfUpDiv on a negative sum rounds toward +∞)
+        .withColumn("mean_dot",
+          when(col("sum_dot") >= 0,
+            graft.ops.Exact.halfUpDiv(col("sum_dot"), col("n_vectors")))
+            .otherwise(-graft.ops.Exact.halfUpDiv(-col("sum_dot"),
+              col("n_vectors"))))
+        .select("c_id", "n_vectors", "mean_dot", "min_dot", "max_dot")
         .orderBy("c_id")
   }
 

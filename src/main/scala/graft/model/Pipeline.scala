@@ -223,24 +223,33 @@ object Pipeline {
               m.partitionBy) =>
         // Partition-pruned MERGE (Delta file-pruning analog, reference
         // `orders_cleaned.sql:14`): anti-join and rewrite ONLY the
-        // partitions present in `updates`; untouched partition dirs
-        // carry over by link. Contract (as for dbt insert_overwrite /
-        // pruned Delta MERGE): partition columns are stable per merge
-        // key — a key never migrates between partitions, otherwise its
-        // stale row in an untouched partition would survive. On schema
+        // touched partitions; untouched partition dirs carry over by
+        // link. Touched = partitions present in `updates` PLUS the
+        // partitions where the updates' keys CURRENTLY live — without
+        // the second set, a key whose partition value changed (e.g. a
+        // dim_customer whose country moved) would leave its stale row
+        // behind in a carried-over dir, breaking uniqueKey; a real
+        // Delta MERGE rewrites that file. The lookup is one
+        // column-pruned (key + partition columns) semi-join of the
+        // stored table against the updates' keys — broadcastable at
+        // any scale where the batch is incremental-sized, the same
+        // touched-file discovery Delta's MERGE performs. On schema
         // change (sync_all_columns) or a stored layout that doesn't
         // match the model's partitioning (hasPartitionLayout), this
         // arm is skipped and the full rewrite below re-syncs every
         // partition.
-        // persist: the build pipeline feeds BOTH the touched-partition
-        // discovery collect and the merge/write — without it the whole
-        // model (scan, dedup, joins) computes twice per incremental run
+        // persist: the build pipeline feeds the touched-partition
+        // discovery, the key-residence lookup AND the merge/write —
+        // without it the whole model computes three times per run
         val u = updates.persist()
         try {
           val parts = m.partitionBy.map(c => functions.col(c))
-          val touched = timed("touched-discovery") {
-            u.select(parts: _*).distinct().collect()
-          }
+          val residence = ex
+            .join(functions.broadcast(u.select(key)), Seq(key),
+              "left_semi")
+            .select(parts: _*)
+          val touchedDf = u.select(parts: _*).union(residence).distinct()
+          val touched = timed("touched-discovery") { touchedDf.collect() }
           // <=> (null-safe): a NULL partition value must still select
           // its existing rows — `=== lit(null)` is never true, which
           // would drop the whole NULL partition from the merge.
@@ -251,10 +260,16 @@ object Pipeline {
             .reduceOption(_ || _)
             .getOrElse(functions.lit(false))
           val merged = MergeWriter.merge(ex.filter(pred), u, key)
+          // re-materialize the already-collected tuples as the marker
+          // (instead of re-running the lookup plan for the marker write)
+          val touchedLocal = spark.createDataFrame(
+            java.util.Arrays.asList(touched: _*), touchedDf.schema)
           timed("pruned-merge-write") {
+            // the explicit touched set also covers a partition whose
+            // only row migrated away (it must be emptied, not linked)
             store.writeTouchedPartitions(merged, m.layer, m.name,
               m.partitionBy, m.zorderBy, description = m.description,
-              meta = meta)
+              meta = meta, touched = Some(touchedLocal))
           }
         } finally u.unpersist()
       case (Some(ex), Some(key)) =>

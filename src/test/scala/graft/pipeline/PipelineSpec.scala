@@ -288,6 +288,47 @@ class PipelineSpec extends AnyFunSuite {
       "k2" -> ((Some("a"), 2L))))
   }
 
+  test("pruned merge handles a key MIGRATING between partitions: the " +
+      "stale row is removed from its old partition (Delta MERGE parity)") {
+    import spark.implicits._
+    val store = new ModelStore(
+      Files.createTempDirectory("graft-migrate").toString)
+    def model(df: DataFrame) = graft.model.ModelDef(
+      name = "dim", layer = "gold", uniqueKey = Some("k"),
+      partitionBy = Seq("country"), build = _ => df)
+    val noSrc = (_: String, _: String) => fail("no sources")
+    val noRef = (_: String) => fail("no refs")
+    // X is the ONLY UK row; Y anchors an untouched partition
+    val boot = Seq(("X", "UK", 1L), ("Y", "FR", 2L), ("Z", "US", 3L))
+      .toDF("k", "country", "v")
+    Pipeline.materializeModel(spark, store, model(boot),
+      RunMode.Bootstrap, noSrc, noRef, Map.empty)
+    // X's country changes UK → US; UK is absent from the updates'
+    // partitions, so without key-residence discovery the carried-over
+    // UK dir would resurrect the stale X
+    val upd = Seq(("X", "US", 10L)).toDF("k", "country", "v")
+    Pipeline.materializeModel(spark, store, model(upd),
+      RunMode.Incremental, noSrc, noRef, Map.empty)
+    val out = store.read(spark, "gold", "dim").get.collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[String]("country"),
+        r.getAs[Long]("v"))).toSet
+    assert(out == Set(("X", "US", 10L), ("Y", "FR", 2L), ("Z", "US", 3L)))
+    // uniqueKey invariant: exactly one X
+    assert(store.read(spark, "gold", "dim").get
+      .filter(org.apache.spark.sql.functions.col("k") === "X")
+      .count() == 1)
+    // the emptied UK partition dir is gone from the new version
+    val v = store.currentVersion(spark, "gold", "dim")
+    assert(!new java.io.File(
+      store.versionDir("gold", "dim", v) + "/country=UK").exists())
+    // and the untouched FR partition carried over by link
+    val prev = store.versionDir("gold", "dim", v - 1) + "/country=FR"
+    val cur = store.versionDir("gold", "dim", v) + "/country=FR"
+    def parts(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getName).toSet
+    assert(parts(prev) == parts(cur))
+  }
+
   test("tag selection runs only the selected subtree") {
     val (p, store) = newPipeline(Map(
       "customers_cdc" -> CdcFixtures.customersBatch1(),
