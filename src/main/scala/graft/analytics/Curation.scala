@@ -479,8 +479,107 @@ object Curation {
     }
   }
 
+  // ---------------------------------------------------- PII redaction
+  // Regex masking of emails / SSN-shaped ids / phone numbers — the
+  // standard pre-training scrub. Purely scan-local (regexp_count +
+  // chained regexp_replace, whole-stage codegen), so it composes with
+  // any scan at any corpus size: no shuffle, no state. Patterns stay
+  // in the RE2 ∩ java.util.regex common subset ([0-9] classes, no
+  // lookaround, no \d or \b) so the DuckDB oracle matches char-for-
+  // char. Counts are taken on the ORIGINAL text; the redacted text
+  // applies email → id → phone in that fixed order (an SSN-shaped id
+  // must not be half-eaten by the phone pattern first). The shipped
+  // testdata is PII-free (all counts 0, text passes through) — the
+  // SPEC proves each pattern fires and masks on synthesized PII, the
+  // oracle proves the cross-engine passthrough + counting shape.
+  val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val IdPat = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+  val PhonePat = "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+  /** documents + PII counts + redacted text (scan-local). */
+  def redactPii(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_emails", regexp_count(col("text"), lit(EmailPat)))
+      .withColumn("n_ids", regexp_count(col("text"), lit(IdPat)))
+      .withColumn("n_phones", regexp_count(col("text"), lit(PhonePat)))
+      .withColumn("text_redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), EmailPat, "<EMAIL>"),
+            IdPat, "<ID>"),
+          PhonePat, "<PHONE>"))
+
+  val qPiiRedact: Q = Q(
+    "q88_pii_redact",
+    s"""SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '$EmailPat')) AS BIGINT)
+      |    AS n_emails,
+      |  CAST(len(regexp_extract_all(text, '$IdPat')) AS BIGINT)
+      |    AS n_ids,
+      |  CAST(len(regexp_extract_all(text, '$PhonePat')) AS BIGINT)
+      |    AS n_phones,
+      |  CAST(length(regexp_replace(regexp_replace(regexp_replace(
+      |    text, '$EmailPat', '<EMAIL>', 'g'),
+      |    '$IdPat', '<ID>', 'g'),
+      |    '$PhonePat', '<PHONE>', 'g')) AS BIGINT) AS redacted_len
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    redactPii(T(s, d, "documents"))
+      .select(col("doc_id"),
+        col("n_emails").cast("long").as("n_emails"),
+        col("n_ids").cast("long").as("n_ids"),
+        col("n_phones").cast("long").as("n_phones"),
+        length(col("text_redacted")).cast("long").as("redacted_len"))
+      .orderBy("doc_id")
+  }
+
+  // ----------------------------------------- within-doc repetition
+  // Duplicate word-trigram fraction per document (the Gopher-class
+  // repetition signal: boilerplate and degenerate generations repeat
+  // themselves). Scan-local: tokenize → trigram via a bounded
+  // transform over index positions → array_distinct — no explode, no
+  // shuffle; the per-doc arrays live only inside the projection, so
+  // memory is bounded by the longest document, not the corpus.
+  val qRepetition: Q = Q(
+    "q89_repetition",
+    s"""WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, greatest(len(w) - 2, 0) AS n_tri,
+      |    CASE WHEN len(w) >= 3 THEN
+      |      len(list_distinct([array_to_string(w[i:i+2], ' ')
+      |        for i in range(1, len(w) - 1)]))
+      |    ELSE 0 END AS n_distinct
+      |  FROM t)
+      |SELECT doc_id, CAST(n_tri AS BIGINT) AS n_trigrams,
+      |  CAST(n_tri - n_distinct AS BIGINT) AS n_dup,
+      |  ${Exact.dec4Sql(
+           s"CASE WHEN n_tri > 0 THEN ${Exact.halfUpDivSql(
+             "(n_tri - n_distinct)*10000", "n_tri")} ELSE 0 END")}
+      |    AS dup_ratio
+      |FROM g ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val w = split(trim(col("text")), "\\s+")
+    val tris = expr(
+      "transform(sequence(0, size(w) - 3), " +
+        "i -> concat_ws(' ', slice(w, i + 1, 3)))")
+    T(s, d, "documents")
+      .withColumn("w", w)
+      .withColumn("n_tri",
+        greatest(size(col("w")) - 2, lit(0)).cast("long"))
+      .withColumn("n_distinct",
+        when(size(col("w")) >= 3, size(array_distinct(tris)))
+          .otherwise(0).cast("long"))
+      .select(col("doc_id"), col("n_tri").as("n_trigrams"),
+        (col("n_tri") - col("n_distinct")).as("n_dup"),
+        Exact.dec4(when(col("n_tri") > 0,
+            Exact.halfUpDiv((col("n_tri") - col("n_distinct")) * 10000,
+              col("n_tri")))
+          .otherwise(0L)).as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(qHashSample, qVocabOov, qTopKPerGroup, qTfidfKeywords,
       qMixtureEpoch, qHeavyHitters, qCurationE2e, qSequencePacking,
-      qRebalanceMix)
+      qRebalanceMix, qPiiRedact, qRepetition)
 }

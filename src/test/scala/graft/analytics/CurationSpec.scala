@@ -8,6 +8,7 @@ import graft.TestSpark
 
 class CurationSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
+  import spark.implicits._
   private val Dir = "/root/testdata/sf0.001"
 
   test("hash sample is deterministic and rates land near targets") {
@@ -206,5 +207,54 @@ class CurationSpec extends AnyFunSuite {
     val ids2 = Curation.rebalance(docs, Curation.TargetShares)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids1 == ids2)
+  }
+
+  test("PII redaction fires and masks on synthesized dirty text " +
+      "(testdata is clean — counts there only prove the shape)") {
+    val dirty = Seq(
+      (1L, "mail me at jane.doe+x@corp.example.com or bob@ex.org ok"),
+      (2L, "ssn 123-45-6789 phone 555-123-4567 and +1 555-123-4567"),
+      (3L, "nothing sensitive here at all"),
+      (4L, "edge: a@b.co ends the line 987-65-4321"))
+      .toDF("doc_id", "text")
+    val out = Curation.redactPii(dirty).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def counts(id: Long) = {
+      val r = out(id)
+      (r.getAs[Int]("n_emails"), r.getAs[Int]("n_ids"),
+        r.getAs[Int]("n_phones"), r.getAs[String]("text_redacted"))
+    }
+    assert(counts(1L) == ((2, 0, 0,
+      "mail me at <EMAIL> or <EMAIL> ok")))
+    // the SSN-shaped id is masked as <ID>, not half-eaten by the
+    // phone pattern; both phone spellings are caught
+    val (e2, i2, p2, t2) = counts(2L)
+    assert((e2, i2, p2) == ((0, 1, 2)))
+    assert(t2 == "ssn <ID> phone <PHONE> and +1 <PHONE>")
+    assert(counts(3L) == ((0, 0, 0, "nothing sensitive here at all")))
+    val (e4, i4, _, t4) = counts(4L)
+    assert((e4, i4) == ((1, 1)))
+    assert(t4 == "edge: <EMAIL> ends the line <ID>")
+  }
+
+  test("repetition ratio: duplicate trigrams within a doc") {
+    val docs = Seq(
+      (1L, "a b a b a"),        // trigrams: aba, bab, aba → 1 dup of 3
+      (2L, "w x y z"),          // 2 distinct trigrams, 0 dup
+      (3L, "one two"),          // < 3 tokens → 0 trigrams
+      (4L, "r r r r r r"))      // 4 trigrams all 'r r r' → 3 dup
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-rep").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = Curation.qRepetition.build(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDecimal(3).toString))).toMap
+    assert(out(1L) == ((3L, 1L, "0.3333")))
+    assert(out(2L) == ((2L, 0L, "0.0000")))
+    assert(out(3L) == ((0L, 0L, "0.0000")))
+    assert(out(4L) == ((4L, 3L, "0.7500")))
   }
 }
