@@ -26,13 +26,24 @@ object GraftExtensions {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name,
       usage, "")
 
+  // Arity-checked builder: a wrong-argument-count SQL call must fail
+  // analysis with a message naming the function and its signature, not
+  // a raw IndexOutOfBoundsException from es(1) — this IS the pure-SQL
+  // surface, so its errors must be SQL-user-actionable.
+  private def binary(name: String, mk: (Expression, Expression) => Expression)
+      : Builder = es => {
+    require(es.length == 2,
+      s"$name expects exactly 2 arguments (array, array); got ${es.length}")
+    mk(es(0), es(1))
+  }
+
   val functions: Seq[(String, ExpressionInfo, Builder)] = Seq(
     ("graft_dot_long", info("graft_dot_long",
       "exact integer dot product of two array<long>"),
-      (es: Seq[Expression]) => LongArrayDot(es(0), es(1))),
+      binary("graft_dot_long", LongArrayDot.apply)),
     ("graft_dot_double", info("graft_dot_double",
       "dot product of two array<double>"),
-      (es: Seq[Expression]) => DoubleArrayDot(es(0), es(1))))
+      binary("graft_dot_double", DoubleArrayDot.apply)))
 
   /** Runtime registration into an existing session. */
   def register(spark: SparkSession): Unit =

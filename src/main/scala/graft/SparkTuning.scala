@@ -7,6 +7,12 @@ import org.apache.spark.sql.SparkSession
   * behavior. */
 object SparkTuning {
   def apply(b: SparkSession.Builder): SparkSession.Builder = b
+    // One timezone for every entrypoint: correctness is verified under
+    // UTC (the oracle compares timestamp/date bucketing values), so the
+    // bench must execute the same semantics — a host-local timezone
+    // would time DIFFERENT work (different session/day/cohort buckets)
+    // than what Verify validated.
+    .config("spark.sql.session.timeZone", "UTC")
     // ObjectHashAggregate (TopKAgg / BoundedSetAgg, the bounded
     // per-group buffers behind top-k and inverted-index pair
     // generation) falls back to SORT-based aggregation once the

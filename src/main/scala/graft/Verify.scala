@@ -7,6 +7,8 @@ object Verify {
   def main(args: Array[String]): Unit = {
     // driver calls with (sfDir, outDir); an optional third arg
     // restricts the dump to comma-separated query names (local use)
+    require(args.length >= 2,
+      "usage: graft.Verify <sfDir> <outDir> [q1,q2,...]")
     val Array(sfDir, outDir) = args.take(2)
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None

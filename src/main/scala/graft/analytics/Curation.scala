@@ -327,7 +327,7 @@ object Curation {
         .select(col("doc_id"), col("lang"), col("source"),
           TextOps.scrubPii(col("text")).as("clean_text"))
       val fp = gated.withColumn("content_fp",
-        md5(TextOps.normalized(col("clean_text"))))
+        TextOps.contentHash(col("clean_text")))
       val keep = fp.groupBy("content_fp").agg(min("doc_id").as("doc_id"))
       val deduped = fp.join(keep, Seq("content_fp", "doc_id"))
       val sampled = deduped.filter(sampleKey(col("doc_id")) <

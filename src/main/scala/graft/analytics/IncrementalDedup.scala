@@ -173,7 +173,7 @@ object IncrementalDedup {
       graft.pipeline.PipelineQuery.tempStoreDir())
     val docs = Tables.load(s, d, "documents")
       .select(col("doc_id"),
-        md5(TextOps.normalized(col("text"))).as("content_fp"))
+        TextOps.contentHash(col("text")).as("content_fp"))
     // sanctioned scalar (as q58's year list): the batch boundary
     val maxId = docs.agg(max("doc_id")).head().getLong(0)
     val b1 = maxId / 2

@@ -241,11 +241,19 @@ object NearDup {
     * aggregate form's explode + 17-column hash-aggregate exchange
     * (measured 2× on q26; the forms are spec-proved equal). */
   def simhash(df: DataFrame, id: String, text: Column): DataFrame =
-    df.select(col(id),
-        transform(array_distinct(split(text, "\\s+")), x => xxhash64(x))
-          .as("__ths"))
-      .select(col(id),
-        simhashExpr(col("__ths"), size(col("__ths"))).as("simhash"))
+    withSimhash(df.select(col(id), text.as("__sh_txt")), col("__sh_txt"))
+      .select(col(id), col("simhash"))
+
+  /** Column-preserving SimHash: appends `simhash` to `df`. This is
+    * the ONE place the signature-defining projection (distinct token
+    * xxhash64 array → bit-majority fold) lives — batch dedup, the
+    * streaming near-dup state, and the specs all route through it, so
+    * their signatures can never silently diverge. */
+  def withSimhash(df: DataFrame, text: Column): DataFrame =
+    df.withColumn("__ths",
+        transform(array_distinct(split(text, "\\s+")), x => xxhash64(x)))
+      .withColumn("simhash", simhashExpr(col("__ths"), size(col("__ths"))))
+      .drop("__ths")
 
   /** The original aggregate form (explode → packed per-bit counters →
     * one exchange on the id); kept as the cross-check reference for

@@ -35,6 +35,22 @@ object TextOps {
   def normalized(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")
 
+  /** THE normalized-content fingerprint (q19/q23/q86 and the
+    * streaming curate all dedup on this) — one definition, so batch
+    * and stream fingerprints can never drift apart. */
+  def contentHash(c: Column): Column = md5(normalized(c))
+
+  /** THE quality band (q20's 40/15 thresholds + stopword presence) —
+    * shared by the batch report and the streaming curate; a threshold
+    * change lands in both tiers atomically. */
+  def qualityBand(text: Column): Column = {
+    val t = tokens(text)
+    val nWords = size(t).cast("long")
+    val nStop = size(filter(t, w => w.isInCollection(Stopwords)))
+    when(nWords >= 40 && nStop > 0, "HIGH")
+      .when(nWords >= 15, "MEDIUM").otherwise("LOW")
+  }
+
   private def T(s: SparkSession, d: String, n: String): DataFrame =
     Tables.load(s, d, n)
 
@@ -99,9 +115,7 @@ object TextOps {
             length(col("text")).cast("long"))).as("alpha_ratio"),
           Exact.dec4(Exact.halfUpDiv(nStopC * 10000, nWords))
             .as("stop_ratio"),
-          when(nWords >= 40 && nStopC > 0, "HIGH")
-            .when(nWords >= 15, "MEDIUM").otherwise("LOW")
-            .as("quality_band"))
+          qualityBand(col("text")).as("quality_band"))
         .orderBy("doc_id")
     }
   }

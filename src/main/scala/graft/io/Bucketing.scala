@@ -25,7 +25,15 @@ object Bucketing {
     * of join parallelism — they cannot be split by AQE). */
   def writeBucketed(df: DataFrame, table: String, path: String,
       key: String, buckets: Int): Unit =
-    df.write.format("parquet")
+    // Repartition to exactly the bucket layout BEFORE the write: the
+    // writer otherwise emits one file per (input partition × bucket) —
+    // file-count explosion — and Spark only reports the bucketed
+    // scan's sort order to the planner when each bucket holds a
+    // single file, so the "sort-merge join skips its sorts" promise
+    // above requires the one-file-per-bucket discipline enforced here.
+    df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+      .sortWithinPartitions(key)
+      .write.format("parquet")
       .option("path", path)
       .bucketBy(buckets, key)
       .sortBy(key)

@@ -40,23 +40,18 @@ object DocStream {
     * wins within the watermark), then stateless quality + scrub
     * columns. Emits one row per unique fingerprint per horizon. */
   def curate(docs: Dataset[IngestedDoc], watermarkDelay: String)
-      : DataFrame = {
-    val t = TextOps.tokens(col("text"))
-    val nWords = size(t).cast("long")
-    val nStop =
-      size(filter(t, w => w.isInCollection(TextOps.Stopwords))).cast("long")
+      : DataFrame =
+    // fingerprint + band come from TextOps' single definitions — the
+    // stream can never drift from the batch q19/q20 semantics
     docs.toDF()
-      .withColumn("content_hash", md5(TextOps.normalized(col("text"))))
+      .withColumn("content_hash", TextOps.contentHash(col("text")))
       .withWatermark("ingestTs", watermarkDelay)
       .dropDuplicatesWithinWatermark("content_hash")
       .withColumn("clean_text", TextOps.scrubPii(col("text")))
-      .withColumn("n_words", nWords)
-      .withColumn("quality_band",
-        when(nWords >= 40 && nStop > 0, "HIGH")
-          .when(nWords >= 15, "MEDIUM").otherwise("LOW"))
+      .withColumn("n_words", size(TextOps.tokens(col("text"))).cast("long"))
+      .withColumn("quality_band", TextOps.qualityBand(col("text")))
       .select("docId", "ingestTs", "content_hash", "clean_text",
         "n_words", "quality_band")
-  }
 
   /** Decontamination-at-ingest: flag streaming docs sharing any word
     * n-gram with a static eval/benchmark suite.
@@ -77,8 +72,13 @@ object DocStream {
     import graft.ops.BloomJoin
     docs
       .withColumn("__t", TextOps.tokens(col("text")))
+      // DISTINCT flagged grams, matching batch q66's definition (a doc
+      // repeating one eval gram 5× is contaminated ONCE — counting
+      // with multiplicity would make stream counts incomparable to
+      // the batch n_contaminated they mirror)
       .withColumn("n_flagged_grams",
-        size(filter(NgramOps.gramLongHashes(col("__t"), gramN),
+        size(filter(
+          array_distinct(NgramOps.gramLongHashes(col("__t"), gramN)),
           g => BloomJoin.mightContain(evalSketch, g))).cast("long"))
       .withColumn("is_contaminated", col("n_flagged_grams") > 0)
       .drop("__t")

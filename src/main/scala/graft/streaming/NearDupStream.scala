@@ -88,12 +88,9 @@ object NearDupStream {
       : DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sigs = docs.toDF()
-      .withColumn("__ths",
-        transform(array_distinct(TextOps.tokens(col("text"))),
-          x => xxhash64(x)))
-      .withColumn("simhash",
-        NearDup.simhashExpr(col("__ths"), size(col("__ths"))))
+    // the signature comes from NearDup's single definition — stream
+    // and batch SimHashes can never drift apart
+    val sigs = NearDup.withSimhash(docs.toDF(), col("text"))
       .withColumn("band", col("simhash").bitwiseAND(lit(0xffffL)))
       .withWatermark("ingestTs", watermarkDelay)
       .select(col("docId"), col("ingestTs"), col("simhash"), col("band"))

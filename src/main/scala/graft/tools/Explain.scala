@@ -19,6 +19,11 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // a misspelled name silently matching nothing would print no plans
+    // and exit 0 — the reviewer would conclude "no issues" from a typo
+    val unknown = names -- Registry.all.map(_.name).toSet
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
     Registry.all
       // side-effecting composites (building them RUNS work): dump their
       // plan only when explicitly asked for by name

@@ -44,7 +44,11 @@ object ScaleUp {
       .withColumn("user_id", col("user_id") + lit(i * K)))
     replicate("documents", (df, i) => df
       .withColumn("doc_id", col("doc_id") + lit(i * K))
-      .withColumn("text", concat(col("text"), lit(s" replica$i"))))
+      .withColumn("text", concat(col("text"), lit(s" replica$i")))
+      // the derived column must track the suffixed text, or the
+      // amplified corpus is internally inconsistent (n_chars-bucketed
+      // signals contradict length(text)-based ones)
+      .withColumn("n_chars", length(col("text")).cast("long")))
     replicate("embeddings", (df, i) => df
       .withColumn("vec_id", col("vec_id") + lit(i * K)))
   }

@@ -46,13 +46,10 @@ class NearDupStreamSpec extends AnyFunSuite {
       "parquet row groups and adaptive query execution plans"
 
     // expectation computed from the operator's own batch semantics
-    val sigs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
-      .withColumn("__ths",
-        transform(array_distinct(TextOps.tokens(col("text"))),
-          x => xxhash64(x)))
-      .select(col("doc_id"),
-        NearDup.simhashExpr(col("__ths"), size(col("__ths")))
-          .as("sh"))
+    // (the shared withSimhash definition the stream also routes through)
+    val sigs = NearDup.withSimhash(
+        Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text"), col("text"))
+      .select(col("doc_id"), col("simhash").as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val sameBand = (sigs(1L) & 0xffffL) == (sigs(2L) & 0xffffL)
     val close = java.lang.Long.bitCount(sigs(1L) ^ sigs(2L)) <=
