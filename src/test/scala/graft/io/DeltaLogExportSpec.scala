@@ -1,0 +1,100 @@
+package graft.io
+
+import java.nio.file.Files
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Structural conformance of the exported `_delta_log` against the
+  * public Delta protocol: action shapes, snapshot algebra (adds −
+  * removes ≡ the live file set on disk), monotone log versions,
+  * idempotent re-export. (No Delta reader ships in this offline
+  * environment — this spec IS the conformance check.) */
+class DeltaLogExportSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+  private val mapper = new ObjectMapper()
+
+  test("log entries carry protocol/metaData/add/remove per the spec; " +
+      "snapshot equals the live files; re-export is a no-op") {
+    val root = Files.createTempDirectory("graft-dlog").toString
+    val store = new ModelStore(root)
+    store.write(
+      Seq(("a", Option("p1"), 1L), ("b", Option.empty[String], 2L))
+        .toDF("k", "p", "v"),
+      "silver", "t", partitionBy = Seq("p"))
+
+    val v0 = DeltaLogExport.export(spark, store, root, "silver", "t")
+    assert(v0 == 0L)
+    // second store version (merge-style rewrite)
+    store.write(
+      Seq(("a", Option("p1"), 10L), ("c", Option("p2"), 3L))
+        .toDF("k", "p", "v"),
+      "silver", "t", partitionBy = Seq("p"))
+    val v1 = DeltaLogExport.export(spark, store, root, "silver", "t")
+    assert(v1 == 1L)
+    // idempotent: same store version again → no new entry
+    assert(DeltaLogExport.export(spark, store, root, "silver", "t") == -1L)
+
+    val logDir = new java.io.File(s"$root/silver/t/_delta_log")
+    val entries = logDir.listFiles().map(_.getName)
+      .filter(_.endsWith(".json")).sorted
+    assert(entries.toSeq ==
+      Seq("00000000000000000000.json", "00000000000000000001.json"))
+
+    def actions(file: String) =
+      scala.io.Source.fromFile(new java.io.File(logDir, file))
+        .getLines().filter(_.nonEmpty).map(mapper.readTree).toSeq
+
+    val e0 = actions(entries(0))
+    // protocol action: first entry only, plain-parquet feature level
+    val protocol = e0.filter(_.has("protocol"))
+    assert(protocol.size == 1)
+    assert(protocol.head.get("protocol").get("minReaderVersion").asInt == 1)
+    assert(e0.count(_.has("remove")) == 0) // nothing superseded yet
+
+    // metaData: schemaString is the Spark schema JSON; partition cols
+    val meta = e0.find(_.has("metaData")).get.get("metaData")
+    val schema = mapper.readTree(meta.get("schemaString").asText)
+    assert(schema.get("type").asText == "struct")
+    val fields = schema.get("fields").elements()
+    val names = Iterator.continually(fields)
+      .takeWhile(_.hasNext).map(_.next().get("name").asText).toSet
+    assert(names == Set("k", "p", "v"))
+    assert(meta.get("partitionColumns").get(0).asText == "p")
+    assert(meta.get("format").get("provider").asText == "parquet")
+
+    // add actions: Hive-style partition values incl. the NULL partition
+    val adds0 = e0.filter(_.has("add")).map(_.get("add"))
+    assert(adds0.nonEmpty)
+    val pvals = adds0.map { a =>
+      val pv = a.get("partitionValues").get("p")
+      if (pv.isNull) None else Some(pv.asText)
+    }.toSet
+    assert(pvals == Set(Some("p1"), None))
+
+    // snapshot algebra across BOTH entries: replay adds/removes in
+    // order; the surviving set must be exactly the parquet files of
+    // the current store version, with matching on-disk sizes
+    val live = scala.collection.mutable.Map.empty[String, Long]
+    (e0 ++ actions(entries(1))).foreach { n =>
+      if (n.has("add"))
+        live(n.get("add").get("path").asText) =
+          n.get("add").get("size").asLong
+      else if (n.has("remove")) live -= n.get("remove").get("path").asText
+    }
+    val curV = store.currentVersion(spark, "silver", "t")
+    val base = new java.io.File(store.versionDir("silver", "t", curV))
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val onDisk = walk(base).filter(_.getName.endsWith(".parquet"))
+      .map(f => s"v$curV/" +
+        base.toURI.relativize(f.toURI).getPath -> f.length).toMap
+    assert(live.toMap == onDisk)
+    // every referenced path resolves under the table root
+    live.keys.foreach(p =>
+      assert(new java.io.File(s"$root/silver/t/$p").isFile, p))
+  }
+}
