@@ -35,11 +35,11 @@ object DeltaLogExport {
   /** Append a log entry for the CURRENT version of `layer`.`name`.
     * Returns the log version written, or -1 if the table is missing
     * or already logged at this store version. */
-  def export(spark: SparkSession, store: ModelStore, root: String,
+  def export(spark: SparkSession, store: ModelStore,
       layer: String, name: String): Long = {
     val cur = store.currentVersion(spark, layer, name)
     if (cur == 0) return -1L
-    val tableDir = new Path(s"$root/$layer/$name")
+    val tableDir = new Path(s"${store.root}/$layer/$name")
     val fs = tableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val logDir = new Path(tableDir, "_delta_log")
     fs.mkdirs(logDir)

@@ -31,7 +31,7 @@ import org.apache.spark.sql.functions.{col, struct, when}
   * targets — partitioned tables repartition on the partition columns
   * (one file per partition per owning task) and sort in-partition.
   */
-final class ModelStore(root: String) {
+final class ModelStore(val root: String) {
 
   private def tableDir(layer: String, name: String): Path =
     new Path(s"$root/$layer/$name")

@@ -66,7 +66,12 @@ final class Pipeline(
     /** versions retained per table after each materialization (Delta
       * retention analog) — prevents unbounded version growth across
       * repeated incremental runs; ≥ 1, where 1 keeps only current. */
-    retainVersions: Int = 2) {
+    retainVersions: Int = 2,
+    /** append a Delta-protocol `_delta_log` entry after each
+      * materialization ([[graft.io.DeltaLogExport]]) so external
+      * Delta readers can open the produced tables. Opt-in: the log
+      * is interop surface, not a dependency of the engine itself. */
+    exportDeltaLog: Boolean = false) {
 
   private val byName = models.map(m => m.name -> m).toMap
 
@@ -173,6 +178,8 @@ final class Pipeline(
     }
     Pipeline.materializeModel(spark, store, m, mode, sources, ref, vars)
     store.vacuum(spark, m.layer, m.name, keepLast = retainVersions)
+    if (exportDeltaLog)
+      graft.io.DeltaLogExport.export(spark, store, m.layer, m.name): Unit
     // dbt-style per-model run log (stderr: keeps Bench's stdout JSON
     // clean)
     System.err.println(

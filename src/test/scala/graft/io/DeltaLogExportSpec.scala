@@ -26,17 +26,17 @@ class DeltaLogExportSpec extends AnyFunSuite {
         .toDF("k", "p", "v"),
       "silver", "t", partitionBy = Seq("p"))
 
-    val v0 = DeltaLogExport.export(spark, store, root, "silver", "t")
+    val v0 = DeltaLogExport.export(spark, store, "silver", "t")
     assert(v0 == 0L)
     // second store version (merge-style rewrite)
     store.write(
       Seq(("a", Option("p1"), 10L), ("c", Option("p2"), 3L))
         .toDF("k", "p", "v"),
       "silver", "t", partitionBy = Seq("p"))
-    val v1 = DeltaLogExport.export(spark, store, root, "silver", "t")
+    val v1 = DeltaLogExport.export(spark, store, "silver", "t")
     assert(v1 == 1L)
     // idempotent: same store version again → no new entry
-    assert(DeltaLogExport.export(spark, store, root, "silver", "t") == -1L)
+    assert(DeltaLogExport.export(spark, store, "silver", "t") == -1L)
 
     val logDir = new java.io.File(s"$root/silver/t/_delta_log")
     val entries = logDir.listFiles().map(_.getName)
@@ -96,5 +96,25 @@ class DeltaLogExportSpec extends AnyFunSuite {
     // every referenced path resolves under the table root
     live.keys.foreach(p =>
       assert(new java.io.File(s"$root/silver/t/$p").isFile, p))
+  }
+
+  test("Pipeline(exportDeltaLog=true) maintains a log per model run") {
+    import graft.model.{ModelDef, Pipeline, RunMode}
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft-dlog-pipe").toString
+    val store = new ModelStore(root)
+    def mk(v: Long) = Seq(("a", v), ("b", v + 1)).toDF("k", "v")
+    val model = ModelDef(name = "m", layer = "silver",
+      uniqueKey = Some("k"), build = ctx =>
+        ctx.source("bronze", "src").filter(col("v") >= 0))
+    def pipe(df: org.apache.spark.sql.DataFrame) =
+      new Pipeline(Seq(model), store, (_, _) => df,
+        exportDeltaLog = true)
+    pipe(mk(1)).run(spark, RunMode.Bootstrap)
+    pipe(mk(10)).run(spark, RunMode.Incremental)
+    val names = new java.io.File(s"$root/silver/m/_delta_log")
+      .listFiles().map(_.getName).filter(_.endsWith(".json")).sorted
+    assert(names.toSeq ==
+      Seq("00000000000000000000.json", "00000000000000000001.json"))
   }
 }
