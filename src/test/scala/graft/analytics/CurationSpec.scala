@@ -32,14 +32,27 @@ class CurationSpec extends AnyFunSuite {
 
   test("holdout split is independent of the sampling key") {
     val docs = graft.io.Tables.load(spark, Dir, "documents")
-    // holdout rate over ALL docs should match the rate over the sample —
-    // the salted key decorrelates the two splits
-    val all = docs.select(
+    // MEASURE the decorrelation, not just the global rate: holdout
+    // membership must occur on BOTH sides of the sample split. With
+    // an unsalted holdout key (the regression this guards against),
+    // holdout ⊂ sample deterministically — both compare the same md5
+    // prefix, and HoldoutRate('1') < every sampling threshold — so
+    // the out-of-sample holdout count collapses to zero while the
+    // global rate stays in band.
+    val rows = docs.select(
+      (Curation.sampleKey(col("doc_id")) <
+        when(col("lang") === "en", Curation.EnRate)
+          .otherwise(Curation.RestRate)).as("s"),
       (Curation.sampleKey(col("doc_id"), "holdout-") < Curation.HoldoutRate)
         .as("h"))
-      .collect().map(_.getBoolean(0))
-    val rate = all.count(identity).toDouble / all.length
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1)))
+    val rate = rows.count(_._2).toDouble / rows.length
     assert(rate > 0.01 && rate < 0.15, s"holdout rate $rate")
+    val inSample = rows.filter(_._1)
+    val outSample = rows.filterNot(_._1)
+    assert(inSample.count(_._2) > 0, "no holdout docs inside the sample")
+    assert(outSample.count(_._2) > 0, "no holdout docs outside the " +
+      "sample — holdout key correlated with the sampling key")
   }
 
   test("vocabulary cut is deterministic under ties and OOV is bounded") {

@@ -38,6 +38,44 @@ class VectorOpsSpec extends AnyFunSuite {
         VectorOps.lshBucket(col("embedding"), 64).as("bucket"))
     val buckets = df.collect().map(_.getInt(1)).toSet
     assert(buckets.size == 1)
+    // the titled cosine half: quantized cosine of identical vectors
+    val c = Seq((v, v)).toDF("a", "b")
+      .select(VectorOps.quantize(col("a")).as("qa"),
+        VectorOps.quantize(col("b")).as("qb"))
+      .select(VectorOps.cosineQ(col("qa"), col("qb"),
+        VectorOps.norm2Q(col("qa")), VectorOps.norm2Q(col("qb"))))
+      .head().getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12, s"cosine of identical vectors $c")
+  }
+
+  test("banded LSH ANN finds planted near-duplicates that brute force " +
+      "ranks first (recall vs ground truth, not tautology)") {
+    // 60 spread-out base vectors + 8 planted near-copies of the first
+    // 8 (scaled + one slightly perturbed coordinate → cosine ≈ 0.999,
+    // small nonzero angle so bucketing is exercised, not just sign
+    // preservation). Ground truth: the planted partner IS the top
+    // cosine neighbor. The banded OR-construction must surface it as
+    // a candidate for ≥ 7 of 8 queries — a broken bucket function
+    // (random buckets, dead planes) collapses this to ~0.
+    val base = (0L until 60L).map { s =>
+      (s, (0 until 64).map(i =>
+        (math.sin(i * 29 + s * 23) / 2).toFloat))
+    }
+    val planted = (0 until 8).map { j =>
+      val src = base(j)._2.toArray
+      src(j * 3) = src(j * 3) + 0.03f // small angular perturbation
+      (100L + j, src.map(x => x * 1.3f).toSeq)
+    }
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val banded = VectorOps.lshBands(df, 64, 4)
+    val qs = banded.filter(col("vec_id") >= 100L)
+      .select(col("vec_id").as("q_id"), col("band_idx"), col("bucket"))
+    val cands = banded.join(qs, Seq("band_idx", "bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = (0 until 8).count(j => cands((100L + j, j.toLong)))
+    assert(found >= 7, s"LSH candidate recall $found/8 on planted dups")
   }
 
   test("IVF: planted near-duplicate lands in the query's cell") {

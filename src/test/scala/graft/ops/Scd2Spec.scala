@@ -58,6 +58,11 @@ class Scd2Spec extends AnyFunSuite {
         (col("valid_to").isNull || col("valid_to") > lit(t)))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+    // non-vacuity: the probe timestamp must actually be covered by
+    // intervals, or every comparison below is skipped and a broken
+    // as-of lookup passes on zero comparisons
+    assert(viaInterval.nonEmpty,
+      "no interval covers the probe ts — agreement check is vacuous")
     viaInterval.foreach { case (u, ev) =>
       assert(viaAsOf(u) == Some(ev), s"user $u")
     }

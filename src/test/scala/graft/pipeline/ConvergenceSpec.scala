@@ -64,6 +64,12 @@ class ConvergenceSpec extends AnyFunSuite {
           .unionByName(CdcFixtures.ordersBatch2())),
       None)
 
+    // non-vacuity: the convergence claim is only proved on real rows —
+    // empty == empty would "pass" after a regression that drops
+    // everything in BOTH modes
+    Seq("customers_latest", "orders_cleaned", "dim_customer").foreach(m =>
+      assert(!twoStep(m).isEmpty && !fullRefresh(m).isEmpty,
+        s"$m produced no rows — convergence check is vacuous"))
     assert(canon(twoStep("customers_latest"), Seq("first_seen_at")) ==
       canon(fullRefresh("customers_latest"), Seq("first_seen_at")))
     assert(canon(twoStep("orders_cleaned"), Seq("first_seen_at")) ==

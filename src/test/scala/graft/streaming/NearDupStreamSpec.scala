@@ -41,16 +41,38 @@ class NearDupStreamSpec extends AnyFunSuite {
   test("stream flags near-dups after in-band Hamming verification") {
     val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"
-    val b = a.replace("upsilon", "phi") // near-identical rewrite
+    // Pick (deterministically) a one-word rewrite that IS a positive
+    // case — same low-16-bit band AND within MaxHamming — so the
+    // composed stream path is exercised on a genuine near-dup. A
+    // one-word change flips only a few simhash bits, so ~40% of
+    // candidates land in-band; searching a fixed list keeps the
+    // fixture non-vacuous under any future simhash change. (The
+    // previous hardcoded rewrite happened to flip a band bit: the
+    // flag assertion then compared false == false and the positive
+    // path was never tested.)
+    val candidates = Seq("phi", "chi", "psi", "omega", "digamma",
+      "koppa", "sampi", "stigma", "heta", "sho", "san", "qoppa")
+    def sigOf(texts: Seq[(Long, String)]): Map[Long, Long] =
+      NearDup.withSimhash(texts.toDF("doc_id", "text"), col("text"))
+        .select(col("doc_id"), col("simhash").as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val all = sigOf((1L, a) +: candidates.zipWithIndex.map {
+      case (w, i) => (100L + i, a.replace("upsilon", w))
+    })
+    def positive(sig: Long): Boolean =
+      (all(1L) & 0xffffL) == (sig & 0xffffL) &&
+        java.lang.Long.bitCount(all(1L) ^ sig) <= NearDup.MaxHamming
+    val chosen = candidates.zipWithIndex
+      .find { case (_, i) => positive(all(100L + i)) }
+    assert(chosen.isDefined,
+      "no candidate rewrite is an in-band near-dup — fixture search dry")
+    val b = a.replace("upsilon", chosen.get._1)
     val c = "completely different content about spark shuffles and " +
       "parquet row groups and adaptive query execution plans"
 
     // expectation computed from the operator's own batch semantics
     // (the shared withSimhash definition the stream also routes through)
-    val sigs = NearDup.withSimhash(
-        Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text"), col("text"))
-      .select(col("doc_id"), col("simhash").as("sh"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sigs = sigOf(Seq((1L, a), (2L, b), (3L, c)))
     val sameBand = (sigs(1L) & 0xffffL) == (sigs(2L) & 0xffffL)
     val close = java.lang.Long.bitCount(sigs(1L) ^ sigs(2L)) <=
       NearDup.MaxHamming
@@ -73,8 +95,18 @@ class NearDupStreamSpec extends AnyFunSuite {
         .map(r => r.getLong(0) -> ((r.getBoolean(3), r.getLong(4))))
         .toMap
       assert(!rows(1L)._1)                        // first copy kept
-      assert(rows(4L) == ((true, 1L)))            // exact dup flagged
+      // exact re-send flagged; its dup target may be doc 1 (identical)
+      // or doc 2 (now a genuine in-band near-dup stored as state) —
+      // either satisfies the operator's contract (SOME stored doc
+      // within MaxHamming)
+      assert(rows(4L)._1 && Set(1L, 2L)(rows(4L)._2), s"doc4 ${rows(4L)}")
       assert(!rows(3L)._1)                        // different doc kept
+      // non-vacuity first: THIS fixture was built so the near-dup IS
+      // in-band and within MaxHamming — if a simhash/banding change
+      // breaks that, the equality below would pass with both sides
+      // false and the positive flag path would silently go untested
+      assert(sameBand && close,
+        s"fixture no longer a positive case: sameBand=$sameBand close=$close")
       // near-dup flagged exactly when the single-band blocking says so
       assert(rows(2L)._1 == (sameBand && close),
         s"doc2 flag ${rows(2L)} vs sameBand=$sameBand close=$close")
