@@ -480,21 +480,20 @@ object Curation {
   }
 
   // ---------------------------------------------------- PII redaction
-  // Regex masking of emails / SSN-shaped ids / phone numbers — the
-  // standard pre-training scrub. Purely scan-local (regexp_count +
-  // chained regexp_replace, whole-stage codegen), so it composes with
-  // any scan at any corpus size: no shuffle, no state. Patterns stay
-  // in the RE2 ∩ java.util.regex common subset ([0-9] classes, no
-  // lookaround, no \d or \b) so the DuckDB oracle matches char-for-
-  // char. Counts are taken on the ORIGINAL text; the redacted text
-  // applies email → id → phone in that fixed order (an SSN-shaped id
-  // must not be half-eaten by the phone pattern first). The shipped
-  // testdata is PII-free (all counts 0, text passes through) — the
-  // SPEC proves each pattern fires and masks on synthesized PII, the
-  // oracle proves the cross-engine passthrough + counting shape.
-  val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val IdPat = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
-  val PhonePat = "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+  // Per-category audit over THE pattern set ([[TextOps.EmailRe]] /
+  // IdRe / PhoneRe — one definition shared with q41's scrub and the
+  // streaming curate). q41 is the scrub projection (clean text out);
+  // q88 is the audit (counts per category + redacted length), the
+  // report a compliance pass wants. Purely scan-local (regexp_count +
+  // the shared chained-replace scrub, whole-stage codegen): composes
+  // with any scan at any corpus size — no shuffle, no state. Counts
+  // are taken on the ORIGINAL text. The shipped testdata is PII-free
+  // (all counts 0, text passes through) — the SPEC proves each
+  // pattern fires and masks on synthesized PII, the oracle proves
+  // the cross-engine passthrough + counting shape.
+  val EmailPat: String = TextOps.EmailRe
+  val IdPat: String = TextOps.IdRe
+  val PhonePat: String = TextOps.PhoneRe
 
   /** documents + PII counts + redacted text (scan-local). */
   def redactPii(docs: DataFrame): DataFrame =
@@ -502,12 +501,7 @@ object Curation {
       .withColumn("n_emails", regexp_count(col("text"), lit(EmailPat)))
       .withColumn("n_ids", regexp_count(col("text"), lit(IdPat)))
       .withColumn("n_phones", regexp_count(col("text"), lit(PhonePat)))
-      .withColumn("text_redacted",
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(col("text"), EmailPat, "<EMAIL>"),
-            IdPat, "<ID>"),
-          PhonePat, "<PHONE>"))
+      .withColumn("text_redacted", TextOps.scrubPii(col("text")))
 
   val qPiiRedact: Q = Q(
     "q88_pii_redact",

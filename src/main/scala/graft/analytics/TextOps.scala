@@ -227,21 +227,31 @@ object TextOps {
   }
 
   // -------------------------------------------------- PII redaction
-  // Training-data scrubbing staple: redact email/phone shapes, count
-  // what was redacted. Regexes stay inside the Java∩RE2 common subset
-  // (no lookaround, no \b) so Spark and DuckDB agree byte-for-byte.
-  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-  val PhoneRe = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+  // Training-data scrubbing staple: redact email / SSN-shaped id /
+  // phone shapes, count what was redacted. THE one pattern set —
+  // q41, q88 (Curation.redactPii) and the streaming curate all scrub
+  // through these, so the patterns can never drift apart. Regexes
+  // stay inside the Java∩RE2 common subset (no lookaround, no \b, no
+  // \d) so Spark and DuckDB agree byte-for-byte. Redaction order is
+  // fixed email → id → phone: an SSN-shaped id must not be half-eaten
+  // by the phone pattern first.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val IdRe = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+  val PhoneRe = "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
 
-  /** Redact PII shapes (emails, phone numbers) from a text column. */
+  /** Redact PII shapes (emails, ids, phone numbers) from a text column. */
   def scrubPii(c: Column): Column =
-    regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"),
+    regexp_replace(
+      regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"),
+        IdRe, "<ID>"),
       PhoneRe, "<PHONE>")
 
   val qPiiScrub: Q = Q(
     "q41_pii_scrub",
     s"""SELECT doc_id,
-      |  regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+      |  regexp_replace(regexp_replace(regexp_replace(
+      |      text, '$EmailRe', '<EMAIL>', 'g'),
+      |    '$IdRe', '<ID>', 'g'),
       |    '$PhoneRe', '<PHONE>', 'g') AS clean_text,
       |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS INTEGER)
       |    AS n_emails,

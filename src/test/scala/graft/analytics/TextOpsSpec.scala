@@ -37,15 +37,19 @@ class TextOpsSpec extends AnyFunSuite {
     assert(docs(0) == docs(1))
   }
 
-  test("scrubPii redacts emails and phones, leaves clean text alone") {
+  test("scrubPii redacts emails, ids and phones, leaves clean text alone") {
     val out = Seq(
       (1L, "contact ada.lovelace@example.com or 212-555-0101 today"),
-      (2L, "no pii here at all"))
+      (2L, "no pii here at all"),
+      // the unified pattern set: mixed-case email, SSN-shaped id
+      // (redacted as <ID>, not half-eaten by the phone pattern)
+      (3L, "Upper.Case@Example.COM wrote 123-45-6789 down"))
       .toDF("doc_id", "text")
       .select(col("doc_id"), TextOps.scrubPii(col("text")).as("clean"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out(1L) == "contact <EMAIL> or <PHONE> today")
     assert(out(2L) == "no pii here at all")
+    assert(out(3L) == "<EMAIL> wrote <ID> down")
   }
 
   test("repetition metrics flag degenerate docs") {
