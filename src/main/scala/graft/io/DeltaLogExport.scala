@@ -69,31 +69,46 @@ object DeltaLogExport {
       case c => c.toString
     }
 
-    def dataFiles(v: Int): Seq[(String, Long, Long, Map[String, String])] = {
+    // Partition values ride as an ORDERED Seq: the nesting order of
+    // the directory walk IS the table's partitioning order, which is
+    // semantic in the protocol (metaData.partitionColumns must not be
+    // alphabetized). Values are unescaped from Spark's path escaping
+    // (a stored value "2024:01" lives in dir p=2024%3A01 — the reader
+    // must get the VALUE back, not the escaped dir name).
+    def dataFiles(v: Int): Seq[(String, Long, Long, Seq[(String, String)])] = {
       val base = new Path(store.versionDir(layer, name, v))
+      // a vacuumed prior version has no dir left — nothing to remove
+      // (its files are already gone from the snapshot's storage)
+      if (!fs.exists(base)) return Nil
       // listStatus returns scheme-qualified paths; qualify the base the
       // same way so the relative path is a clean prefix strip
       val baseStr = fs.makeQualified(base).toString
-      def walk(p: Path, partVals: Map[String, String])
-          : Seq[(String, Long, Long, Map[String, String])] =
+      def walk(p: Path, partVals: Seq[(String, String)])
+          : Seq[(String, Long, Long, Seq[(String, String)])] =
         fs.listStatus(p).toSeq.flatMap { st =>
           val n = st.getPath.getName
           if (st.isDirectory && n.contains("=")) {
             val Array(c, raw) = n.split("=", 2)
             val value =
-              if (raw == "__HIVE_DEFAULT_PARTITION__") null else raw
-            walk(st.getPath, partVals + (c -> value))
+              if (raw == "__HIVE_DEFAULT_PARTITION__") null
+              else org.apache.spark.sql.catalyst.catalog
+                .ExternalCatalogUtils.unescapePathName(raw)
+            walk(st.getPath, partVals :+ (c -> value))
           } else if (st.isFile && n.endsWith(".parquet"))
             Seq((s"v$v" +
               st.getPath.toString.stripPrefix(baseStr),
               st.getLen, st.getModificationTime, partVals))
           else Nil
         }
-      walk(base, Map.empty)
+      walk(base, Nil)
     }
 
-    def partJson(m: Map[String, String]): String =
-      m.toSeq.sortBy(_._1).map { case (k, v) =>
+    // the protocol requires URL-encoded relative paths
+    def encPath(p: String): String =
+      new java.net.URI(null, null, p, null).toASCIIString
+
+    def partJson(m: Seq[(String, String)]): String =
+      m.sortBy(_._1).map { case (k, v) =>
         "\"" + esc(k) + "\":" + (if (v == null) "null"
           else "\"" + esc(v) + "\"")
       }.mkString("{", ",", "}")
@@ -101,8 +116,9 @@ object DeltaLogExport {
     val current = dataFiles(cur)
     val prior = if (lastStore == 0) Nil else dataFiles(lastStore)
     val schemaJson = store.readVersion(spark, layer, name, cur).schema.json
-    val partCols = current.headOption.map(_._4.keys.toSeq.sorted)
-      .getOrElse(Nil)
+    // partitioning order = directory nesting order (NOT alphabetical —
+    // the order is semantic in the protocol)
+    val partCols = current.headOption.map(_._4.map(_._1)).getOrElse(Nil)
     // deterministic table id (no Date.now/randomness in this codebase)
     val tableId = java.util.UUID.nameUUIDFromBytes(
       s"graft:$layer.$name".getBytes("UTF-8")).toString
@@ -121,11 +137,11 @@ object DeltaLogExport {
     // carry-overs reappear as adds under the NEW version path, so the
     // snapshot algebra stays exact (remove then re-add is legal Delta)
     prior.foreach { case (p, _, mt, _) =>
-      lines += ("""{"remove":{"path":"""" + esc(p) +
+      lines += ("""{"remove":{"path":"""" + esc(encPath(p)) +
         """","deletionTimestamp":""" + mt + ""","dataChange":true}}""")
     }
     current.foreach { case (p, size, mt, pv) =>
-      lines += ("""{"add":{"path":"""" + esc(p) +
+      lines += ("""{"add":{"path":"""" + esc(encPath(p)) +
         """","partitionValues":""" + partJson(pv) +
         ""","size":""" + size + ""","modificationTime":""" + mt +
         ""","dataChange":true}}""")

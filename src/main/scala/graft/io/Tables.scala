@@ -43,18 +43,24 @@ object Tables {
       // narrow, genuinely required case.
       val confKey = "spark.sql.legacy.parquet.nanosAsLong"
       val prior = spark.conf.getOption(confKey)
-      spark.conf.set(confKey, "true")
-      val df = spark.read.parquet(s"$sfDir/$name.parquet")
-      df.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-        case _ =>
-          prior match {
-            case Some(v) => spark.conf.set(confKey, v)
-            case None => spark.conf.unset(confKey)
-          }
-          df
+      def restore(): Unit = prior match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
       }
+      spark.conf.set(confKey, "true")
+      // restore on ANY exit except the nanos branch (which needs the
+      // conf for the lifetime of the returned plan): a missing or
+      // corrupt file must not leak the legacy flag session-wide
+      try {
+        val df = spark.read.parquet(s"$sfDir/$name.parquet")
+        df.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          case _ =>
+            restore()
+            df
+        }
+      } catch { case t: Throwable => restore(); throw t }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }

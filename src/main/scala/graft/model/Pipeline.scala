@@ -251,8 +251,16 @@ object Pipeline {
         val u = updates.persist()
         try {
           val parts = m.partitionBy.map(c => functions.col(c))
+          // <=> (null-safe): a NULL-key update must discover the
+          // partition its stored NULL-key row lives in — an equality
+          // semi-join never matches NULL, which would carry the old
+          // partition over and duplicate the NULL-key row (defeating
+          // MergeWriter's null-safe replacement on exactly the
+          // migration case this lookup exists for)
           val residence = ex
-            .join(functions.broadcast(u.select(key)), Seq(key),
+            .join(functions.broadcast(
+                u.select(functions.col(key).as("__res_k"))),
+              functions.col(key) <=> functions.col("__res_k"),
               "left_semi")
             .select(parts: _*)
           val touchedDf = u.select(parts: _*).union(residence).distinct()

@@ -28,11 +28,16 @@ object Watermark {
     // String round-trip, as in newerThan below: `getTimestamp(0)` would
     // throw ClassCastException for a TIMESTAMP_NTZ column (which
     // surfaces as LocalDateTime) — the cast makes the scalar flavor-
-    // agnostic.
+    // agnostic. The string is rendered in the SESSION timezone (UTC,
+    // pinned by SparkTuning), so it must be re-parsed as UTC too:
+    // Timestamp.valueOf would interpret it in the JVM-default zone and
+    // shift the watermark by the host's UTC offset.
     val row = df.agg(max(col(tsCol)).cast("string")).head()
     if (row.isNullAt(0)) DefaultWatermark
     else {
-      val ts = Timestamp.valueOf(row.getString(0))
+      val wall = java.time.LocalDateTime.parse(
+        row.getString(0).replace(' ', 'T'))
+      val ts = Timestamp.from(wall.toInstant(java.time.ZoneOffset.UTC))
       if (shiftDays == 0) ts
       else Timestamp.from(ts.toInstant.minusSeconds(shiftDays * 86400L))
     }

@@ -100,7 +100,38 @@ object StreamingPipeline {
       layer: String, name: String, queryId: String): Unit = {
     val df = store.read(spark, layer, name).getOrElse(
       sys.error(s"adopt: $layer.$name does not exist"))
-    store.write(df, layer, name, description = "",
+    // preserve the stored partition layout (discovered from the
+    // current version's col=value nesting): an unpartitioned rewrite
+    // would silently flatten the table, pushing the next batch off
+    // the pruned O(batch) merge path onto a second full rewrite
+    val partitionBy = detectPartitionLayout(spark, store, layer, name)
+    store.write(df, layer, name, partitionBy = partitionBy,
+      description = "",
       meta = Map(QueryKey -> queryId, BatchKey -> "-1"))
+  }
+
+  /** The stored partition column chain of the CURRENT version, in
+    * nesting order; Nil for unpartitioned layouts. */
+  private def detectPartitionLayout(
+      spark: org.apache.spark.sql.SparkSession, store: ModelStore,
+      layer: String, name: String): Seq[String] = {
+    val cur = store.currentVersion(spark, layer, name)
+    if (cur == 0) return Nil
+    val base = new org.apache.hadoop.fs.Path(
+      store.versionDir(layer, name, cur))
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cols = Seq.newBuilder[String]
+    var p = base
+    var done = false
+    while (!done) {
+      val dirs = fs.listStatus(p).filter(s =>
+        s.isDirectory && s.getPath.getName.contains("="))
+      if (dirs.isEmpty) done = true
+      else {
+        cols += dirs.head.getPath.getName.split("=", 2)(0)
+        p = dirs.head.getPath
+      }
+    }
+    cols.result()
   }
 }

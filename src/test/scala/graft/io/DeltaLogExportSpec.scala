@@ -98,6 +98,49 @@ class DeltaLogExportSpec extends AnyFunSuite {
       assert(new java.io.File(s"$root/silver/t/$p").isFile, p))
   }
 
+  test("multi-column partitioning keeps NESTING order; escaped values " +
+      "are unescaped; paths are URL-encoded; vacuumed prior versions " +
+      "don't crash the export") {
+    val root = Files.createTempDirectory("graft-dlog2").toString
+    val store = new ModelStore(root)
+    // deliberately anti-alphabetical partition order (y before m would
+    // sort m first) + a value Spark must path-escape (the colon)
+    store.write(
+      Seq((1L, 2024, "a:b"), (2L, 2025, "plain")).toDF("v", "yr", "tag"),
+      "silver", "t2", partitionBy = Seq("yr", "tag"))
+    assert(DeltaLogExport.export(spark, store, "silver", "t2") == 0L)
+    val logDir = new java.io.File(s"$root/silver/t2/_delta_log")
+    def actions(file: String) =
+      scala.io.Source.fromFile(new java.io.File(logDir, file))
+        .getLines().filter(_.nonEmpty).map(mapper.readTree).toSeq
+    val e0 = actions("00000000000000000000.json")
+    val meta = e0.find(_.has("metaData")).get.get("metaData")
+    assert(meta.get("partitionColumns").get(0).asText == "yr")
+    assert(meta.get("partitionColumns").get(1).asText == "tag")
+    val adds = e0.filter(_.has("add")).map(_.get("add"))
+    // the VALUE comes back, not Spark's escaped dir name
+    assert(adds.map(_.get("partitionValues").get("tag").asText).toSet ==
+      Set("a:b", "plain"))
+    // paths are URL-encoded (the colon dir segment) yet resolvable
+    // after decoding
+    adds.map(_.get("path").asText).foreach { p =>
+      assert(!p.contains(" "), p)
+      val decoded = java.net.URLDecoder.decode(p, "UTF-8")
+      assert(new java.io.File(s"$root/silver/t2/$decoded").isFile,
+        s"$p -> $decoded")
+    }
+
+    // vacuum the logged version away, write + export again: the
+    // export must survive (no removes for already-deleted files)
+    store.write(
+      Seq((3L, 2026, "x")).toDF("v", "yr", "tag"),
+      "silver", "t2", partitionBy = Seq("yr", "tag"))
+    store.vacuum(spark, "silver", "t2", keepLast = 1)
+    assert(DeltaLogExport.export(spark, store, "silver", "t2") == 1L)
+    val e1 = actions("00000000000000000001.json")
+    assert(e1.count(_.has("add")) > 0)
+  }
+
   test("Pipeline(exportDeltaLog=true) maintains a log per model run") {
     import graft.model.{ModelDef, Pipeline, RunMode}
     import org.apache.spark.sql.functions.col
@@ -116,5 +159,22 @@ class DeltaLogExportSpec extends AnyFunSuite {
       .listFiles().map(_.getName).filter(_.endsWith(".json")).sorted
     assert(names.toSeq ==
       Seq("00000000000000000000.json", "00000000000000000001.json"))
+  }
+
+  test("StreamingPipeline.adopt preserves the stored partition layout") {
+    val root = Files.createTempDirectory("graft-adopt-part").toString
+    val store = new ModelStore(root)
+    store.write(
+      Seq((1L, "p1"), (2L, "p2")).toDF("v", "p"),
+      "silver", "pt", partitionBy = Seq("p"),
+      meta = Map("stream_query_id" -> "q-old", "stream_batch_id" -> "7"))
+    graft.streaming.StreamingPipeline.adopt(spark, store,
+      "silver", "pt", "q-new")
+    // layout survived the marker rewrite — the next batch still takes
+    // the pruned O(batch) path
+    assert(store.hasPartitionLayout(spark, "silver", "pt", Seq("p")))
+    assert(store.meta(spark, "silver", "pt", "stream_query_id")
+      .contains("q-new"))
+    assert(store.read(spark, "silver", "pt").get.count() == 2)
   }
 }

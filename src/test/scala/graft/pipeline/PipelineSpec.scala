@@ -329,6 +329,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(parts(prev) == parts(cur))
   }
 
+  test("pruned merge: a NULL-KEY row migrating between partitions is " +
+      "replaced, not duplicated (null-safe residence discovery)") {
+    import spark.implicits._
+    val store = new ModelStore(
+      Files.createTempDirectory("graft-nullmig").toString)
+    def model(df: DataFrame) = graft.model.ModelDef(
+      name = "t", layer = "s", uniqueKey = Some("k"),
+      partitionBy = Seq("p"), build = _ => df)
+    val noSrc = (_: String, _: String) => fail("no sources")
+    val noRef = (_: String) => fail("no refs")
+    val boot = Seq((Option("k1"), "UK", 1L),
+      (Option.empty[String], "UK", 2L), (Option("k2"), "FR", 3L))
+      .toDF("k", "p", "v")
+    Pipeline.materializeModel(spark, store, model(boot),
+      RunMode.Bootstrap, noSrc, noRef, Map.empty)
+    // the NULL-key row moves UK → US; nothing else touches UK — an
+    // equality residence join would never find its old partition and
+    // the carried-over UK dir would resurrect the stale NULL row
+    val upd = Seq((Option.empty[String], "US", 20L)).toDF("k", "p", "v")
+    Pipeline.materializeModel(spark, store, model(upd),
+      RunMode.Incremental, noSrc, noRef, Map.empty)
+    val out = store.read(spark, "s", "t").get.collect()
+      .map(r => (Option(r.getAs[String]("k")), r.getAs[String]("p"),
+        r.getAs[Long]("v"))).toSet
+    assert(out == Set((Some("k1"), "UK", 1L), (Some("k2"), "FR", 3L),
+      (None, "US", 20L)))
+  }
+
   test("tag selection runs only the selected subtree") {
     val (p, store) = newPipeline(Map(
       "customers_cdc" -> CdcFixtures.customersBatch1(),
