@@ -572,8 +572,43 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------ leakage-safe data split
+  // Train/val/test assignment keyed on the CONTENT FINGERPRINT, not
+  // the doc id: exact duplicates (and re-crawls of the same text)
+  // land in the SAME fold by construction, so eval can never score a
+  // memorized copy of a training doc — the split-leakage bug every
+  // benchmark audit looks for first. The near-dup-safe variant is the
+  // same shape keyed on `dedupCorpus`' cluster keep_id (rows-only,
+  // exercised via q35's clustering); THIS one is exact-dup-safe and
+  // fully oracle-checkable. Deterministic hash thresholds in 256ths:
+  // <0xcc train (~79.7%), <0xe6 val (~10.2%), else test (~10.2%) —
+  // stable across runs/engines, and a grown corpus never reassigns an
+  // existing document. Scan-local + the fingerprint projection; no
+  // shuffle (fold is a pure function of the fingerprint).
+  val qLeakageSplit: Q = Q(
+    "q90_leakage_split",
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |  FROM documents)
+      |SELECT doc_id, fp,
+      |  CASE WHEN substr(md5('split-' || fp), 1, 2) < 'cc' THEN 'train'
+      |       WHEN substr(md5('split-' || fp), 1, 2) < 'e6' THEN 'val'
+      |       ELSE 'test' END AS fold
+      |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
+    T(s, d, "documents")
+      .select(col("doc_id"), TextOps.contentHash(col("text")).as("fp"))
+      .withColumn("__k",
+        substring(md5(concat(lit("split-"), col("fp"))), 1, 2))
+      .select(col("doc_id"), col("fp"),
+        when(col("__k") < "cc", "train")
+          .when(col("__k") < "e6", "val")
+          .otherwise("test").as("fold"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(qHashSample, qVocabOov, qTopKPerGroup, qTfidfKeywords,
       qMixtureEpoch, qHeavyHitters, qCurationE2e, qSequencePacking,
-      qRebalanceMix, qPiiRedact, qRepetition)
+      qRebalanceMix, qPiiRedact, qRepetition, qLeakageSplit)
 }

@@ -54,7 +54,12 @@ object StreamingPipeline {
         sys.error(s"unresolved ref('$n') in streaming context"),
       vars: Map[String, String] = Map.empty,
       queryId: String = "default",
-      retainVersions: Int = 2)
+      retainVersions: Int = 2,
+      /** append a Delta-protocol log entry per committed batch
+        * ([[graft.io.DeltaLogExport]]) — stream-fed tables are where
+        * external Delta readers matter most. Opt-in, as for the batch
+        * Pipeline. */
+      exportDeltaLog: Boolean = false)
       (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val storedQuery = store.meta(spark, model.layer, model.name, QueryKey)
@@ -85,6 +90,9 @@ object StreamingPipeline {
       // ≥ 2 so readers of the just-superseded version are undisturbed
       store.vacuum(spark, model.layer, model.name,
         keepLast = math.max(2, retainVersions))
+      if (exportDeltaLog)
+        graft.io.DeltaLogExport.export(spark, store,
+          model.layer, model.name): Unit
     }
   }
 

@@ -250,6 +250,31 @@ class CurationSpec extends AnyFunSuite {
     assert(t4 == "edge: <EMAIL> ends the line <ID>")
   }
 
+  test("leakage-safe split: exact duplicates share a fold; proportions " +
+      "near 80/10/10; append-stable") {
+    val out = Curation.qLeakageSplit.build(spark, Dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(out.nonEmpty)
+    // THE invariant: same fingerprint → same fold, always (exact
+    // duplicates can never straddle train/test)
+    out.groupBy(_._2).foreach { case (fp, rows) =>
+      assert(rows.map(_._3).distinct.length == 1,
+        s"fingerprint $fp straddles folds")
+    }
+    // proportions over distinct fingerprints (the unit the hash
+    // splits): loose bands, sf0.001 has few hundred fps
+    val byFold = out.map(r => (r._2, r._3)).distinct
+      .groupBy(_._2).view.mapValues(_.size).toMap
+    val n = out.map(_._2).distinct.length.toDouble
+    assert(byFold("train") / n > 0.65 && byFold("train") / n < 0.92)
+    assert(byFold.getOrElse("val", 0) > 0 && byFold.getOrElse("test", 0) > 0)
+    // append-stability: fold is a pure function of the fingerprint —
+    // re-evaluation returns identical assignments
+    val again = Curation.qLeakageSplit.build(spark, Dir).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    out.foreach { case (id, _, fold) => assert(again(id) == fold) }
+  }
+
   test("repetition ratio: duplicate trigrams within a doc") {
     val docs = Seq(
       (1L, "a b a b a"),        // trigrams: aba, bab, aba → 1 dup of 3
