@@ -35,10 +35,16 @@ object Bench {
     }.toMap
     if (errors.nonEmpty)
       System.err.println(s"[bench] FAILED queries: ${errors.mkString(", ")}")
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
+    // Full combined line first (the documented contract), then the total
+    // alone on the FINAL line so tail capture always contains it even as
+    // the query surface grows (round-2: the single 90-query line outgrew
+    // the driver's tail window and the total was truncated away, leaving
+    // the round with no parsed bench number at all).
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

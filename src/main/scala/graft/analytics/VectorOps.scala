@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.IntegerType
 
 import graft.io.Tables
+import graft.ops.Exact
 import graft.queries.Q
 
 /** Similarity search over embedding columns (`Array[Float]`).
@@ -89,7 +90,8 @@ object VectorOps {
       |      AS cos_sim
       |  FROM n q, n b
       |  WHERE q.vec_id < $NumQueries AND b.vec_id <> q.vec_id)
-      |SELECT q_id, vec_id, cos_sim, CAST(rnk AS INTEGER) AS rnk FROM (
+      |SELECT q_id, vec_id, ${Exact.dbl4Sql("cos_sim")} AS cos_sim,
+      |  CAST(rnk AS INTEGER) AS rnk FROM (
       |  SELECT *, row_number() OVER (PARTITION BY q_id
       |    ORDER BY cos_sim DESC, vec_id) AS rnk FROM p) t
       |WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
@@ -104,8 +106,10 @@ object VectorOps {
           .as("cos_sim"))
     // bounded top-k aggregation (map-side partial top-k, ≤ k rows per
     // group per partition shuffled) instead of a window sort over all
-    // candidates — see graft.functions.TopKAgg
+    // candidates — see graft.functions.TopKAgg. Ranking runs on the raw
+    // double; presentation is a fixed 4-decimal string (repr-portable).
     topKRanked(pairs)
+      .withColumn("cos_sim", Exact.dbl4(col("cos_sim")))
   }
 
   // ------------------------------------------------- embedding stats
@@ -123,7 +127,8 @@ object VectorOps {
       |  CAST(sum(n2) AS BIGINT) AS total_norm2,
       |  CAST(min(n2) AS BIGINT) AS min_norm2,
       |  CAST(max(n2) AS BIGINT) AS max_norm2,
-      |  sqrt(CAST(sum(n2) AS DOUBLE) / count(*)) / 1000.0 AS rms_norm
+      |  ${Exact.dbl4Sql("sqrt(CAST(sum(n2) AS DOUBLE) / count(*)) / 1000.0")}
+      |    AS rms_norm
       |FROM n GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
     withQuant(T(s, d, "embeddings"))
       .withColumn("dim", size(col("qv")))
@@ -133,7 +138,7 @@ object VectorOps {
         sum("n2").as("total_norm2"),
         min("n2").as("min_norm2"),
         max("n2").as("max_norm2"),
-        (sqrt(sum("n2").cast("double") / count(lit(1))) / 1000.0)
+        Exact.dbl4(sqrt(sum("n2").cast("double") / count(lit(1))) / 1000.0)
           .as("rms_norm"))
       .orderBy("label")
   }
@@ -150,9 +155,10 @@ object VectorOps {
       |     FROM (SELECT unnest($QuantizeSql) a) u) AS n2
       |  FROM embeddings WHERE vec_id % 50 = 0)
       |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-      |  CAST((SELECT sum(u.x*u.y)
+      |  ${Exact.dbl4Sql(
+             """CAST((SELECT sum(u.x*u.y)
       |        FROM (SELECT unnest(a.qv) x, unnest(b.qv) y) u) AS DOUBLE)
-      |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+      |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))""")}
       |    AS cos_sim,
       |  a.label = b.label AS same_label,
       |  CAST((SELECT sum(u.x*u.y)
@@ -168,7 +174,7 @@ object VectorOps {
     val cos = cosineQ(col("a.qv"), col("b.qv"), col("a.n2"), col("b.n2"))
     a.join(b, col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-        cos.as("cos_sim"),
+        Exact.dbl4(cos).as("cos_sim"),
         (col("a.label") === col("b.label")).as("same_label"),
         (cos >= 0.95).as("is_near_dup"))
       .orderBy("a_id", "b_id")

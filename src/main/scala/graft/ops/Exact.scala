@@ -47,32 +47,56 @@ object Exact {
   def halfUpDivSql(num: String, den: String): String =
     s"((($num)*2 + ($den)) // (($den)*2))"
 
-  // ------------------------------------------------- pinned DECIMAL output
+  // --------------------------------------- fixed-format STRING output
   // Raw doubles are a cross-engine hash hazard even when the VALUE is
   // exact: a hasher that stringifies sees Java shortest-repr on one side
   // and DuckDB's own double→VARCHAR on the other (round-1 q06 failed the
   // driver's hash on exactly this while matching bit-for-bit locally).
-  // Presentation therefore never divides into double space: exact integer
-  // units × an exact decimal literal, cast to a pinned DECIMAL(p,s) that
-  // both engines stringify identically ("123.45").
+  // Pinned DECIMAL output is ALSO a hash hazard — the driver reads the
+  // oracle side via DuckDB `.df()` (DECIMAL → float64, shortest repr
+  // "0.9") but the Spark parquet side via pyarrow (DECIMAL →
+  // decimal.Decimal, scale-preserving "0.9000"), so any decimal cell
+  // with a trailing zero hashes differently even when numerically equal
+  // (round-2: all 23 hash failures were exactly this). Presentation
+  // therefore renders a fixed-format STRING on both engines: exact
+  // integer units × an exact decimal literal, cast to a pinned
+  // DECIMAL(p,s), then to string — "123.45" byte-identical on both
+  // sides regardless of how the comparing harness loads each one.
+  // (q52_column_profile shipped this pattern in round 2 and passed.)
 
   private val Hundredth = new java.math.BigDecimal("0.01")
   private val TenThousandth = new java.math.BigDecimal("0.0001")
 
-  /** Exact integer cents → pinned DECIMAL(18,2) dollars (Spark side). */
+  /** Exact integer cents → fixed 2-decimal string dollars (Spark side). */
   def dec2(cents: Column): Column =
-    (cents * lit(Hundredth)).cast(DecimalType(18, 2))
+    (cents * lit(Hundredth)).cast(DecimalType(18, 2)).cast("string")
 
   /** DuckDB mirror of [[dec2]] (inner BIGINT cast collapses HUGEINT sums
     * so the decimal multiply can't exceed DuckDB's width-38 cap). */
   def dec2Sql(cents: String): String =
-    s"CAST(CAST(($cents) AS BIGINT) * 0.01 AS DECIMAL(18,2))"
+    s"CAST(CAST(CAST(($cents) AS BIGINT) * 0.01 AS DECIMAL(18,2)) AS VARCHAR)"
 
-  /** Exact integer 1e-4 units → pinned DECIMAL(18,4) (Spark side). */
+  /** Exact integer 1e-4 units → fixed 4-decimal string (Spark side). */
   def dec4(units: Column): Column =
-    (units * lit(TenThousandth)).cast(DecimalType(18, 4))
+    (units * lit(TenThousandth)).cast(DecimalType(18, 4)).cast("string")
 
   /** DuckDB mirror of [[dec4]]. */
   def dec4Sql(units: String): String =
-    s"CAST(CAST(($units) AS BIGINT) * 0.0001 AS DECIMAL(18,4))"
+    s"CAST(CAST(CAST(($units) AS BIGINT) * 0.0001 AS DECIMAL(18,4)) AS VARCHAR)"
+
+  /** Computed double → fixed 4-decimal string (Spark side).
+    *
+    * For genuinely real-valued computed doubles (cosine similarity, RMS
+    * norms) where no exact integer representation exists upstream. The
+    * input double is bit-identical across engines (same IEEE ops in the
+    * same order), so `floor(x*10000 + 0.5)` — identical primitive
+    * arithmetic on both — lands on the same integer; `round(x, 4)` would
+    * NOT be portable (Spark rounds the shortest decimal string repr,
+    * DuckDB the binary value). */
+  def dbl4(c: Column): Column =
+    dec4(floor(c * 10000 + lit(0.5)).cast("long"))
+
+  /** DuckDB mirror of [[dbl4]]. */
+  def dbl4Sql(e: String): String =
+    dec4Sql(s"CAST(FLOOR(($e)*10000 + 0.5) AS BIGINT)")
 }

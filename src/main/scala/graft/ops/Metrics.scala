@@ -25,9 +25,12 @@ object Metrics {
   // Thresholds sized for the testdata distribution (avg order ≈ 250k,
   // ≈10 orders per customer ⇒ lifetime ≈ 2.5M). Same ladder *shape* as
   // dim_customer.sql:81–108 (tiers) and :173–198 (1–5 RFM scores).
-  private val TierPlat = 4000000.0
-  private val TierGold = 2500000.0
-  private val TierSilver = 1000000.0
+  // Held in exact integer CENTS: every comparison below runs in integer
+  // space so the ladder is engine-portable; money renders as a fixed
+  // 2-decimal string only at the output layer (Exact.dec2).
+  private val TierPlatC = 4000000L * 100
+  private val TierGoldC = 2500000L * 100
+  private val TierSilverC = 1000000L * 100
 
   def customerLifetimeRollup(orders: DataFrame, customer: DataFrame,
       nation: DataFrame, anchor: Date): DataFrame = {
@@ -45,12 +48,12 @@ object Metrics {
     val cent = Exact.cents(col("o_totalprice"))
     val metrics = valid.groupBy("o_custkey").agg(
       count(col("o_orderkey")).as("m_orders"),
-      Exact.dec2(sum(cent)).as("m_value"),
-      Exact.dec2(Exact.halfUpDiv(sum(cent), count(lit(1)))).as("m_avg"),
+      sum(cent).as("m_cents"),
+      Exact.halfUpDiv(sum(cent), count(lit(1))).as("m_avg_cents"),
       count(when(col("o_orderstatus") === "F", col("o_orderkey")))
         .as("m_completed"),
-      Exact.dec2(sum(when(col("o_orderstatus") === "F", cent).otherwise(0L)))
-        .as("m_completed_rev"),
+      sum(when(col("o_orderstatus") === "F", cent).otherwise(0L))
+        .as("m_completed_cents"),
       countDistinct(date_trunc("month", col("o_orderdate")))
         .as("m_active_months"),
       min("o_orderdate").as("m_first_ts"),
@@ -61,9 +64,8 @@ object Metrics {
       .join(broadcast(nation),
         customer("c_nationkey") === nation("n_nationkey"), "left")
 
-    val decZero = lit(0).cast(DecimalType(18, 2))
     val lifetimeOrders = coalesce(col("m_orders"), lit(0L))
-    val lifetimeValue = coalesce(col("m_value"), decZero)
+    val lifetimeCents = coalesce(col("m_cents"), lit(0L))
     val daysSince = datediff(lit(anchor), to_date(col("m_last_ts")))
     val recency = when(daysSince.isNull, 1)
       .when(daysSince <= 90, 5).when(daysSince <= 180, 4)
@@ -71,25 +73,27 @@ object Metrics {
     val frequency = when(lifetimeOrders >= 15, 5)
       .when(lifetimeOrders >= 12, 4).when(lifetimeOrders >= 8, 3)
       .when(lifetimeOrders >= 4, 2).otherwise(1)
-    val monetary = when(lifetimeValue >= 4000000, 5)
-      .when(lifetimeValue >= 2500000, 4).when(lifetimeValue >= 1500000, 3)
-      .when(lifetimeValue >= 500000, 2).otherwise(1)
+    val monetary = when(lifetimeCents >= TierPlatC, 5)
+      .when(lifetimeCents >= TierGoldC, 4)
+      .when(lifetimeCents >= 1500000L * 100, 3)
+      .when(lifetimeCents >= 500000L * 100, 2).otherwise(1)
 
     joined.select(
       col("c_custkey"), col("c_name"), col("c_mktsegment"),
       col("n_name").as("nation_name"),
       lifetimeOrders.as("lifetime_orders"),
-      lifetimeValue.as("lifetime_value"),
-      col("m_avg").as("avg_order_value"),
+      Exact.dec2(lifetimeCents).as("lifetime_value"),
+      Exact.dec2(col("m_avg_cents")).as("avg_order_value"),
       coalesce(col("m_completed"), lit(0L)).as("completed_orders"),
-      coalesce(col("m_completed_rev"), decZero).as("completed_revenue"),
+      Exact.dec2(coalesce(col("m_completed_cents"), lit(0L)))
+        .as("completed_revenue"),
       coalesce(col("m_active_months"), lit(0L)).as("active_months"),
       col("m_first_ts").as("first_order_ts"),
       col("m_last_ts").as("last_order_ts"),
       daysSince.as("days_since_last"),
-      when(lifetimeValue >= TierPlat, "PLATINUM")
-        .when(lifetimeValue >= TierGold, "GOLD")
-        .when(lifetimeValue >= TierSilver, "SILVER")
+      when(lifetimeCents >= TierPlatC, "PLATINUM")
+        .when(lifetimeCents >= TierGoldC, "GOLD")
+        .when(lifetimeCents >= TierSilverC, "SILVER")
         .otherwise("BRONZE").as("customer_tier"),
       recency.as("recency_score"),
       frequency.as("frequency_score"),
@@ -115,16 +119,16 @@ object Metrics {
     s"""WITH m AS (
       |  SELECT o_custkey,
       |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS m_orders,
-      |    ${Exact.dec2Sql(s"sum(${Exact.centsSql("o_totalprice")})")}
-      |      AS m_value,
-      |    ${Exact.dec2Sql(Exact.halfUpDivSql(
-             s"sum(${Exact.centsSql("o_totalprice")})", "count(*)"))}
-      |      AS m_avg,
+      |    CAST(sum(${Exact.centsSql("o_totalprice")}) AS BIGINT)
+      |      AS m_cents,
+      |    CAST(${Exact.halfUpDivSql(
+             s"sum(${Exact.centsSql("o_totalprice")})", "count(*)")}
+      |      AS BIGINT) AS m_avg_cents,
       |    CAST(count(DISTINCT CASE WHEN o_orderstatus = 'F'
       |      THEN o_orderkey END) AS BIGINT) AS m_completed,
-      |    ${Exact.dec2Sql(s"""sum(CASE WHEN o_orderstatus = 'F'
-      |      THEN ${Exact.centsSql("o_totalprice")} ELSE 0 END)""")}
-      |      AS m_completed_rev,
+      |    CAST(sum(CASE WHEN o_orderstatus = 'F'
+      |      THEN ${Exact.centsSql("o_totalprice")} ELSE 0 END) AS BIGINT)
+      |      AS m_completed_cents,
       |    CAST(count(DISTINCT date_trunc('month', o_orderdate)) AS BIGINT)
       |      AS m_active_months,
       |    min(o_orderdate) AS m_first_ts,
@@ -138,24 +142,24 @@ object Metrics {
       |    CAST(date_diff('day', CAST(m.m_last_ts AS DATE), DATE '$anchor')
       |      AS INTEGER) AS days_since,
       |    COALESCE(m.m_orders, 0) AS lt_orders,
-      |    COALESCE(m.m_value, CAST(0 AS DECIMAL(18,2))) AS lt_value
+      |    COALESCE(m.m_cents, 0) AS lt_cents
       |  FROM customer c
       |  LEFT JOIN m ON c.c_custkey = m.o_custkey
       |  LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey)
       |SELECT c_custkey, c_name, c_mktsegment, n_name AS nation_name,
       |  lt_orders AS lifetime_orders,
-      |  lt_value AS lifetime_value,
-      |  m_avg AS avg_order_value,
+      |  ${Exact.dec2Sql("lt_cents")} AS lifetime_value,
+      |  ${Exact.dec2Sql("m_avg_cents")} AS avg_order_value,
       |  COALESCE(m_completed, 0) AS completed_orders,
-      |  COALESCE(m_completed_rev, CAST(0 AS DECIMAL(18,2)))
+      |  ${Exact.dec2Sql("COALESCE(m_completed_cents, 0)")}
       |    AS completed_revenue,
       |  COALESCE(m_active_months, 0) AS active_months,
       |  m_first_ts AS first_order_ts,
       |  m_last_ts AS last_order_ts,
       |  days_since AS days_since_last,
-      |  CASE WHEN lt_value >= 4000000 THEN 'PLATINUM'
-      |       WHEN lt_value >= 2500000 THEN 'GOLD'
-      |       WHEN lt_value >= 1000000 THEN 'SILVER'
+      |  CASE WHEN lt_cents >= 400000000 THEN 'PLATINUM'
+      |       WHEN lt_cents >= 250000000 THEN 'GOLD'
+      |       WHEN lt_cents >= 100000000 THEN 'SILVER'
       |       ELSE 'BRONZE' END AS customer_tier,
       |  CASE WHEN days_since IS NULL THEN 1 WHEN days_since <= 90 THEN 5
       |       WHEN days_since <= 180 THEN 4 WHEN days_since <= 365 THEN 3
@@ -163,8 +167,10 @@ object Metrics {
       |  CASE WHEN lt_orders >= 15 THEN 5 WHEN lt_orders >= 12 THEN 4
       |       WHEN lt_orders >= 8 THEN 3 WHEN lt_orders >= 4 THEN 2
       |       ELSE 1 END AS frequency_score,
-      |  CASE WHEN lt_value >= 4000000 THEN 5 WHEN lt_value >= 2500000 THEN 4
-      |       WHEN lt_value >= 1500000 THEN 3 WHEN lt_value >= 500000 THEN 2
+      |  CASE WHEN lt_cents >= 400000000 THEN 5
+      |       WHEN lt_cents >= 250000000 THEN 4
+      |       WHEN lt_cents >= 150000000 THEN 3
+      |       WHEN lt_cents >= 50000000 THEN 2
       |       ELSE 1 END AS monetary_score,
       |  CAST(CASE WHEN days_since IS NULL THEN 1
       |       WHEN days_since <= 90 THEN 5 WHEN days_since <= 180 THEN 4
@@ -173,9 +179,10 @@ object Metrics {
       |  CAST(CASE WHEN lt_orders >= 15 THEN 5 WHEN lt_orders >= 12 THEN 4
       |       WHEN lt_orders >= 8 THEN 3 WHEN lt_orders >= 4 THEN 2
       |       ELSE 1 END AS VARCHAR) ||
-      |  CAST(CASE WHEN lt_value >= 4000000 THEN 5
-      |       WHEN lt_value >= 2500000 THEN 4 WHEN lt_value >= 1500000 THEN 3
-      |       WHEN lt_value >= 500000 THEN 2 ELSE 1 END AS VARCHAR)
+      |  CAST(CASE WHEN lt_cents >= 400000000 THEN 5
+      |       WHEN lt_cents >= 250000000 THEN 4
+      |       WHEN lt_cents >= 150000000 THEN 3
+      |       WHEN lt_cents >= 50000000 THEN 2 ELSE 1 END AS VARCHAR)
       |    AS rfm_segment,
       |  lt_orders >= 2 AS is_repeat_customer,
       |  COALESCE(days_since <= 90, false) AS is_active_customer,

@@ -183,7 +183,8 @@ object RefQueries {
              Exact.halfUpDivSql(s"$dBp*100", "CAST(l_quantity AS BIGINT)"))}
         |    END AS disc_per_unit,
         |  CAST(l_quantity AS INTEGER) AS qty_int,
-        |  CAST(l_extendedprice AS DECIMAL(12,2)) AS price_dec,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR)
+        |    AS price_dec,
         |  COALESCE(nullif(l_returnflag, 'N'), 'NONE') AS return_kind
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, net_price, charge, disc_per_unit,
@@ -202,7 +203,8 @@ object RefQueries {
             Exact.dec4(Exact.halfUpDiv(dBp2 * 100,
               col("l_quantity").cast("long")))).as("disc_per_unit"),
           col("l_quantity").cast(IntegerType).as("qty_int"),
-          col("l_extendedprice").cast(DecimalType(12, 2)).as("price_dec"),
+          col("l_extendedprice").cast(DecimalType(12, 2)).cast("string")
+            .as("price_dec"),
           coalesce(nullif(col("l_returnflag"), lit("N")), lit("NONE"))
             .as("return_kind"))
         .orderBy("l_orderkey", "l_linenumber", "net_price", "charge",
@@ -221,8 +223,8 @@ object RefQueries {
       |  ${Exact.dec2Sql(s"sum(${oCents("o_totalprice")})")} AS total_rev,
       |  ${Exact.dec2Sql(Exact.halfUpDivSql(
            s"sum(${oCents("o_totalprice")})", "count(*)"))} AS avg_rev,
-      |  min(o_totalprice) AS min_rev,
-      |  max(o_totalprice) AS max_rev,
+      |  ${Exact.dec2Sql(s"min(${oCents("o_totalprice")})")} AS min_rev,
+      |  ${Exact.dec2Sql(s"max(${oCents("o_totalprice")})")} AS max_rev,
       |  CAST(count(DISTINCT CASE WHEN o_orderstatus = 'F'
       |       THEN o_orderkey END) AS BIGINT) AS fulfilled_orders,
       |  ${Exact.dec2Sql(s"""sum(CASE WHEN o_orderstatus = 'O'
@@ -241,8 +243,8 @@ object RefQueries {
           Exact.dec2(sum(cent)).as("total_rev"),
           Exact.dec2(Exact.halfUpDiv(sum(cent), count(lit(1))))
             .as("avg_rev"),
-          min("o_totalprice").as("min_rev"),
-          max("o_totalprice").as("max_rev"),
+          Exact.dec2(min(cent)).as("min_rev"),
+          Exact.dec2(max(cent)).as("max_rev"),
           countDistinct(when(col("o_orderstatus") === "F", col("o_orderkey")))
             .as("fulfilled_orders"),
           Exact.dec2(sum(when(col("o_orderstatus") === "O", cent)
@@ -579,7 +581,7 @@ object RefQueries {
     s"""SELECT o_custkey,
       |  ${Exact.dec2Sql(s"sum(${oCents("o_totalprice")})")} AS total_rev,
       |  CAST(count(*) AS BIGINT) AS n_orders,
-      |  max(o_totalprice) AS max_rev
+      |  ${Exact.dec2Sql(s"max(${oCents("o_totalprice")})")} AS max_rev
       |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) {
     (s, d) =>
       import graft.ops.Salt
@@ -587,9 +589,9 @@ object RefQueries {
       Salt.saltedAgg(T(s, d, "orders"), "o_custkey",
           uniq = col("o_orderkey"), buckets = 8,
           partialAggs = Seq(sum(cent).as("pc"),
-            count(lit(1)).as("pn"), max("o_totalprice").as("pm")),
+            count(lit(1)).as("pn"), max(cent).as("pm")),
           finalAggs = Seq(Exact.dec2(sum("pc")).as("total_rev"),
-            sum("pn").as("n_orders"), max("pm").as("max_rev")))
+            sum("pn").as("n_orders"), Exact.dec2(max("pm")).as("max_rev")))
         .orderBy("o_custkey")
   }
 

@@ -66,7 +66,7 @@ class CurationSpec extends AnyFunSuite {
     assert(out.length == 500)
     out.foreach { r =>
       val n = r.getLong(1); val iv = r.getLong(2)
-      val ratio = r.getDecimal(3)
+      val ratio = new java.math.BigDecimal(r.getString(3))
       assert(iv <= n)
       assert(ratio.doubleValue >= 0.0 && ratio.doubleValue <= 1.0)
     }
@@ -289,7 +289,7 @@ class CurationSpec extends AnyFunSuite {
     docs.write.parquet(s"$dir/documents.parquet")
     val out = Curation.qRepetition.build(spark, dir).collect()
       .map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getLong(2), r.getDecimal(3).toString))).toMap
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
     assert(out(1L) == ((3L, 1L, "0.3333")))
     assert(out(2L) == ((2L, 0L, "0.0000")))
     assert(out(3L) == ((0L, 0L, "0.0000")))

@@ -43,7 +43,7 @@ class NgramOpsSpec extends AnyFunSuite {
     rows.foreach { r =>
       val (nGrams, nHit) = (r.getLong(1), r.getLong(2))
       assert(nHit >= 1 && nHit <= nGrams)
-      val ratio = r.getDecimal(3)
+      val ratio = new java.math.BigDecimal(r.getString(3))
       assert(ratio.signum > 0 &&
         ratio.compareTo(new java.math.BigDecimal("1.0001")) < 0)
     }
@@ -80,7 +80,8 @@ class NgramOpsSpec extends AnyFunSuite {
     }
     // a doc's own bigrams contribute to cf: mean_f ≥ 1
     rows.foreach { r =>
-      assert(r.getDecimal(3).compareTo(java.math.BigDecimal.ONE) >= 0)
+      assert(new java.math.BigDecimal(r.getString(3))
+        .compareTo(java.math.BigDecimal.ONE) >= 0)
     }
   }
 }

@@ -36,8 +36,10 @@ class QuantilesSpec extends AnyFunSuite {
     assert(got.nonEmpty)
     got.foreach { r =>
       val (e50, e95) = expect(r.getString(0))
-      assert(r.getDecimal(2).movePointRight(2).longValueExact == e50)
-      assert(r.getDecimal(3).movePointRight(2).longValueExact == e95)
+      assert(new java.math.BigDecimal(r.getString(2))
+        .movePointRight(2).longValueExact == e50)
+      assert(new java.math.BigDecimal(r.getString(3))
+        .movePointRight(2).longValueExact == e95)
     }
   }
 
@@ -62,10 +64,10 @@ class QuantilesSpec extends AnyFunSuite {
     sketch.foreach { r =>
       val cents = groups(r.getString(0))
       val slack = 0.01 + 1.0 / cents.length // bound + discretization
-      val f50 = rankFrac(cents,
-        r.getDecimal(2).movePointRight(2).longValueExact)
-      val f95 = rankFrac(cents,
-        r.getDecimal(3).movePointRight(2).longValueExact)
+      val f50 = rankFrac(cents, new java.math.BigDecimal(r.getString(2))
+        .movePointRight(2).longValueExact)
+      val f95 = rankFrac(cents, new java.math.BigDecimal(r.getString(3))
+        .movePointRight(2).longValueExact)
       assert(math.abs(f50 - 0.5) <= slack, s"p50 rank $f50")
       assert(math.abs(f95 - 0.95) <= slack, s"p95 rank $f95")
     }
@@ -132,8 +134,10 @@ class QuantilesSpec extends AnyFunSuite {
     val med = lowerMed(cents)
     val mad = lowerMed(cents.map(c => math.abs(c - med)).sorted)
     val got = rows.find(_.getString(0) == name).get
-    assert(got.getDecimal(2).movePointRight(2).longValueExact() == med)
-    assert(got.getDecimal(3).movePointRight(2).longValueExact() == mad)
+    assert(new java.math.BigDecimal(got.getString(2))
+      .movePointRight(2).longValueExact() == med)
+    assert(new java.math.BigDecimal(got.getString(3))
+      .movePointRight(2).longValueExact() == mad)
     assert(got.getLong(4) ==
       cents.count(c => math.abs(c - med) > 3 * mad))
 

@@ -44,23 +44,39 @@ class ExactSpec extends AnyFunSuite {
     assert(got.toSeq == cs)
   }
 
-  test("dec2/dec4 are exact pinned decimals (scale preserved in text)") {
+  test("dec2/dec4 are exact fixed-scale strings (repr-portable)") {
     val cs = lcg(11).take(1000).map(x => math.abs(x) % 1000000000L).toSeq
     val rows = cs.toDF("c")
       .select(Exact.dec2(col("c")).as("d2"), Exact.dec4(col("c")).as("d4"))
+    // STRING at the boundary: the driver's hasher reads the Spark side
+    // via pyarrow (scale-preserving Decimal) and the oracle via DuckDB
+    // .df() (float64 shortest-repr) — only a string column is loaded
+    // identically by both paths (round-2: all 23 hash failures were
+    // DECIMAL output columns).
     val schema = rows.schema.map(f => f.name -> f.dataType.sql).toMap
-    assert(schema("d2") == "DECIMAL(18,2)")
-    assert(schema("d4") == "DECIMAL(18,4)")
+    assert(schema("d2") == "STRING")
+    assert(schema("d4") == "STRING")
     rows.collect().zip(cs).foreach { case (r, c) =>
       // exact value: integer units shifted, never a rounded double
-      assert(r.getDecimal(0) ==
+      assert(new JBD(r.getString(0)) ==
         new JBD(c).movePointLeft(2).setScale(2), s"c=$c")
-      assert(r.getDecimal(1) ==
+      assert(new JBD(r.getString(1)) ==
         new JBD(c).movePointLeft(4).setScale(4), s"c=$c")
-      // text form carries the pinned scale — what a stringifying
-      // hasher compares across engines ("123.40", not "123.4")
-      assert(r.getDecimal(0).toPlainString.matches(".*\\.\\d{2}"))
-      assert(r.getDecimal(1).toPlainString.matches(".*\\.\\d{4}"))
+      // text form carries the pinned scale ("123.40", not "123.4")
+      assert(r.getString(0).matches("-?\\d+\\.\\d{2}"))
+      assert(r.getString(1).matches("-?\\d+\\.\\d{4}"))
     }
+  }
+
+  test("dbl4 half-up rounds computed doubles to fixed 4-decimal strings") {
+    val xs = Seq(0.0, 1.0, 0.99995, 0.12344999, -0.5, 0.33333333, 123.456789)
+    val got = xs.toDF("x").select(Exact.dbl4(col("x"))).collect()
+      .map(_.getString(0))
+    val expected = xs.map { x =>
+      new JBD(math.floor(x * 10000 + 0.5).toLong)
+        .movePointLeft(4).setScale(4).toPlainString
+    }
+    assert(got.toSeq == expected)
+    got.foreach(s => assert(s.matches("-?\\d+\\.\\d{4}")))
   }
 }

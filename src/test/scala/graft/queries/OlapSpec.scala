@@ -16,11 +16,12 @@ class OlapSpec extends AnyFunSuite {
     // detail + per-region subtotal + grand total present
     val gids = df.collect().map(_.getInt(2)).toSet
     assert(gids == Set(0, 1, 3))
-    // grand total equals the sum of detail rows
+    // grand total equals the sum of detail rows (money renders as a
+    // fixed 2-decimal string at the output contract)
     val rows = df.collect()
     val detail = rows.filter(_.getInt(2) == 0)
-      .map(_.getDecimal(4).doubleValue).sum
-    val grand = rows.find(_.getInt(2) == 3).get.getDecimal(4).doubleValue
+      .map(_.getString(4).toDouble).sum
+    val grand = rows.find(_.getInt(2) == 3).get.getString(4).toDouble
     assert(math.abs(detail - grand) < 0.005)
   }
 
@@ -31,8 +32,8 @@ class OlapSpec extends AnyFunSuite {
       val seq = rs.sortBy(_.getDate(1).getTime)
       seq.zipWithIndex.foreach { case (r, i) =>
         val expect = seq.slice(math.max(0, i - 6), i + 1)
-          .map(_.getDecimal(2).doubleValue).sum
-        assert(math.abs(r.getDecimal(3).doubleValue - expect) < 0.005)
+          .map(_.getString(2).toDouble).sum
+        assert(math.abs(r.getString(3).toDouble - expect) < 0.005)
       }
     }
   }
@@ -49,7 +50,7 @@ class OlapSpec extends AnyFunSuite {
     }
     // gap rows carry exactly zero revenue
     rows.filter(_.getBoolean(3))
-      .foreach(r => assert(r.getDecimal(2).doubleValue == 0.0))
+      .foreach(r => assert(r.getString(2).toDouble == 0.0))
     assert(rows.exists(_.getBoolean(3)) && rows.exists(!_.getBoolean(3)))
   }
 
