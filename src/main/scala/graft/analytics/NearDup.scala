@@ -384,7 +384,6 @@ object NearDup {
       round += 1
     }
     edges.unpersist()
-    System.err.println(s"[cluster] converged in $round rounds")
     labels
   }
 

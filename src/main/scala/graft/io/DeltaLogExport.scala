@@ -114,15 +114,51 @@ object DeltaLogExport {
       }.mkString("{", ",", "}")
 
     val current = dataFiles(cur)
-    val prior = if (lastStore == 0) Nil else dataFiles(lastStore)
+
+    // Replay the existing _delta_log to learn (a) the live file set a
+    // reader currently reconstructs and (b) the partitionColumns already
+    // committed. Removes derived from the LOG (not from re-listing the
+    // prior version directory) stay exact even when the prior store
+    // version was vacuumed between exports — re-listing a vacuumed dir
+    // yields Nil and leaves the old adds dangling in the snapshot.
+    // Paths are kept in their as-written (escaped + URL-encoded) form so
+    // a remove matches its add byte-for-byte.
+    val AddPath = """"add":\{"path":"((?:[^"\\]|\\.)*)"""".r
+    val RemovePath = """"remove":\{"path":"((?:[^"\\]|\\.)*)"""".r
+    val PartColsPat = """"partitionColumns":(\[[^\]]*\])""".r
+    val liveInLog = scala.collection.mutable.LinkedHashSet.empty[String]
+    var loggedPartCols: Option[String] = None
+    existing.sorted.foreach { v =>
+      val in = fs.open(new Path(logDir, f"$v%020d.json"))
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      txt.linesIterator.foreach { ln =>
+        AddPath.findFirstMatchIn(ln).foreach(m => liveInLog += m.group(1))
+        RemovePath.findFirstMatchIn(ln).foreach(m => liveInLog -= m.group(1))
+        PartColsPat.findFirstMatchIn(ln)
+          .foreach(m => loggedPartCols = Some(m.group(1)))
+      }
+    }
+
     val schemaJson = store.readVersion(spark, layer, name, cur).schema.json
     // partitioning order = directory nesting order (NOT alphabetical —
-    // the order is semantic in the protocol)
-    val partCols = current.headOption.map(_._4.map(_._1)).getOrElse(Nil)
+    // the order is semantic in the protocol). Once committed it is
+    // pinned: re-emitting metaData with different partitioning is an
+    // illegal metadata change for Delta readers, and a version that
+    // happens to hold zero data files must not flip the table to
+    // unpartitioned. Fallback walks older versions for the layout.
+    val partCols = current.headOption.map(_._4.map(_._1)).getOrElse {
+      ((cur - 1) to 1 by -1).iterator.map(dataFiles)
+        .collectFirst { case fsq if fsq.nonEmpty => fsq.head._4.map(_._1) }
+        .getOrElse(Nil)
+    }
     // deterministic table id (no Date.now/randomness in this codebase)
     val tableId = java.util.UUID.nameUUIDFromBytes(
       s"graft:$layer.$name".getBytes("UTF-8")).toString
     val createdTime = current.map(_._3).minOption.getOrElse(0L)
+
+    val partColsJson = loggedPartCols.getOrElse(
+      partCols.map(c => "\"" + esc(c) + "\"").mkString("[", ",", "]"))
 
     val lines = Seq.newBuilder[String]
     if (logVersion == 0)
@@ -130,15 +166,21 @@ object DeltaLogExport {
     lines += ("""{"metaData":{"id":"""" + tableId +
       """","format":{"provider":"parquet","options":{}},""" +
       """"schemaString":"""" + esc(schemaJson) + """",""" +
-      """"partitionColumns":[""" +
-      partCols.map(c => "\"" + esc(c) + "\"").mkString(",") +
-      """],"configuration":{},"createdTime":""" + createdTime + "}}")
-    // files of the superseded version leave the snapshot; hard-linked
-    // carry-overs reappear as adds under the NEW version path, so the
-    // snapshot algebra stays exact (remove then re-add is legal Delta)
-    prior.foreach { case (p, _, mt, _) =>
-      lines += ("""{"remove":{"path":"""" + esc(encPath(p)) +
-        """","deletionTimestamp":""" + mt + ""","dataChange":true}}""")
+      """"partitionColumns":""" + partColsJson +
+      ""","configuration":{},"createdTime":""" + createdTime + "}}")
+    // Every file a reader currently reconstructs (log-replay live set)
+    // that is not part of the new version leaves the snapshot;
+    // hard-linked carry-overs reappear as adds under the NEW version
+    // path, so the snapshot algebra stays exact (remove then re-add is
+    // legal Delta). deletionTimestamp is the commit time — the prior
+    // files themselves may already be vacuumed, so their mtimes are
+    // unavailable.
+    val commitTs = current.map(_._3).maxOption.getOrElse(createdTime)
+    val currentPaths = current.map { case (p, _, _, _) =>
+      esc(encPath(p)) }.toSet
+    liveInLog.filterNot(currentPaths).foreach { p =>
+      lines += ("""{"remove":{"path":"""" + p +
+        """","deletionTimestamp":""" + commitTs + ""","dataChange":true}}""")
     }
     current.foreach { case (p, size, mt, pv) =>
       lines += ("""{"add":{"path":"""" + esc(encPath(p)) +
@@ -154,5 +196,87 @@ object DeltaLogExport {
     val mOut = fs.create(marker, true)
     try mOut.write(cur.toString.getBytes("UTF-8")) finally mOut.close()
     logVersion
+  }
+
+  /** Checkpoint parquet schema per the public protocol: one nullable
+    * struct column per action kind, one action per row. */
+  private val CheckpointDdl =
+    "protocol struct<minReaderVersion:int,minWriterVersion:int>," +
+    "metaData struct<id:string," +
+      "format:struct<provider:string,options:map<string,string>>," +
+      "schemaString:string,partitionColumns:array<string>," +
+      "configuration:map<string,string>,createdTime:bigint>," +
+    "add struct<path:string,partitionValues:map<string,string>," +
+      "size:bigint,modificationTime:bigint,dataChange:boolean>," +
+    "remove struct<path:string,deletionTimestamp:bigint," +
+      "dataChange:boolean>"
+
+  /** Write a protocol checkpoint of the CURRENT log state:
+    * `_delta_log/<v>.checkpoint.parquet` (the replayed snapshot — latest
+    * protocol + metaData, live `add`s, `remove` tombstones) plus the
+    * `_last_checkpoint` pointer file, per PROTOCOL.md of delta-io/delta.
+    * A reader then loads the checkpoint and applies only the JSON
+    * entries AFTER it instead of replaying the whole log. Returns the
+    * checkpointed log version, or -1 if no log exists yet. */
+  def checkpoint(spark: SparkSession, store: ModelStore,
+      layer: String, name: String): Long = {
+    val logDir = new Path(s"${store.root}/$layer/$name/_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(logDir)) return -1L
+    val versions = fs.listStatus(logDir).map(_.getPath.getName)
+      .filter(n => n.endsWith(".json") &&
+        n.stripSuffix(".json").forall(_.isDigit))
+      .map(_.stripSuffix(".json").toLong).sorted
+    if (versions.isEmpty) return -1L
+    val ckptV = versions.max
+
+    // replay: latest protocol/metaData win; an add supersedes a prior
+    // tombstone for its path and vice versa (per-path last action wins)
+    val AddPath = """"add":\{"path":"((?:[^"\\]|\\.)*)"""".r
+    val RemovePath = """"remove":\{"path":"((?:[^"\\]|\\.)*)"""".r
+    var protocolLine: Option[String] = None
+    var metaLine: Option[String] = None
+    val liveAdds = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val tombstones = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    versions.foreach { v =>
+      val in = fs.open(new Path(logDir, f"$v%020d.json"))
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      txt.linesIterator.filter(_.nonEmpty).foreach { ln =>
+        if (ln.contains("\"protocol\":")) protocolLine = Some(ln)
+        else if (ln.contains("\"metaData\":")) metaLine = Some(ln)
+        else AddPath.findFirstMatchIn(ln) match {
+          case Some(m) =>
+            liveAdds(m.group(1)) = ln; tombstones -= m.group(1)
+          case None => RemovePath.findFirstMatchIn(ln).foreach { m =>
+            tombstones(m.group(1)) = ln; liveAdds -= m.group(1)
+          }
+        }
+      }
+    }
+    val rows = protocolLine.toSeq ++ metaLine.toSeq ++
+      tombstones.values ++ liveAdds.values
+
+    // the action lines ARE rows of the checkpoint schema — read them
+    // back through it and write ONE parquet file at the mandated name
+    import spark.implicits._
+    val df = spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(CheckpointDdl))
+      .json(spark.createDataset(rows)).coalesce(1)
+    val tmp = new Path(logDir, s".ckpt-tmp-$ckptV")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"checkpoint write produced no parquet: $tmp"))
+    val target = new Path(logDir, f"$ckptV%020d.checkpoint.parquet")
+    fs.delete(target, false)
+    fs.rename(part, target)
+    fs.delete(tmp, true)
+
+    val ptr = fs.create(new Path(logDir, "_last_checkpoint"), true)
+    try ptr.write(
+      s"""{"version":$ckptV,"size":${rows.size}}""".getBytes("UTF-8"))
+    finally ptr.close()
+    ckptV
   }
 }

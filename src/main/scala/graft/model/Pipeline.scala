@@ -71,7 +71,12 @@ final class Pipeline(
       * materialization ([[graft.io.DeltaLogExport]]) so external
       * Delta readers can open the produced tables. Opt-in: the log
       * is interop surface, not a dependency of the engine itself. */
-    exportDeltaLog: Boolean = false) {
+    exportDeltaLog: Boolean = false,
+    /** with [[exportDeltaLog]], also write a protocol checkpoint
+      * (`<v>.checkpoint.parquet` + `_last_checkpoint`) every N log
+      * entries so readers replay O(N) JSON tail instead of the whole
+      * log — Delta's own default cadence is every 10 commits. */
+    deltaCheckpointInterval: Int = 10) {
 
   private val byName = models.map(m => m.name -> m).toMap
 
@@ -140,8 +145,12 @@ final class Pipeline(
       partitionPred: org.apache.spark.sql.Column): DataFrame = {
     val m = byName(modelName)
     require(m.partitionBy.nonEmpty, s"$modelName is not partitioned")
-    require(store.hasPartitionLayout(spark, m.layer, m.name,
-        m.partitionBy),
+    // a never-materialized model bootstraps below; an EXISTING table
+    // must carry the declared layout or partition replacement would
+    // silently rewrite the whole table
+    val materialized = store.currentVersion(spark, m.layer, m.name) > 0
+    require(!materialized || store.hasPartitionLayout(spark, m.layer,
+        m.name, m.partitionBy),
       s"stored layout of ${m.layer}.${m.name} does not match " +
         s"partitionBy=${m.partitionBy.mkString(",")}")
     val ref = (name: String) => {
@@ -158,12 +167,15 @@ final class Pipeline(
     // month) must be dropped from the new version, not carried over —
     // otherwise the purge silently fails. A partition-pruned,
     // column-pruned distinct over the partition columns only.
-    val existingTouched = store.read(spark, m.layer, m.name).get
-      .filter(partitionPred)
-      .select(m.partitionBy.map(functions.col): _*).distinct()
+    // A never-materialized model has no existing partitions to purge —
+    // the backfill degrades to a plain bootstrap write of the selection
+    // (touched = None) instead of throwing on the missing table.
+    val existingTouched = store.read(spark, m.layer, m.name).map(
+      _.filter(partitionPred)
+        .select(m.partitionBy.map(functions.col): _*).distinct())
     store.writeTouchedPartitions(rebuilt, m.layer, m.name,
       m.partitionBy, m.zorderBy, description = m.description,
-      touched = Some(existingTouched))
+      touched = existingTouched)
     store.vacuum(spark, m.layer, m.name, keepLast = retainVersions)
     store.read(spark, m.layer, m.name).get
   }
@@ -178,8 +190,13 @@ final class Pipeline(
     }
     Pipeline.materializeModel(spark, store, m, mode, sources, ref, vars)
     store.vacuum(spark, m.layer, m.name, keepLast = retainVersions)
-    if (exportDeltaLog)
-      graft.io.DeltaLogExport.export(spark, store, m.layer, m.name): Unit
+    if (exportDeltaLog) {
+      val logV = graft.io.DeltaLogExport.export(spark, store,
+        m.layer, m.name)
+      if (logV >= 0 && (logV + 1) % deltaCheckpointInterval == 0)
+        graft.io.DeltaLogExport.checkpoint(spark, store,
+          m.layer, m.name): Unit
+    }
     // dbt-style per-model run log (stderr: keeps Bench's stdout JSON
     // clean)
     System.err.println(

@@ -71,4 +71,65 @@ class ZOrderSpec extends AnyFunSuite {
     assert(math.max(zx, zy) < ly / 1.9)
     assert(lx < 16.0) // sanity: lex is perfect on its prefix column
   }
+
+  test("z-clustered files let min/max pruning skip most of the scan " +
+      "for a selective predicate on a NON-PREFIX key") {
+    // The ZORDER claim (reference orders_cleaned.sql:15 post-hook) is
+    // about the READ side: parquet row-group/file skipping consults
+    // per-file min/max stats, so the number of files whose [min,max]
+    // envelope intersects the predicate IS the scan cost a pruning
+    // reader pays. Structural assertion on that count — not wall time.
+    val dir = java.nio.file.Files.createTempDirectory("graft-zskip")
+    val grid = (0 until 256).flatMap(x => (0 until 256).map(y =>
+      (x.toLong, y.toLong))).toDF("x", "y")
+    // cluster() range-partitions on the interleaved value into the
+    // session's shuffle-partition count — pin it (and switch off AQE
+    // partition coalescing, which would merge this small fixture into
+    // one file) so both layouts land a comparable file count
+    val nFiles = 16
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevCoalesce = spark.conf
+      .get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", nFiles.toString)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      ZOrder.cluster(grid, Seq("x", "y")).write.parquet(s"$dir/z")
+      // honest baseline: same file count, lex-sorted (x then y) — the
+      // store's default layout this op replaces
+      grid.repartitionByRange(nFiles, col("x"))
+        .sortWithinPartitions("x", "y").write.parquet(s"$dir/lex")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+        prevCoalesce)
+    }
+
+    // per-file envelopes of the NON-prefix key y (what footer stats
+    // record), then count files a pruning reader must open for a
+    // y-window covering ~6% of the domain
+    def mustScan(path: String): (Long, Long) = {
+      val stats = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("y").as("lo"), max("y").as("hi"))
+      (stats.filter(col("hi") >= 100L && col("lo") <= 115L).count(),
+        stats.count())
+    }
+    val (zScan, zTotal) = mustScan(s"$dir/z")
+    val (lexScan, lexTotal) = mustScan(s"$dir/lex")
+    assert(zTotal >= nFiles - 1 && lexTotal >= nFiles - 1,
+      s"layouts produced $zTotal/$lexTotal files, wanted ~$nFiles")
+    // lex: every file spans the full y domain → no skipping at all
+    assert(lexScan == lexTotal, s"lex should scan all, got $lexScan")
+    // z-order: the y-window touches only the curve cells it crosses
+    assert(zScan * 2 <= zTotal,
+      s"z-order should skip ≥ half the files, scans $zScan of $zTotal")
+
+    // and Spark actually ships the predicate to the scan: pushdown is
+    // what turns those envelopes into skipped row-groups at read time
+    val plan = spark.read.parquet(s"$dir/z")
+      .filter(col("y") >= 100L && col("y") <= 115L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(y,100)"), plan.take(500))
+  }
 }

@@ -130,8 +130,10 @@ class DeltaLogExportSpec extends AnyFunSuite {
         s"$p -> $decoded")
     }
 
-    // vacuum the logged version away, write + export again: the
-    // export must survive (no removes for already-deleted files)
+    // vacuum the logged version away, write + export again: removes
+    // must be derived from the LOG's own adds (the prior version dir
+    // is gone, so re-listing it would emit no removes and leave the
+    // old adds dangling in a reader's snapshot)
     store.write(
       Seq((3L, 2026, "x")).toDF("v", "yr", "tag"),
       "silver", "t2", partitionBy = Seq("yr", "tag"))
@@ -139,6 +141,127 @@ class DeltaLogExportSpec extends AnyFunSuite {
     assert(DeltaLogExport.export(spark, store, "silver", "t2") == 1L)
     val e1 = actions("00000000000000000001.json")
     assert(e1.count(_.has("add")) > 0)
+    // every v0 add is now removed — snapshot algebra stays exact
+    // across the vacuum
+    val added0 = e0.filter(_.has("add"))
+      .map(_.get("add").get("path").asText).toSet
+    val removed1 = e1.filter(_.has("remove"))
+      .map(_.get("remove").get("path").asText).toSet
+    assert(removed1 == added0)
+    val live = scala.collection.mutable.Set.empty[String]
+    (e0 ++ e1).foreach { n =>
+      if (n.has("add")) live += n.get("add").get("path").asText
+      else if (n.has("remove")) live -= n.get("remove").get("path").asText
+    }
+    live.foreach { p =>
+      val decoded = java.net.URLDecoder.decode(p, "UTF-8")
+      assert(new java.io.File(s"$root/silver/t2/$decoded").isFile, p)
+    }
+    // partitionColumns are pinned across entries (a metadata change
+    // would be illegal for Delta readers)
+    val meta1 = e1.find(_.has("metaData")).get.get("metaData")
+    assert(meta1.get("partitionColumns").get(0).asText == "yr")
+    assert(meta1.get("partitionColumns").get(1).asText == "tag")
+  }
+
+  test("checkpoint + JSON tail reconstructs the same snapshot as a " +
+      "full log replay; _last_checkpoint points at it") {
+    val root = Files.createTempDirectory("graft-dlog-ckpt").toString
+    val store = new ModelStore(root)
+    def write(vs: (String, Long)*) = store.write(
+      vs.toSeq.toDF("k", "v"), "silver", "tc")
+    // three store versions → log entries 0 and 1 and 2; checkpoint at 1
+    write("a" -> 1L, "b" -> 2L)
+    assert(DeltaLogExport.export(spark, store, "silver", "tc") == 0L)
+    write("a" -> 10L, "c" -> 3L)
+    assert(DeltaLogExport.export(spark, store, "silver", "tc") == 1L)
+    assert(DeltaLogExport.checkpoint(spark, store, "silver", "tc") == 1L)
+
+    val logDir = new java.io.File(s"$root/silver/tc/_delta_log")
+    val ptr = mapper.readTree(
+      scala.io.Source.fromFile(new java.io.File(logDir, "_last_checkpoint"))
+        .getLines().mkString)
+    assert(ptr.get("version").asLong == 1L)
+    val ckptFile = new java.io.File(logDir,
+      "00000000000000000001.checkpoint.parquet")
+    assert(ckptFile.isFile)
+    val ckpt = spark.read.parquet(ckptFile.getPath)
+    assert(ckpt.count() == ptr.get("size").asLong)
+
+    // a commit AFTER the checkpoint — the reader's tail
+    write("d" -> 4L)
+    assert(DeltaLogExport.export(spark, store, "silver", "tc") == 2L)
+
+    // checkpointed replay: start from the checkpoint's live adds,
+    // apply entries > checkpoint version only
+    import org.apache.spark.sql.functions.col
+    val live = scala.collection.mutable.Set.empty[String]
+    ckpt.filter(col("add").isNotNull).select("add.path").collect()
+      .foreach(r => live += r.getString(0))
+    // protocol + metaData survive the checkpoint
+    assert(ckpt.filter(col("protocol").isNotNull).count() == 1)
+    val metaRows = ckpt.filter(col("metaData").isNotNull)
+      .select("metaData.schemaString").collect()
+    assert(metaRows.length == 1 &&
+      metaRows.head.getString(0).contains("struct"))
+    def actions(file: String) =
+      scala.io.Source.fromFile(new java.io.File(logDir, file))
+        .getLines().filter(_.nonEmpty).map(mapper.readTree).toSeq
+    actions("00000000000000000002.json").foreach { n =>
+      if (n.has("add")) live += n.get("add").get("path").asText
+      else if (n.has("remove")) live -= n.get("remove").get("path").asText
+    }
+    // full replay over all three JSON entries
+    val full = scala.collection.mutable.Set.empty[String]
+    Seq("00000000000000000000.json", "00000000000000000001.json",
+      "00000000000000000002.json").flatMap(actions).foreach { n =>
+      if (n.has("add")) full += n.get("add").get("path").asText
+      else if (n.has("remove")) full -= n.get("remove").get("path").asText
+    }
+    assert(live == full)
+    // and both equal the files of the current store version on disk
+    val curV = store.currentVersion(spark, "silver", "tc")
+    val base = new java.io.File(store.versionDir("silver", "tc", curV))
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val onDisk = walk(base).filter(_.getName.endsWith(".parquet"))
+      .map(f => s"v$curV/" + base.toURI.relativize(f.toURI).getPath).toSet
+    assert(live.map(p => java.net.URLDecoder.decode(p, "UTF-8")) == onDisk)
+  }
+
+  test("Pipeline checkpoints the delta log on the configured cadence") {
+    import graft.model.{ModelDef, Pipeline, RunMode}
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft-dlog-pipeckpt").toString
+    val store = new ModelStore(root)
+    val model = ModelDef(name = "m", layer = "silver",
+      uniqueKey = Some("k"),
+      build = ctx => ctx.source("bronze", "src").filter(col("v") >= 0))
+    def pipe(df: org.apache.spark.sql.DataFrame) =
+      new Pipeline(Seq(model), store, (_, _) => df,
+        exportDeltaLog = true, deltaCheckpointInterval = 2)
+    pipe(Seq(("a", 1L)).toDF("k", "v")).run(spark, RunMode.Bootstrap)
+    pipe(Seq(("a", 2L)).toDF("k", "v")).run(spark, RunMode.Incremental)
+    val logDir = new java.io.File(s"$root/silver/m/_delta_log")
+    // entries 0 and 1 → one checkpoint at entry 1 (interval 2)
+    assert(new java.io.File(logDir,
+      "00000000000000000001.checkpoint.parquet").isFile)
+    assert(new java.io.File(logDir, "_last_checkpoint").isFile)
+  }
+
+  test("backfill of a never-materialized partitioned model bootstraps") {
+    import graft.model.{ModelDef, Pipeline}
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft-backfill-boot").toString
+    val store = new ModelStore(root)
+    val model = ModelDef(name = "bm", layer = "silver",
+      partitionBy = Seq("p"),
+      build = ctx => ctx.source("bronze", "src"))
+    val src = Seq((1L, "p1"), (2L, "p2")).toDF("v", "p")
+    val pipe = new Pipeline(Seq(model), store, (_, _) => src)
+    val out = pipe.backfill(spark, "bm", col("p") === "p1")
+    assert(out.filter(col("p") === "p1").count() == 1)
+    assert(store.hasPartitionLayout(spark, "silver", "bm", Seq("p")))
   }
 
   test("Pipeline(exportDeltaLog=true) maintains a log per model run") {
