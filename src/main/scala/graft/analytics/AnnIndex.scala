@@ -1,0 +1,141 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.{ModelStore, Tables}
+import graft.queries.Q
+
+/** Persisted IVF-ANN index: the trained structure of
+  * [[VectorOps.qAnnIvf]] as a store-versioned artifact instead of a
+  * per-run recomputation.
+  *
+  * At corpus scale the train+assign pass (k-means over every vector)
+  * dwarfs any single probe; q30/q32 rebuild it on each call, which is
+  * the right shape for a self-contained benchmark query but not for a
+  * serving path. Here the index lives in the [[ModelStore]] like any
+  * model table — versioned, vacuumable, time-travelable:
+  *
+  *   - `<name>_centroids` — K rows `(c_id, c_qv, c_n2)`: the broadcast
+  *     side of every probe, tiny by construction.
+  *   - `<name>_postings` — `(c_id, vec_id, qv, n2)` PARTITIONED BY
+  *     `c_id`: a probe reads only its cells' partition directories
+  *     (Spark partition pruning = the inverted-list seek of a
+  *     single-node IVF). At 1000 executors a 3-probe search over K=256
+  *     cells touches ~1% of the corpus files.
+  *
+  * Incremental growth reuses the partition machinery: new vectors are
+  * assigned against the STORED centroids and only the touched cell
+  * partitions are rewritten (hard-link carry-over for the rest) —
+  * O(batch + touched cells), not a full-index rewrite. Retraining
+  * (drifted centroids) is a fresh [[build]]; the store's versioning
+  * makes the cutover atomic for readers.
+  */
+object AnnIndex {
+
+  /** Store layer for index artifacts (beside `silver`/`gold` models). */
+  val Layer = "index"
+
+  private def centroidsTable(name: String) = s"${name}_centroids"
+  private def postingsTable(name: String) = s"${name}_postings"
+
+  private def quantified(vectors: DataFrame): DataFrame =
+    vectors.select(col("vec_id"),
+        VectorOps.quantize(col("embedding")).as("qv"))
+      .withColumn("n2", VectorOps.norm2Q(col("qv")))
+
+  /** Train centroids on `vectors` (`vec_id`, `embedding`), assign the
+    * full corpus, and persist both tables as a new index version. */
+  def build(spark: SparkSession, store: ModelStore, name: String,
+      vectors: DataFrame, k: Int = VectorOps.NumCentroids,
+      iters: Int = VectorOps.KmeansIters): Unit = {
+    val base = quantified(vectors).persist()
+    val cents = VectorOps.kmeansCentroids(base, k, iters).persist()
+    store.write(cents, Layer, centroidsTable(name),
+      description = s"IVF centroids (k=$k, iters=$iters)",
+      meta = Map("k" -> k.toString, "iters" -> iters.toString))
+    store.write(
+      VectorOps.ivfAssign(base, cents)
+        .select(col("c_id"), col("vec_id"), col("qv"), col("n2")),
+      Layer, postingsTable(name), partitionBy = Seq("c_id"),
+      description = "IVF postings (inverted lists)",
+      // corpus-size stamp: lets callers detect a stale index for a
+      // changed corpus without scanning the postings
+      meta = Map("rows" -> base.count().toString))
+    base.unpersist(); cents.unpersist(): Unit
+  }
+
+  /** Assign `newVectors` to the STORED centroids and rewrite only the
+    * touched cell partitions — the incremental append path. */
+  def append(spark: SparkSession, store: ModelStore, name: String,
+      newVectors: DataFrame): Unit = {
+    val cents = store.read(spark, Layer, centroidsTable(name)).getOrElse(
+      sys.error(s"ANN index '$name' has no centroids — build() first"))
+    val assigned = VectorOps.ivfAssign(quantified(newVectors), cents)
+      .select(col("c_id"), col("vec_id"), col("qv"), col("n2"))
+      .persist()
+    // bounded collect: cell ids are ≤ K (a design constant), and the
+    // literal IN-list is what partition-prunes the existing read
+    val touched = assigned.select("c_id").distinct()
+      .collect().map(_.getLong(0))
+    val existing = store.read(spark, Layer, postingsTable(name)).getOrElse(
+      sys.error(s"ANN index '$name' has no postings — build() first"))
+    val merged = existing
+      .filter(col("c_id").isin(touched.toSeq: _*))
+      .select(col("c_id"), col("vec_id"), col("qv"), col("n2"))
+      .unionByName(assigned)
+    store.writeTouchedPartitions(merged, Layer, postingsTable(name),
+      partitionBy = Seq("c_id"), description = "IVF append")
+    assigned.unpersist(): Unit
+  }
+
+  /** Multi-probe top-k search over the persisted index. `queries` is
+    * (`q_id`, `embedding`); output matches [[VectorOps.qAnnIvf]]:
+    * (q_id, vec_id, cos_sim, rnk). */
+  def search(spark: SparkSession, store: ModelStore, name: String,
+      queries: DataFrame, nprobe: Int = VectorOps.NumProbes)
+      : DataFrame = {
+    val cents = store.read(spark, Layer, centroidsTable(name)).getOrElse(
+      sys.error(s"ANN index '$name' has no centroids — build() first"))
+    val postings = store.read(spark, Layer, postingsTable(name)).getOrElse(
+      sys.error(s"ANN index '$name' has no postings — build() first"))
+    val q = VectorOps.ivfProbeCells(
+      quantified(queries.select(col("q_id").as("vec_id"),
+          col("embedding")))
+        .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+          col("n2").as("q_n2")),
+      cents, nprobe)
+    // bounded collect (≤ K cells): the literal IN-list partition-prunes
+    // the postings scan down to the probed inverted lists
+    val cells = q.select("c_id").distinct().collect().map(_.getLong(0))
+    VectorOps.topKRanked(
+      postings.filter(col("c_id").isin(cells.toSeq: _*))
+        .join(broadcast(q), Seq("c_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          VectorOps.cosineQ(col("q_qv"), col("qv"), col("q_n2"),
+            col("n2")).as("cos_sim")))
+  }
+
+  /** Build-once-search-many as a driver query: the index persists
+    * under /tmp keyed by the sf dir, so repeated runs REUSE the stored
+    * structure (the point of the artifact) — only the first call pays
+    * the train+assign cost. Rows-only check (k-means cell layout is
+    * engine-specific); equality with the in-memory q32 path and recall
+    * vs the q27 ground truth are asserted in AnnIndexSpec. */
+  val qAnnIndex: Q = Q.noOracle("q91_ann_index") { (s, d) =>
+    val store = new ModelStore(
+      s"/tmp/graft-annindex/${new java.io.File(d).getName}")
+    val emb = Tables.load(s, d, "embeddings")
+    val n = store.meta(s, Layer, postingsTable("emb"), "rows")
+    val rows = emb.count()
+    if (!n.contains(rows.toString)) {
+      build(s, store, "emb", emb)
+      store.vacuum(s, Layer, postingsTable("emb"), keepLast = 1)
+      store.vacuum(s, Layer, centroidsTable("emb"), keepLast = 1)
+    }
+    search(s, store, "emb",
+      emb.filter(col("vec_id") < VectorOps.NumQueries)
+        .select(col("vec_id").as("q_id"), col("embedding")))
+  }
+}

@@ -208,7 +208,7 @@ object VectorOps {
     * shared presentation tail of q27/q30/q32 (the window row_number
     * form would shuffle every candidate; TopKAgg ships ≤ k rows per
     * group per partition, `graft.functions.TopKAgg`). */
-  private def topKRanked(pairs: DataFrame): DataFrame = {
+  def topKRanked(pairs: DataFrame): DataFrame = {
     val topk = udaf(new graft.functions.TopKAgg(TopK))
     pairs
       .groupBy("q_id")

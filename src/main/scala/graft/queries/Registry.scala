@@ -16,7 +16,8 @@ object Registry {
       graft.ops.Scd2.qScd2Snapshot :+
       graft.model.IncrementalAgg.qIncrementalAgg :+
       graft.analytics.IncrementalDedup.qIncrementalDedup :+
-      graft.pipeline.PipelineQuery.qPipelineE2e
+      graft.pipeline.PipelineQuery.qPipelineE2e :+
+      graft.analytics.AnnIndex.qAnnIndex
 
   val flagship: Q = RefQueries.q15Flagship
 }

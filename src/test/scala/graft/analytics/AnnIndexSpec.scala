@@ -1,0 +1,89 @@
+package graft.analytics
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.io.{ModelStore, Tables}
+
+class AnnIndexSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+  private val Dir = "/root/testdata/sf0.001"
+
+  test("persisted index search returns exactly the in-memory IVF answer") {
+    // same training, assignment and probe logic over the same data —
+    // the store round-trip must be invisible in the results
+    val root = Files.createTempDirectory("graft-annidx").toString
+    val store = new ModelStore(root)
+    val emb = Tables.load(spark, Dir, "embeddings")
+    AnnIndex.build(spark, store, "e", emb)
+    val got = AnnIndex.search(spark, store, "e",
+      emb.filter(col("vec_id") < VectorOps.NumQueries)
+        .select(col("vec_id").as("q_id"), col("embedding")))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3)))
+    val mem = VectorOps.qAnnIvf.build(spark, Dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3)))
+    assert(got.nonEmpty && got.toSeq == mem.toSeq)
+  }
+
+  test("append assigns against STORED centroids; a planted duplicate " +
+      "becomes its query's top hit; only touched cells rewrite") {
+    val root = Files.createTempDirectory("graft-annidx2").toString
+    val store = new ModelStore(root)
+    val emb = Tables.load(spark, Dir, "embeddings")
+    AnnIndex.build(spark, store, "e", emb)
+    val before = store.read(spark, AnnIndex.Layer, "e_postings").get
+    val nBefore = before.count()
+    // exact clone of vector 0 under a fresh id — its quantized form is
+    // identical, so cosine to vector 0 is exactly 1.0
+    val clone = emb.filter(col("vec_id") === 0L)
+      .select(lit(900000L).as("vec_id"), col("embedding"))
+    AnnIndex.append(spark, store, "e", clone)
+    val after = store.read(spark, AnnIndex.Layer, "e_postings").get
+    assert(after.count() == nBefore + 1)
+    // the clone landed in exactly one cell; every other inverted list
+    // is byte-identical (hard-link carry-over, not a rewrite)
+    val cellsChanged = after.groupBy("c_id").count()
+      .join(before.groupBy("c_id").count()
+        .withColumnRenamed("count", "old"), Seq("c_id"), "outer")
+      .filter(!(col("count") <=> col("old"))).count()
+    assert(cellsChanged == 1L)
+
+    val hits = AnnIndex.search(spark, store, "e",
+      emb.filter(col("vec_id") === 0L)
+        .select(col("vec_id").as("q_id"), col("embedding")))
+      .filter(col("rnk") === 1).collect()
+    assert(hits.length == 1)
+    assert(hits.head.getLong(1) == 900000L,
+      s"top hit should be the planted clone, got ${hits.head}")
+    assert(hits.head.getDouble(2) == 1.0)
+  }
+
+  test("search scan is partition-pruned to the probed cells") {
+    val root = Files.createTempDirectory("graft-annidx3").toString
+    val store = new ModelStore(root)
+    val emb = Tables.load(spark, Dir, "embeddings")
+    AnnIndex.build(spark, store, "e", emb)
+    val one = emb.filter(col("vec_id") === 1L)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val df = AnnIndex.search(spark, store, "e", one)
+    // one query probes NumProbes cells — the postings scan must read
+    // at most that many partition directories, not the whole index
+    // sparkPlan, not executedPlan: AQE wraps the tree and hides the
+    // scans from a plain collect
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.partitionSchema.nonEmpty => s
+    }
+    assert(scans.nonEmpty)
+    val partsRead = scans.map(_.selectedPartitions.partitionCount).max
+    assert(partsRead <= VectorOps.NumProbes,
+      s"postings scan read $partsRead partitions")
+    assert(df.count() > 0)
+  }
+}
