@@ -84,8 +84,14 @@ object AnnIndex {
       .filter(col("c_id").isin(touched.toSeq: _*))
       .select(col("c_id"), col("vec_id"), col("qv"), col("n2"))
       .unionByName(assigned)
+    // refresh the corpus-size stamp (commit meta otherwise carries the
+    // build-time count forward, and a stale stamp makes the next
+    // staleness check retrain the index the append just extended)
+    val newRows = store.meta(spark, Layer, postingsTable(name), "rows")
+      .map(_.toLong).getOrElse(existing.count()) + assigned.count()
     store.writeTouchedPartitions(merged, Layer, postingsTable(name),
-      partitionBy = Seq("c_id"), description = "IVF append")
+      partitionBy = Seq("c_id"), description = "IVF append",
+      meta = Map("rows" -> newRows.toString))
     assigned.unpersist(): Unit
   }
 
@@ -99,12 +105,15 @@ object AnnIndex {
       sys.error(s"ANN index '$name' has no centroids — build() first"))
     val postings = store.read(spark, Layer, postingsTable(name)).getOrElse(
       sys.error(s"ANN index '$name' has no postings — build() first"))
+    // localCheckpoint: the probe table is consumed twice (cells
+    // collect + broadcast join) — materialize once instead of
+    // re-running quantize + crossJoin + per-query agg for each
     val q = VectorOps.ivfProbeCells(
       quantified(queries.select(col("q_id").as("vec_id"),
           col("embedding")))
         .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
           col("n2").as("q_n2")),
-      cents, nprobe)
+      cents, nprobe).localCheckpoint()
     // bounded collect (≤ K cells): the literal IN-list partition-prunes
     // the postings scan down to the probed inverted lists
     val cells = q.select("c_id").distinct().collect().map(_.getLong(0))

@@ -75,7 +75,8 @@ final class Pipeline(
     /** with [[exportDeltaLog]], also write a protocol checkpoint
       * (`<v>.checkpoint.parquet` + `_last_checkpoint`) every N log
       * entries so readers replay O(N) JSON tail instead of the whole
-      * log — Delta's own default cadence is every 10 commits. */
+      * log — Delta's own default cadence is every 10 commits.
+      * ≤ 0 disables checkpointing. */
     deltaCheckpointInterval: Int = 10) {
 
   private val byName = models.map(m => m.name -> m).toMap
@@ -193,7 +194,9 @@ final class Pipeline(
     if (exportDeltaLog) {
       val logV = graft.io.DeltaLogExport.export(spark, store,
         m.layer, m.name)
-      if (logV >= 0 && (logV + 1) % deltaCheckpointInterval == 0)
+      // interval ≤ 0 means "never checkpoint" (and guards the modulo)
+      if (deltaCheckpointInterval > 0 && logV >= 0 &&
+          (logV + 1) % deltaCheckpointInterval == 0)
         graft.io.DeltaLogExport.checkpoint(spark, store,
           m.layer, m.name): Unit
     }

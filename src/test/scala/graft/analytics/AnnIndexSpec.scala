@@ -54,6 +54,11 @@ class AnnIndexSpec extends AnyFunSuite {
       .filter(!(col("count") <=> col("old"))).count()
     assert(cellsChanged == 1L)
 
+    // the corpus-size stamp follows the append (a stale stamp would
+    // make the next staleness check retrain the just-extended index)
+    assert(store.meta(spark, AnnIndex.Layer, "e_postings", "rows")
+      .contains((nBefore + 1).toString))
+
     val hits = AnnIndex.search(spark, store, "e",
       emb.filter(col("vec_id") === 0L)
         .select(col("vec_id").as("q_id"), col("embedding")))
@@ -61,7 +66,10 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(hits.length == 1)
     assert(hits.head.getLong(1) == 900000L,
       s"top hit should be the planted clone, got ${hits.head}")
-    assert(hits.head.getDouble(2) == 1.0)
+    // identical vectors: dot == n2 exactly, but the denominator is
+    // fl(sqrt(n2))^2 which need not round-trip to n2 — tolerance, not
+    // exact equality
+    assert(hits.head.getDouble(2) >= 1.0 - 1e-12)
   }
 
   test("search scan is partition-pruned to the probed cells") {

@@ -162,6 +162,23 @@ class DeltaLogExportSpec extends AnyFunSuite {
     val meta1 = e1.find(_.has("metaData")).get.get("metaData")
     assert(meta1.get("partitionColumns").get(0).asText == "yr")
     assert(meta1.get("partitionColumns").get(1).asText == "tag")
+
+    // checkpoint the PARTITIONED log, then one more commit: the
+    // checkpoint-seeded replay must carry paths, partitionValues and
+    // partitionColumns through the parquet round-trip intact
+    assert(DeltaLogExport.checkpoint(spark, store, "silver", "t2") == 1L)
+    store.write(Seq((4L, 2027, "y")).toDF("v", "yr", "tag"),
+      "silver", "t2", partitionBy = Seq("yr", "tag"))
+    assert(DeltaLogExport.export(spark, store, "silver", "t2") == 2L)
+    val e2 = actions("00000000000000000002.json")
+    val added1 = e1.filter(_.has("add"))
+      .map(_.get("add").get("path").asText).toSet
+    val removed2 = e2.filter(_.has("remove"))
+      .map(_.get("remove").get("path").asText).toSet
+    assert(removed2 == added1) // seeded live set, byte-for-byte paths
+    val meta2 = e2.find(_.has("metaData")).get.get("metaData")
+    assert(meta2.get("partitionColumns").get(0).asText == "yr")
+    assert(meta2.get("partitionColumns").get(1).asText == "tag")
   }
 
   test("checkpoint + JSON tail reconstructs the same snapshot as a " +
@@ -247,6 +264,41 @@ class DeltaLogExportSpec extends AnyFunSuite {
     assert(new java.io.File(logDir,
       "00000000000000000001.checkpoint.parquet").isFile)
     assert(new java.io.File(logDir, "_last_checkpoint").isFile)
+  }
+
+  test("empty store version exports a removes-only entry with the " +
+      "prior schema; a re-partitioned logged table is refused") {
+    val root = Files.createTempDirectory("graft-dlog-empty").toString
+    val store = new ModelStore(root)
+    store.write(Seq((1L, "p1"), (2L, "p2")).toDF("v", "p"),
+      "silver", "te", partitionBy = Seq("p"))
+    assert(DeltaLogExport.export(spark, store, "silver", "te") == 0L)
+    // a partitioned write of zero rows leaves no parquet files at all —
+    // the export must still describe the version (snapshot empties)
+    store.write(
+      Seq.empty[(Long, String)].toDF("v", "p"),
+      "silver", "te", partitionBy = Seq("p"))
+    assert(DeltaLogExport.export(spark, store, "silver", "te") == 1L)
+    val logDir = new java.io.File(s"$root/silver/te/_delta_log")
+    def actions(file: String) =
+      scala.io.Source.fromFile(new java.io.File(logDir, file))
+        .getLines().filter(_.nonEmpty).map(mapper.readTree).toSeq
+    val e1 = actions("00000000000000000001.json")
+    assert(e1.count(_.has("add")) == 0)
+    assert(e1.count(_.has("remove")) == 2) // both v1 files left
+    val meta1 = e1.find(_.has("metaData")).get.get("metaData")
+    // schema + partitioning survive from the logged history
+    assert(meta1.get("schemaString").asText.contains("struct"))
+    assert(meta1.get("partitionColumns").get(0).asText == "p")
+
+    // re-partitioning a LOGGED table is an illegal metadata change:
+    // refuse loudly instead of committing contradictory actions
+    store.write(Seq((3L, "x")).toDF("v", "p"),
+      "silver", "te", partitionBy = Nil)
+    val ex = intercept[RuntimeException] {
+      DeltaLogExport.export(spark, store, "silver", "te")
+    }
+    assert(ex.getMessage.contains("re-partitioned"))
   }
 
   test("backfill of a never-materialized partitioned model bootstraps") {
