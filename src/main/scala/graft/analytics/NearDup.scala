@@ -331,7 +331,46 @@ object NearDup {
     * All joins are key-partitioned aggregations — no driver-side graph;
     * the per-round convergence check is one count over the label table.
     */
+  /** Pair-count ceiling for the driver union-find fast path: 100k
+    * edges ≈ 1.6 MB — the same bounded-payload class as the Bloom
+    * sketches, far below anything data-sized. Above it the
+    * distributed fixpoint runs as before. */
+  val SmallGraphEdges = 100000
+
   def clusterPairs(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    // Small-graph fast path: the distributed fixpoint costs ~4 jobs a
+    // round regardless of size, which dwarfs the actual work on the
+    // small pair sets most batches produce (measured: 67 pairs took
+    // 2.1 s of pure job overhead). A BOUNDED probe (limit k+1 —
+    // short-circuits the pair plan, never materializes a data-sized
+    // set) routes ≤ 100k-edge graphs through driver union-find with
+    // path compression; bigger graphs take the fixpoint below.
+    val probe = pairs.limit(SmallGraphEdges + 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (probe.length <= SmallGraphEdges) {
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+        }
+        r
+      }
+      probe.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // min label wins, matching the fixpoint
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val nodes = probe.iterator.flatMap(p => Iterator(p._1, p._2))
+        .toArray.distinct
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return nodes.map(n => (n, find(n))).toSeq
+        .toDF("doc_id", "keep_id")
+    }
     // undirected edge list, both directions — ONE pass over the pair
     // plan (a union of two selects would compute the whole upstream
     // candidate-generation plan once per branch)

@@ -1,0 +1,197 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.{ModelStore, Tables}
+import graft.queries.Q
+
+/** Persisted MinHash-LSH signature index: incremental NEAR-dup against
+  * ALL prior crawls — the fuzzy companion of [[IncrementalDedup]]
+  * (exact fingerprints) and the cross-batch complement of
+  * [[graft.streaming.NearDupStream]] (which only dedups within its
+  * watermark horizon). Each arriving crawl is checked against every
+  * crawl ever ingested without recomputing historical signatures:
+  * the index stores each surviving document's minhash signature and
+  * its banded bucket rows in versioned [[ModelStore]] tables.
+  *
+  * Scale shape (history never recomputes signatures, never shuffles):
+  *  1. batch signatures — one shuffle on the doc id (the codegen'd
+  *     explode→min-agg form of q25);
+  *  2. history probe — the stored signature table is scanned ONCE per
+  *     ingest, its band hashes derived scan-locally (8 xxhash64 per
+  *     row, codegen'd — cheaper than persisting and re-shuffling a
+  *     band table), and hash-joined against the BROADCAST batch band
+  *     rows: history-side work is a scan, never an exchange (the
+  *     [[IncrementalDedup]] "history never shuffles" discipline);
+  *  3. per-doc candidate cap before verification (window row_number,
+  *     smallest historical id first — deterministic) bounds the
+  *     verify fan-out on degenerate buckets, the [[NearDup.MaxBucket]]
+  *     discipline with the same documented recall caveat;
+  *  4. verification is signature agreement (`est ≥ threshold`) — a
+  *     zip_with over two already-joined arrays, no text re-read;
+  *  5. within-batch pairs cluster via [[NearDup.clusterPairs]]
+  *     (batch-sized fixpoint); a cluster with ANY member matching
+  *     history anchors the WHOLE cluster to that historical doc
+  *     (near-dup corpus semantics are transitive-by-cluster, exactly
+  *     as [[NearDup.dedupCorpus]] resolves batch-internal groups);
+  *  6. survivors append their signatures as one `ingest_batch`
+  *     partition — hard-link carry-over for prior batches, O(batch)
+  *     commit (the [[IncrementalDedup]] discipline).
+  *
+  * Keep-priority contract matches [[IncrementalDedup]]: earlier
+  * crawls win; within a batch the smallest doc id wins.
+  */
+object NearDupIndex {
+
+  import NearDup.{NumBands, NumHashes, RowsPerBand}
+
+  /** Signature-agreement fraction that declares a verified near-dup
+    * (q25's estimator over the same 32-hash signatures). */
+  val SigAgreeThreshold = 0.5
+
+  /** Per-document cap on historical candidates entering verification
+    * (smallest historical id first). Pairs beyond the cap are missed —
+    * the same bounded-candidates trade [[NearDup.MaxBucket]] makes. */
+  val MaxCandidatesPerDoc = 256
+
+  /** `(id, sig)` — minhash signatures via the codegen'd explode →
+    * min-aggregate form (q25's shape; one shuffle on the id — the
+    * window's sort satisfies the aggregate's partitioning). A
+    * scan-local HOF form (transform over sequence) was measured 2×
+    * slower: the lambda chain is interpreted per shingle while
+    * posexplode + lead + xxhash64 + min all stay in whole-stage
+    * codegen. Docs under 3 tokens have no shingles and are absent. */
+  def signatures(docs: DataFrame, id: String, text: Column): DataFrame = {
+    val sh = NearDup.shingleIndex(docs, id, text)
+    val minCols = (0 until NumHashes).map(k =>
+      min(xxhash64(lit(k), col("s"))).as(s"h$k"))
+    sh.groupBy(id).agg(minCols.head, minCols.tail: _*)
+      .select(col(id),
+        array((0 until NumHashes).map(k => col(s"h$k")): _*).as("sig"))
+  }
+
+  /** `(id, band_idx, band_hash)` — slim banded bucket rows (3 longs a
+    * row; the signature payload never rides the probe shuffle). */
+  def bandRows(sigs: DataFrame, id: String): DataFrame =
+    sigs.select(col(id),
+      posexplode(array((0 until NumBands).map { b =>
+        xxhash64((Seq(lit(b): Column) ++ (1 to RowsPerBand).map(r =>
+          element_at(col("sig"), b * RowsPerBand + r))): _*)
+      }: _*)).as(Seq("band_idx", "band_hash")))
+
+  private def sigAgree(a: Column, b: Column): Column =
+    size(filter(zip_with(a, b, (x, y) => x === y), e => e)) /
+      lit(NumHashes.toDouble)
+
+  /** Fold one crawl batch into the index at `layer`.`name`; returns
+    * the batch's dedup decisions `(doc_id, is_dup, dup_of, batch_id)`
+    * — `dup_of` is the kept historical/batch doc the duplicate
+    * collapses onto (NULL for survivors). Survivors' signatures and
+    * band rows append to the index. */
+  def ingest(spark: SparkSession, store: ModelStore, layer: String,
+      name: String, docs: DataFrame, id: String, text: Column,
+      batchId: Long, threshold: Double = SigAgreeThreshold): DataFrame = {
+    val sigs = signatures(docs, id, text)
+      .withColumnRenamed(id, "doc_id").persist()
+    val bands = bandRows(sigs, "doc_id")
+
+    // ---- history probe: ONE column-pruned scan of the stored sigs,
+    // band hashes derived scan-locally, batch side broadcast — the
+    // history is hash-probed in place, never exchanged
+    val histPairs = store.read(spark, layer, s"${name}_sigs").map { hist =>
+      val histBands = bandRows(
+        hist.select(col("doc_id").as("old_id"), col("sig")), "old_id")
+      val cands = histBands.join(
+          broadcast(bands.select(col("band_idx"), col("band_hash"),
+            col("doc_id"))),
+          Seq("band_idx", "band_hash"))
+        .select(col("doc_id"), col("old_id")).distinct()
+        // deterministic per-doc cap: smallest historical ids first
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy("old_id")))
+        .filter(col("__rn") <= MaxCandidatesPerDoc).drop("__rn")
+      val oldSigs = hist
+        .select(col("doc_id").as("old_id"), col("sig").as("old_sig"))
+      cands
+        .join(sigs, Seq("doc_id")).join(oldSigs, Seq("old_id"))
+        .filter(sigAgree(col("sig"), col("old_sig")) >= threshold)
+        .groupBy("doc_id").agg(min("old_id").as("h_dup"))
+    }
+
+    // ---- within-batch pairs → clusters (batch-sized fixpoint)
+    val a = bands.as("a")
+    val b = bands.as("b")
+    val batchPairs = a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+      .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("sa")),
+        Seq("a_id"))
+      .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("sb")),
+        Seq("b_id"))
+      .filter(sigAgree(col("sa"), col("sb")) >= threshold)
+      .select("a_id", "b_id")
+    val labels = NearDup.clusterPairs(batchPairs) // (doc_id, keep_id)
+
+    // a cluster is anchored to history if ANY member matched it; the
+    // anchor (smallest historical dup) then claims the whole cluster
+    val histMin = histPairs.getOrElse(
+      sigs.select(col("doc_id"), lit(null).cast("long").as("h_dup"))
+        .limit(0))
+    val anchors = labels.join(histMin, Seq("doc_id"), "left")
+      .groupBy("keep_id").agg(min("h_dup").as("cluster_h"))
+
+    // decisions cover EVERY input doc — a doc too short to shingle has
+    // no signature (it can never near-dup) but must still survive into
+    // the batch's output rather than silently vanish
+    val decided = docs.select(col(id).as("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .join(anchors, Seq("keep_id"), "left")
+      .join(histMin, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("h_dup"), col("cluster_h"),
+          when(col("keep_id") =!= col("doc_id"), col("keep_id")))
+          .as("dup_of"))
+      .withColumn("is_dup", col("dup_of").isNotNull)
+      .withColumn("batch_id", lit(batchId))
+      .persist()
+
+    // ---- survivors extend the index as one linked batch partition
+    val survivors = decided.filter(!col("is_dup")).select("doc_id")
+    store.writeTouchedPartitions(
+      sigs.join(survivors, Seq("doc_id"), "left_semi")
+        .withColumn("ingest_batch", lit(batchId)),
+      layer, s"${name}_sigs", partitionBy = Seq("ingest_batch"))
+    store.vacuum(spark, layer, s"${name}_sigs", keepLast = 2)
+    sigs.unpersist()
+    decided.select("doc_id", "is_dup", "dup_of", "batch_id")
+  }
+
+  // ------------------------------------------- driver-checkable query
+  // Two doc_id-range crawls (q86's arrival orchestration): the second
+  // crawl dedups against the first through the PERSISTED index only.
+  // Runs on the even-id half of the corpus — the carrier exercises
+  // the full two-crawl fold while the semantics (recall, anchoring,
+  // idempotence, O(batch) appends) are asserted in NearDupIndexSpec;
+  // the planted replica pairs have adjacent ids, so the even slice
+  // still contains near-dup structure. xxhash64 signatures are
+  // engine-specific → rows-only.
+  val qIncrementalNearDup: Q =
+    Q.noOracle("q92_incremental_neardup") { (s, d) =>
+      val store = new ModelStore(
+        graft.pipeline.PipelineQuery.tempStoreDir())
+      val docs = Tables.load(s, d, "documents")
+        .filter(col("doc_id") % 2 === 0)
+      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      val b1 = maxId / 2
+      val bounds = Seq(col("doc_id") <= b1, col("doc_id") > b1)
+      bounds.zipWithIndex.map { case (pred, i) =>
+        ingest(s, store, "neardup", "idx", docs.filter(pred),
+          "doc_id", col("text"), i.toLong)
+      }.reduce(_ unionByName _).orderBy("doc_id")
+    }.copy(sideEffecting = true)
+}

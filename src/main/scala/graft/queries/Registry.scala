@@ -17,7 +17,8 @@ object Registry {
       graft.model.IncrementalAgg.qIncrementalAgg :+
       graft.analytics.IncrementalDedup.qIncrementalDedup :+
       graft.pipeline.PipelineQuery.qPipelineE2e :+
-      graft.analytics.AnnIndex.qAnnIndex
+      graft.analytics.AnnIndex.qAnnIndex :+
+      graft.analytics.NearDupIndex.qIncrementalNearDup
 
   val flagship: Q = RefQueries.q15Flagship
 }
