@@ -157,27 +157,47 @@ object NearDup {
     array((0 until NumHashes).map(k =>
       array_min(transform(sh, s => xxhash64(lit(k), s)))): _*)
 
-  val qMinhashLsh: Q = Q.noOracle("q25_minhash_lsh") { (s, d) =>
-    // Signatures via explode → hash-aggregate of k min-hashes: unlike
-    // the transform/array_min HOF form (kept in minhashSignature for
-    // expression-level composition), the exploded form stays inside
-    // whole-stage codegen — xxhash64 and min are vectorized — and costs
-    // one shuffle on doc_id.
-    val sh = shingleIndex(T(s, d, "documents"), "doc_id", col("text"))
+  // THE one place the minhash signature, banded bucket hash, and
+  // agreement estimate are defined (the withSimhash convention):
+  // q25's in-memory query and NearDupIndex's PERSISTED index both
+  // build on these, so their signatures can never silently diverge —
+  // drift here would make every stored historical signature
+  // unmatchable without any test failing.
+
+  /** `(id, sig)` — signatures via explode → hash-aggregate of k
+    * min-hashes: unlike the transform/array_min HOF form (kept in
+    * [[minhashSignature]] for expression-level composition), the
+    * exploded form stays inside whole-stage codegen — xxhash64 and
+    * min are vectorized — and costs one shuffle on the id. Docs with
+    * fewer than 3 tokens have no shingles and are absent. */
+  def minhashSigs(docs: DataFrame, id: String, text: Column): DataFrame = {
+    val sh = shingleIndex(docs, id, text)
     val minCols = (0 until NumHashes).map(k =>
       min(xxhash64(lit(k), col("s"))).as(s"h$k"))
-    val docs = sh.groupBy("doc_id")
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"),
+    sh.groupBy(id).agg(minCols.head, minCols.tail: _*)
+      .select(col(id),
         array((0 until NumHashes).map(k => col(s"h$k")): _*).as("sig"))
-    val sigs = docs.persist()
-    // slim banded index (no signature payload through the join shuffle)
-    val bands = sigs.select(col("doc_id"),
+  }
+
+  /** `(id, band_idx, band_hash)` — slim banded bucket rows (3 longs a
+    * row; the signature payload never rides the candidate shuffle). */
+  def minhashBandRows(sigs: DataFrame, id: String): DataFrame =
+    sigs.select(col(id),
       posexplode(array((0 until NumBands).map { b =>
         xxhash64((Seq(lit(b): Column) ++ (1 to RowsPerBand).map(r =>
           element_at(col("sig"), b * RowsPerBand + r))): _*)
       }: _*)).as(Seq("band_idx", "band_hash")))
+
+  /** Fraction of agreeing signature positions — the Jaccard
+    * estimator verified pairs are thresholded on. */
+  def sigAgreement(a: Column, b: Column): Column =
+    size(filter(zip_with(a, b, (x, y) => x === y), e => e)) /
+      lit(NumHashes.toDouble)
+
+  val qMinhashLsh: Q = Q.noOracle("q25_minhash_lsh") { (s, d) =>
+    val sigs = minhashSigs(T(s, d, "documents"), "doc_id", col("text"))
       .persist()
+    val bands = minhashBandRows(sigs, "doc_id").persist()
     val a = bands.as("a")
     val b = bands.as("b")
     // dedup candidate pairs BEFORE the (interpreted) signature-agreement
@@ -192,12 +212,10 @@ object NearDup {
       .distinct()
     val sa = sigs.select(col("doc_id").as("a_id"), col("sig").as("sig_a"))
     val sb = sigs.select(col("doc_id").as("b_id"), col("sig").as("sig_b"))
-    val est = size(filter(
-      zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-      e => e)) / lit(NumHashes.toDouble)
     candidates
       .join(sa, Seq("a_id")).join(sb, Seq("b_id"))
-      .select(col("a_id"), col("b_id"), est.as("est_jaccard"))
+      .select(col("a_id"), col("b_id"),
+        sigAgreement(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.4)
       .orderBy("a_id", "b_id")
   }
@@ -319,6 +337,13 @@ object NearDup {
   }
 
   // ------------------------------------------- end-to-end corpus dedup
+
+  /** Pair-count ceiling for the driver union-find fast path: 100k
+    * edges ≈ 1.6 MB — the same bounded-payload class as the Bloom
+    * sketches, far below anything data-sized. Above it the
+    * distributed fixpoint runs as before. */
+  val SmallGraphEdges = 100000
+
   /** Collapse a pair list into keep/drop decisions: connected
     * components by min-label propagation iterated TO A FIXPOINT, with
     * pointer jumping (each round a doc adopts the smallest label
@@ -328,49 +353,57 @@ object NearDup {
     * a runaway backstop, not a diameter cap: 2^20-diameter chains
     * don't occur in dedup graphs.
     * Returns (doc_id, keep_id); `doc_id != keep_id` ⇒ drop as duplicate.
-    * All joins are key-partitioned aggregations — no driver-side graph;
-    * the per-round convergence check is one count over the label table.
-    */
-  /** Pair-count ceiling for the driver union-find fast path: 100k
-    * edges ≈ 1.6 MB — the same bounded-payload class as the Bloom
-    * sketches, far below anything data-sized. Above it the
-    * distributed fixpoint runs as before. */
-  val SmallGraphEdges = 100000
+    *
+    * Graphs of at most `smallGraphLimit` pairs resolve by driver
+    * union-find over the EXPLICITLY BOUNDED edge list (≈1.6 MB at the
+    * default cap — never data-sized by construction): the fixpoint
+    * costs ~4 jobs a round regardless of size, which dwarfs the work
+    * on the small pair sets most batches produce (measured: 67 pairs
+    * took 2.1 s of pure job overhead, the fast path 0.4 s). Larger
+    * graphs take the distributed loop, whose joins are all
+    * key-partitioned aggregations with a one-count convergence check
+    * per round. The pair plan is persisted first, so candidate
+    * generation runs ONCE whichever path is taken. */
+  def clusterPairs(pairs: DataFrame, maxRounds: Int = 20,
+      smallGraphLimit: Int = SmallGraphEdges): DataFrame = {
+    val pr = pairs.select(col("a_id"), col("b_id")).persist()
+    try {
+      // bounded probe over the CACHED pairs (limit k+1 never brings
+      // back more than the cap + 1 rows)
+      val probe = pr.limit(smallGraphLimit + 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      if (probe.length <= smallGraphLimit) {
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) {
+            val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+          }
+          r
+        }
+        probe.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { // min label wins, matching the fixpoint
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        val nodes = probe.iterator.flatMap(p => Iterator(p._1, p._2))
+          .toArray.distinct
+        val spark = pairs.sparkSession
+        import spark.implicits._
+        return nodes.map(n => (n, find(n))).toSeq
+          .toDF("doc_id", "keep_id")
+      }
+      clusterPairsDistributed(pr, maxRounds)
+    } finally pr.unpersist(): Unit
+  }
 
-  def clusterPairs(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
-    // Small-graph fast path: the distributed fixpoint costs ~4 jobs a
-    // round regardless of size, which dwarfs the actual work on the
-    // small pair sets most batches produce (measured: 67 pairs took
-    // 2.1 s of pure job overhead). A BOUNDED probe (limit k+1 —
-    // short-circuits the pair plan, never materializes a data-sized
-    // set) routes ≤ 100k-edge graphs through driver union-find with
-    // path compression; bigger graphs take the fixpoint below.
-    val probe = pairs.limit(SmallGraphEdges + 1)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    if (probe.length <= SmallGraphEdges) {
-      val parent = scala.collection.mutable.LongMap.empty[Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-        var c = x
-        while (parent.getOrElse(c, c) != c) {
-          val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
-        }
-        r
-      }
-      probe.foreach { case (a, b) =>
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) { // min label wins, matching the fixpoint
-          if (ra < rb) parent(rb) = ra else parent(ra) = rb
-        }
-      }
-      val nodes = probe.iterator.flatMap(p => Iterator(p._1, p._2))
-        .toArray.distinct
-      val spark = pairs.sparkSession
-      import spark.implicits._
-      return nodes.map(n => (n, find(n))).toSeq
-        .toDF("doc_id", "keep_id")
-    }
+  /** The distributed fixpoint (see [[clusterPairs]]); `pairs` should
+    * be persisted by the caller — each round re-reads the edge list. */
+  private[analytics] def clusterPairsDistributed(pairs: DataFrame,
+      maxRounds: Int): DataFrame = {
     // undirected edge list, both directions — ONE pass over the pair
     // plan (a union of two selects would compute the whole upstream
     // candidate-generation plan once per branch)

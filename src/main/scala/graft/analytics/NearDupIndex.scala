@@ -56,34 +56,13 @@ object NearDupIndex {
     * the same bounded-candidates trade [[NearDup.MaxBucket]] makes. */
   val MaxCandidatesPerDoc = 256
 
-  /** `(id, sig)` — minhash signatures via the codegen'd explode →
-    * min-aggregate form (q25's shape; one shuffle on the id — the
-    * window's sort satisfies the aggregate's partitioning). A
-    * scan-local HOF form (transform over sequence) was measured 2×
-    * slower: the lambda chain is interpreted per shingle while
-    * posexplode + lead + xxhash64 + min all stay in whole-stage
-    * codegen. Docs under 3 tokens have no shingles and are absent. */
-  def signatures(docs: DataFrame, id: String, text: Column): DataFrame = {
-    val sh = NearDup.shingleIndex(docs, id, text)
-    val minCols = (0 until NumHashes).map(k =>
-      min(xxhash64(lit(k), col("s"))).as(s"h$k"))
-    sh.groupBy(id).agg(minCols.head, minCols.tail: _*)
-      .select(col(id),
-        array((0 until NumHashes).map(k => col(s"h$k")): _*).as("sig"))
-  }
-
-  /** `(id, band_idx, band_hash)` — slim banded bucket rows (3 longs a
-    * row; the signature payload never rides the probe shuffle). */
-  def bandRows(sigs: DataFrame, id: String): DataFrame =
-    sigs.select(col(id),
-      posexplode(array((0 until NumBands).map { b =>
-        xxhash64((Seq(lit(b): Column) ++ (1 to RowsPerBand).map(r =>
-          element_at(col("sig"), b * RowsPerBand + r))): _*)
-      }: _*)).as(Seq("band_idx", "band_hash")))
-
-  private def sigAgree(a: Column, b: Column): Column =
-    size(filter(zip_with(a, b, (x, y) => x === y), e => e)) /
-      lit(NumHashes.toDouble)
+  // Signature, band, and agreement definitions live in NearDup (the
+  // withSimhash one-definition convention): this index PERSISTS
+  // signatures, so any drift between the in-memory q25 expressions
+  // and the stored ones would make history unmatchable — sharing the
+  // definition makes that impossible.
+  import NearDup.{minhashBandRows => bandRows,
+    minhashSigs => signatures, sigAgreement => sigAgree}
 
   /** Fold one crawl batch into the index at `layer`.`name`; returns
     * the batch's dedup decisions `(doc_id, is_dup, dup_of, batch_id)`
@@ -95,6 +74,15 @@ object NearDupIndex {
       batchId: Long, threshold: Double = SigAgreeThreshold): DataFrame = {
     val sigs = signatures(docs, id, text)
       .withColumnRenamed(id, "doc_id").persist()
+    try {
+      ingestWithSigs(spark, store, layer, name, docs, id, sigs,
+        batchId, threshold)
+    } finally sigs.unpersist(): Unit
+  }
+
+  private def ingestWithSigs(spark: SparkSession, store: ModelStore,
+      layer: String, name: String, docs: DataFrame, id: String,
+      sigs: DataFrame, batchId: Long, threshold: Double): DataFrame = {
     val bands = bandRows(sigs, "doc_id")
 
     // ---- history probe: ONE column-pruned scan of the stored sigs,
@@ -138,27 +126,38 @@ object NearDupIndex {
     val labels = NearDup.clusterPairs(batchPairs) // (doc_id, keep_id)
 
     // a cluster is anchored to history if ANY member matched it; the
-    // anchor (smallest historical dup) then claims the whole cluster
+    // anchor (smallest historical dup) then claims the whole cluster.
+    // histMin is persisted: it is candidate-sized (≤ batch rows) and
+    // appears TWICE in decided's plan (anchors + the direct join) —
+    // without the persist the "history scanned once" discipline would
+    // hang on AQE exchange reuse instead of being structural.
     val histMin = histPairs.getOrElse(
       sigs.select(col("doc_id"), lit(null).cast("long").as("h_dup"))
-        .limit(0))
+        .limit(0)).persist()
     val anchors = labels.join(histMin, Seq("doc_id"), "left")
       .groupBy("keep_id").agg(min("h_dup").as("cluster_h"))
 
-    // decisions cover EVERY input doc — a doc too short to shingle has
+    // Decisions cover EVERY input doc — a doc too short to shingle has
     // no signature (it can never near-dup) but must still survive into
-    // the batch's output rather than silently vanish
+    // the batch's output rather than silently vanish. The cluster
+    // anchor outranks a doc's OWN history match (cluster_h is the min
+    // over all members, ≤ any individual h_dup): the WHOLE cluster
+    // collapses onto one historical keeper, never onto per-member
+    // targets. localCheckpoint (eager) materializes the decisions so
+    // the returned frame no longer references the pre-commit store
+    // version a later ingest's vacuum may delete.
     val decided = docs.select(col(id).as("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .join(anchors, Seq("keep_id"), "left")
       .join(histMin, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("h_dup"), col("cluster_h"),
+        coalesce(col("cluster_h"), col("h_dup"),
           when(col("keep_id") =!= col("doc_id"), col("keep_id")))
           .as("dup_of"))
       .withColumn("is_dup", col("dup_of").isNotNull)
       .withColumn("batch_id", lit(batchId))
-      .persist()
+      .localCheckpoint()
+    histMin.unpersist()
 
     // ---- survivors extend the index as one linked batch partition
     val survivors = decided.filter(!col("is_dup")).select("doc_id")
@@ -167,7 +166,6 @@ object NearDupIndex {
         .withColumn("ingest_batch", lit(batchId)),
       layer, s"${name}_sigs", partitionBy = Seq("ingest_batch"))
     store.vacuum(spark, layer, s"${name}_sigs", keepLast = 2)
-    sigs.unpersist()
     decided.select("doc_id", "is_dup", "dup_of", "batch_id")
   }
 

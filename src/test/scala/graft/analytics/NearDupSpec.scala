@@ -97,12 +97,36 @@ class NearDupSpec extends AnyFunSuite {
     // a 9-edge path (diameter 9): the old fixed-3-round propagation
     // left distinct labels mid-chain; the fixpoint loop must collapse
     // everything to the minimum AND every keep_id must itself be kept
-    // (keep_id is a fixpoint: label(keep_id) == keep_id)
+    // (keep_id is a fixpoint: label(keep_id) == keep_id).
+    // smallGraphLimit = 0 FORCES the distributed fixpoint — without
+    // it every test graph (≤60 edges) routes through the union-find
+    // fast path and the production path for large corpora would ship
+    // untested.
     val pairs = (1L until 10L).map(i => (i, i + 1)).toDF("a_id", "b_id")
-    val labels = NearDup.clusterPairs(pairs)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(labels == (1L to 10L).map(_ -> 1L).toMap)
-    assert(labels.values.forall(k => labels(k) == k))
+    Seq(0, NearDup.SmallGraphEdges).foreach { limit =>
+      val labels = NearDup.clusterPairs(pairs, smallGraphLimit = limit)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels == (1L to 10L).map(_ -> 1L).toMap, s"limit=$limit")
+      assert(labels.values.forall(k => labels(k) == k), s"limit=$limit")
+    }
+  }
+
+  test("clusterPairs: fast path and distributed fixpoint agree on " +
+      "random graphs") {
+    val gen = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      val edges = (1 to 40).map(_ =>
+        (gen.nextInt(25).toLong, gen.nextInt(25).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      val df = edges.toDF("a_id", "b_id")
+      val fast = NearDup.clusterPairs(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = NearDup.clusterPairs(df, smallGraphLimit = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fast == dist, s"trial $trial")
+    }
   }
 
   test("simhash: near-identical docs land within the Hamming radius") {
