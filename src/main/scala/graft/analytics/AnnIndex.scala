@@ -126,6 +126,17 @@ object AnnIndex {
             col("n2")).as("cos_sim")))
   }
 
+  /** foreachBatch sink: continuous index growth — each micro-batch of
+    * `(vec_id, embedding)` rows assigns against the STORED centroids
+    * and rewrites only its touched cells ([[append]]). Pair with a
+    * periodic [[build]] when drift demands retraining; the store's
+    * versioning makes that cutover atomic for concurrent readers. */
+  def sink(store: ModelStore, name: String)(
+      batch: DataFrame, batchId: Long): Unit =
+    if (!batch.isEmpty)
+      append(batch.sparkSession, store, name,
+        batch.select(col("vec_id"), col("embedding"))): Unit
+
   /** Build-once-search-many as a driver query: the index persists
     * under /tmp keyed by the sf dir, so repeated runs REUSE the stored
     * structure (the point of the artifact) — only the first call pays

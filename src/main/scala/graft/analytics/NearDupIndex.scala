@@ -169,6 +169,19 @@ object NearDupIndex {
     decided.select("doc_id", "is_dup", "dup_of", "batch_id")
   }
 
+  /** foreachBatch sink: forever NEAR-dedup at ingest — the fuzzy
+    * sibling of [[IncrementalDedup.sink]], composing the same way
+    * with [[graft.streaming.NearDupStream]]: the stream absorbs hot
+    * near-dups within its watermark horizon, this sink catches
+    * re-crawls arriving later than any horizon, against ALL history.
+    * Decisions are side-effected into the index; the batch's
+    * survivors are what downstream sees via the store. */
+  def sink(store: ModelStore, layer: String, name: String,
+      id: String = "doc_id", textCol: String = "text")(
+      batch: DataFrame, batchId: Long): Unit =
+    ingest(batch.sparkSession, store, layer, name, batch, id,
+      col(textCol), batchId): Unit
+
   // ------------------------------------------- driver-checkable query
   // Two doc_id-range crawls (q86's arrival orchestration): the second
   // crawl dedups against the first through the PERSISTED index only.

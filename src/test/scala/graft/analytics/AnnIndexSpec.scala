@@ -72,6 +72,33 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(hits.head.getDouble(2) >= 1.0 - 1e-12)
   }
 
+  test("streaming sink grows the index incrementally; a planted " +
+      "stream-fed duplicate becomes searchable") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-annsink").toString
+    val store = new ModelStore(root)
+    val emb = Tables.load(spark, Dir, "embeddings")
+    AnnIndex.build(spark, store, "e", emb)
+    val clone = emb.filter(col("vec_id") === 3L)
+      .select(lit(910000L).as("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val query = input.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .option("checkpointLocation", s"$root/_ckpt")
+      .foreachBatch(AnnIndex.sink(store, "e") _)
+      .start()
+    try {
+      input.addData(clone.toSeq); query.processAllAvailable()
+    } finally query.stop()
+    val hits = AnnIndex.search(spark, store, "e",
+      emb.filter(col("vec_id") === 3L)
+        .select(col("vec_id").as("q_id"), col("embedding")))
+      .filter(col("rnk") === 1).collect()
+    assert(hits.length == 1 && hits.head.getLong(1) == 910000L)
+  }
+
   test("search scan is partition-pruned to the probed cells") {
     val root = Files.createTempDirectory("graft-annidx3").toString
     val store = new ModelStore(root)
