@@ -117,6 +117,33 @@ object Bpe {
       .orderBy("rank")
   }
 
+  // --------------------------------------- persisted tokenizer artifact
+  /** Persist trained merges as a store-versioned TOKENIZER ARTIFACT —
+    * the same build-once-reuse-everywhere pattern as the ANN and
+    * near-dup indexes: production trains the tokenizer once per
+    * corpus snapshot and every downstream job (token counting,
+    * packing, budget planning) loads the SAME ranked merges instead
+    * of retraining. Versioning makes tokenizer upgrades atomic and
+    * time-travelable — a training run can pin the exact merge table
+    * it packed with. */
+  def saveMerges(spark: SparkSession, store: graft.io.ModelStore,
+      layer: String, name: String, merges: Seq[Merge]): Unit = {
+    import spark.implicits._
+    store.write(merges.toDF(), layer, name,
+      description = "BPE tokenizer merges (rank-ordered)",
+      meta = Map("k" -> merges.size.toString))
+  }
+
+  /** Load a persisted merge table in rank order (bounded collect:
+    * k merges is a design constant, like the IVF centroids). */
+  def loadMerges(spark: SparkSession, store: graft.io.ModelStore,
+      layer: String, name: String): Seq[Merge] = {
+    import spark.implicits._
+    store.read(spark, layer, name)
+      .getOrElse(sys.error(s"tokenizer '$layer.$name' not trained"))
+      .as[Merge].collect().toSeq.sortBy(_.rank)
+  }
+
   /** Subword count of a sentinel-wrapped segmentation after applying
     * `merges` in rank order — k nested literal replaces, all
     * scan-local whole-stage codegen (the APPLY side of BPE: the
