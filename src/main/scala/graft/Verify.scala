@@ -44,8 +44,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // ALWAYS the full oracle map, even for a subset dump: a filtered
+    // map silently downgrades every other query in the out dir to a
+    // weaker rows-only check on the next tools/check.py run (and a
+    // 0-row oracle-checked output then flips from pass to FAIL).
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -607,8 +607,134 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  // --------------------------------- full training pipeline (E2E, oracle)
+  // The complete curate→dedup→split→pack chain a training run feeds
+  // from, as ONE oracle-checked query — every stage is the SAME
+  // operator the standalone queries verify (q62's gate/scrub/exact
+  // dedup, q24's df-capped exact-Jaccard pairs, q90's fingerprint
+  // split, q73's prefix-sum packing), composed end-to-end so the
+  // oracle certifies the HAND-OFFS between stages, not just the
+  // stages in isolation. Near-dup removal uses the deterministic
+  // pairwise-dominance rule (drop b when some a < b has Jaccard ≥ 0.5
+  // over the df-capped shingles): unlike the transitive clustering of
+  // q35 it is single-SQL-expressible, which is what makes the whole
+  // pipeline DuckDB-checkable. Shapes: scan-local gates, one
+  // fingerprint shuffle, the capped inverted-index shuffle, broadcast
+  // size lookups, one window pass per (fold, source) shard — nothing
+  // wide beyond what the standalone queries already carry at 100 TB.
+  val qTrainingPipeline: Q = {
+    val nW = "len(regexp_split_to_array(text, '\\s+'))"
+    val nStop = s"""len(list_filter(regexp_split_to_array(text, '\\s+'),
+      | w -> w IN (${TextOps.Stopwords.map(w => s"'$w'").mkString(", ")})))"""
+      .stripMargin
+    Q("q93_training_pipeline",
+      s"""WITH gated AS (
+        |  SELECT doc_id, lang, source,
+        |    regexp_replace(regexp_replace(text, '${TextOps.EmailRe}',
+        |      '<EMAIL>', 'g'), '${TextOps.PhoneRe}', '<PHONE>', 'g')
+        |      AS clean_text
+        |  FROM documents
+        |  WHERE $nW >= 15 AND $nStop >= 1),
+        |fp AS (
+        |  SELECT *, md5(regexp_replace(lower(trim(clean_text)), '\\s+',
+        |    ' ', 'g')) AS content_fp
+        |  FROM gated),
+        |keep AS (SELECT content_fp, min(doc_id) AS doc_id FROM fp
+        |  GROUP BY 1),
+        |exact AS (SELECT f.* FROM fp f JOIN keep k
+        |  ON f.content_fp = k.content_fp AND f.doc_id = k.doc_id),
+        |tok AS (
+        |  SELECT doc_id, regexp_split_to_array(clean_text, '\\s+') AS t
+        |  FROM exact),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM tok, unnest(generate_series(1, len(t) - 2)) AS u(i)),
+        |shkeep AS (
+        |  SELECT s FROM sh GROUP BY s
+        |  HAVING count(DISTINCT doc_id) <= ${NearDup.MaxDf}),
+        |shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN shkeep USING (s)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+        |  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |dupped AS (
+        |  SELECT DISTINCT p.b_id AS doc_id FROM pairs p
+        |  JOIN sizes sa ON p.a_id = sa.doc_id
+        |  JOIN sizes sb ON p.b_id = sb.doc_id
+        |  WHERE p.n_inter * 10000 >= (sa.n + sb.n - p.n_inter) * 5000),
+        |survivors AS (
+        |  SELECT e.* FROM exact e
+        |  WHERE NOT EXISTS (SELECT 1 FROM dupped d
+        |    WHERE d.doc_id = e.doc_id)),
+        |folded AS (
+        |  SELECT *,
+        |    CASE WHEN substr(md5('split-' || content_fp), 1, 2) < 'cc'
+        |           THEN 'train'
+        |         WHEN substr(md5('split-' || content_fp), 1, 2) < 'e6'
+        |           THEN 'val'
+        |         ELSE 'test' END AS fold
+        |  FROM survivors),
+        |toks AS (
+        |  SELECT doc_id, lang, source, fold,
+        |    CAST(len(regexp_split_to_array(clean_text, '\\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM folded),
+        |packed AS (
+        |  SELECT *,
+        |    (sum(n_tokens) OVER (PARTITION BY fold, source ORDER BY doc_id
+        |       ROWS UNBOUNDED PRECEDING) - 1) // $PackBudget AS pack_id
+        |  FROM toks)
+        |SELECT doc_id, lang, source, fold, n_tokens,
+        |  CAST(pack_id AS BIGINT) AS pack_id
+        |FROM packed ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val t = TextOps.tokens(col("text"))
+      val gated = T(s, d, "documents")
+        .filter(size(t) >= 15 &&
+          size(filter(t, x => x.isInCollection(TextOps.Stopwords))) >= 1)
+        .select(col("doc_id"), col("lang"), col("source"),
+          TextOps.scrubPii(col("text")).as("clean_text"))
+      val fp = gated.withColumn("content_fp",
+        TextOps.contentHash(col("clean_text")))
+      val keepFp = fp.groupBy("content_fp").agg(min("doc_id").as("doc_id"))
+      val exact = fp.join(keepFp, Seq("content_fp", "doc_id"))
+      val shi = NearDup.shingleIndex(exact, "doc_id", col("clean_text"))
+      val (pairs, sizes, _) = NearDup.invertedPairCounts(shi, "doc_id")
+      val dup = pairs
+        .join(broadcast(sizes.select(col("doc_id").as("a_id"),
+          col("n").as("na"))), Seq("a_id"))
+        .join(broadcast(sizes.select(col("doc_id").as("b_id"),
+          col("n").as("nb"))), Seq("b_id"))
+        .filter(col("n_inter") * 10000 >=
+          (col("na") + col("nb") - col("n_inter")) * 5000)
+        .select(col("b_id").as("doc_id")).distinct()
+      val survivors = exact.join(dup, Seq("doc_id"), "left_anti")
+      val splitKey = substring(
+        md5(concat(lit("split-"), col("content_fp"))), 1, 2)
+      val folded = survivors.withColumn("fold",
+        when(splitKey < "cc", "train")
+          .when(splitKey < "e6", "val").otherwise("test"))
+      val toks = folded.select(col("doc_id"), col("lang"), col("source"),
+        col("fold"),
+        size(TextOps.tokens(col("clean_text"))).cast("long")
+          .as("n_tokens"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("fold", "source").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      toks
+        .withColumn("pack_id",
+          Exact.floorDiv(sum("n_tokens").over(w) - 1, lit(PackBudget)))
+        .select("doc_id", "lang", "source", "fold", "n_tokens", "pack_id")
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[Q] =
     Seq(qHashSample, qVocabOov, qTopKPerGroup, qTfidfKeywords,
       qMixtureEpoch, qHeavyHitters, qCurationE2e, qSequencePacking,
-      qRebalanceMix, qPiiRedact, qRepetition, qLeakageSplit)
+      qRebalanceMix, qPiiRedact, qRepetition, qLeakageSplit,
+      qTrainingPipeline)
 }

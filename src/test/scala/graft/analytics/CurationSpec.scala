@@ -295,4 +295,56 @@ class CurationSpec extends AnyFunSuite {
     assert(out(3L) == ((0L, 0L, "0.0000")))
     assert(out(4L) == ((4L, 3L, "0.7500")))
   }
+
+  test("training pipeline invariants: unique content, no surviving " +
+      "near-dup pair, closed folds, prefix-sum pack assignment") {
+    val out = Curation.qTrainingPipeline.build(spark, Dir).persist()
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // folds are closed and every row carries a positive token count
+    assert(rows.map(_.getString(3)).toSet.subsetOf(
+      Set("train", "val", "test")))
+    assert(rows.forall(_.getLong(4) > 0))
+    // gate lower bound survives the whole chain (≥ 15 words gated,
+    // and PII placeholders never DECREASE the token count)
+    assert(rows.forall(_.getLong(4) >= 15))
+
+    // survivors carry pairwise-unique content: recompute fingerprints
+    // for the surviving ids and assert no two collide
+    val ids = rows.map(_.getLong(0)).toSet
+    val docs = graft.io.Tables.load(spark, Dir, "documents")
+      .filter(col("doc_id").isInCollection(ids))
+      .select(col("doc_id"),
+        TextOps.scrubPii(col("text")).as("clean_text"))
+    val nFp = docs.select(TextOps.contentHash(col("clean_text")))
+      .distinct().count()
+    assert(nFp == ids.size, "exact duplicates survived the pipeline")
+    // and no surviving pair is a verified near-dup (the dominance
+    // rule's postcondition, recomputed via the q24 operator path)
+    val shi = NearDup.shingleIndex(docs, "doc_id", col("clean_text"))
+    val (pairs, sizes, release) =
+      NearDup.invertedPairCounts(shi, "doc_id")
+    val bad = pairs
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")),
+        Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")),
+        Seq("b_id"))
+      .filter(col("n_inter") * 10000 >=
+        (col("na") + col("nb") - col("n_inter")) * 5000)
+      .count()
+    release()
+    assert(bad == 0L, s"$bad surviving near-dup pairs")
+
+    // pack ids are exactly the per-(fold, source) prefix-sum fold
+    rows.groupBy(r => (r.getString(3), r.getString(2))).foreach {
+      case (_, shard) =>
+        var cum = 0L
+        shard.sortBy(_.getLong(0)).foreach { r =>
+          cum += r.getLong(4)
+          assert(r.getLong(5) == (cum - 1) / Curation.PackBudget,
+            s"pack mismatch at doc ${r.getLong(0)}")
+        }
+    }
+    out.unpersist(): Unit
+  }
 }
