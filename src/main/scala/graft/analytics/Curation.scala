@@ -634,7 +634,7 @@ object Curation {
         |      '<EMAIL>', 'g'), '${TextOps.PhoneRe}', '<PHONE>', 'g')
         |      AS clean_text
         |  FROM documents
-        |  WHERE doc_id % 2 = 0 AND $nW >= 15 AND $nStop >= 1),
+        |  WHERE doc_id % 4 = 0 AND $nW >= 15 AND $nStop >= 1),
         |fp AS (
         |  SELECT *, md5(regexp_replace(lower(trim(clean_text)), '\\s+',
         |    ' ', 'g')) AS content_fp
@@ -689,14 +689,15 @@ object Curation {
         |SELECT doc_id, lang, source, fold, n_tokens,
         |  CAST(pack_id AS BIGINT) AS pack_id
         |FROM packed ORDER BY doc_id""".stripMargin) { (s, d) =>
-      // even-id half of the corpus: the carrier exercises the full
+      // id%4==0 quarter of the corpus: the carrier exercises the full
       // chain (the planted replica pairs have adjacent ids, so
       // near-dup structure survives the slice) at half the bench
-      // cost — the oracle applies the same slice, so the E2E compare
+      // cost (the specs carry the semantics at full density) — the
+      // oracle applies the same slice, so the E2E compare
       // is exact over everything the carrier processes
       val t = TextOps.tokens(col("text"))
       val gated = T(s, d, "documents")
-        .filter(col("doc_id") % 2 === 0 && size(t) >= 15 &&
+        .filter(col("doc_id") % 4 === 0 && size(t) >= 15 &&
           size(filter(t, x => x.isInCollection(TextOps.Stopwords))) >= 1)
         .select(col("doc_id"), col("lang"), col("source"),
           TextOps.scrubPii(col("text")).as("clean_text"))

@@ -185,7 +185,7 @@ object NearDupIndex {
   // ------------------------------------------- driver-checkable query
   // Two doc_id-range crawls (q86's arrival orchestration): the second
   // crawl dedups against the first through the PERSISTED index only.
-  // Runs on the even-id half of the corpus — the carrier exercises
+  // Runs on the id%4==0 quarter of the corpus — the carrier exercises
   // the full two-crawl fold while the semantics (recall, anchoring,
   // idempotence, O(batch) appends) are asserted in NearDupIndexSpec;
   // the planted replica pairs have adjacent ids, so the even slice
@@ -196,7 +196,7 @@ object NearDupIndex {
       val store = new ModelStore(
         graft.pipeline.PipelineQuery.tempStoreDir())
       val docs = Tables.load(s, d, "documents")
-        .filter(col("doc_id") % 2 === 0)
+        .filter(col("doc_id") % 4 === 0)
       val maxId = docs.agg(max("doc_id")).head().getLong(0)
       val b1 = maxId / 2
       val bounds = Seq(col("doc_id") <= b1, col("doc_id") > b1)
