@@ -66,9 +66,12 @@ object AnnIndex {
   }
 
   /** Assign `newVectors` to the STORED centroids and rewrite only the
-    * touched cell partitions — the incremental append path. */
+    * touched cell partitions — the incremental append path.
+    * `extraMeta` merges into the postings commit (the sink stamps its
+    * batch id through it for replay idempotence). */
   def append(spark: SparkSession, store: ModelStore, name: String,
-      newVectors: DataFrame): Unit = {
+      newVectors: DataFrame,
+      extraMeta: Map[String, String] = Map.empty): Unit = {
     val cents = store.read(spark, Layer, centroidsTable(name)).getOrElse(
       sys.error(s"ANN index '$name' has no centroids — build() first"))
     val assigned = VectorOps.ivfAssign(quantified(newVectors), cents)
@@ -91,7 +94,7 @@ object AnnIndex {
       .map(_.toLong).getOrElse(existing.count()) + assigned.count()
     store.writeTouchedPartitions(merged, Layer, postingsTable(name),
       partitionBy = Seq("c_id"), description = "IVF append",
-      meta = Map("rows" -> newRows.toString))
+      meta = extraMeta + ("rows" -> newRows.toString))
     assigned.unpersist(): Unit
   }
 
@@ -128,14 +131,24 @@ object AnnIndex {
 
   /** foreachBatch sink: continuous index growth — each micro-batch of
     * `(vec_id, embedding)` rows assigns against the STORED centroids
-    * and rewrites only its touched cells ([[append]]). Pair with a
-    * periodic [[build]] when drift demands retraining; the store's
-    * versioning makes that cutover atomic for concurrent readers. */
+    * and rewrites only its touched cells ([[append]]). Replay-safe:
+    * foreachBatch is at-least-once, and append has no key dedup, so a
+    * re-delivered batch (stream failed after the store commit but
+    * before the streaming checkpoint) would insert every vector twice
+    * — the last applied batch id is stamped in the commit meta and
+    * replays of it are skipped. Pair with a periodic [[build]] when
+    * drift demands retraining; the store's versioning makes that
+    * cutover atomic for concurrent readers. */
   def sink(store: ModelStore, name: String)(
-      batch: DataFrame, batchId: Long): Unit =
-    if (!batch.isEmpty)
-      append(batch.sparkSession, store, name,
-        batch.select(col("vec_id"), col("embedding"))): Unit
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val applied = store.meta(spark, Layer, postingsTable(name),
+      "ann_last_batch").map(_.toLong)
+    if (!applied.exists(_ >= batchId) && !batch.isEmpty)
+      append(spark, store, name,
+        batch.select(col("vec_id"), col("embedding")),
+        extraMeta = Map("ann_last_batch" -> batchId.toString)): Unit
+  }
 
   /** Build-once-search-many as a driver query: the index persists
     * under /tmp keyed by the sf dir, so repeated runs REUSE the stored

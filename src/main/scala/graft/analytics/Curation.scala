@@ -271,6 +271,37 @@ object Curation {
   }
 
   // ------------------------------------------- curation E2E pipeline
+  /** The shared gate → scrub → exact-dedup SQL prefix of q62 and q93
+    * (CTEs `gated`/`fp`/`keep`/`exact`): ONE definition so the two
+    * oracles can never drift from each other — and the scrub mirrors
+    * TextOps.scrubPii IN FULL (email → id → phone, the q41 oracle's
+    * form; a hand-copied email+phone-only variant previously left an
+    * SSN-shaped id scrubbed on the Spark side but raw in the oracle —
+    * a latent E2E divergence for any corpus containing one). */
+  private def gateScrubDedupSql(extraWhere: String): String = {
+    val nW = "len(regexp_split_to_array(text, '\\s+'))"
+    val nStop = s"""len(list_filter(regexp_split_to_array(text, '\\s+'),
+      | w -> w IN (${TextOps.Stopwords.map(w => s"'$w'").mkString(", ")})))"""
+      .stripMargin
+    s"""gated AS (
+      |  SELECT doc_id, lang, source,
+      |    regexp_replace(regexp_replace(regexp_replace(
+      |        text, '${TextOps.EmailRe}', '<EMAIL>', 'g'),
+      |      '${TextOps.IdRe}', '<ID>', 'g'),
+      |      '${TextOps.PhoneRe}', '<PHONE>', 'g') AS clean_text
+      |  FROM documents
+      |  WHERE $extraWhere$nW >= 15 AND $nStop >= 1),
+      |fp AS (
+      |  SELECT *, md5(regexp_replace(lower(trim(clean_text)), '\\s+',
+      |    ' ', 'g')) AS content_fp
+      |  FROM gated),
+      |keep AS (SELECT content_fp, min(doc_id) AS doc_id FROM fp
+      |  GROUP BY 1),
+      |exact AS (SELECT f.* FROM fp f JOIN keep k
+      |  ON f.content_fp = k.content_fp AND f.doc_id = k.doc_id)"""
+      .stripMargin
+  }
+
   // The LLM-tier analog of q34's medallion E2E: quality gate → PII
   // scrub → exact dedup (first copy per normalized-content hash) →
   // stratified hash sample → mixture-epoch expansion, composed from
@@ -281,28 +312,10 @@ object Curation {
   val qCurationE2e: Q = {
     val upList = UpSources.map(x => s"'$x'").mkString(", ")
     val midList = MidSources.map(x => s"'$x'").mkString(", ")
-    val nW = "len(regexp_split_to_array(text, '\\s+'))"
-    val nStop = s"""len(list_filter(regexp_split_to_array(text, '\\s+'),
-      | w -> w IN (${TextOps.Stopwords.map(w => s"'$w'").mkString(", ")})))"""
-      .stripMargin
     Q("q62_curation_e2e",
-      s"""WITH gated AS (
-        |  SELECT doc_id, lang, source,
-        |    regexp_replace(regexp_replace(text, '${TextOps.EmailRe}',
-        |      '<EMAIL>', 'g'), '${TextOps.PhoneRe}', '<PHONE>', 'g')
-        |      AS clean_text
-        |  FROM documents
-        |  WHERE $nW >= 15 AND $nStop >= 1),
-        |fp AS (
-        |  SELECT *, md5(regexp_replace(lower(trim(clean_text)), '\\s+',
-        |    ' ', 'g')) AS content_fp
-        |  FROM gated),
-        |keep AS (SELECT content_fp, min(doc_id) AS doc_id FROM fp
-        |  GROUP BY 1),
-        |deduped AS (SELECT f.* FROM fp f JOIN keep k
-        |  ON f.content_fp = k.content_fp AND f.doc_id = k.doc_id),
+      s"""WITH ${gateScrubDedupSql("")},
         |sampled AS (
-        |  SELECT * FROM deduped
+        |  SELECT * FROM exact
         |  WHERE md5(CAST(doc_id AS VARCHAR)) <
         |    (CASE WHEN lang = 'en' THEN '8' ELSE 'c' END)),
         |w AS (
@@ -623,26 +636,8 @@ object Curation {
   // size lookups, one window pass per (fold, source) shard — nothing
   // wide beyond what the standalone queries already carry at 100 TB.
   val qTrainingPipeline: Q = {
-    val nW = "len(regexp_split_to_array(text, '\\s+'))"
-    val nStop = s"""len(list_filter(regexp_split_to_array(text, '\\s+'),
-      | w -> w IN (${TextOps.Stopwords.map(w => s"'$w'").mkString(", ")})))"""
-      .stripMargin
     Q("q93_training_pipeline",
-      s"""WITH gated AS (
-        |  SELECT doc_id, lang, source,
-        |    regexp_replace(regexp_replace(text, '${TextOps.EmailRe}',
-        |      '<EMAIL>', 'g'), '${TextOps.PhoneRe}', '<PHONE>', 'g')
-        |      AS clean_text
-        |  FROM documents
-        |  WHERE doc_id % 4 = 0 AND $nW >= 15 AND $nStop >= 1),
-        |fp AS (
-        |  SELECT *, md5(regexp_replace(lower(trim(clean_text)), '\\s+',
-        |    ' ', 'g')) AS content_fp
-        |  FROM gated),
-        |keep AS (SELECT content_fp, min(doc_id) AS doc_id FROM fp
-        |  GROUP BY 1),
-        |exact AS (SELECT f.* FROM fp f JOIN keep k
-        |  ON f.content_fp = k.content_fp AND f.doc_id = k.doc_id),
+      s"""WITH ${gateScrubDedupSql("doc_id % 4 = 0 AND ")},
         |tok AS (
         |  SELECT doc_id, regexp_split_to_array(clean_text, '\\s+') AS t
         |  FROM exact),
@@ -690,11 +685,13 @@ object Curation {
         |  CAST(pack_id AS BIGINT) AS pack_id
         |FROM packed ORDER BY doc_id""".stripMargin) { (s, d) =>
       // id%4==0 quarter of the corpus: the carrier exercises the full
-      // chain (the planted replica pairs have adjacent ids, so
-      // near-dup structure survives the slice) at half the bench
-      // cost (the specs carry the semantics at full density) — the
-      // oracle applies the same slice, so the E2E compare
-      // is exact over everything the carrier processes
+      // chain at a quarter of the bench cost (the specs carry the
+      // semantics at full density) — the oracle applies the same
+      // slice, so the E2E compare is exact over everything the
+      // carrier processes. Near-dup structure in the slice is
+      // MEASURED, not assumed (7 verified pairs at sf0.01): replica
+      // ids are spread, so re-slicing (e.g. %8) must re-verify that
+      // the dominance stage still has pairs to remove.
       val t = TextOps.tokens(col("text"))
       val gated = T(s, d, "documents")
         .filter(col("doc_id") % 4 === 0 && size(t) >= 15 &&
@@ -704,7 +701,10 @@ object Curation {
       val fp = gated.withColumn("content_fp",
         TextOps.contentHash(col("clean_text")))
       val keepFp = fp.groupBy("content_fp").agg(min("doc_id").as("doc_id"))
-      val exact = fp.join(keepFp, Seq("content_fp", "doc_id"))
+      // persisted: consumed by BOTH the shingle index and the
+      // survivors anti-join — without it the gate+scrub+fingerprint
+      // subtree runs twice (the invertedPairCounts `lists` rationale)
+      val exact = fp.join(keepFp, Seq("content_fp", "doc_id")).persist()
       val shi = NearDup.shingleIndex(exact, "doc_id", col("clean_text"))
       val (pairs, sizes, _) = NearDup.invertedPairCounts(shi, "doc_id")
       val dup = pairs

@@ -179,18 +179,23 @@ object NearDupIndex {
   def sink(store: ModelStore, layer: String, name: String,
       id: String = "doc_id", textCol: String = "text")(
       batch: DataFrame, batchId: Long): Unit =
-    ingest(batch.sparkSession, store, layer, name, batch, id,
-      col(textCol), batchId): Unit
+    // empty triggers commit nothing (no version churn on an idle
+    // stream); replays are naturally idempotent — a re-delivered
+    // batch's docs self-match the history they already joined
+    if (!batch.isEmpty)
+      ingest(batch.sparkSession, store, layer, name, batch, id,
+        col(textCol), batchId): Unit
 
   // ------------------------------------------- driver-checkable query
   // Two doc_id-range crawls (q86's arrival orchestration): the second
   // crawl dedups against the first through the PERSISTED index only.
   // Runs on the id%4==0 quarter of the corpus — the carrier exercises
   // the full two-crawl fold while the semantics (recall, anchoring,
-  // idempotence, O(batch) appends) are asserted in NearDupIndexSpec;
-  // the planted replica pairs have adjacent ids, so the even slice
-  // still contains near-dup structure. xxhash64 signatures are
-  // engine-specific → rows-only.
+  // idempotence, O(batch) appends) are asserted in NearDupIndexSpec.
+  // Near-dup structure in the slice is MEASURED, not assumed (the
+  // surviving replica-pair deltas are multiples of 4); re-slicing
+  // must re-verify that cross-crawl matches remain. xxhash64
+  // signatures are engine-specific → rows-only.
   val qIncrementalNearDup: Q =
     Q.noOracle("q92_incremental_neardup") { (s, d) =>
       val store = new ModelStore(

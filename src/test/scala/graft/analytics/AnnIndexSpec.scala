@@ -97,6 +97,21 @@ class AnnIndexSpec extends AnyFunSuite {
         .select(col("vec_id").as("q_id"), col("embedding")))
       .filter(col("rnk") === 1).collect()
     assert(hits.length == 1 && hits.head.getLong(1) == 910000L)
+
+    // at-least-once replay: re-delivering an applied batch id must be
+    // a no-op (append has no key dedup — without the batch stamp the
+    // same vectors would insert twice and corrupt top-k ranks)
+    val nAfter = store.read(spark, AnnIndex.Layer, "e_postings").get
+      .count()
+    val vAfter = store.currentVersion(spark, AnnIndex.Layer,
+      "e_postings")
+    AnnIndex.sink(store, "e")(
+      emb.filter(col("vec_id") === 3L)
+        .select(lit(910000L).as("vec_id"), col("embedding")), 0L)
+    assert(store.read(spark, AnnIndex.Layer, "e_postings").get
+      .count() == nAfter)
+    assert(store.currentVersion(spark, AnnIndex.Layer,
+      "e_postings") == vAfter)
   }
 
   test("search scan is partition-pruned to the probed cells") {

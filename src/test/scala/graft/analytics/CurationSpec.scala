@@ -302,29 +302,40 @@ class CurationSpec extends AnyFunSuite {
     val rows = out.collect()
     assert(rows.nonEmpty)
     // folds are closed and every row carries a positive token count
+    // (NOT the raw 15-word gate bound: PhoneRe can collapse a
+    // space-separated phone's 3 tokens into one placeholder)
     assert(rows.map(_.getString(3)).toSet.subsetOf(
       Set("train", "val", "test")))
     assert(rows.forall(_.getLong(4) > 0))
-    // gate lower bound survives the whole chain (≥ 15 words gated,
-    // and PII placeholders never DECREASE the token count)
-    assert(rows.forall(_.getLong(4) >= 15))
 
     // survivors carry pairwise-unique content: recompute fingerprints
     // for the surviving ids and assert no two collide
     val ids = rows.map(_.getLong(0)).toSet
-    val docs = graft.io.Tables.load(spark, Dir, "documents")
-      .filter(col("doc_id").isInCollection(ids))
+    val t = TextOps.tokens(col("text"))
+    // the EXACT-DEDUP universe the pipeline capped shingles over —
+    // recomputing the df cap over survivors only would resurrect
+    // stop-shingles the pipeline dropped and could flag correct output
+    val gatedAll = graft.io.Tables.load(spark, Dir, "documents")
+      .filter(col("doc_id") % 4 === 0 && size(t) >= 15 &&
+        size(filter(t, x => x.isInCollection(TextOps.Stopwords))) >= 1)
       .select(col("doc_id"),
         TextOps.scrubPii(col("text")).as("clean_text"))
-    val nFp = docs.select(TextOps.contentHash(col("clean_text")))
-      .distinct().count()
+      .withColumn("content_fp", TextOps.contentHash(col("clean_text")))
+    val exactUniverse = gatedAll.join(
+      gatedAll.groupBy("content_fp").agg(min("doc_id").as("doc_id")),
+      Seq("content_fp", "doc_id"))
+    val nFp = exactUniverse.filter(col("doc_id").isInCollection(ids))
+      .select("content_fp").distinct().count()
     assert(nFp == ids.size, "exact duplicates survived the pipeline")
-    // and no surviving pair is a verified near-dup (the dominance
-    // rule's postcondition, recomputed via the q24 operator path)
-    val shi = NearDup.shingleIndex(docs, "doc_id", col("clean_text"))
+    // and no SURVIVING pair is a verified near-dup under the
+    // pipeline's own df cap (the dominance rule's postcondition)
+    val shi = NearDup.shingleIndex(exactUniverse, "doc_id",
+      col("clean_text"))
     val (pairs, sizes, release) =
       NearDup.invertedPairCounts(shi, "doc_id")
     val bad = pairs
+      .filter(col("a_id").isInCollection(ids) &&
+        col("b_id").isInCollection(ids))
       .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")),
         Seq("a_id"))
       .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")),

@@ -144,6 +144,12 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {d} (rows-only): {e}")
             n_fail += 1
     for name in sorted(oracles):
+        # subset dumps ship the FULL oracle map (so other dirs keep
+        # their strong checks) — oracle entries with no dumped output
+        # are simply not checked this run, not failures
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            print(f"SKIP {name} (not dumped)")
+            continue
         try:
             exp_raw = con.execute(oracles[name]).df()
             got_raw = spark_df(f"{out_dir}/{name}")
