@@ -738,9 +738,71 @@ object Curation {
     }
   }
 
+  // ------------------------------------------- long-document chunking
+  // The splitting half of sequence assembly (q73/q81 PACK short docs
+  // into budget-sized sequences; THIS splits docs longer than the
+  // window into overlapping fixed-token chunks — the standard
+  // long-context ingestion move, with the overlap preserving
+  // cross-boundary n-grams). Chunk starts stride by budget − overlap;
+  // every token is covered; a doc at or under the budget yields one
+  // chunk. Entirely scan-local (sequence + slice HOFs inside one
+  // projection — the chunk list never leaves its row until the final
+  // explode), so it composes with any scan at any corpus size.
+  val ChunkBudget = 64L
+  val ChunkOverlap = 16L
+
+  val qDocChunking: Q = {
+    val step = ChunkBudget - ChunkOverlap
+    Q("q94_doc_chunking",
+      s"""WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, t,
+        |    unnest(generate_series(0,
+        |      CAST(len(t) AS BIGINT) - 1, $step)) AS start_tok
+        |  FROM tok),
+        |ch AS (
+        |  SELECT doc_id, start_tok,
+        |    t[start_tok + 1 : least(start_tok + $ChunkBudget,
+        |      CAST(len(t) AS BIGINT))] AS c
+        |  FROM st
+        |  WHERE start_tok = 0 OR start_tok + $ChunkOverlap <
+        |    CAST(len(t) AS BIGINT))
+        |SELECT doc_id,
+        |  CAST(start_tok // $step AS BIGINT) AS chunk_id,
+        |  CAST(start_tok AS BIGINT) AS start_tok,
+        |  CAST(len(c) AS BIGINT) AS n_tok,
+        |  md5(array_to_string(c, ' ')) AS chunk_hash
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      val t = TextOps.tokens(col("text"))
+      // starts 0, step, 2·step … below len; a start that would emit a
+      // pure-suffix-of-overlap tail (start+overlap ≥ len, start > 0)
+      // is dropped — its tokens are already covered by the previous
+      // chunk's window
+      val starts = filter(
+        sequence(lit(0L), size(t).cast("long") - 1, lit(ChunkBudget -
+          ChunkOverlap)),
+        st => st === 0L ||
+          st + lit(ChunkOverlap) < size(t).cast("long"))
+      T(s, d, "documents")
+        .select(col("doc_id"), t.as("t"), explode(starts).as("start_tok"))
+        .select(col("doc_id"),
+          Exact.floorDiv(col("start_tok"),
+            lit(ChunkBudget - ChunkOverlap)).as("chunk_id"),
+          col("start_tok"),
+          slice(col("t"), col("start_tok") + 1, lit(ChunkBudget))
+            .as("c"))
+        .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+          size(col("c")).cast("long").as("n_tok"),
+          md5(concat_ws(" ", col("c"))).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_id")
+    }
+  }
+
   val all: Seq[Q] =
     Seq(qHashSample, qVocabOov, qTopKPerGroup, qTfidfKeywords,
       qMixtureEpoch, qHeavyHitters, qCurationE2e, qSequencePacking,
       qRebalanceMix, qPiiRedact, qRepetition, qLeakageSplit,
-      qTrainingPipeline)
+      qTrainingPipeline, qDocChunking)
 }

@@ -296,6 +296,43 @@ class CurationSpec extends AnyFunSuite {
     assert(out(4L) == ((4L, 3L, "0.7500")))
   }
 
+  test("doc chunking: full coverage, exact overlap, reconstruction") {
+    val rows = Curation.qDocChunking.build(spark, Dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val step = Curation.ChunkBudget - Curation.ChunkOverlap
+    val docs = graft.io.Tables.load(spark, Dir, "documents")
+      .select(col("doc_id"), size(TextOps.tokens(col("text")))
+        .cast("long").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (docId, chunks) =>
+      val n = docs(docId)
+      val sorted = chunks.sortBy(_._3)
+      // starts stride by budget−overlap from 0; sizes fill the budget
+      // except the final chunk, which takes exactly what remains
+      sorted.zipWithIndex.foreach { case ((_, cid, start, nt), i) =>
+        assert(start == i * step, s"doc $docId chunk $cid start")
+        assert(nt == math.min(Curation.ChunkBudget, n - start),
+          s"doc $docId chunk $cid size")
+      }
+      // full coverage: the last chunk reaches the final token
+      val (_, _, lastStart, lastN) = sorted.last
+      assert(lastStart + lastN == n, s"doc $docId tail uncovered")
+      // consecutive chunks overlap by exactly ChunkOverlap tokens
+      // (when the next window exists) — so boundary n-grams survive
+      sorted.toSeq.sliding(2).foreach {
+        case Seq((_, _, s1, n1), (_, _, s2, _)) =>
+          assert(s1 + n1 - s2 == Curation.ChunkOverlap,
+            s"doc $docId overlap at $s2")
+        case _ =>
+      }
+      // a doc at or under the budget yields exactly one chunk
+      if (n <= Curation.ChunkBudget) assert(sorted.length == 1)
+    }
+    // every doc is chunked
+    assert(rows.map(_._1).toSet == docs.keySet)
+  }
+
   test("training pipeline invariants: unique content, no surviving " +
       "near-dup pair, closed folds, prefix-sum pack assignment") {
     val out = Curation.qTrainingPipeline.build(spark, Dir).persist()
