@@ -12,7 +12,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the JVM / codegen / parquet reader once so the first
     // measured query isn't charged for session startup.
-    try { SparkEntry.entry(spark).count() } catch { case _: Throwable => }
+    try { SparkEntry.entry(spark).count() } catch {
+      case e: Throwable =>
+        // a broken flagship would otherwise silently shift its session
+        // startup cost into the first measured query
+        System.err.println(s"[bench] warm-up failed: ${e.getMessage}")
+    }
     spark.catalog.clearCache()
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
@@ -38,12 +43,14 @@ object Bench {
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    // Full combined line first (the documented contract), then the total
-    // alone on the FINAL line so tail capture always contains it even as
-    // the query surface grows (round-2: the single 90-query line outgrew
-    // the driver's tail window and the total was truncated away, leaving
-    // the round with no parsed bench number at all).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full combined line first (per-query detail, distinct metric name),
+    // then the total alone on the FINAL line so tail capture always
+    // contains it even as the query surface grows (round-2: the single
+    // 90-query line outgrew the driver's tail window and the total was
+    // truncated away). "total" appears on exactly ONE line: a consumer
+    // matching the first occurrence and one summing all matches now
+    // read the same number.
+    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }

@@ -45,10 +45,13 @@ object AnnIndex {
       .withColumn("n2", VectorOps.norm2Q(col("qv")))
 
   /** Train centroids on `vectors` (`vec_id`, `embedding`), assign the
-    * full corpus, and persist both tables as a new index version. */
+    * full corpus, and persist both tables as a new index version.
+    * `extraMeta` merges into the postings commit (e.g. a caller's
+    * corpus content fingerprint for staleness checks). */
   def build(spark: SparkSession, store: ModelStore, name: String,
       vectors: DataFrame, k: Int = VectorOps.NumCentroids,
-      iters: Int = VectorOps.KmeansIters): Unit = {
+      iters: Int = VectorOps.KmeansIters,
+      extraMeta: Map[String, String] = Map.empty): Unit = {
     val base = quantified(vectors).persist()
     val cents = VectorOps.kmeansCentroids(base, k, iters).persist()
     store.write(cents, Layer, centroidsTable(name),
@@ -61,7 +64,7 @@ object AnnIndex {
       description = "IVF postings (inverted lists)",
       // corpus-size stamp: lets callers detect a stale index for a
       // changed corpus without scanning the postings
-      meta = Map("rows" -> base.count().toString))
+      meta = extraMeta + ("rows" -> base.count().toString))
     base.unpersist(); cents.unpersist(): Unit
   }
 
@@ -74,28 +77,40 @@ object AnnIndex {
       extraMeta: Map[String, String] = Map.empty): Unit = {
     val cents = store.read(spark, Layer, centroidsTable(name)).getOrElse(
       sys.error(s"ANN index '$name' has no centroids — build() first"))
-    val assigned = VectorOps.ivfAssign(quantified(newVectors), cents)
-      .select(col("c_id"), col("vec_id"), col("qv"), col("n2"))
-      .persist()
-    // bounded collect: cell ids are ≤ K (a design constant), and the
-    // literal IN-list is what partition-prunes the existing read
-    val touched = assigned.select("c_id").distinct()
-      .collect().map(_.getLong(0))
     val existing = store.read(spark, Layer, postingsTable(name)).getOrElse(
       sys.error(s"ANN index '$name' has no postings — build() first"))
-    val merged = existing
-      .filter(col("c_id").isin(touched.toSeq: _*))
+    // drop vec_ids already in the index: an overlapping or replayed
+    // delivery must not duplicate postings (inflating every later
+    // search's candidates) or skew the corpus-size stamp. The probe is
+    // a column-pruned (vec_id-only) anti-join against the stored table
+    // — the IncrementalDedup history-probe discipline, not a
+    // postings-wide rewrite.
+    val assigned = VectorOps.ivfAssign(quantified(newVectors), cents)
       .select(col("c_id"), col("vec_id"), col("qv"), col("n2"))
-      .unionByName(assigned)
-    // refresh the corpus-size stamp (commit meta otherwise carries the
-    // build-time count forward, and a stale stamp makes the next
-    // staleness check retrain the index the append just extended)
-    val newRows = store.meta(spark, Layer, postingsTable(name), "rows")
-      .map(_.toLong).getOrElse(existing.count()) + assigned.count()
-    store.writeTouchedPartitions(merged, Layer, postingsTable(name),
-      partitionBy = Seq("c_id"), description = "IVF append",
-      meta = extraMeta + ("rows" -> newRows.toString))
-    assigned.unpersist(): Unit
+      .join(existing.select("vec_id"), Seq("vec_id"), "left_anti")
+      .select(col("c_id"), col("vec_id"), col("qv"), col("n2"))
+      .persist()
+    try {
+      val nNew = assigned.count()
+      if (nNew == 0L) return // fully-duplicate batch: no version churn
+      // bounded collect: cell ids are ≤ K (a design constant), and the
+      // literal IN-list is what partition-prunes the existing read
+      val touched = assigned.select("c_id").distinct()
+        .collect().map(_.getLong(0))
+      val merged = existing
+        .filter(col("c_id").isin(touched.toSeq: _*))
+        .select(col("c_id"), col("vec_id"), col("qv"), col("n2"))
+        .unionByName(assigned)
+      // refresh the corpus-size stamp (commit meta otherwise carries
+      // the build-time count forward, and a stale stamp makes the next
+      // staleness check retrain the index the append just extended);
+      // with the anti-join above, stored + nNew IS the distinct count
+      val newRows = store.meta(spark, Layer, postingsTable(name), "rows")
+        .map(_.toLong).getOrElse(existing.count()) + nNew
+      store.writeTouchedPartitions(merged, Layer, postingsTable(name),
+        partitionBy = Seq("c_id"), description = "IVF append",
+        meta = extraMeta + ("rows" -> newRows.toString))
+    } finally assigned.unpersist(): Unit
   }
 
   /** Multi-probe top-k search over the persisted index. `queries` is
@@ -153,22 +168,32 @@ object AnnIndex {
   /** Build-once-search-many as a driver query: the index persists
     * under /tmp keyed by the sf dir, so repeated runs REUSE the stored
     * structure (the point of the artifact) — only the first call pays
-    * the train+assign cost. Rows-only check (k-means cell layout is
-    * engine-specific); equality with the in-memory q32 path and recall
-    * vs the q27 ground truth are asserted in AnnIndexSpec. */
+    * the train+assign cost. Staleness is decided by a CONTENT
+    * fingerprint (order-insensitive sum of row hashes), not a row
+    * count: a corpus whose rows changed in place retrains, and the
+    * store path hashes the FULL canonical dir so two corpora sharing a
+    * basename can never serve each other's index. Rows-only check
+    * (k-means cell layout is engine-specific); equality with the
+    * in-memory q32 path and recall vs the q27 ground truth are
+    * asserted in AnnIndexSpec. sideEffecting: the staleness probe and
+    * any rebuild run at DataFrame-construction time. */
   val qAnnIndex: Q = Q.noOracle("q91_ann_index") { (s, d) =>
-    val store = new ModelStore(
-      s"/tmp/graft-annindex/${new java.io.File(d).getName}")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(new java.io.File(d).getCanonicalPath.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val store = new ModelStore(s"/tmp/graft-annindex/$key")
     val emb = Tables.load(s, d, "embeddings")
-    val n = store.meta(s, Layer, postingsTable("emb"), "rows")
-    val rows = emb.count()
-    if (!n.contains(rows.toString)) {
-      build(s, store, "emb", emb)
+    val fp = emb.agg(coalesce(
+        sum(xxhash64(col("vec_id"), col("embedding"))), lit(0L))
+      .cast("string").as("fp")).head().getString(0)
+    val stored = store.meta(s, Layer, postingsTable("emb"), "corpus_fp")
+    if (!stored.contains(fp)) {
+      build(s, store, "emb", emb, extraMeta = Map("corpus_fp" -> fp))
       store.vacuum(s, Layer, postingsTable("emb"), keepLast = 1)
       store.vacuum(s, Layer, centroidsTable("emb"), keepLast = 1)
     }
     search(s, store, "emb",
       emb.filter(col("vec_id") < VectorOps.NumQueries)
         .select(col("vec_id").as("q_id"), col("embedding")))
-  }
+  }.copy(sideEffecting = true)
 }

@@ -69,51 +69,122 @@ object Bpe {
       .groupBy("w").agg(count(lit(1)).as("wc"))
       .withColumn("seg", charSeg(col("w")))
 
-  /** Train `k` merges; returns them in rank order. */
+  /** Train `k` merges; returns them in rank order.
+    *
+    * ONE distributed job, then a driver-local merge loop: the word
+    * table is vocabulary-bound (distinct words × counts — ~10⁷ rows
+    * for a 100 TB natural-language corpus, a few hundred MB), so it is
+    * collected once and the k merge rounds run in driver memory with
+    * incrementally-maintained pair counts. The previous shape — one
+    * full pair-count aggregation job PER round — meant a real 32k-merge
+    * vocabulary was 32k sequential Spark jobs; here round cost is
+    * O(words containing the merged pair), independent of k's job
+    * overhead, so production-sized vocabularies train in one sitting.
+    * Semantics are unchanged (BpeSpec pins them against the textbook
+    * implementation): argmax by (count desc, then lexicographic pair),
+    * greedy-left merge application per word. */
   def trainMerges(spark: SparkSession, words: DataFrame, k: Int)
       : Seq[Merge] = {
-    var cur = words.select("wc", "seg").localCheckpoint()
+    // the one distributed step: collect the weighted vocabulary
+    val collected = words.select("wc", "seg").collect()
+    val wcs = new Array[Long](collected.length)
+    val segs = new Array[Array[String]](collected.length)
+    var i = 0
+    while (i < collected.length) {
+      wcs(i) = collected(i).getLong(0)
+      segs(i) = collected(i).getString(1).split(Sep).filter(_.nonEmpty)
+      i += 1
+    }
+    // pair counts + inverted index pair → word ids containing it, both
+    // maintained incrementally per round (the textbook fast-BPE shape)
+    val counts = scala.collection.mutable.HashMap
+      .empty[(String, String), Long]
+    val where = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.Set[Int]]
+    def addWord(w: Int, sign: Long): Unit = {
+      val s = segs(w)
+      var j = 1
+      while (j < s.length) {
+        val p = (s(j - 1), s(j))
+        val c = counts.getOrElse(p, 0L) + sign * wcs(w)
+        if (c == 0L) counts.remove(p) else counts(p) = c
+        if (sign > 0)
+          where.getOrElseUpdate(p,
+            scala.collection.mutable.Set.empty[Int]) += w
+        j += 1
+      }
+      // stale `where` entries for removed pairs are tolerated: the
+      // merge pass re-checks adjacency before touching a word
+    }
+    i = 0
+    while (i < segs.length) { addWord(i, 1L); i += 1 }
+
     val merges = ArrayBuffer.empty[Merge]
     var round = 0
-    while (round < k) {
-      // adjacent pairs of the current segmentation, weighted by wc
-      val top = cur
-        .withColumn("syms", expr(
-          s"filter(split(seg, '$Sep'), x -> x != '')"))
-        .filter(size(col("syms")) >= 2) // sequence(1,0) counts DOWN
-        .select(col("wc"),
-          explode(expr("transform(sequence(1, size(syms) - 1), " +
-            "i -> struct(syms[i-1] AS a, syms[i] AS b))")).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum("wc").as("c"))
-        .orderBy(col("c").desc, col("a").asc, col("b").asc)
-        .limit(1).collect()
-      if (top.isEmpty) round = k
-      else {
-        val (a, b, c) = (top(0).getString(0), top(0).getString(1),
-          top(0).getLong(2))
-        merges += Merge(merges.size + 1, a, b, a + b, c)
-        // literal (non-regex) replace: greedy left-to-right, the BPE
-        // apply convention; sentinels make boundaries uniform. SQL
-        // string literals need quote/backslash escaping only.
-        def q(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
-        cur = cur.withColumn("seg",
-            expr(s"replace(seg, '${q(Sep + a + Sep2 + b + Sep)}', " +
-              s"'${q(Sep + a + b + Sep)}')"))
-          .localCheckpoint()
-        round += 1
+    while (round < k && counts.nonEmpty) {
+      // deterministic argmax: count desc, then lexicographic (a, b)
+      var best: (String, String) = null
+      var bestC = 0L
+      counts.foreach { case (p, c) =>
+        if (best == null || c > bestC ||
+            (c == bestC && (p._1 < best._1 ||
+              (p._1 == best._1 && p._2 < best._2)))) {
+          best = p; bestC = c
+        }
       }
+      val (a, b) = best
+      merges += Merge(merges.size + 1, a, b, a + b, bestC)
+      // greedy-left merge in every word that still contains the pair
+      val affected = where.getOrElse(best, Nil).toArray
+      val ab = a + b
+      affected.foreach { w =>
+        val s = segs(w)
+        var has = false
+        var j = 1
+        while (!has && j < s.length) {
+          has = s(j - 1) == a && s(j) == b; j += 1
+        }
+        if (has) {
+          addWord(w, -1L)
+          val out = new ArrayBuffer[String](s.length)
+          j = 0
+          while (j < s.length) {
+            if (j + 1 < s.length && s(j) == a && s(j + 1) == b) {
+              out += ab; j += 2
+            } else { out += s(j); j += 1 }
+          }
+          segs(w) = out.toArray
+          addWord(w, 1L)
+        }
+      }
+      // the incremental bookkeeping has already zeroed counts(best):
+      // greedy-left leaves no (a, b) adjacency behind (an a==b run
+      // [a,a,a] becomes [aa, a] — pair (aa, a), never (a, a))
+      where.remove(best)
+      round += 1
     }
     merges.toSeq
   }
+
+  /** Session-memoized training keyed by (corpus dir, k): q78/q79/q81
+    * all train the SAME tokenizer for their corpus — production trains
+    * once and every downstream job loads the artifact
+    * ([[saveMerges]]/[[loadMerges]]); within one engine session this
+    * memo is that artifact. Training is deterministic, so the memo can
+    * never change a result. */
+  private val mergeMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), Seq[Merge]]()
+  private[graft] def trainedMerges(s: SparkSession, d: String, k: Int)
+      : Seq[Merge] =
+    mergeMemo.computeIfAbsent((d, k), _ =>
+      trainMerges(s, wordTable(Tables.load(s, d, "documents"), "text"), k))
 
   /** The learned merge table as a rows-only query (engine-internal
     * string surgery — no practical single-SQL DuckDB mirror; BpeSpec
     * pins the semantics against a reference implementation). */
   val qBpeMerges: Q = Q.noOracle("q78_bpe_merges") { (s, d) =>
     import s.implicits._
-    val words = wordTable(Tables.load(s, d, "documents"), "text")
-    trainMerges(s, words, k = 8).toDF()
+    trainedMerges(s, d, k = 8).toDF()
       .orderBy("rank")
   }
 
@@ -161,7 +232,7 @@ object Bpe {
   /** Corpus token-count measurement under the trained tokenizer. */
   val qBpeTokenize: Q = Q.noOracle("q79_bpe_tokenize") { (s, d) =>
     val docs = Tables.load(s, d, "documents")
-    val merges = trainMerges(s, wordTable(docs, "text"), k = 8)
+    val merges = trainedMerges(s, d, k = 8)
     val perWord = docs
       .select(col("doc_id"), col("source"),
         explode(TextOps.tokens(col("text"))).as("w"))
@@ -183,7 +254,7 @@ object Bpe {
     * because the trained merges are engine-internal. */
   val qBpePacking: Q = Q.noOracle("q81_bpe_packing") { (s, d) =>
     val docs = Tables.load(s, d, "documents")
-    val merges = trainMerges(s, wordTable(docs, "text"), k = 8)
+    val merges = trainedMerges(s, d, k = 8)
     val perDoc = docs
       .select(col("doc_id"), col("source"),
         explode(TextOps.tokens(col("text"))).as("w"))

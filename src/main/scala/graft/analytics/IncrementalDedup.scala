@@ -1,11 +1,8 @@
 package graft.analytics
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.util.sketch.BloomFilter
 
 import graft.io.{ModelStore, Tables}
 import graft.ops.BloomJoin
@@ -58,6 +55,20 @@ import graft.queries.Q
   */
 object IncrementalDedup {
 
+  /** Shards of the persisted fingerprint sketch (key-hash-range
+    * partitioned [[BloomJoin.buildShardedSketch]] rows). Capacity at
+    * 10¹¹ keys grows by raising this at constant per-shard size; the
+    * merge stays a per-shard distributed reduce either way. */
+  val SketchShards = 8
+
+  /** Batch-side row bound for the BROADCAST join arm: under it the
+    * candidate/existing key sets broadcast (history is hash-probed in
+    * place and never shuffles); over it — a TB-scale crawl no single
+    * executor could hold — the verify joins fall back to shuffle-hash
+    * (one key-shuffle of batch AND the matched slice of history; the
+    * unavoidable cost of exact verification at that batch size). */
+  val BroadcastMaxRows = 4000000L
+
   /** Fold one batch into the fingerprint history at `layer`.`name`;
     * returns the kept (first-copy) rows. `batch` must carry `keyCol`
     * (the content fingerprint) and `orderCol` (the within-batch
@@ -66,7 +77,9 @@ object IncrementalDedup {
       name: String, batch: DataFrame, batchId: Long,
       keyCol: String = "content_fp", orderCol: String = "doc_id",
       estKeys: Long = BloomJoin.EstKeys,
-      numBits: Long = BloomJoin.NumBits): DataFrame = {
+      numBits: Long = BloomJoin.NumBits,
+      numShards: Int = SketchShards,
+      broadcastMaxRows: Long = BroadcastMaxRows): DataFrame = {
     require(batch.columns.contains(keyCol), s"batch lacks $keyCol")
     val sketchTable = s"${name}_sketch"
 
@@ -77,42 +90,67 @@ object IncrementalDedup {
       .filter(col("__rn") === 1).drop("__rn")
       .persist()
     try {
+      // materializes the cache and gates the join arms below
+      val nWinners = winners.count()
+      def gate(df: DataFrame): DataFrame =
+        if (nWinners <= broadcastMaxRows) broadcast(df)
+        else df.hint("shuffle_hash")
       val history = store.read(spark, layer, name)
+      // the sharded sketch table is read ONCE per fold: collected for
+      // the scan-local probe (shard map, sketch-sized), reused as a
+      // DataFrame for the distributed merge
+      val storedSketch = store.read(spark, layer, sketchTable)
+      val storedShards = store.meta(spark, layer, sketchTable,
+        "num_shards").map(_.toInt)
       val kept = history match {
         case None => winners // empty history: everything is novel
         case Some(hist) =>
-          // 2. scan-local sketch probe: novel fps skip the history
-          val sketch = store.read(spark, layer, sketchTable)
-            .map(_.head().getAs[Array[Byte]](0))
-          val candidates = sketch match {
-            case Some(bytes) =>
-              winners.filter(BloomJoin.mightContain(bytes, col(keyCol)))
+          // 2. scan-local sketch probe: novel fps skip the history. A
+          // shard with no sketch row holds no historical key — its
+          // fingerprints are definitely novel. A stored shard count
+          // differing from the configured one is treated as missing
+          // (verify everything): probing with the wrong modulus would
+          // UNDER-approximate, silently re-admitting duplicates.
+          val candidates = storedSketch.filter(_ => storedShards
+              .contains(numShards)) match {
+            case Some(tbl) =>
+              val shardMap = tbl.collect()
+                .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+              winners.filter(BloomJoin.mightContainSharded(
+                shardMap, col(keyCol), numShards))
             case None => winners // no sketch: verify everything
           }
-          // 3. exact verify — candidate fps broadcast against the
-          // column-pruned history scan (history never shuffles)
+          // 3. exact verify — candidate fps against the column-pruned
+          // history scan: broadcast under the gate (history hash-probed
+          // in place, never shuffled), shuffle-hash above it
           val existing = hist.select(keyCol)
-            .join(broadcast(candidates.select(keyCol)),
-              Seq(keyCol), "left_semi")
-          winners.join(broadcast(existing), Seq(keyCol), "left_anti")
+            .join(gate(candidates.select(keyCol)), Seq(keyCol),
+              "left_semi")
+          winners.join(gate(existing), Seq(keyCol), "left_anti")
       }
       val tagged = kept.withColumn("ingest_batch", lit(batchId))
-      // sketch first (over-approximation is safe), then the commit
-      val batchSketch =
-        BloomJoin.buildSketch(winners, col(keyCol), estKeys, numBits)
-      val merged = store.read(spark, layer, sketchTable) match {
-        case None => batchSketch
+      // sketch first (over-approximation is safe), then the commit.
+      // Merge is a per-shard distributed reduce — no driver-side
+      // byte-array union at any history size.
+      val batchSketch = BloomJoin.buildShardedSketch(winners,
+        col(keyCol), numShards, estKeys, numBits)
+      val merged = storedSketch.filter(_ =>
+          storedShards.contains(numShards)) match {
+        case None =>
+          // first batch, or a shard-count change: rebuild over ALL
+          // history keys + batch so the sketch never under-approximates
+          val histKeys = history.map(_.select(col(keyCol)))
+          histKeys match {
+            case Some(hk) => BloomJoin.buildShardedSketch(
+              hk.unionByName(winners.select(col(keyCol))),
+              col(keyCol), numShards, estKeys, numBits)
+            case None => batchSketch
+          }
         case Some(prior) =>
-          val a = BloomFilter.readFrom(new ByteArrayInputStream(
-            prior.head().getAs[Array[Byte]](0)))
-          a.mergeInPlace(
-            BloomFilter.readFrom(new ByteArrayInputStream(batchSketch)))
-          val out = new ByteArrayOutputStream()
-          a.writeTo(out)
-          out.toByteArray
+          BloomJoin.mergeShardedSketches(prior, batchSketch)
       }
-      import spark.implicits._
-      store.write(Seq(merged).toDF("sketch"), layer, sketchTable)
+      store.write(merged, layer, sketchTable,
+        meta = Map("num_shards" -> numShards.toString))
       store.vacuum(spark, layer, sketchTable, keepLast = 2)
       // 4. append as a new batch partition (prior batches link over).
       // An all-duplicates batch writes an empty fresh set and links

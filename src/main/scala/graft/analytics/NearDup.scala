@@ -490,9 +490,58 @@ object NearDup {
       .select(col(id), coalesce(col("keep_id"), col(id)).as("keep_id"))
   }
 
-  // Composed end-to-end dedup decision over the documents table
-  // (rows-only: clustering order is deterministic but not single-SQL).
-  val qDedupCorpus: Q = Q.noOracle("q35_dedup_corpus") { (s, d) =>
+  // Composed end-to-end dedup decision over the documents table.
+  // Oracle: the SAME capped-shingle Jaccard pair set q24's oracle
+  // builds (df-cap ≡ HAVING count ≤ MaxDf; threshold 0.5 mirrored in
+  // exact integers as 2·n_inter ≥ union), unioned with the exact-dup
+  // pairs (q19's normalized-md5 fingerprint), closed transitively by a
+  // recursive CTE (fine at oracle scale — the ENGINE's fixpoint /
+  // union-find is the 100 TB path), min label per component.
+  val qDedupCorpus: Q = Q(
+    "q35_dedup_corpus",
+    s"""WITH RECURSIVE tok AS (
+      |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |  FROM tok, unnest(generate_series(1, len(t) - 2)) AS u(i)),
+      |keep AS (
+      |  SELECT s FROM sh GROUP BY s
+      |  HAVING count(DISTINCT doc_id) <= $MaxDf),
+      |shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+      |  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |near AS (
+      |  SELECT i.a_id, i.b_id FROM inter i
+      |  JOIN sizes sa ON i.a_id = sa.doc_id
+      |  JOIN sizes sb ON i.b_id = sb.doc_id
+      |  WHERE i.n_inter * 2 >= (sa.n + sb.n - i.n_inter)),
+      |fp AS (
+      |  SELECT doc_id,
+      |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+      |  FROM documents),
+      |exact AS (
+      |  SELECT x.doc_id AS a_id, y.doc_id AS b_id
+      |  FROM fp x JOIN fp y ON x.f = y.f AND x.doc_id < y.doc_id),
+      |allp AS (
+      |  SELECT a_id, b_id FROM near
+      |  UNION SELECT a_id, b_id FROM exact),
+      |edges AS (
+      |  SELECT a_id AS a, b_id AS b FROM allp
+      |  UNION SELECT b_id, a_id FROM allp),
+      |r(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a),
+      |comp AS (SELECT a AS doc_id, min(b) AS mn FROM r GROUP BY a)
+      |SELECT d.doc_id,
+      |  least(d.doc_id, coalesce(c.mn, d.doc_id)) AS keep_id
+      |FROM documents d LEFT JOIN comp c USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
     dedupCorpus(T(s, d, "documents"), "doc_id", col("text"))
       .orderBy("doc_id")
   }

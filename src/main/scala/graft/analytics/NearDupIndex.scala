@@ -56,6 +56,14 @@ object NearDupIndex {
     * the same bounded-candidates trade [[NearDup.MaxBucket]] makes. */
   val MaxCandidatesPerDoc = 256
 
+  /** Batch-side BAND-row bound for the broadcast probe arm: under it
+    * the batch band rows broadcast against the scan-local history
+    * bands (history never shuffles); over it — a TB-scale crawl — the
+    * probe joins fall back to shuffle-hash, the unavoidable exchange
+    * at that batch size (same adaptive discipline as
+    * [[IncrementalDedup.BroadcastMaxRows]]). */
+  val BroadcastMaxBandRows = 4000000L
+
   // Signature, band, and agreement definitions live in NearDup (the
   // withSimhash one-definition convention): this index PERSISTS
   // signatures, so any drift between the in-memory q25 expressions
@@ -71,28 +79,37 @@ object NearDupIndex {
     * band rows append to the index. */
   def ingest(spark: SparkSession, store: ModelStore, layer: String,
       name: String, docs: DataFrame, id: String, text: Column,
-      batchId: Long, threshold: Double = SigAgreeThreshold): DataFrame = {
+      batchId: Long, threshold: Double = SigAgreeThreshold,
+      broadcastMaxBandRows: Long = BroadcastMaxBandRows): DataFrame = {
     val sigs = signatures(docs, id, text)
       .withColumnRenamed(id, "doc_id").persist()
     try {
       ingestWithSigs(spark, store, layer, name, docs, id, sigs,
-        batchId, threshold)
+        batchId, threshold, broadcastMaxBandRows)
     } finally sigs.unpersist(): Unit
   }
 
   private def ingestWithSigs(spark: SparkSession, store: ModelStore,
       layer: String, name: String, docs: DataFrame, id: String,
-      sigs: DataFrame, batchId: Long, threshold: Double): DataFrame = {
+      sigs: DataFrame, batchId: Long, threshold: Double,
+      broadcastMaxBandRows: Long): DataFrame = {
     val bands = bandRows(sigs, "doc_id")
+    // materializes the sigs cache; gates the probe-join arm (bands are
+    // exactly NumBands rows per signed doc)
+    val nBandRows = sigs.count() * NumBands
+    def gate(df: DataFrame): DataFrame =
+      if (nBandRows <= broadcastMaxBandRows) broadcast(df)
+      else df.hint("shuffle_hash")
 
     // ---- history probe: ONE column-pruned scan of the stored sigs,
-    // band hashes derived scan-locally, batch side broadcast — the
-    // history is hash-probed in place, never exchanged
+    // band hashes derived scan-locally, batch side broadcast under the
+    // gate (the history is hash-probed in place, never exchanged) and
+    // shuffle-hash above it
     val histPairs = store.read(spark, layer, s"${name}_sigs").map { hist =>
       val histBands = bandRows(
         hist.select(col("doc_id").as("old_id"), col("sig")), "old_id")
       val cands = histBands.join(
-          broadcast(bands.select(col("band_idx"), col("band_hash"),
+          gate(bands.select(col("band_idx"), col("band_hash"),
             col("doc_id"))),
           Seq("band_idx", "band_hash"))
         .select(col("doc_id"), col("old_id")).distinct()
@@ -159,13 +176,19 @@ object NearDupIndex {
       .localCheckpoint()
     histMin.unpersist()
 
-    // ---- survivors extend the index as one linked batch partition
+    // ---- survivors extend the index as one linked batch partition.
+    // A batch with NO signed survivors (fully duplicate, or a replayed
+    // delivery) commits nothing: version churn on no new data would
+    // let keepLast=2 vacuums delete versions other readers still hold
+    // — the same empty-trigger guard as sink().
     val survivors = decided.filter(!col("is_dup")).select("doc_id")
-    store.writeTouchedPartitions(
-      sigs.join(survivors, Seq("doc_id"), "left_semi")
-        .withColumn("ingest_batch", lit(batchId)),
-      layer, s"${name}_sigs", partitionBy = Seq("ingest_batch"))
-    store.vacuum(spark, layer, s"${name}_sigs", keepLast = 2)
+    val survivorSigs = sigs.join(survivors, Seq("doc_id"), "left_semi")
+    if (!survivorSigs.isEmpty) {
+      store.writeTouchedPartitions(
+        survivorSigs.withColumn("ingest_batch", lit(batchId)),
+        layer, s"${name}_sigs", partitionBy = Seq("ingest_batch"))
+      store.vacuum(spark, layer, s"${name}_sigs", keepLast = 2)
+    }
     decided.select("doc_id", "is_dup", "dup_of", "batch_id")
   }
 

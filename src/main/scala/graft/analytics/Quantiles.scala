@@ -88,22 +88,32 @@ object Quantiles {
       .orderBy("n_name")
   }
 
-  /** Lower-median per group via the histogram walk (rank ⌈n/2⌉;
-    * shuffle = |distinct values| per group, never a row sort). */
-  def medianByGroup(df: DataFrame, group: String, value: String)
-      : DataFrame = {
-    val hist = df.groupBy(group, value).agg(count(lit(1)).as("cnt"))
+  /** Lower-median per group over an ALREADY-AGGREGATED value histogram
+    * `(group, value, cnt)` — the walk itself: cumulative-sum window,
+    * smallest value whose cumulative count reaches rank ⌈n/2⌉. Taking
+    * the histogram as input lets derived distributions (e.g. q75's
+    * absolute deviations) be computed histogram-from-histogram without
+    * ever touching rows again. */
+  def medianOfHist(hist: DataFrame, group: String, value: String,
+      cnt: String): DataFrame = {
     val cum = Window.partitionBy(group).orderBy(value)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val all = Window.partitionBy(group)
     hist
-      .withColumn("cum", sum("cnt").over(cum))
-      .withColumn("n", sum("cnt").over(all))
+      .withColumn("cum", sum(cnt).over(cum))
+      .withColumn("n", sum(cnt).over(all))
       .groupBy(group)
       .agg(max("n").as("__n"),
         min(when(col("cum") >= rankP50(col("n")), col(value)))
           .as("__med"))
   }
+
+  /** Lower-median per group via the histogram walk (rank ⌈n/2⌉;
+    * shuffle = |distinct values| per group, never a row sort). */
+  def medianByGroup(df: DataFrame, group: String, value: String)
+      : DataFrame =
+    medianOfHist(df.groupBy(group, value).agg(count(lit(1)).as("__cnt")),
+      group, value, "__cnt")
 
   // --------------------------------------- MAD robust outliers
   // Median-absolute-deviation outlier flags — the robust complement
@@ -151,20 +161,30 @@ object Quantiles {
       |  ${Exact.dec2Sql("mad")} AS mad,
       |  CAST(n_outliers AS BIGINT) AS n_outliers
       |FROM flags ORDER BY n_name""".stripMargin) { (s, d) =>
-    val oc = nationCents(s, d)
-    val med = medianByGroup(oc, "n_name", "cents")
+    // ONE row scan total: after the first histogram aggregation every
+    // later stage (deviation distribution, MAD walk, outlier count) is
+    // derived histogram-from-histogram — |ad| of a value bucket applies
+    // to all `cnt` of its rows, so the deviation histogram is a
+    // broadcast-join + re-bucket of the VALUE histogram, never a second
+    // pass over the fact join. The persist covers the three
+    // histogram-sized reuses (med walk, deviation derivation, flags).
+    val hist = nationCents(s, d)
+      .groupBy("n_name", "cents").agg(count(lit(1)).as("cnt"))
+      .persist()
+    val med = medianOfHist(hist, "n_name", "cents", "cnt")
       .select(col("n_name"), col("__n").as("n_orders"),
         col("__med").as("med"))
-    val dev = oc.join(broadcast(med), "n_name")
-      .withColumn("ad", abs(col("cents") - col("med")))
-    val mad = medianByGroup(dev, "n_name", "ad")
+    val devHist = hist.join(broadcast(med), "n_name")
+      .groupBy(col("n_name"), abs(col("cents") - col("med")).as("ad"))
+      .agg(sum("cnt").as("cnt"))
+    val mad = medianOfHist(devHist, "n_name", "ad", "cnt")
       .select(col("n_name"), col("__med").as("mad"))
-    oc.join(broadcast(med), "n_name").join(broadcast(mad), "n_name")
+    hist.join(broadcast(med), "n_name").join(broadcast(mad), "n_name")
       .groupBy("n_name")
       .agg(max("n_orders").as("n_orders"), max("med").as("medc"),
         max("mad").as("madc"),
-        sum(when(abs(col("cents") - col("med")) > col("mad") * 3, 1L)
-          .otherwise(0L)).as("n_outliers"))
+        sum(when(abs(col("cents") - col("med")) > col("mad") * 3,
+          col("cnt")).otherwise(0L)).as("n_outliers"))
       .select(col("n_name"), col("n_orders"),
         Exact.dec2(col("medc")).as("p50"),
         Exact.dec2(col("madc")).as("mad"),

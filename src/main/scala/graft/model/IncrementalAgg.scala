@@ -103,17 +103,25 @@ object IncrementalAgg {
       val store = new ModelStore(graft.pipeline.PipelineQuery.tempStoreDir())
       val spec = Spec(Seq("o_custkey"),
         graft.ops.Exact.cents(col("o_totalprice")))
+      // cached once: every fold filters a year-slice of the SAME scan —
+      // without the persist each fold re-reads the source table
       val orders = graft.io.Tables.load(s, d, "orders")
         .withColumn("yr", year(col("o_orderdate")))
-      val years = orders.select("yr").distinct()
-        .collect().map(_.getInt(0)).sorted
-      // two years per arrival batch: still a real multi-fold chain
-      // (4 folds over this data) at half the write-commit round-trips
-      years.grouped(2).foreach { ys =>
-        applyBatch(s, store, "agg", "cust_totals",
-          orders.filter(col("yr").isin(ys: _*)).drop("yr"), spec)
-      }
-      present(store.read(s, "agg", "cust_totals").get, spec)
-        .orderBy("o_custkey")
+        .persist()
+      try {
+        val years = orders.select("yr").distinct()
+          .collect().map(_.getInt(0)).sorted
+        // half the span per arrival batch: still a real multi-fold
+        // chain (state read + fold + commit, twice) at the minimum
+        // write-commit round-trips that exercise it;
+        // IncrementalAggSpec proves arbitrarily long chains
+        val span = math.max(1, (years.length + 1) / 2)
+        years.grouped(span).foreach { ys =>
+          applyBatch(s, store, "agg", "cust_totals",
+            orders.filter(col("yr").isin(ys: _*)).drop("yr"), spec)
+        }
+        present(store.read(s, "agg", "cust_totals").get, spec)
+          .orderBy("o_custkey")
+      } finally { orders.unpersist(); () }
   }.copy(sideEffecting = true)
 }

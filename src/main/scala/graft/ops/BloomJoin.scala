@@ -57,6 +57,82 @@ object BloomJoin {
       Literal(sketch),
       GraftColumnBridge.expression(xxhash64(key))))
 
+  // ------------------------------------------- sharded sketches
+  // A monolithic sketch stops scaling when the key population outgrows
+  // what one byte array (and the driver that merges it) can hold: at
+  // 10¹¹ keys a useful filter is tens of GB. Sharding by key-hash range
+  // fixes both ends: the sketch LIVES as `numShards` table rows (each
+  // shard covering keys with pmod(xxhash64(key), numShards) == shard),
+  // and MERGING is a per-shard distributed aggregation — no single
+  // byte array ever materializes on the driver. Capacity grows by
+  // raising numShards at constant per-shard size. The scan-local probe
+  // below covers the regime where the collected shard map is broadcast-
+  // sized; beyond that, co-partition the probe side on the shard id
+  // and join shard rows to their key slices.
+
+  /** Shard id of a key under the SAME hash the sketch stores. */
+  def shardOf(key: Column, numShards: Int): Column =
+    pmod(xxhash64(key), lit(numShards.toLong)).cast("int")
+
+  /** Build the sharded sketch table `(shard INT, sketch BINARY)` of
+    * `keys`: one map-side-combined aggregation, `numShards` output
+    * rows. Per-shard capacity is sized to `estKeys / numShards` at
+    * `numBits / numShards` bits, so total size and false-positive rate
+    * match the monolithic filter over the same population. */
+  def buildShardedSketch(df: DataFrame, key: Column, numShards: Int,
+      estKeys: Long = EstKeys, numBits: Long = NumBits): DataFrame = {
+    val perShardKeys = math.max(1L, estKeys / numShards)
+    val perShardBits = math.max(8L, numBits / numShards)
+    val agg = GraftColumnBridge.column(
+      new BloomFilterAggregate(
+        GraftColumnBridge.expression(xxhash64(key)),
+        Literal(perShardKeys), Literal(perShardBits))
+        .toAggregateExpression())
+    df.groupBy(shardOf(key, numShards).as("shard"))
+      .agg(agg.as("sketch"))
+  }
+
+  /** Merge two sharded sketch tables (Bloom OR per shard) — a
+    * DISTRIBUTED per-shard reduce: each shard's union happens on an
+    * executor, so merge memory scales with executors, never with the
+    * total sketch. Parameters must match across the inputs (the
+    * [[buildShardedSketch]] sizing discipline). */
+  def mergeShardedSketches(a: DataFrame, b: DataFrame): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    a.unionByName(b)
+      .select(col("shard").cast("int"), col("sketch"))
+      .as[(Int, Array[Byte])]
+      .groupByKey(_._1)
+      .mapGroups { (shard, rows) =>
+        val merged = rows.map(_._2).reduce { (x, y) =>
+          val f = org.apache.spark.util.sketch.BloomFilter
+            .readFrom(new java.io.ByteArrayInputStream(x))
+          f.mergeInPlace(org.apache.spark.util.sketch.BloomFilter
+            .readFrom(new java.io.ByteArrayInputStream(y)))
+          val out = new java.io.ByteArrayOutputStream()
+          f.writeTo(out)
+          out.toByteArray
+        }
+        (shard, merged)
+      }
+      .toDF("shard", "sketch")
+  }
+
+  /** Scan-local membership probe against a collected shard map: a
+    * codegen'd `CASE shard OF` over per-shard [[mightContain]]
+    * literals — same plan-size footprint as the monolithic literal
+    * (total bits are conserved), still zero extra jobs at probe time.
+    * A key whose shard has no sketch row (nothing ever stored there)
+    * is definitely absent. */
+  def mightContainSharded(shards: Map[Int, Array[Byte]], key: Column,
+      numShards: Int): Column = {
+    val shard = shardOf(key, numShards)
+    shards.foldLeft(lit(false)) { case (acc, (id, bytes)) =>
+      when(shard === lit(id), mightContain(bytes, key)).otherwise(acc)
+    }
+  }
+
   /** Bloom-prefiltered exact semi-join of `fact` against `dim` keys. */
   def semiJoin(fact: DataFrame, factKey: Column,
       dim: DataFrame, dimKey: Column): DataFrame = {

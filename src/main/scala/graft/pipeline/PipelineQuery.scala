@@ -61,22 +61,35 @@ object PipelineQuery {
       : org.apache.spark.sql.DataFrame = {
     val models = new ReferenceModels(clock)
     val store = new ModelStore(tempStoreDir())
-    def sources(split: String => org.apache.spark.sql.DataFrame
-        => org.apache.spark.sql.DataFrame) =
-      (_: String, name: String) => name match {
-        case "customers_cdc" => DemoCdc.customersCdc(s, d)
-        case "orders_cdc" => split(name)(DemoCdc.ordersCdc(s, d))
-        case other => sys.error(s"unknown source $other")
-      }
-    // bootstrap on the old span…
-    new Pipeline(models.all, store,
-      sources(_ => df => df.filter(
-        col("_cdc_timestamp") < lit(java.sql.Date.valueOf(IncrementalSplit)))))
-      .run(s, RunMode.Bootstrap)
-    // …then an incremental round over the full feed: the watermark gate
-    // must scan only rows past the bootstrap high-water mark
-    val out = new Pipeline(models.all, store, sources(_ => identity))
-      .run(s, RunMode.Incremental)
-    out("dim_customer").orderBy(col("customer_id"))
+    // The synthesized bronze feeds are consumed by BOTH pipeline runs
+    // (and by more than one action within a run: watermark scalars,
+    // touched-partition discovery, the write itself). Cache them once —
+    // the batch-ingestion analog of landing the CDC feed in a staging
+    // table instead of re-reading the source per model. The watermark
+    // gate still prunes inside the cached relation (in-memory batch
+    // stats), and the frames are unpersisted before returning: the
+    // result reads from the committed store, not from these plans.
+    val custCdc = DemoCdc.customersCdc(s, d).persist()
+    val ordCdc = DemoCdc.ordersCdc(s, d).persist()
+    try {
+      def sources(split: org.apache.spark.sql.DataFrame
+          => org.apache.spark.sql.DataFrame) =
+        (_: String, name: String) => name match {
+          case "customers_cdc" => custCdc
+          case "orders_cdc" => split(ordCdc)
+          case other => sys.error(s"unknown source $other")
+        }
+      // bootstrap on the old span…
+      new Pipeline(models.all, store,
+        sources(df => df.filter(
+          col("_cdc_timestamp") <
+            lit(java.sql.Date.valueOf(IncrementalSplit)))))
+        .run(s, RunMode.Bootstrap)
+      // …then an incremental round over the full feed: the watermark gate
+      // must scan only rows past the bootstrap high-water mark
+      val out = new Pipeline(models.all, store, sources(identity))
+        .run(s, RunMode.Incremental)
+      out("dim_customer").orderBy(col("customer_id"))
+    } finally { custCdc.unpersist(); ordCdc.unpersist(); () }
   }
 }

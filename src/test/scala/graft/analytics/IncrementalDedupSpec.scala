@@ -120,6 +120,49 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(keptIds(st.read(spark, "d", "fps").get) === Set(1L, 2L))
   }
 
+  test("sharded sketch: ≥4-shard folding equals the single-shard fold; " +
+      "the sketch lives as one row per populated shard") {
+    val all = Seq(
+      1L -> "alpha", 2L -> "beta", 3L -> "ALPHA", 4L -> "gamma",
+      5L -> "beta ", 6L -> "delta", 7L -> "gamma", 8L -> "epsilon",
+      9L -> "delta", 10L -> "zeta", 11L -> "alpha", 12L -> "eta")
+    def fold(shards: Int): (Set[Long], Long) = {
+      val st = store()
+      all.grouped(4).zipWithIndex.foreach { case (b, i) =>
+        IncrementalDedup.applyBatch(spark, st, "d", "fps",
+          docs(b: _*), i.toLong, numShards = shards): Unit
+      }
+      (keptIds(st.read(spark, "d", "fps").get),
+        st.read(spark, "d", "fps_sketch").get.count())
+    }
+    val (kept4, sketchRows4) = fold(4)
+    val (kept1, sketchRows1) = fold(1)
+    assert(kept4 === kept1) // shard layout can never change decisions
+    assert(kept4 === Set(1L, 2L, 4L, 6L, 8L, 10L, 12L))
+    // the sharded sketch is TABLE rows, not one driver byte array:
+    // >1 row at 4 shards (12 distinct fps hash across several shards)
+    assert(sketchRows4 > 1L && sketchRows4 <= 4L)
+    assert(sketchRows1 === 1L)
+  }
+
+  test("forced-large batch (broadcast gate 0) takes the shuffle arm " +
+      "and makes identical decisions") {
+    def fold(maxRows: Long): Set[Long] = {
+      val st = store()
+      IncrementalDedup.applyBatch(spark, st, "d", "fps",
+        docs(1L -> "one", 2L -> "two"), 0L,
+        broadcastMaxRows = maxRows): Unit
+      IncrementalDedup.applyBatch(spark, st, "d", "fps",
+        docs(3L -> "one", 4L -> "three", 5L -> "THREE"), 1L,
+        broadcastMaxRows = maxRows): Unit
+      keptIds(st.read(spark, "d", "fps").get)
+    }
+    val shuffled = fold(0L) // every batch is "too big to broadcast"
+    val broadcasted = fold(Long.MaxValue)
+    assert(shuffled === broadcasted)
+    assert(shuffled === Set(1L, 2L, 4L))
+  }
+
   test("sink: stream-fed state equals one-shot dedup across horizons") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

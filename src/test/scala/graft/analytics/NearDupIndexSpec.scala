@@ -128,10 +128,39 @@ class NearDupIndexSpec extends AnyFunSuite {
     NearDupIndex.ingest(spark, store, "nd", "idx", base,
       "doc_id", col("text"), 0L).count()
     val before = store.read(spark, "nd", "idx_sigs").get.count()
+    val beforeV = store.currentVersion(spark, "nd", "idx_sigs")
     val replay = NearDupIndex.ingest(spark, store, "nd", "idx", base,
       "doc_id", col("text"), 1L)
     // identical docs: signature agreement is 1.0 — all flagged
     assert(replay.filter(!col("is_dup")).count() == 0)
     assert(store.read(spark, "nd", "idx_sigs").get.count() == before)
+    // a zero-survivor batch commits NOTHING: no version churn whose
+    // vacuum could delete versions concurrent readers still hold
+    assert(store.currentVersion(spark, "nd", "idx_sigs") == beforeV)
+  }
+
+  test("forced-large batch (band-row gate 0) takes the shuffle-probe " +
+      "arm and makes identical decisions") {
+    def run(maxBandRows: Long): Map[Long, (Boolean, Long)] = {
+      val store = new ModelStore(
+        Files.createTempDirectory("graft-ndidx5").toString)
+      val base = docs.limit(120)
+      NearDupIndex.ingest(spark, store, "nd", "idx", base,
+        "doc_id", col("text"), 0L,
+        broadcastMaxBandRows = maxBandRows).count()
+      val copies = base.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" extra")).as("text"))
+      NearDupIndex.ingest(spark, store, "nd", "idx", copies,
+        "doc_id", col("text"), 1L,
+        broadcastMaxBandRows = maxBandRows)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2))))
+        .toMap
+    }
+    val shuffled = run(0L) // every batch "too big to broadcast"
+    val broadcasted = run(Long.MaxValue)
+    assert(shuffled === broadcasted)
+    assert(shuffled.nonEmpty && shuffled.exists(_._2._1))
   }
 }

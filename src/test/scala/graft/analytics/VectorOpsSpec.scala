@@ -225,5 +225,47 @@ class VectorOpsSpec extends AnyFunSuite {
     val again = VectorOps.qEmbeddingClusters
       .build(spark, "/root/testdata/sf0.001").collect()
     assert(rows.toSeq == again.toSeq)
+
+    // exact-oracle replica (the driver's DuckDB oracle cannot see the
+    // trained centroids, so the oracle lives here): recompute every
+    // cluster's stats from the SAME deterministic centroids via an
+    // independent driver-side path — same assignment rule (max cosine,
+    // ties to the smaller c_id), same integer dots, same sign-aware
+    // half-up mean — and require bit-identity with the query output.
+    val dir = "/root/testdata/sf0.001"
+    val base = graft.io.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), VectorOps.quantize(col("embedding")).as("qv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val cents = VectorOps.kmeansCentroids(
+      graft.io.Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), lit("x").as("label"),
+          VectorOps.quantize(col("embedding")).as("qv"))
+        .withColumn("n2", graft.analytics.VectorOps.norm2Q(col("qv"))))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val stats = scala.collection.mutable.Map
+      .empty[Long, (Long, Long, Long, Long)] // n, sum, min, max
+    base.foreach { case (_, qv) =>
+      val n2 = dot(qv, qv)
+      val best = cents.map { case (cid, cqv) =>
+        val c = dot(qv, cqv).toDouble /
+          (math.sqrt(n2.toDouble) * math.sqrt(dot(cqv, cqv).toDouble))
+        (c, -cid, cid)
+      }.max
+      val d0 = dot(qv, cents.find(_._1 == best._3).get._2)
+      val (n, s, lo, hi) = stats.getOrElse(best._3,
+        (0L, 0L, Long.MaxValue, Long.MinValue))
+      stats(best._3) =
+        (n + 1, s + d0, math.min(lo, d0), math.max(hi, d0))
+    }
+    def halfUp(num: Long, den: Long): Long =
+      Math.floorDiv(num * 2 + den, den * 2)
+    val expect = stats.toSeq.sortBy(_._1).map { case (c, (n, s, lo, hi)) =>
+      (c, n, if (s >= 0) halfUp(s, n) else -halfUp(-s, n), lo, hi)
+    }
+    val got = rows.toSeq.map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got == expect)
   }
 }
