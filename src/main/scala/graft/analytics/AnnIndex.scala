@@ -183,9 +183,11 @@ object AnnIndex {
       .map("%02x".format(_)).mkString
     val store = new ModelStore(s"/tmp/graft-annindex/$key")
     val emb = Tables.load(s, d, "embeddings")
-    val fp = emb.agg(coalesce(
-        sum(xxhash64(col("vec_id"), col("embedding"))), lit(0L))
-      .cast("string").as("fp")).head().getString(0)
+    // count + XOR of row hashes: order-insensitive and overflow-free
+    // (ANSI mode throws on a long SUM of full-range hashes)
+    val fp = emb.agg(concat_ws(":", count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("vec_id"), col("embedding"))),
+          lit(0L))).as("fp")).head().getString(0)
     val stored = store.meta(s, Layer, postingsTable("emb"), "corpus_fp")
     if (!stored.contains(fp)) {
       build(s, store, "emb", emb, extraMeta = Map("corpus_fp" -> fp))
