@@ -37,16 +37,15 @@ object SparkTuning {
     // committer's, is what readers rely on.
     .config(
       "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
-    // Let AQE coalesce small shuffles down to data-sized task counts
-    // instead of preserving parallelism at all costs (the default
-    // `parallelismFirst=true` keeps ~cores-many tiny tasks per stage,
-    // which is pure scheduling overhead for the many
-    // intermediate-small shuffles a multi-stage pipeline produces —
-    // and Spark's own docs recommend false for production). The 16 MB
-    // advisory target keeps genuinely large shuffles parallel: a
-    // 100 TB stage still fans out to millions of tasks, while a
-    // 2 MB histogram walk no longer pays 32 task launches.
-    .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-      "false")
-    .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+    // AQE partition coalescing stays at the Spark default
+    // (`parallelismFirst=true`). The `false`+16 MB-advisory variant —
+    // attractive on paper for intermediate-small shuffles, and the
+    // right setting on a real cluster where tasks have scheduling
+    // cost — was A/B-measured here and collapsed sf-scale CPU-bound
+    // post-shuffle stages (shingling, model builds, histogram walks)
+    // onto 1–2 threads of the 32 available: q34 63.9→37.3 s,
+    // q75 5.0→2.6 s, q24 5.8→4.3 s just by reverting. In local mode
+    // task launch is cheap and parallelism is everything; production
+    // cluster deploys should re-tune advisoryPartitionSizeInBytes for
+    // their shuffle sizes rather than inherit a local-mode setting.
 }

@@ -105,7 +105,9 @@ final class ModelStore(val root: String) {
       partitionBy: Seq[String], zorderBy: Seq[String] = Nil,
       description: String = "",
       meta: Map[String, String] = Map.empty,
-      touched: Option[DataFrame] = None): Unit = {
+      touched: Option[DataFrame] = None,
+      touchedRows: Option[(org.apache.spark.sql.types.StructType,
+        Seq[org.apache.spark.sql.Row])] = None): Unit = {
     require(partitionBy.nonEmpty, "writeTouchedPartitions needs partitions")
     val spark = df.sparkSession
     val cur = currentVersion(spark, layer, name)
@@ -116,28 +118,45 @@ final class ModelStore(val root: String) {
       val fs = fsFor(spark, dest)
       val src = new Path(versionDir(layer, name, cur))
       // A partition counts as rewritten if the fresh write produced a
-      // dir for it OR the caller declared it touched via `touched` (a
-      // DataFrame of partition-value rows). The latter covers the
-      // emptied-partition case: a backfill whose rebuild yields ZERO
-      // rows for a selected partition writes no dir, and without the
-      // explicit set the stale dir would be carried over — deleted
-      // data silently resurrected. The declared rows are rendered to
-      // relative paths by Spark's own partitioned writer (a one-row
-      // marker write), so value escaping / NULL encoding always match
-      // the real layout.
+      // dir for it OR the caller declared it touched (`touched`, a
+      // DataFrame of partition-value rows, or `touchedRows`, already
+      // collected by the caller — e.g. the merge arm's discovery
+      // collect). The declared set covers the emptied-partition case:
+      // a backfill whose rebuild yields ZERO rows for a selected
+      // partition writes no dir, and without the explicit set the
+      // stale dir would be carried over — deleted data silently
+      // resurrected. Declared rows are rendered to relative paths
+      // driver-side ([[ModelStore.touchedRelPaths]] — Spark's own
+      // escaping/NULL encoding, spec-checked against the real writer
+      // layout); value types whose writer formatting is less trivial
+      // (timestamp/decimal/float) fall back to a one-row marker write
+      // through the actual partitioned writer.
       val freshWritten = partitionRelPaths(fs, dest, partitionBy.length)
         .toSet
-      val fresh = touched match {
+      val declared: Option[(org.apache.spark.sql.types.StructType,
+          Seq[org.apache.spark.sql.Row])] = touchedRows.orElse(
+        touched.map { t =>
+          val d = t.select(partitionBy.map(col): _*).distinct()
+          (d.schema, d.collect().toSeq)
+        })
+      val fresh = declared match {
         case None => freshWritten
-        case Some(t) =>
-          val tmp = new Path(dest.toString + ".touched")
-          t.select(partitionBy.map(col): _*).distinct()
-            .withColumn("__m", org.apache.spark.sql.functions.lit(1))
-            .write.mode("overwrite").partitionBy(partitionBy: _*)
-            .parquet(tmp.toString)
-          val rels = partitionRelPaths(fs, tmp, partitionBy.length).toSet
-          fs.delete(tmp, true)
-          freshWritten ++ rels
+        case Some((schema, rows)) =>
+          ModelStore.touchedRelPaths(schema, rows, partitionBy) match {
+            case Some(rels) => freshWritten ++ rels
+            case None =>
+              val tmp = new Path(dest.toString + ".touched")
+              spark.createDataFrame(
+                  java.util.Arrays.asList(rows: _*), schema)
+                .select(partitionBy.map(col): _*).distinct()
+                .withColumn("__m", org.apache.spark.sql.functions.lit(1))
+                .write.mode("overwrite").partitionBy(partitionBy: _*)
+                .parquet(tmp.toString)
+              val rels = partitionRelPaths(fs, tmp, partitionBy.length)
+                .toSet
+              fs.delete(tmp, true)
+              freshWritten ++ rels
+          }
       }
       partitionRelPaths(fs, src, partitionBy.length)
         .filterNot(fresh)
@@ -358,4 +377,47 @@ final class ModelStore(val root: String) {
   /** Persisted table comment of the current version, if any (O7). */
   def comment(spark: SparkSession, layer: String, name: String)
       : Option[String] = meta(spark, layer, name, "table_comment")
+}
+
+object ModelStore {
+
+  /** Render already-collected touched-partition tuples to the relative
+    * `col=value/...` paths Spark's partitioned writer would produce —
+    * escaping and NULL/empty encoding via Spark's own
+    * `ExternalCatalogUtils.getPartitionPathString` (the exact helper
+    * the writer's dynamic-partition path construction uses), so no
+    * escaping logic is re-implemented. Returns None when any value's
+    * type is outside the trivially-renderable set (timestamps carry
+    * session-zone formatting, decimals trailing-zero choices, floats
+    * scientific-notation edges) — callers then fall back to a marker
+    * write through the real writer. Spec-checked against actual writer
+    * output in ModelStoreSpec, including specials, empty and NULL. */
+  private[graft] def touchedRelPaths(
+      schema: org.apache.spark.sql.types.StructType,
+      rows: Seq[org.apache.spark.sql.Row],
+      partitionBy: Seq[String]): Option[Set[String]] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val idx = partitionBy.map(schema.fieldIndex)
+    def render(v: Any): Option[String] = v match {
+      case null => Some(null)                     // → DEFAULT_PARTITION
+      case s: String => Some(s)                   // "" also → DEFAULT
+      case b: Boolean => Some(b.toString)
+      case b: Byte => Some(b.toString)
+      case s: Short => Some(s.toString)
+      case i: Int => Some(i.toString)
+      case l: Long => Some(l.toString)
+      case d: java.sql.Date => Some(d.toString)   // yyyy-MM-dd
+      case d: java.time.LocalDate => Some(d.toString)
+      case _ => None
+    }
+    val rels = rows.map { r =>
+      val parts = idx.zip(partitionBy).map { case (i, c) =>
+        render(r.get(i)).map(v =>
+          ExternalCatalogUtils.getPartitionPathString(c, v))
+      }
+      if (parts.forall(_.isDefined)) Some(parts.flatten.mkString("/"))
+      else None
+    }
+    if (rels.forall(_.isDefined)) Some(rels.flatten.toSet) else None
+  }
 }

@@ -24,7 +24,24 @@ object Tables {
   def registerViews(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+  /** Resolved-plan cache, keyed per live session + directory + table.
+    * A DataFrame is an immutable plan: reusing it skips the file
+    * listing and parquet footer schema inference every query otherwise
+    * repays (~10–50 ms per table per query — real seconds across a
+    * 90-query bench sweep). Safe because the registry's inputs are
+    * immutable source directories (the driver's testdata; amplified
+    * copies are written once, then read); a session restart gets a
+    * fresh identity key, so no plans leak across sessions. */
+  private val planCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String, String), DataFrame]()
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    planCache.computeIfAbsent(
+      (System.identityHashCode(spark), sfDir, name),
+      _ => loadUncached(spark, sfDir, name))
+
+  private def loadUncached(spark: SparkSession, sfDir: String,
+      name: String): DataFrame = {
     if (name == "events") {
       // The shipped events.ts is parquet TIMESTAMP(NANOS), which
       // Spark's vectorized reader rejects (PARQUET_TYPE_ILLEGAL). Read

@@ -295,16 +295,15 @@ object Pipeline {
             .reduceOption(_ || _)
             .getOrElse(functions.lit(false))
           val merged = MergeWriter.merge(ex.filter(pred), u, key)
-          // re-materialize the already-collected tuples as the marker
-          // (instead of re-running the lookup plan for the marker write)
-          val touchedLocal = spark.createDataFrame(
-            java.util.Arrays.asList(touched: _*), touchedDf.schema)
           timed("pruned-merge-write") {
             // the explicit touched set also covers a partition whose
-            // only row migrated away (it must be emptied, not linked)
+            // only row migrated away (it must be emptied, not linked);
+            // the already-collected tuples pass through driver-side —
+            // no marker-write job re-materializing the lookup
             store.writeTouchedPartitions(merged, m.layer, m.name,
               m.partitionBy, m.zorderBy, description = m.description,
-              meta = meta, touched = Some(touchedLocal))
+              meta = meta,
+              touchedRows = Some((touchedDf.schema, touched.toSeq)))
           }
         } finally u.unpersist()
       case (Some(ex), Some(key)) =>

@@ -366,23 +366,34 @@ final class ReferenceModels(clock: Clock) {
           count(col("order_id")).as("cte_frequency_score"),
           avg("net_revenue").as("cte_monetary_score"))
 
-      // geographic_mapping (:63–73) — redundant self-join, kept
-      val gm = base.select(col("customer_id"),
+      // geographic_mapping (:63–73), customer_segmentation (:76–112)
+      // and data_quality_assessment (:115–124) are each UNIQUE per
+      // customer_id (gm/dqa project `base`, whose key is merge-unique;
+      // seg projects base⋈om, and om is a groupBy on the key), and the
+      // final_dimension left-joins all of them back on that same key —
+      // so the reference's 5-way self-join is row-for-row equal to ONE
+      // base⋈om join with the CTE expressions computed inline. Catalyst
+      // does not dedupe the repeated `base` subplans (each join arm
+      // would re-scan silver and build its own broadcast), so the
+      // inline form is the Spark-first expression of the same function:
+      // identical values, three fewer joins, one scan of each input.
+      // The redundant-self-join quirk (`dim_customer.sql:63–73,212`) is
+      // semantically invisible — uniqueness makes the join a no-op — so
+      // collapsing it preserves reference behavior exactly.
+      val gmRegion =
         when(col("country").isin("USA", "Canada"), "North America")
           .when(col("country").isin("UK", "Germany", "France"), "Europe")
           .when(col("country") === "Australia", "Asia Pacific")
-          .otherwise("Other").as("region"))
-
-      // customer_segmentation (:76–112)
-      val seg = base.join(om, Seq("customer_id"), "left").select(
-        col("customer_id"),
+          .otherwise("Other").as("region")
+      val segTier =
         when(col("lifetime_value") >= 5000 && col("lifetime_orders") >= 20,
           "PLATINUM")
           .when(col("lifetime_value") >= 2000 &&
             col("lifetime_orders") >= 10, "GOLD")
           .when(col("lifetime_value") >= 500 && col("lifetime_orders") >= 5,
             "SILVER")
-          .otherwise("BRONZE").as("customer_tier"),
+          .otherwise("BRONZE").as("customer_tier")
+      val segEnhanced =
         when(col("lifetime_orders").isNull, "PROSPECT")
           .when(col("lifetime_orders") === 1, "NEW")
           .when(col("days_since_last_order") <= 30 &&
@@ -391,7 +402,8 @@ final class ReferenceModels(clock: Clock) {
             col("lifetime_orders") >= 2, "REGULAR")
           .when(col("days_since_last_order") > 365, "DORMANT")
           .when(col("days_since_last_order") > 90, "AT_RISK")
-          .otherwise("ACTIVE").as("enhanced_segment"),
+          .otherwise("ACTIVE").as("enhanced_segment")
+      val segLifecycle =
         when(col("lifetime_orders").isNull, "PROSPECT")
           .when(datediff(today, col("registration_date")) <= 30,
             "NEW_CUSTOMER")
@@ -402,21 +414,21 @@ final class ReferenceModels(clock: Clock) {
           .when(col("lifetime_value") >= 1000 && col("active_months") >= 6,
             "LOYAL_CUSTOMER")
           .when(col("days_since_last_order") > 365, "LOST_CUSTOMER")
-          .otherwise("DEVELOPING_CUSTOMER").as("lifecycle_stage"))
-
-      // data_quality_assessment (:115–124)
-      val dqa = base.select(col("customer_id"),
+          .otherwise("DEVELOPING_CUSTOMER").as("lifecycle_stage")
+      val dqaScore =
         (col("is_email_valid").cast(IntegerType) * 0.4 +
           col("is_phone_valid").cast(IntegerType) * 0.3 +
           col("is_address_complete").cast(IntegerType) * 0.3)
-          .as("data_quality_score"))
+          .as("data_quality_score")
 
       // final_dimension (:127–215)
       base
         .join(om, Seq("customer_id"), "left")
-        .join(gm, Seq("customer_id"), "left")
-        .join(seg, Seq("customer_id"), "left")
-        .join(dqa, Seq("customer_id"), "left")
+        .withColumn("region", gmRegion)
+        .withColumn("customer_tier", segTier)
+        .withColumn("enhanced_segment", segEnhanced)
+        .withColumn("lifecycle_stage", segLifecycle)
+        .withColumn("data_quality_score", dqaScore)
         .select(
           col("customer_id"), col("email"), col("full_name"), col("phone"),
           col("city"), col("state"), col("country"), col("region"),

@@ -25,6 +25,47 @@ class ModelStoreSpec extends AnyFunSuite {
     assert(v1 == Set((1, "a")))
   }
 
+  test("touchedRelPaths matches Spark's real partitioned-writer layout") {
+    // Representative renderable values, including escaping-sensitive
+    // specials, the empty string and NULL (both → DEFAULT partition
+    // name), negative ints and dates. Write through the REAL writer,
+    // list the dirs it produced, and require the driver-side rendering
+    // to be byte-identical.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("s", StringType), StructField("i", IntegerType),
+      StructField("d", DateType)))
+    val rows = Seq(
+      Row("plain", 7, java.sql.Date.valueOf("2001-09-01")),
+      Row("a b:c=d/e%f#g", -3, java.sql.Date.valueOf("1999-12-31")),
+      Row("", 0, java.sql.Date.valueOf("2000-01-01")),
+      Row(null, 42, java.sql.Date.valueOf("2024-02-29")))
+    val dir = Files.createTempDirectory("graft-relpaths").toString + "/t"
+    spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), schema)
+      .withColumn("payload", org.apache.spark.sql.functions.lit(1))
+      .write.partitionBy("s", "i", "d").parquet(dir)
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(p: org.apache.hadoop.fs.Path, depth: Int): Seq[String] =
+      if (depth == 0) Seq("")
+      else fs.listStatus(p).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        .flatMap(st => walk(st.getPath, depth - 1).map(rest =>
+          if (rest.isEmpty) st.getPath.getName
+          else s"${st.getPath.getName}/$rest"))
+    val actual = walk(base, 3).toSet
+    val rendered = ModelStore.touchedRelPaths(schema, rows,
+      Seq("s", "i", "d"))
+    assert(rendered.contains(actual))
+    // unsupported types (timestamp) must route to the writer fallback
+    val tsSchema = StructType(Seq(StructField("t", TimestampType)))
+    assert(ModelStore.touchedRelPaths(tsSchema,
+      Seq(Row(java.sql.Timestamp.valueOf("2001-09-01 00:00:00"))),
+      Seq("t")).isEmpty)
+  }
+
   test("vacuum drops old versions, keeps the current") {
     val store = new ModelStore(
       Files.createTempDirectory("graft-store2").toString)
