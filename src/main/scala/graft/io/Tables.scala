@@ -73,6 +73,16 @@ object Tables {
         df.schema("ts").dataType match {
           case org.apache.spark.sql.types.LongType =>
             df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            // Parquet timestamp[us] with isAdjustedToUTC=false surfaces
+            // as TIMESTAMP_NTZ. The engine's temporal operators
+            // (unix_micros, Row.getTimestamp consumers) are LTZ-typed,
+            // and the session timezone is pinned UTC (SparkTuning), so
+            // casting NTZ→LTZ here is a pure reinterpretation — the
+            // same instants, every downstream bucket/oracle unchanged.
+            restore()
+            df.withColumn("ts",
+              col("ts").cast(org.apache.spark.sql.types.TimestampType))
           case _ =>
             restore()
             df
