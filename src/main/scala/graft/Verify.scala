@@ -21,13 +21,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    var failed = List.empty[String]
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed ::= name
       }
       // queries may persist() shared intermediates — release them
       spark.catalog.clearCache()
@@ -51,6 +53,19 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Completeness manifest: every query name THIS run was responsible
+    // for. A query that throws mid-dump must not vanish silently from
+    // the round artifact (round 4 shipped 91-of-94 green-looking
+    // entries) — check.py cross-references this list against the
+    // actually-dumped dirs, and the run itself exits non-zero.
+    Files.writeString(Paths.get(s"$outDir/_manifest.json"),
+      selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[verify] INCOMPLETE: ${failed.size} of ${selected.size} queries " +
+        s"failed: ${failed.sorted.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -130,6 +130,17 @@ def main(sf_dir: str, out_dir: str) -> int:
         oracles = json.load(f)
 
     n_fail = 0
+    # completeness: every query Verify was responsible for must have
+    # produced an output dir — a thrown query must fail the gate, not
+    # silently shrink the artifact (the round-4 94->91 regression).
+    manifest_path = f"{out_dir}/_manifest.json"
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            for name in json.load(f):
+                if not os.path.isdir(f"{out_dir}/{name}"):
+                    print(f"FAIL {name}: registered in Verify but no "
+                          f"output dumped (query threw?)")
+                    n_fail += 1
     # rows-only queries (no oracle): must exist and be non-empty
     for d in sorted(os.listdir(out_dir)):
         if d in oracles or not os.path.isdir(f"{out_dir}/{d}"):
