@@ -61,6 +61,19 @@ object IncrementalDedup {
     * merge stays a per-shard distributed reduce either way. */
   val SketchShards = 8
 
+  /** Sentinel for `estKeys`/`numBits`: size the sketch from the
+    * observed key population instead of a fixed worst case. A fixed
+    * 1M-key/1MiB sketch charged every fold ~1 MiB of aggregation
+    * buffers, task-binary broadcast, and probe literals even on a
+    * 500-key history; auto-sizing keeps those costs proportional to
+    * the data and GROWS capacity geometrically (rebuild-on-overflow,
+    * amortized O(1) rebuilds per doubling). */
+  val AutoSize = 0L
+
+  /** Auto-sizing floor: below this the sketch is byte-trivial either
+    * way, so start here and avoid rebuild churn on tiny histories. */
+  val MinSketchKeys = 1L << 16
+
   /** Batch-side row bound for the BROADCAST join arm: under it the
     * candidate/existing key sets broadcast (history is hash-probed in
     * place and never shuffles); over it — a TB-scale crawl no single
@@ -76,8 +89,8 @@ object IncrementalDedup {
   def applyBatch(spark: SparkSession, store: ModelStore, layer: String,
       name: String, batch: DataFrame, batchId: Long,
       keyCol: String = "content_fp", orderCol: String = "doc_id",
-      estKeys: Long = BloomJoin.EstKeys,
-      numBits: Long = BloomJoin.NumBits,
+      estKeys: Long = AutoSize,
+      numBits: Long = AutoSize,
       numShards: Int = SketchShards,
       broadcastMaxRows: Long = BroadcastMaxRows): DataFrame = {
     require(batch.columns.contains(keyCol), s"batch lacks $keyCol")
@@ -96,28 +109,33 @@ object IncrementalDedup {
         if (nWinners <= broadcastMaxRows) broadcast(df)
         else df.hint("shuffle_hash")
       val history = store.read(spark, layer, name)
-      // the sharded sketch table is read ONCE per fold: collected for
-      // the scan-local probe (shard map, sketch-sized), reused as a
-      // DataFrame for the distributed merge
+      // the sharded sketch table is read ONCE per fold: its shard map
+      // is collected (sketch-sized — the sanctioned bounded scalar)
+      // and serves BOTH the scan-local probe and the driver-side merge
       val storedSketch = store.read(spark, layer, sketchTable)
-      val storedShards = store.meta(spark, layer, sketchTable,
-        "num_shards").map(_.toInt)
+      def metaLong(k: String): Option[Long] =
+        store.meta(spark, layer, sketchTable, k).flatMap(_.toLongOption)
+      // A stored shard count differing from the configured one is
+      // treated as missing (verify everything + rebuild): probing with
+      // the wrong modulus would UNDER-approximate, silently
+      // re-admitting duplicates.
+      val layoutOk = metaLong("num_shards").map(_.toInt)
+        .contains(numShards)
+      val storedEst = metaLong("est_keys")
+      val storedBits = metaLong("num_bits")
+      val storedKeys = metaLong("n_keys").getOrElse(0L)
+      val shardMap: Option[Map[Int, Array[Byte]]] =
+        storedSketch.filter(_ => layoutOk).map(_.collect()
+          .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap)
       val kept = history match {
         case None => winners // empty history: everything is novel
         case Some(hist) =>
           // 2. scan-local sketch probe: novel fps skip the history. A
           // shard with no sketch row holds no historical key — its
-          // fingerprints are definitely novel. A stored shard count
-          // differing from the configured one is treated as missing
-          // (verify everything): probing with the wrong modulus would
-          // UNDER-approximate, silently re-admitting duplicates.
-          val candidates = storedSketch.filter(_ => storedShards
-              .contains(numShards)) match {
-            case Some(tbl) =>
-              val shardMap = tbl.collect()
-                .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
-              winners.filter(BloomJoin.mightContainSharded(
-                shardMap, col(keyCol), numShards))
+          // fingerprints are definitely novel.
+          val candidates = shardMap match {
+            case Some(m) => winners.filter(BloomJoin
+              .mightContainSharded(m, col(keyCol), numShards))
             case None => winners // no sketch: verify everything
           }
           // 3. exact verify — candidate fps against the column-pruned
@@ -129,29 +147,79 @@ object IncrementalDedup {
           winners.join(gate(existing), Seq(keyCol), "left_anti")
       }
       val tagged = kept.withColumn("ingest_batch", lit(batchId))
-      // sketch first (over-approximation is safe), then the commit.
-      // Merge is a per-shard distributed reduce — no driver-side
-      // byte-array union at any history size.
-      val batchSketch = BloomJoin.buildShardedSketch(winners,
-        col(keyCol), numShards, estKeys, numBits)
-      val merged = storedSketch.filter(_ =>
-          storedShards.contains(numShards)) match {
-        case None =>
-          // first batch, or a shard-count change: rebuild over ALL
-          // history keys + batch so the sketch never under-approximates
+      // ---- sketch maintenance, sized to the key population. Explicit
+      // estKeys/numBits pin the parameters exactly (spec paths, and
+      // deployments that know their key budget up front); under
+      // AutoSize capacity derives from the folded key count and grows
+      // geometrically — overflow triggers a rebuild over all history
+      // (amortized O(1) per capacity doubling), and a parameter or
+      // layout change NEVER merges into a mismatched stored sketch.
+      // storedKeys + nWinners over-counts distinct keys (cross-batch
+      // duplicates count twice) — over-provisioning only, never an
+      // under-sized filter. Sketch first (over-approximation is safe),
+      // then the data commit.
+      val explicit = estKeys != AutoSize || numBits != AutoSize
+      val totalKeys = storedKeys + nWinners
+      val mergeOk = layoutOk && shardMap.isDefined &&
+        (if (explicit) storedEst.contains(estKeys) &&
+          storedBits.contains(numBits)
+         else storedEst.exists(_ >= totalKeys) && storedBits.nonEmpty)
+      def commitSketch(df: DataFrame, e: Long, b: Long,
+          n: Long): Unit = {
+        store.write(df, layer, sketchTable, meta = Map(
+          "num_shards" -> numShards.toString,
+          "est_keys" -> e.toString, "num_bits" -> b.toString,
+          "n_keys" -> n.toString))
+        store.vacuum(spark, layer, sketchTable, keepLast = 2)
+      }
+      if (mergeOk) {
+          // parameters match the stored layout: build the batch shard
+          // rows (one aggregation over the batch) and OR them into the
+          // ALREADY-COLLECTED shard map on the driver — the merge
+          // moves sketch-sized bytes that are on the driver regardless
+          // (the probe collect), so it costs no extra distributed
+          // stage. The regime where this collect is too big is exactly
+          // the one where the probe would be too — both escalate by
+          // co-partitioning on the shard id ([[BloomJoin]] notes), with
+          // [[BloomJoin.mergeShardedSketches]] as the distributed
+          // merge for that path.
+          val (e, b) = (storedEst.get, storedBits.get)
+          val batchRows = BloomJoin.buildShardedSketch(winners,
+            col(keyCol), numShards, e, b).collect()
+            .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1))
+          val mergedMap = batchRows.foldLeft(shardMap.get) {
+            case (acc, (id, bytes)) => acc.updated(id,
+              acc.get(id).map(BloomJoin.orSketchBytes(_, bytes))
+                .getOrElse(bytes))
+          }
+          import spark.implicits._
+          commitSketch(mergedMap.toSeq.toDF("shard", "sketch")
+            .coalesce(1), storedEst.get, storedBits.get, totalKeys)
+        } else {
+          // first batch, a capacity overflow, or a shard/parameter
+          // change: rebuild over ALL history keys + batch so the
+          // sketch never under-approximates. History is counted here
+          // (rebuild-only, a column-pruned metadata count) so a
+          // missing-meta store still sizes to its real population.
           val histKeys = history.map(_.select(col(keyCol)))
-          histKeys match {
+          val histN = histKeys.map(_.count()).getOrElse(0L)
+          val n = histN + nWinners
+          val (e, b) =
+            if (explicit) (estKeys, numBits)
+            else {
+              var cap = MinSketchKeys
+              while (cap < 4L * n) cap <<= 1
+              (cap, 8L * cap)
+            }
+          val rebuilt = histKeys match {
             case Some(hk) => BloomJoin.buildShardedSketch(
               hk.unionByName(winners.select(col(keyCol))),
-              col(keyCol), numShards, estKeys, numBits)
-            case None => batchSketch
+              col(keyCol), numShards, e, b)
+            case None => BloomJoin.buildShardedSketch(winners,
+              col(keyCol), numShards, e, b)
           }
-        case Some(prior) =>
-          BloomJoin.mergeShardedSketches(prior, batchSketch)
-      }
-      store.write(merged, layer, sketchTable,
-        meta = Map("num_shards" -> numShards.toString))
-      store.vacuum(spark, layer, sketchTable, keepLast = 2)
+          commitSketch(rebuilt, e, b, n)
+        }
       // 4. append as a new batch partition (prior batches link over).
       // An all-duplicates batch writes an empty fresh set and links
       // everything — still a correct commit, no emptiness probe needed.

@@ -38,12 +38,44 @@ object BloomJoin {
   val EstKeys = 1000000L
   val NumBits = 8L * 1024 * 1024
 
+  /** OR-union two serialized Bloom filters (identical parameters).
+    * Byte-level building block shared by the distributed per-shard
+    * reduce ([[mergeShardedSketches]]) and the driver-side merge of an
+    * already-collected shard map ([[graft.analytics.IncrementalDedup]]). */
+  def orSketchBytes(x: Array[Byte], y: Array[Byte]): Array[Byte] = {
+    val f = org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(x))
+    f.mergeInPlace(org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(y)))
+    val out = new java.io.ByteArrayOutputStream()
+    f.writeTo(out)
+    out.toByteArray
+  }
+
+  /** Clamp requested sketch parameters to Catalyst's
+    * `BloomFilterAggregate` limits (the runtime-filter confs). A clamp
+    * only LOWERS capacity — the false-positive rate rises and costs
+    * verify work, never correctness; capacity beyond the per-aggregate
+    * limit is what sharding is for (raise `numShards`). */
+  private def clamp(df: DataFrame, estKeys: Long, numBits: Long)
+      : (Long, Long) = {
+    val conf = df.sparkSession.conf
+    val maxItems = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000")
+      .toLong
+    val maxBits = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864")
+      .toLong
+    (math.min(estKeys, maxItems), math.min(numBits, maxBits))
+  }
+
   /** Build the Bloom sketch of `keys` (a LongType column) and return
     * it as a binary scalar. One job; the result is sketch-sized, not
     * data-sized. Sketch parameters must match across sketches that
     * will be merged ([[graft.analytics.IncrementalDedup]]). */
   def buildSketch(df: DataFrame, key: Column,
-      estKeys: Long = EstKeys, numBits: Long = NumBits): Array[Byte] = {
+      estKeys0: Long = EstKeys, numBits0: Long = NumBits): Array[Byte] = {
+    val (estKeys, numBits) = clamp(df, estKeys0, numBits0)
     val agg = GraftColumnBridge.column(
       new BloomFilterAggregate(
         GraftColumnBridge.expression(xxhash64(key)),
@@ -80,9 +112,11 @@ object BloomJoin {
     * `numBits / numShards` bits, so total size and false-positive rate
     * match the monolithic filter over the same population. */
   def buildShardedSketch(df: DataFrame, key: Column, numShards: Int,
-      estKeys: Long = EstKeys, numBits: Long = NumBits): DataFrame = {
-    val perShardKeys = math.max(1L, estKeys / numShards)
-    val perShardBits = math.max(8L, numBits / numShards)
+      estKeys0: Long = EstKeys, numBits0: Long = NumBits): DataFrame = {
+    val perShardKeys = math.max(1L,
+      clamp(df, math.max(1L, estKeys0 / numShards), 1L)._1)
+    val perShardBits = math.max(8L,
+      clamp(df, 1L, math.max(8L, numBits0 / numShards))._2)
     val agg = GraftColumnBridge.column(
       new BloomFilterAggregate(
         GraftColumnBridge.expression(xxhash64(key)),
@@ -105,16 +139,7 @@ object BloomJoin {
       .as[(Int, Array[Byte])]
       .groupByKey(_._1)
       .mapGroups { (shard, rows) =>
-        val merged = rows.map(_._2).reduce { (x, y) =>
-          val f = org.apache.spark.util.sketch.BloomFilter
-            .readFrom(new java.io.ByteArrayInputStream(x))
-          f.mergeInPlace(org.apache.spark.util.sketch.BloomFilter
-            .readFrom(new java.io.ByteArrayInputStream(y)))
-          val out = new java.io.ByteArrayOutputStream()
-          f.writeTo(out)
-          out.toByteArray
-        }
-        (shard, merged)
+        (shard, rows.map(_._2).reduce(orSketchBytes))
       }
       .toDF("shard", "sketch")
   }
