@@ -6,6 +6,14 @@ import org.apache.spark.sql.SparkSession
   * Verify, tools, tests) so measured behavior is the shipped
   * behavior. */
 object SparkTuning {
+  /** A/B toggles for the session-global tunings, so each can be
+    * flipped for a clean benchmark comparison without a code edit:
+    * GRAFT_TUNE_COMMITTER=v2, GRAFT_TUNE_OBJHASH=default,
+    * GRAFT_TUNE_PLANCACHE=off (the last read by [[graft.io.Tables]]).
+    * Unset = the shipped configuration (the winners of the round-5
+    * 4-config × 3-sweep A/B recorded in BASELINE.md §round-5). */
+  private def env(k: String): Option[String] = sys.env.get(k)
+
   def apply(b: SparkSession.Builder): SparkSession.Builder = b
     // One timezone for every entrypoint: correctness is verified under
     // UTC (the oracle compares timestamp/date bucketing values), so the
@@ -24,19 +32,23 @@ object SparkTuning {
     // task; the fallback stays on as the safety valve for tasks whose
     // groups all run at the cap.
     .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-      "65536")
-    // FileOutputCommitter v2: task outputs rename straight into the
-    // destination at TASK commit (parallel, as tasks finish) instead of
-    // being re-renamed serially by the driver at JOB commit. The
-    // engine's ModelStore materializes many small versioned tables per
-    // pipeline run — v1's serial job-commit pass charges every write
-    // twice. The v1-vs-v2 failure-visibility trade (a failed job may
-    // leave partial files) is immaterial here because every write lands
-    // in a fresh version directory that only becomes visible via the
-    // _CURRENT pointer commit — the store's own atomicity, not the
-    // committer's, is what readers rely on.
+      if (env("GRAFT_TUNE_OBJHASH").contains("default")) "128"
+      else "65536")
+    // FileOutputCommitter stays at v1 (the default). Round 4 shipped
+    // v2 (task outputs rename at TASK commit, parallel, instead of the
+    // driver's serial JOB-commit pass) on the theory that ModelStore's
+    // many small versioned writes pay v1's serial rename pass twice —
+    // but the round-5 interleaved A/B (4 configs × 3 full sf0.1
+    // sweeps, BASELINE.md §round-5) measured NO benefit on any
+    // write-heavy query (q34/q36/q58/q86/q91/q92 all neutral to
+    // slightly better under v1): on a local filesystem the rename is a
+    // metadata move, so the serial pass the theory charges for is
+    // microseconds per file. Keep-winners-only ⇒ revert. On a real
+    // object-store deployment v2 (or a manifest committer) is worth
+    // re-measuring — flip GRAFT_TUNE_COMMITTER=v2 to A/B it there.
     .config(
-      "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+      if (env("GRAFT_TUNE_COMMITTER").contains("v2")) "2" else "1")
     // AQE partition coalescing stays at the Spark default
     // (`parallelismFirst=true`). The `false`+16 MB-advisory variant —
     // attractive on paper for intermediate-small shuffles, and the

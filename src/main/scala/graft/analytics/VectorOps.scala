@@ -428,13 +428,47 @@ object VectorOps {
         coalesce(col("keep_id"), col("vec_id")).as("keep_id"))
   }
 
-  // Composed end-to-end embedding dedup (rows-only: hyperplane seeds
-  // are engine-specific; recall vs the exact all-pairs verifier is
-  // asserted in VectorOpsSpec).
-  val qEmbeddingDedupCorpus: Q = Q.noOracle("q39_embedding_dedup_corpus") {
-    (s, d) =>
-      embeddingDedupCorpus(T(s, d, "embeddings"), dims = 64)
-        .orderBy("vec_id")
+  // Composed end-to-end embedding dedup. Oracle (upgraded from
+  // rows-only in round 5, mirroring q35's upgrade): the hyperplane
+  // seeds are engine-specific, but the LSH stage only GENERATES
+  // candidates — the decision set is "pairs passing the EXACT
+  // quantized-cosine verify, closed transitively, min label per
+  // component", which DuckDB can compute directly as all-pairs
+  // cosine ≥ threshold + a recursive-CTE closure (fine at oracle
+  // scale — the banded index is the 100 TB path). The compare is
+  // meaningful only where banding recall is total; on the testdata
+  // corpus it is trivially so (exact all-pairs max cosine < 0.90 at
+  // both sf0.01 and sf0.1, so both sides must emit the identity
+  // mapping — the oracle certifies NO FALSE POSITIVES; recall on
+  // constructed near-dup corpora stays asserted by VectorOpsSpec).
+  val qEmbeddingDedupCorpus: Q = Q(
+    "q39_embedding_dedup_corpus",
+    s"""WITH RECURSIVE m AS (
+      |  SELECT vec_id, $QuantizeSql AS qv,
+      |    (SELECT sum(u.a*u.a)
+      |     FROM (SELECT unnest($QuantizeSql) a) u) AS n2
+      |  FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      |  FROM m a JOIN m b ON a.vec_id < b.vec_id
+      |  WHERE CAST((SELECT sum(u.x*u.y)
+      |          FROM (SELECT unnest(a.qv) x, unnest(b.qv) y) u) AS DOUBLE)
+      |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+      |      >= 0.95),
+      |edges AS (
+      |  SELECT a_id AS a, b_id AS b FROM p
+      |  UNION SELECT b_id, a_id FROM p),
+      |r(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a),
+      |comp AS (SELECT a AS vec_id, min(b) AS mn FROM r GROUP BY a)
+      |SELECT v.vec_id,
+      |  least(v.vec_id, coalesce(c.mn, v.vec_id)) AS keep_id
+      |FROM embeddings v LEFT JOIN comp c USING (vec_id)
+      |ORDER BY v.vec_id""".stripMargin) { (s, d) =>
+    embeddingDedupCorpus(T(s, d, "embeddings"), dims = 64)
+      .orderBy("vec_id")
   }
 
   // ------------------------------------- corpus cluster profiling

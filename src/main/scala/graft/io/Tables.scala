@@ -36,7 +36,9 @@ object Tables {
     (Int, String, String), DataFrame]()
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    planCache.computeIfAbsent(
+    if (sys.env.get("GRAFT_TUNE_PLANCACHE").contains("off"))
+      loadUncached(spark, sfDir, name) // A/B toggle (SparkTuning doc)
+    else planCache.computeIfAbsent(
       (System.identityHashCode(spark), sfDir, name),
       _ => loadUncached(spark, sfDir, name))
 
