@@ -60,6 +60,13 @@ object ZOrder {
       n -> (dt match {
         case "date" => datediff(col(n), lit(java.sql.Date.valueOf("1970-01-01"))).cast("long")
         case "timestamp" => unix_micros(col(n))
+        // TIMESTAMP_NTZ: unix_micros is LTZ-only and a bare
+        // cast("long") would hit the `_` arm (AnalysisException under
+        // ANSI). Reinterpret as LTZ first — the session timezone is
+        // pinned UTC engine-wide (SparkTuning), so the micros value is
+        // the wall-clock reading itself, and Z-ordering only needs a
+        // monotonic key.
+        case "timestamp_ntz" => unix_micros(col(n).cast("timestamp"))
         case _ => col(n).cast("long")
       })
     }.toMap

@@ -1,9 +1,10 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
+import graft.ops.Exact
 
 /** Synthesizes bronze CDC feeds from the driver's TPC-H-ish testdata so
   * the full medallion pipeline can run (and be benchmarked) at any
@@ -13,6 +14,15 @@ import graft.io.Tables
   * `ne`, …) so the canonicalization ladders are exercised for real.
   */
 object DemoCdc {
+
+  /** `pct`% of `o_totalprice` as a 2-decimal money double, computed in
+    * exact integer cents (cents → ×pct → halfUpDiv by 100 → /100.0):
+    * the resulting double is the nearest-double of an exact 2-decimal
+    * value, so every downstream `round(x, 2)` is an identity and a
+    * DuckDB oracle reproduces it with the same integer arithmetic. */
+  private def pctOfTotal(pct: Int): Column =
+    (Exact.halfUpDiv(Exact.cents(col("o_totalprice")) * pct, lit(100))
+      .cast("double") / 100.0)
 
   def customersCdc(spark: SparkSession, sfDir: String): DataFrame = {
     val c = Tables.load(spark, sfDir, "customer")
@@ -85,11 +95,19 @@ object DemoCdc {
         pmod(col("o_orderkey"), lit(9)).cast("int"))) // 0..8 days → mix of
         .as("actual_delivery_date"),                  // on-time and late
       col("o_totalprice").as("order_total"),
-      round(col("o_totalprice") * 0.08, 2).as("tax_amount"),
+      // Percent-of-total money synthesis in EXACT integer cents
+      // (halfUpDiv), not round(double·frac, 2): double round is the
+      // one operation the engine's portability discipline bans
+      // (graft.ops.Exact scaladoc — Spark rounds the shortest decimal
+      // repr, DuckDB the binary value, and price·0.05 lands on real
+      // decimal halves: 147 rows at sf0.1). Exact cents make the feed
+      // — and therefore q34's whole medallion output — expressible in
+      // portable oracle SQL.
+      pctOfTotal(8).as("tax_amount"),
       when(pmod(col("o_orderkey"), lit(7)) === 0, 0.0).otherwise(9.99)
         .as("shipping_cost"),
-      when(pmod(col("o_orderkey"), lit(10)) === 0,
-        round(col("o_totalprice") * 0.05, 2)).otherwise(0.0)
+      when(pmod(col("o_orderkey"), lit(10)) === 0, pctOfTotal(5))
+        .otherwise(0.0)
         .as("discount_amount"),
       when(pmod(col("o_orderkey"), lit(6)) === 0, "ne")
         .when(pmod(col("o_orderkey"), lit(6)) === 1, "midwest")

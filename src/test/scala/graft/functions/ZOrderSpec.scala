@@ -31,6 +31,23 @@ class ZOrderSpec extends AnyFunSuite {
     assert(ranks(0) == 0L && ranks(2) > ranks(1) && ranks(1) > ranks(0))
   }
 
+  test("cluster accepts TIMESTAMP_NTZ keys (micros path, not cast)") {
+    // events.ts arrives as TIMESTAMP_NTZ since the testdata regen;
+    // the typeName gate used to let NTZ fall through to the numeric
+    // cast("long") arm, which throws under ANSI. NTZ must cluster in
+    // time order like LTZ does.
+    val df = Seq("2021-01-03T00:00:00", "2021-01-01T00:00:00",
+        "2021-01-02T00:00:00")
+      .toDF("s")
+      .select(col("s").cast("timestamp_ntz").as("ts"),
+        monotonically_increasing_id().as("id"))
+    val out = ZOrder.cluster(df, Seq("ts")).coalesce(1)
+      .collect().map(_.getAs[java.time.LocalDateTime]("ts"))
+    assert(out.length == 3)
+    assert(out.sliding(2).forall(p => !p(0).isAfter(p(1))),
+      s"NTZ keys should come out time-ordered: ${out.mkString(", ")}")
+  }
+
   test("cluster degrades to a no-op on empty input and all-NULL cols") {
     // Empty incremental batches reach cluster() via partitioned
     // writes; min/max come back NULL and must not NPE.
