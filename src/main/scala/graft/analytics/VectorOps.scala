@@ -74,6 +74,15 @@ object VectorOps {
   val TopK = 10
   val NumQueries = 8
 
+  /** Banded OR-construction width shared by the LSH ANN (q30) and the
+    * embedding-dedup corpus path: `DedupBands` independent hyperplane
+    * sets recover the recall a single bucket function loses to
+    * near-dups straddling one plane (P[caught] = 1-(1-p)^bands).
+    * Defined BEFORE the query vals that interpolate it into oracle
+    * SQL — a forward reference inside an object initializes as 0 and
+    * silently generates an empty plane table. */
+  val DedupBands = 4
+
   val qAnnTopK: Q = Q(
     "q27_ann_topk",
     s"""WITH base AS (
@@ -242,7 +251,73 @@ object VectorOps {
       .select(col("vec_id"), col("qv"), col("n2"),
         col("band.band_idx").as("band_idx"), col("band.bucket").as("bucket"))
 
-  val qAnnLshBuckets: Q = Q.noOracle("q30_ann_lsh") { (s, d) =>
+  /** LSH-bucketed ANN, oracle-certified (upgraded from rows-only in
+    * round 5): the hyperplanes are NOT opaque engine state — they come
+    * from [[planeComponent]], five lines of wrapping 64-bit integer
+    * arithmetic that DuckDB reproduces exactly (HUGEINT for the one
+    * wrapping multiply, `//` for the unsigned shifts, truncation-mod
+    * mirrored by sign-splitting `%`). The oracle regenerates all
+    * 4-band × 6-plane × 64-dim components with that arithmetic,
+    * re-derives every bucket, and re-runs candidate-join → exact
+    * cosine → top-k. Bucket signs are float-robust: the smallest
+    * |dot| across all (vector, plane) pairs at both verify SFs is
+    * ~1e-5, eight orders above double-summation reorder noise. */
+  val qAnnLshBuckets: Q = Q(
+    "q30_ann_lsh",
+    s"""WITH planes AS (
+      |  SELECT band, p, dim,
+      |    CAST((CASE WHEN s < 0 THEN -((-s) % 1000) ELSE s % 1000 END
+      |      + 1000) % 1000 AS DOUBLE) / 500.0 - 1.0 AS c
+      |  FROM (
+      |    SELECT band, p, dim,
+      |      CASE WHEN u3 >= 9223372036854775808
+      |           THEN u3 - 18446744073709551616 ELSE u3 END AS s
+      |    FROM (
+      |      SELECT band, p, dim, xor(u2, u2 // 8192) AS u3
+      |      FROM (
+      |        SELECT band, p, dim,
+      |          (CAST(xor(h0, h0 >> 16) AS HUGEINT) * 2246822519)
+      |            % 18446744073709551616 AS u2
+      |        FROM (
+      |          SELECT gb.band, gp.p, gd.dim,
+      |            (gb.band*6 + gp.p)*2654435761 + gd.dim*40503 + 12345
+      |              AS h0
+      |          FROM generate_series(0, ${DedupBands - 1}) gb(band),
+      |               generate_series(0, 5) gp(p),
+      |               generate_series(0, 63) gd(dim)) t0) t1) t2) t3),
+      |dots AS (
+      |  SELECT e.vec_id, pl.band, pl.p,
+      |    sum(CAST(e.embedding[pl.dim+1] AS DOUBLE) * pl.c) AS dot
+      |  FROM embeddings e JOIN planes pl ON true
+      |  GROUP BY 1, 2, 3),
+      |buckets AS (
+      |  SELECT vec_id, band,
+      |    sum(CASE WHEN dot >= 0 THEN (1 << p) ELSE 0 END) AS bucket
+      |  FROM dots GROUP BY 1, 2),
+      |base AS (
+      |  SELECT vec_id, $QuantizeSql AS qv FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, qv,
+      |    (SELECT sum(u.a*u.a) FROM (SELECT unnest(qv) a) u) AS n2
+      |  FROM base),
+      |cand AS (
+      |  SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id
+      |  FROM buckets qb
+      |  JOIN buckets cb ON qb.band = cb.band AND qb.bucket = cb.bucket
+      |  WHERE qb.vec_id < $NumQueries AND cb.vec_id <> qb.vec_id),
+      |p AS (
+      |  SELECT c.q_id, c.vec_id,
+      |    CAST((SELECT sum(u.a*u.b)
+      |          FROM (SELECT unnest(q.qv) a, unnest(b.qv) b) u) AS DOUBLE)
+      |      / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+      |      AS cos_sim
+      |  FROM cand c JOIN n q ON q.vec_id = c.q_id
+      |  JOIN n b ON b.vec_id = c.vec_id)
+      |SELECT q_id, vec_id, ${Exact.dbl4Sql("cos_sim")} AS cos_sim,
+      |  CAST(rnk AS INTEGER) AS rnk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY cos_sim DESC, vec_id) AS rnk FROM p) t
+      |WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
     // persist: the band index feeds BOTH sides of the bucket join —
     // unpersisted, the broadcast query side would re-run the whole
     // quantize+bucket pipeline (as qSimhash/qMinhashLsh already cache
@@ -262,6 +337,9 @@ object VectorOps {
         // a pair hitting in m bands appears m times; top-k must rank
         // each neighbor once
         .groupBy("q_id", "vec_id").agg(max("cos_sim").as("cos_sim")))
+      // ranking runs on the raw double; presentation is the fixed
+      // 4-decimal string (repr-portable), as q27
+      .withColumn("cos_sim", Exact.dbl4(col("cos_sim")))
   }
 
   // ----------------------------------------------- IVF-style ANN (scale)
@@ -372,11 +450,9 @@ object VectorOps {
   // ------------------------------------- corpus-scale embedding dedup
   // The composed scale path (LSH candidates → exact cosine verify →
   // connected-component clustering) that replaces all-pairs scans: the
-  // analog of NearDup.dedupCorpus for embedding columns. Banded
-  // OR-construction over `DedupBands` independent hyperplane sets
-  // recovers the recall a single bucket function loses to near-dups
-  // straddling one plane (P[caught] = 1-(1-p)^bands).
-  val DedupBands = 4
+  // analog of NearDup.dedupCorpus for embedding columns, banded over
+  // the shared `DedupBands` hyperplane sets (defined with the ANN
+  // constants at the top of the object).
 
   /** Degenerate-bucket guard: a (band, bucket) holding more than this
     * many vectors is dropped from candidate generation (the analog of
