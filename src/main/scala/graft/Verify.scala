@@ -53,13 +53,18 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // Completeness manifest: every query name THIS run was responsible
-    // for. A query that throws mid-dump must not vanish silently from
-    // the round artifact (round 4 shipped 91-of-94 green-looking
-    // entries) — check.py cross-references this list against the
-    // actually-dumped dirs, and the run itself exits non-zero.
-    Files.writeString(Paths.get(s"$outDir/_manifest.json"),
-      selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+    // Completeness manifest: every query name an UNFILTERED run is
+    // responsible for. A query that throws mid-dump must not vanish
+    // silently from the round artifact (round 4 shipped 91-of-94
+    // green-looking entries) — check.py cross-references this list
+    // against the actually-dumped dirs, and the run itself exits
+    // non-zero. A subset dump must NOT overwrite it: re-running one
+    // query into a full out dir would shrink the manifest to that
+    // subset and re-disable the very gate this exists for (the same
+    // reason oracle_sql.json above is always written full).
+    if (only.isEmpty)
+      Files.writeString(Paths.get(s"$outDir/_manifest.json"),
+        selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]")): Unit
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(

@@ -57,8 +57,12 @@ object IncrementalDedup {
 
   /** Shards of the persisted fingerprint sketch (key-hash-range
     * partitioned [[BloomJoin.buildShardedSketch]] rows). Capacity at
-    * 10¹¹ keys grows by raising this at constant per-shard size; the
-    * merge stays a per-shard distributed reduce either way. */
+    * 10¹¹ keys grows by raising this at constant per-shard size. The
+    * per-fold merge runs DRIVER-side over the collected shard map
+    * (those bytes are on the driver regardless — the probe collects
+    * them), so driver memory bounds total sketch size; the regime
+    * that outgrows it escalates to shard-id co-partitioning with
+    * [[BloomJoin.mergeShardedSketches]] as the distributed merge. */
   val SketchShards = 8
 
   /** Sentinel for `estKeys`/`numBits`: size the sketch from the
@@ -94,6 +98,19 @@ object IncrementalDedup {
       numShards: Int = SketchShards,
       broadcastMaxRows: Long = BroadcastMaxRows): DataFrame = {
     require(batch.columns.contains(keyCol), s"batch lacks $keyCol")
+    // Half-explicit sizing derives the missing twin at the standard
+    // 8-bits-per-key ratio: passing only estKeys used to leave
+    // numBits at the AutoSize sentinel (0), which the explicit path
+    // took literally — an 8-bit-per-SHARD filter with ~100%
+    // false-positive rate that silently degraded every fold to
+    // full-history verification. All sizing below uses the effective
+    // pair.
+    val estKeysEff =
+      if (estKeys == AutoSize && numBits != AutoSize) numBits / 8
+      else estKeys
+    val numBitsEff =
+      if (numBits == AutoSize && estKeys != AutoSize) 8 * estKeys
+      else numBits
     val sketchTable = s"${name}_sketch"
 
     // 1. batch-internal first copy per fingerprint (one batch shuffle)
@@ -158,11 +175,11 @@ object IncrementalDedup {
       // duplicates count twice) — over-provisioning only, never an
       // under-sized filter. Sketch first (over-approximation is safe),
       // then the data commit.
-      val explicit = estKeys != AutoSize || numBits != AutoSize
+      val explicit = estKeysEff != AutoSize || numBitsEff != AutoSize
       val totalKeys = storedKeys + nWinners
       val mergeOk = layoutOk && shardMap.isDefined &&
-        (if (explicit) storedEst.contains(estKeys) &&
-          storedBits.contains(numBits)
+        (if (explicit) storedEst.contains(estKeysEff) &&
+          storedBits.contains(numBitsEff)
          else storedEst.exists(_ >= totalKeys) && storedBits.nonEmpty)
       def commitSketch(df: DataFrame, e: Long, b: Long,
           n: Long): Unit = {
@@ -205,7 +222,7 @@ object IncrementalDedup {
           val histN = histKeys.map(_.count()).getOrElse(0L)
           val n = histN + nWinners
           val (e, b) =
-            if (explicit) (estKeys, numBits)
+            if (explicit) (estKeysEff, numBitsEff)
             else {
               var cap = MinSketchKeys
               while (cap < 4L * n) cap <<= 1

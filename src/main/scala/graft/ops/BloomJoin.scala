@@ -113,10 +113,11 @@ object BloomJoin {
     * match the monolithic filter over the same population. */
   def buildShardedSketch(df: DataFrame, key: Column, numShards: Int,
       estKeys0: Long = EstKeys, numBits0: Long = NumBits): DataFrame = {
-    val perShardKeys = math.max(1L,
-      clamp(df, math.max(1L, estKeys0 / numShards), 1L)._1)
-    val perShardBits = math.max(8L,
-      clamp(df, 1L, math.max(8L, numBits0 / numShards))._2)
+    val (clampedKeys, clampedBits) = clamp(df,
+      math.max(1L, estKeys0 / numShards),
+      math.max(8L, numBits0 / numShards))
+    val perShardKeys = math.max(1L, clampedKeys)
+    val perShardBits = math.max(8L, clampedBits)
     val agg = GraftColumnBridge.column(
       new BloomFilterAggregate(
         GraftColumnBridge.expression(xxhash64(key)),

@@ -66,14 +66,17 @@ object PipelineQuery {
     * model's guarded ratio; `data_quality_score` is a per-row double
     * (identical IEEE ops both sides) → dbl4. */
   private def presentForOracle(dim: DataFrame): DataFrame = dim
-    .withColumn("lifetime_value",
-      Exact.dec2(Exact.cents(col("lifetime_value"))))
+    // average first, from the RAW double column — after the next
+    // withColumn, lifetime_value is a string and the cents would have
+    // to round-trip through its formatting
     .withColumn("average_order_value",
       when(col("lifetime_orders") > 0,
         Exact.dec2(Exact.halfUpDiv(
-          Exact.cents(col("lifetime_value").cast("double")),
+          Exact.cents(col("lifetime_value")),
           col("lifetime_orders"))))
         .otherwise(lit("0.00")))
+    .withColumn("lifetime_value",
+      Exact.dec2(Exact.cents(col("lifetime_value"))))
     .withColumn("delivered_revenue",
       Exact.dec2(Exact.cents(col("delivered_revenue"))))
     .withColumn("revenue_last_90_days",

@@ -362,6 +362,16 @@ final class ReferenceModels(clock: Clock) {
             .as("revenue_last_90_days"),
           datediff(today, to_date(max(col("order_date"))))
             .as("days_since_last_order"),
+          // Exact-cents twin of lifetime_value for the segmentation
+          // ladders below: comparing the DOUBLE sum against the tier
+          // thresholds is boundary-fragile (a customer whose exact
+          // lifetime value is 5000.00 can sum to 4999.999999999999),
+          // while integer cents decide every >= exactly — the same
+          // cents-through-ladders treatment the flagship rollup got
+          // in round 3. net_revenue is an exact 2-decimal value by
+          // construction, so cents() recovers it losslessly.
+          sum(graft.ops.Exact.cents(col("net_revenue")))
+            .as("lifetime_cents"),
           // shadowed CTE columns kept for fidelity (:52–53)
           count(col("order_id")).as("cte_frequency_score"),
           avg("net_revenue").as("cte_monetary_score"))
@@ -386,11 +396,11 @@ final class ReferenceModels(clock: Clock) {
           .when(col("country") === "Australia", "Asia Pacific")
           .otherwise("Other").as("region")
       val segTier =
-        when(col("lifetime_value") >= 5000 && col("lifetime_orders") >= 20,
+        when(col("lifetime_cents") >= 500000 && col("lifetime_orders") >= 20,
           "PLATINUM")
-          .when(col("lifetime_value") >= 2000 &&
+          .when(col("lifetime_cents") >= 200000 &&
             col("lifetime_orders") >= 10, "GOLD")
-          .when(col("lifetime_value") >= 500 && col("lifetime_orders") >= 5,
+          .when(col("lifetime_cents") >= 50000 && col("lifetime_orders") >= 5,
             "SILVER")
           .otherwise("BRONZE").as("customer_tier")
       val segEnhanced =
@@ -411,7 +421,7 @@ final class ReferenceModels(clock: Clock) {
             col("days_since_last_order") > 90, "ONE_TIME_BUYER")
           .when(col("lifetime_orders") >= 2 &&
             col("days_since_last_order") <= 90, "REPEAT_CUSTOMER")
-          .when(col("lifetime_value") >= 1000 && col("active_months") >= 6,
+          .when(col("lifetime_cents") >= 100000 && col("active_months") >= 6,
             "LOYAL_CUSTOMER")
           .when(col("days_since_last_order") > 365, "LOST_CUSTOMER")
           .otherwise("DEVELOPING_CUSTOMER").as("lifecycle_stage")
@@ -452,7 +462,7 @@ final class ReferenceModels(clock: Clock) {
           coalesce(col("revenue_last_90_days"), lit(0.00))
             .as("revenue_last_90_days"),
           coalesce(col("active_months"), lit(0L)).as("active_months"),
-          when(col("lifetime_value") >= 1000, true).otherwise(false)
+          when(col("lifetime_cents") >= 100000, true).otherwise(false)
             .as("is_high_value_customer"),
           when(col("days_since_last_order") <= 90, true).otherwise(false)
             .as("is_active_customer"),
@@ -472,11 +482,11 @@ final class ReferenceModels(clock: Clock) {
             .when(col("lifetime_orders") >= 5, 3)
             .when(col("lifetime_orders") >= 2, 2)
             .otherwise(1).as("frequency_score"),
-          when(col("lifetime_value").isNull, 1)
-            .when(col("lifetime_value") >= 2000, 5)
-            .when(col("lifetime_value") >= 1000, 4)
-            .when(col("lifetime_value") >= 500, 3)
-            .when(col("lifetime_value") >= 100, 2)
+          when(col("lifetime_cents").isNull, 1)
+            .when(col("lifetime_cents") >= 200000, 5)
+            .when(col("lifetime_cents") >= 100000, 4)
+            .when(col("lifetime_cents") >= 50000, 3)
+            .when(col("lifetime_cents") >= 10000, 2)
             .otherwise(1).as("monetary_score"),
           col("data_quality_score"),
           col("is_email_valid"), col("is_phone_valid"),
