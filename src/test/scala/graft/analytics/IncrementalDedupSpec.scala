@@ -76,6 +76,27 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(keptIds(out) === Set(2L))
   }
 
+  test("half-explicit sizing derives the missing twin at 8 bits/key") {
+    // estKeys alone used to leave numBits at the AutoSize sentinel
+    // (0), which the explicit path took literally — a degenerate
+    // 8-bit-per-shard filter. The missing parameter must derive.
+    val st = store()
+    IncrementalDedup.applyBatch(spark, st, "d", "fps",
+      docs(1L -> "one"), 0L, estKeys = 4096L): Unit
+    def meta(k: String) =
+      st.meta(spark, "d", "fps_sketch", k).flatMap(_.toLongOption)
+    assert(meta("est_keys") === Some(4096L))
+    assert(meta("num_bits") === Some(8L * 4096L))
+    // and the other direction
+    val st2 = store()
+    IncrementalDedup.applyBatch(spark, st2, "d", "fps",
+      docs(1L -> "one"), 0L, numBits = 65536L): Unit
+    def meta2(k: String) =
+      st2.meta(spark, "d", "fps_sketch", k).flatMap(_.toLongOption)
+    assert(meta2("est_keys") === Some(65536L / 8))
+    assert(meta2("num_bits") === Some(65536L))
+  }
+
   test("a deleted sketch degrades to verify-everything, not data loss") {
     val rootDir = Files.createTempDirectory("graft-incdedup-nosketch")
     val st = new ModelStore(rootDir.toString)
