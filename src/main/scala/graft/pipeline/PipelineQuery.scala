@@ -117,8 +117,9 @@ object PipelineQuery {
       |    trim(CASE WHEN c_custkey % 15 = 0 THEN '555-01'
       |      ELSE '212-555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
       |      END) AS phone,
-      |    trim(upper(substr(lower(n_name),1,1)) || substr(lower(n_name),2))
-      |      AS city,
+      |    trim(array_to_string(list_transform(
+      |      string_split(lower(n_name), ' '),
+      |      w -> upper(w[1]) || w[2:]), ' ')) AS city,  -- initcap per word
       |    'NY' AS state,
       |    upper(CASE WHEN c_custkey % 4 = 0 THEN 'usa'
       |      WHEN c_custkey % 4 = 1 THEN 'Canada'
@@ -144,15 +145,28 @@ object PipelineQuery {
       |    CASE WHEN o_orderstatus = 'O' THEN 'CONFIRMED'
       |         WHEN o_orderstatus = 'F' THEN 'DELIVERED'
       |         ELSE 'SHIPPED' END AS order_status,
-      |    CASE WHEN o_totalprice > 50000 THEN 5000000
-      |         ELSE CAST(round(o_totalprice*100) AS BIGINT) END
-      |      - ((CAST(round(o_totalprice*100) AS BIGINT) * 8)*2 + 100) // 200
-      |      AS net_cents
-      |  FROM orders),
-      |-- customer_order_metrics: is_valid_order is TRUE for every
-      |-- synthesized order (total>0; total >= tax+ship-disc holds at
-      |-- 0.92*total >= 9.99 for TPC-H totals; customer always exists and
-      |-- is active) and no status is CANCELLED, so no WHERE is needed.
+      |    total_cents - tax_cents AS net_cents,
+      |    -- the model's is_valid_order in exact cents (customer
+      |    -- existence/active always holds for the synthesized feed;
+      |    -- the money test can FAIL on tiny totals — 0.92·total <
+      |    -- ship — so it is mirrored, not assumed, in case a testdata
+      |    -- regeneration changes the total distribution)
+      |    total_cents > 0
+      |      AND total_cents >= tax_cents + ship_cents - disc_cents
+      |      AND disc_cents <= total_cents AS is_valid
+      |  FROM (
+      |    SELECT *,
+      |      CASE WHEN o_totalprice > 50000 THEN 5000000
+      |           ELSE raw_cents END AS total_cents,
+      |      ((raw_cents * 8)*2 + 100) // 200 AS tax_cents,
+      |      CASE WHEN o_orderkey % 7 = 0 THEN 0 ELSE 999 END AS ship_cents,
+      |      CASE WHEN o_orderkey % 10 = 0
+      |           THEN ((raw_cents * 5)*2 + 100) // 200
+      |           ELSE 0 END AS disc_cents
+      |    FROM (SELECT *, CAST(round(o_totalprice*100) AS BIGINT)
+      |            AS raw_cents FROM orders) r) c),
+      |-- no synthesized status maps to CANCELLED, so the status arm of
+      |-- the metrics filter is only is_valid
       |om AS (
       |  SELECT customer_id,
       |    count(*) AS lifetime_orders,
@@ -170,7 +184,7 @@ object PipelineQuery {
       |      ELSE 0 END) AS revenue_90_cents,
       |    date_diff('day', CAST(max(order_date) AS DATE), DATE '2001-09-01')
       |      AS days_since_last_order
-      |  FROM oenr GROUP BY customer_id)
+      |  FROM oenr WHERE is_valid GROUP BY customer_id)
       |SELECT
       |  cl.customer_id, cl.email, cl.full_name, cl.phone, cl.city, cl.state,
       |  -- gm ladder quirk: country is UPPERCASED, literals mixed-case —
