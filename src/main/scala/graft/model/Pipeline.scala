@@ -223,7 +223,12 @@ object Pipeline {
     // Phase timings to stderr (diagnostics; stdout stays Bench-clean).
     def timed[T](phase: String)(body: => T): T = {
       val t0 = System.nanoTime()
-      val r = body
+      // label the phase's jobs (thread-local, models run one per pool
+      // thread) so profilers/UIs attribute work to pipeline phases
+      spark.sparkContext.setJobDescription(
+        s"pipeline ${m.layer}.${m.name} $phase")
+      val r =
+        try body finally spark.sparkContext.setJobDescription(null)
       System.err.println(f"[pipeline-io] ${m.layer}.${m.name} $phase " +
         f"${(System.nanoTime() - t0) / 1e9}%.2f s")
       r

@@ -152,13 +152,25 @@ object OlapQueries {
       |SELECT 'supplier_only', k
       |FROM (SELECT k FROM sn EXCEPT SELECT k FROM cn) c
       |ORDER BY op, k""".stripMargin) { (s, d) =>
-    val cn = T(s, d, "customer").select(col("c_nationkey").as("k")).distinct()
-    val sn = T(s, d, "supplier").select(col("s_nationkey").as("k")).distinct()
-    cn.intersect(sn).select(lit("both").as("op"), col("k"))
-      .unionByName(
-        cn.except(sn).select(lit("customer_only").as("op"), col("k")))
-      .unionByName(
-        sn.except(cn).select(lit("supplier_only").as("op"), col("k")))
+    // INTERSECT/EXCEPT re-expressed as ONE tagged membership
+    // aggregation: union the two slim key scans with a side flag,
+    // aggregate per key (max of each flag), classify. Catalyst plans
+    // the operator forms as two distincts plus a join PER set-op — six
+    // exchanges for the three ops; this form is a single exchange on
+    // the key and reads each input once, the difference between six
+    // shuffles and one at any scale. Same results: set ops over
+    // distinct membership are exactly a per-key boolean fold.
+    val tagged = T(s, d, "customer")
+      .select(col("c_nationkey").as("k"), lit(1).as("c"), lit(0).as("sp"))
+      .unionByName(T(s, d, "supplier")
+        .select(col("s_nationkey").as("k"), lit(0).as("c"), lit(1).as("sp")))
+    tagged.groupBy("k")
+      .agg(max("c").as("has_c"), max("sp").as("has_s"))
+      .select(
+        when(col("has_c") === 1 && col("has_s") === 1, "both")
+          .when(col("has_c") === 1, "customer_only")
+          .otherwise("supplier_only").as("op"),
+        col("k"))
       .orderBy("op", "k")
   }
 
@@ -197,11 +209,16 @@ object OlapQueries {
     // Same star/cents shape as every revenue query — via starRevenue
     // so join hints and money conventions live in ONE place (the extra
     // 5-row region broadcast can't drop rows: every nation has one).
+    // persist: `daily` (≤ nations × 61 rows) feeds BOTH the spine
+    // bounds and the gap-fill join — without it the whole star join
+    // upstream computes twice (no ReusedExchange across the branches:
+    // plan-checked, 2 scans of every input)
     val daily = starRevenue(s, d)
       .select(col("n_name").as("nation"), col("day"), col("cents"))
       .filter(col("day") >= lit(java.sql.Date.valueOf("2001-06-01")) &&
         col("day") < lit(java.sql.Date.valueOf("2001-08-01")))
       .groupBy("nation", "day").agg(sum("cents").as("cents"))
+      .persist()
     val spine = daily.groupBy("nation")
       .agg(min("day").as("d0"), max("day").as("d1"))
       .select(col("nation"),
