@@ -30,6 +30,15 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         failed ::= name
+        // Remove any PRIOR dump of this query: a re-run into a
+        // populated out dir would otherwise leave the stale result in
+        // place, and a caller ignoring this run's exit code (or
+        // check.py, which only sees existing dirs) would validate old
+        // data as if this run produced it.
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(s"$outDir/$name"))
       }
       // queries may persist() shared intermediates — release them
       spark.catalog.clearCache()

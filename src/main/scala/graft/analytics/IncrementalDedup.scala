@@ -177,15 +177,30 @@ object IncrementalDedup {
       // then the data commit.
       val explicit = estKeysEff != AutoSize || numBitsEff != AutoSize
       val totalKeys = storedKeys + nWinners
+      // Merge compatibility is decided on the POST-clamp per-shard
+      // parameters, not the requested totals: buildShardedSketch
+      // silently clamps to the session's runtime-bloomFilter conf
+      // limits, so the same request under a changed conf yields
+      // filters mergeInPlace would reject. The stored ps_* meta pins
+      // what was ACTUALLY built; absence (a pre-upgrade store) or any
+      // mismatch routes to the rebuild arm — over-approximation-safe,
+      // never a throwing merge.
+      def psMatch(e: Long, b: Long): Boolean = {
+        val (pk, pb) = BloomJoin.perShardParams(winners, numShards, e, b)
+        metaLong("ps_keys").contains(pk) && metaLong("ps_bits").contains(pb)
+      }
       val mergeOk = layoutOk && shardMap.isDefined &&
         (if (explicit) storedEst.contains(estKeysEff) &&
-          storedBits.contains(numBitsEff)
-         else storedEst.exists(_ >= totalKeys) && storedBits.nonEmpty)
+          storedBits.contains(numBitsEff) && psMatch(estKeysEff, numBitsEff)
+         else storedEst.exists(_ >= totalKeys) && storedBits.nonEmpty &&
+          psMatch(storedEst.get, storedBits.get))
       def commitSketch(df: DataFrame, e: Long, b: Long,
           n: Long): Unit = {
+        val (pk, pb) = BloomJoin.perShardParams(winners, numShards, e, b)
         store.write(df, layer, sketchTable, meta = Map(
           "num_shards" -> numShards.toString,
           "est_keys" -> e.toString, "num_bits" -> b.toString,
+          "ps_keys" -> pk.toString, "ps_bits" -> pb.toString,
           "n_keys" -> n.toString))
         store.vacuum(spark, layer, sketchTable, keepLast = 2)
       }

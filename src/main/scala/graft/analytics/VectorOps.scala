@@ -196,8 +196,10 @@ object VectorOps {
   // the ScalaTest spec.
   val NumPlanes = 6
 
-  /** Deterministic pseudo-random hyperplane component in [-1, 1). */
-  private def planeComponent(plane: Int, dim: Int): Double = {
+  /** Deterministic pseudo-random hyperplane component in [-1, 1).
+    * Package-visible so VectorOpsSpec can guard the q30 oracle's
+    * bucket-sign margin against testdata regeneration. */
+  private[analytics] def planeComponent(plane: Int, dim: Int): Double = {
     var h = plane * 2654435761L + dim * 40503L + 12345L
     h ^= (h >>> 16); h *= 2246822519L; h ^= (h >>> 13)
     ((h % 1000 + 1000) % 1000) / 500.0 - 1.0

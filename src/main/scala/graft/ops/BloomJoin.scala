@@ -111,13 +111,25 @@ object BloomJoin {
     * rows. Per-shard capacity is sized to `estKeys / numShards` at
     * `numBits / numShards` bits, so total size and false-positive rate
     * match the monolithic filter over the same population. */
-  def buildShardedSketch(df: DataFrame, key: Column, numShards: Int,
-      estKeys0: Long = EstKeys, numBits0: Long = NumBits): DataFrame = {
+  /** The EFFECTIVE per-shard parameters [[buildShardedSketch]] will
+    * use for a given request: requested totals divided across shards,
+    * then clamped to the session's runtime-bloomFilter conf limits.
+    * Public so sketch MAINTAINERS ([[graft.analytics.IncrementalDedup]])
+    * can persist and compare the post-clamp values — two sketches
+    * built from the same REQUEST under different conf limits are not
+    * mergeable, and comparing requested values would miss that. */
+  def perShardParams(df: DataFrame, numShards: Int,
+      estKeys0: Long, numBits0: Long): (Long, Long) = {
     val (clampedKeys, clampedBits) = clamp(df,
       math.max(1L, estKeys0 / numShards),
       math.max(8L, numBits0 / numShards))
-    val perShardKeys = math.max(1L, clampedKeys)
-    val perShardBits = math.max(8L, clampedBits)
+    (math.max(1L, clampedKeys), math.max(8L, clampedBits))
+  }
+
+  def buildShardedSketch(df: DataFrame, key: Column, numShards: Int,
+      estKeys0: Long = EstKeys, numBits0: Long = NumBits): DataFrame = {
+    val (perShardKeys, perShardBits) =
+      perShardParams(df, numShards, estKeys0, numBits0)
     val agg = GraftColumnBridge.column(
       new BloomFilterAggregate(
         GraftColumnBridge.expression(xxhash64(key)),

@@ -268,4 +268,67 @@ class VectorOpsSpec extends AnyFunSuite {
       r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(got == expect)
   }
+
+  test("q30 oracle margin guard: no (vector, plane) dot within float " +
+      "noise of zero at either verify scale factor") {
+    // The q30 oracle replicates bucket SIGNS cross-engine; a testdata
+    // regeneration could land some dot product close enough to zero
+    // that double summation order flips its sign, surfacing as an
+    // opaque hash mismatch. This guard diagnoses that case directly:
+    // the smallest |dot| across every (vector, q30 banded plane) pair
+    // must stay orders of magnitude above reorder noise (observed
+    // margin ~1e-5; noise for 64-term double sums is ~1e-13 relative).
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val embs = graft.io.Tables.load(spark, dir, "embeddings")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+      val planes = for {
+        band <- 0 until VectorOps.DedupBands
+        p <- 0 until VectorOps.NumPlanes
+      } yield (0 until 64).map(d =>
+        VectorOps.planeComponent(band * VectorOps.NumPlanes + p, d)).toArray
+      var minAbs = Double.MaxValue
+      for (e <- embs; pl <- planes) {
+        var dot = 0.0
+        var i = 0
+        while (i < 64) { dot += e(i).toDouble * pl(i); i += 1 }
+        minAbs = math.min(minAbs, math.abs(dot))
+      }
+      assert(minAbs > 1e-10,
+        s"$dir: min |dot| margin eroded to $minAbs - q30's oracle " +
+          "bucket signs are no longer float-robust on this testdata; " +
+          "re-derive the margin or demote q30 to rows-only")
+    }
+  }
+
+  test("q39 oracle margin guard: corpus stays in the no-near-dup " +
+      "regime its oracle certifies (max pairwise cosine < 0.90)") {
+    // q39's oracle is exact only while the corpus contains NO pair at
+    // or above the 0.95 dedup threshold (identity case); banding
+    // recall above the threshold is spec-asserted on planted pairs,
+    // not oracle-checked. If a regenerated corpus crosses ~0.95 the
+    // oracle gate could fail on imperfect recall — this guard names
+    // that cause directly instead of an opaque hash mismatch.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val embs = graft.io.Tables.load(spark, dir, "embeddings")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).map(f =>
+          math.round(f * 1000).toLong).toArray)
+      def dot(a: Array[Long], b: Array[Long]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }; s
+      }
+      val norms = embs.map(e => math.sqrt(dot(e, e)))
+      var maxCos = -1.0
+      for (i <- embs.indices; j <- (i + 1) until embs.length) {
+        val c = dot(embs(i), embs(j)) / (norms(i) * norms(j))
+        if (c > maxCos) maxCos = c
+      }
+      assert(maxCos < 0.90,
+        s"$dir: max pairwise cosine is $maxCos - the corpus now " +
+          "contains (near-)threshold pairs, so q39's identity-case " +
+          "oracle no longer certifies banding recall; re-derive or " +
+          "demote q39 to rows-only")
+    }
+  }
 }
