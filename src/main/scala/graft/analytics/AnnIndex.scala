@@ -142,6 +142,8 @@ object AnnIndex {
         .select(col("q_id"), col("vec_id"),
           VectorOps.cosineQ(col("q_qv"), col("qv"), col("q_n2"),
             col("n2")).as("cos_sim")))
+      // same presentation as qAnnIvf (the spec asserts equality)
+      .withColumn("cos_sim", graft.ops.Exact.dbl4(col("cos_sim")))
   }
 
   /** foreachBatch sink: continuous index growth — each micro-batch of
@@ -172,12 +174,16 @@ object AnnIndex {
     * fingerprint (order-insensitive sum of row hashes), not a row
     * count: a corpus whose rows changed in place retrains, and the
     * store path hashes the FULL canonical dir so two corpora sharing a
-    * basename can never serve each other's index. Rows-only check
-    * (k-means cell layout is engine-specific); equality with the
-    * in-memory q32 path and recall vs the q27 ground truth are
-    * asserted in AnnIndexSpec. sideEffecting: the staleness probe and
-    * any rebuild run at DataFrame-construction time. */
-  val qAnnIndex: Q = Q.noOracle("q91_ann_index") { (s, d) =>
+    * basename can never serve each other's index. Oracle-certified
+    * since round 6: the persisted-index search provably returns the
+    * in-memory q32 answer (AnnIndexSpec asserts exact equality on the
+    * same queries), so q32's DuckDB training-chain replica
+    * ([[VectorOps.qAnnIvf]] / graft.ops.DuckHash) is this query's
+    * oracle verbatim. Recall vs the q27 ground truth also asserted in
+    * AnnIndexSpec. sideEffecting: the staleness probe and any rebuild
+    * run at DataFrame-construction time. */
+  val qAnnIndex: Q = Q("q91_ann_index",
+    VectorOps.qAnnIvf.oracle.get) { (s, d) =>
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(new java.io.File(d).getCanonicalPath.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString

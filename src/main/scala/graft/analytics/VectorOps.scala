@@ -351,8 +351,10 @@ object VectorOps {
   // to its nearest centroid, and queries probing only their own
   // centroid's inverted list. Assignment is one broadcast join +
   // per-vector arg-max aggregate; search cost drops from |corpus| to
-  // |corpus|/K per query. Rows-only driver check; recall asserted in
-  // VectorOpsSpec via a planted duplicate in a non-initial cell.
+  // |corpus|/K per query. Oracle-certified since round 6 (the whole
+  // training chain replicated in DuckDB — see trainedSql/DuckHash);
+  // recall additionally asserted in VectorOpsSpec via a planted
+  // duplicate in a non-initial cell.
   val NumCentroids = 16
   val KmeansIters = 3
 
@@ -431,7 +433,83 @@ object VectorOps {
         max_by(col("c_id"), struct(col("c_cos"), -col("c_id")))
           .as("c_id"))
 
-  val qAnnIvf: Q = Q.noOracle("q32_ann_ivf") { (s, d) =>
+
+  // ------------- DuckDB replica of the k-means training chain
+  // (q32/q80 oracles). The "trained centroids" oracle-impossibility
+  // recorded in rounds 2-5 fell to two observations: (a) the train
+  // sample's xxhash64 gate is a short public wrapping-integer formula
+  // DuckDB reproduces exactly (graft.ops.DuckHash, the q30 HUGEINT
+  // technique); (b) every other training step is already exact or
+  // bit-deterministic cross-engine - integer dot products, sqrt/division
+  // on bit-identical doubles, integer-valued double sums far below 2^53
+  // (mean update), and scale-0 round() where Spark's repr-based HALF_UP
+  // and DuckDB's binary half-away-from-zero provably agree (halves are
+  // exactly representable; non-halves never round differently at scale
+  // 0). The fixed iteration count (KmeansIters) unrolls as chained
+  // subqueries - no recursion, no state.
+  private def dotSql(a: String, b: String): String =
+    s"(SELECT sum(u.a*u.b) FROM (SELECT unnest($a) a, unnest($b) b) u)"
+  private def cosSql(qv: String, cqv: String, n2: String, cn2: String)
+      : String =
+    s"CAST(${dotSql(qv, cqv)} AS DOUBLE) / " +
+      s"(sqrt(CAST($n2 AS DOUBLE)) * sqrt(CAST($cn2 AS DOUBLE)))"
+  /** Nearest-centroid assignment (max cosine, ties to smaller c_id). */
+  private def assignSql(train: String, cents: String): String =
+    s"SELECT vec_id, qv, n2, c_id FROM (" +
+      s"SELECT t.*, c.c_id, row_number() OVER (PARTITION BY t.vec_id " +
+      s"ORDER BY ${cosSql("t.qv", "c.c_qv", "t.n2", "c.c_n2")} DESC, " +
+      s"c.c_id) AS __rk FROM ($train) t CROSS JOIN ($cents) c) " +
+      s"WHERE __rk = 1"
+  /** Lloyd mean update: per-(centroid, dim) rounded mean, relisted. */
+  private def updateSql(assigned: String): String =
+    s"SELECT c_id, list(m ORDER BY pos) AS c_qv, sum(m*m) AS c_n2 " +
+      s"FROM (SELECT c_id, d.pos, CAST(round(CAST(sum(qv[d.pos]) AS " +
+      s"DOUBLE)/count(*)) AS BIGINT) AS m FROM ($assigned) a " +
+      s"CROSS JOIN (SELECT unnest(generate_series(1, (SELECT " +
+      s"len($QuantizeSql) FROM embeddings LIMIT 1))) AS pos) d " +
+      s"GROUP BY c_id, d.pos) GROUP BY c_id"
+  private val baseNSql =
+    s"SELECT vec_id, qv, (SELECT sum(u.a*u.a) FROM (SELECT unnest(qv) " +
+      s"a) u) AS n2 FROM (SELECT vec_id, $QuantizeSql AS qv " +
+      s"FROM embeddings)"
+  /** (centroids, full-corpus assignment) after KmeansIters rounds -
+    * the exact chain kmeansCentroids + ivfAssign execute. */
+  private def trainedSql: (String, String) = {
+    val hx = graft.ops.DuckHash.chain(
+      "SELECT vec_id AS hid FROM embeddings", "hid")
+    val train = s"SELECT b.* FROM ($baseNSql) b JOIN ($hx) h " +
+      s"ON b.vec_id = h.hid WHERE ((h.xxh % 4) + 4) % 4 = 0 " +
+      s"OR b.vec_id < $NumCentroids"
+    var cents = s"SELECT vec_id AS c_id, qv AS c_qv, n2 AS c_n2 " +
+      s"FROM ($baseNSql) WHERE vec_id < $NumCentroids"
+    for (_ <- 0 until KmeansIters)
+      cents = updateSql(assignSql(train, cents))
+    (cents, assignSql(baseNSql, cents))
+  }
+
+  val qAnnIvf: Q = {
+    val (cents, assigned) = trainedSql
+    Q(
+      "q32_ann_ivf",
+      s"""WITH cells AS (
+      |  SELECT q_id, c_id FROM (
+      |    SELECT b.vec_id AS q_id, c.c_id,
+      |      row_number() OVER (PARTITION BY b.vec_id
+      |        ORDER BY ${cosSql("b.qv", "c.c_qv", "b.n2", "c.c_n2")}
+      |          DESC, c.c_id) AS rk
+      |    FROM ($baseNSql) b CROSS JOIN ($cents) c
+      |    WHERE b.vec_id < $NumQueries) WHERE rk <= $NumProbes),
+      |cand AS (
+      |  SELECT j.q_id, a.vec_id,
+      |    ${cosSql("qb.qv", "a.qv", "qb.n2", "a.n2")} AS cos_sim
+      |  FROM cells j JOIN ($assigned) a ON a.c_id = j.c_id
+      |  JOIN ($baseNSql) qb ON qb.vec_id = j.q_id
+      |  WHERE a.vec_id <> j.q_id)
+      |SELECT q_id, vec_id, ${Exact.dbl4Sql("cos_sim")} AS cos_sim,
+      |  CAST(rnk AS INTEGER) AS rnk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY cos_sim DESC, vec_id) AS rnk FROM cand) t
+      |WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
     val base = withQuant(T(s, d, "embeddings")).persist()
     val cents = kmeansCentroids(base).persist()
     val assigned = ivfAssign(base, cents).persist()
@@ -447,6 +525,10 @@ object VectorOps {
         .select(col("q_id"), col("vec_id"),
           cosineQ(col("q_qv"), col("qv"), col("q_n2"), col("n2"))
             .as("cos_sim")))
+      // ranking ran on the raw double; presentation is the fixed
+      // 4-decimal string (repr-portable, the q27/q30 contract)
+      .withColumn("cos_sim", Exact.dbl4(col("cos_sim")))
+    }
   }
 
   // ------------------------------------- corpus-scale embedding dedup
@@ -556,17 +638,28 @@ object VectorOps {
   // centroid-affinity stats (quantized dot products — no double
   // averaging, so re-runs are bit-identical). One broadcast-join
   // assignment + one agg shuffle on the cluster id.
-  //
-  // Oracle impossibility (recorded after a boxed attempt): the stats
-  // are deterministic GIVEN the trained centroids, but the driver's
-  // oracle is one DuckDB SQL over the testdata parquet tables only —
-  // it can see neither the persisted centroid artifact nor re-run the
-  // k-means fixpoint (iterative xxhash64-seeded Lloyd rounds are not a
-  // single SQL). Exactness is carried instead by VectorOpsSpec, which
-  // recomputes the affinity stats from the SAME centroids via an
-  // independent path and asserts bit-identity.
-  val qEmbeddingClusters: Q = Q.noOracle("q80_embedding_clusters") {
-    (s, d) =>
+  // Oracle (upgraded from rows-only in round 6): the "trained
+  // centroids are not a single SQL" impossibility fell to the
+  // DuckHash xxhash64 replica — the whole Lloyd chain unrolls as
+  // chained subqueries (see trainedSql), after which these stats are
+  // pure exact-integer arithmetic over the assignment.
+  val qEmbeddingClusters: Q = {
+    val (cents, assigned) = trainedSql
+    val mean = s"CASE WHEN sum_dot >= 0 THEN ${Exact.halfUpDivSql(
+      "sum_dot", "n_vectors")} ELSE -(${Exact.halfUpDivSql(
+      "-sum_dot", "n_vectors")}) END"
+    Q(
+      "q80_embedding_clusters",
+      s"""SELECT c_id, CAST(n_vectors AS BIGINT) AS n_vectors,
+      |  CAST($mean AS BIGINT) AS mean_dot,
+      |  CAST(min_dot AS BIGINT) AS min_dot,
+      |  CAST(max_dot AS BIGINT) AS max_dot FROM (
+      |  SELECT a.c_id, count(*) AS n_vectors,
+      |    sum(${dotSql("a.qv", "c.c_qv")}) AS sum_dot,
+      |    min(${dotSql("a.qv", "c.c_qv")}) AS min_dot,
+      |    max(${dotSql("a.qv", "c.c_qv")}) AS max_dot
+      |  FROM ($assigned) a JOIN ($cents) c USING (c_id)
+      |  GROUP BY a.c_id) t ORDER BY c_id""".stripMargin) { (s, d) =>
       val base = withQuant(T(s, d, "embeddings")).persist()
       val cents = kmeansCentroids(base).persist()
       ivfAssign(base, cents)
@@ -585,6 +678,7 @@ object VectorOps {
               col("n_vectors"))))
         .select("c_id", "n_vectors", "mean_dot", "min_dot", "max_dot")
         .orderBy("c_id")
+    }
   }
 
   val all: Seq[Q] =

@@ -24,10 +24,10 @@ class AnnIndexSpec extends AnyFunSuite {
       emb.filter(col("vec_id") < VectorOps.NumQueries)
         .select(col("vec_id").as("q_id"), col("embedding")))
       .collect().map(r => (r.getLong(0), r.getLong(1),
-        r.getDouble(2), r.getInt(3)))
+        r.getString(2), r.getInt(3)))
     val mem = VectorOps.qAnnIvf.build(spark, Dir)
       .collect().map(r => (r.getLong(0), r.getLong(1),
-        r.getDouble(2), r.getInt(3)))
+        r.getString(2), r.getInt(3)))
     assert(got.nonEmpty && got.toSeq == mem.toSeq)
   }
 
@@ -68,8 +68,8 @@ class AnnIndexSpec extends AnyFunSuite {
       s"top hit should be the planted clone, got ${hits.head}")
     // identical vectors: dot == n2 exactly, but the denominator is
     // fl(sqrt(n2))^2 which need not round-trip to n2 — tolerance, not
-    // exact equality
-    assert(hits.head.getDouble(2) >= 1.0 - 1e-12)
+    // exact equality (cos_sim presents as the fixed 4-decimal string)
+    assert(hits.head.getString(2).toDouble >= 1.0 - 1e-4)
   }
 
   test("streaming sink grows the index incrementally; a planted " +
