@@ -179,12 +179,83 @@ object Bpe {
     mergeMemo.computeIfAbsent((d, k), _ =>
       trainMerges(s, wordTable(Tables.load(s, d, "documents"), "text"), k))
 
-  /** The learned merge table as a rows-only query (engine-internal
-    * string surgery — no practical single-SQL DuckDB mirror; BpeSpec
-    * pins the semantics against a reference implementation). */
-  val qBpeMerges: Q = Q.noOracle("q78_bpe_merges") { (s, d) =>
+  /** The k used by the q78/q79/q81 carriers (one tokenizer per
+    * corpus, trained once, memoized). Small by design: each merge
+    * round unrolls as a CTE block in the DuckDB oracle. */
+  val QueryMerges = 8
+
+  /** DuckDB replica of the k-round training loop, unrolled: per round
+    * a weighted adjacent-pair count over the current segmentations,
+    * the deterministic argmax (count desc, then lexicographic pair —
+    * binary collation, same order as the engine's UTF-16 compare on
+    * this ASCII corpus), and the doubled-separator literal replace.
+    * DuckDB's `replace` is the IDENTICAL greedy-left non-overlapping
+    * primitive Spark's `replace` is, and the doubled-separator
+    * structure ([[Sep]]) is exactly what makes that primitive a
+    * correct BPE merge — so the oracle applies merges with the same
+    * string surgery the engine does, not a re-derivation. Emits CTEs
+    * wt (weighted vocab), w0..w$k (segmentations after r merges),
+    * p1..pk (pair counts), b1..bk (chosen merges). */
+  private def bpeOracleCtes(k: Int): String = {
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      """wt AS (
+        |  SELECT w, count(*) AS wc
+        |  FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS w
+        |        FROM documents)
+        |  WHERE length(w) > 0 GROUP BY w)""".stripMargin,
+      s"""w0 AS (
+        |  SELECT w, wc,
+        |    '$Sep2' || array_to_string(list_filter(string_split(w, ''),
+        |      x -> x <> ''), '$Sep2') || '$Sep2' AS seg
+        |  FROM wt)""".stripMargin)
+    for (r <- 1 to k) {
+      ctes += s"""p$r AS (
+        |  SELECT syms[i] AS l, syms[i+1] AS rr, sum(wc) AS cnt
+        |  FROM (SELECT wc, list_filter(string_split(seg, '$Sep'),
+        |          x -> x <> '') AS syms FROM w${r - 1}),
+        |       unnest(generate_series(1, len(syms) - 1)) AS u(i)
+        |  GROUP BY 1, 2)""".stripMargin
+      ctes += s"""b$r AS (
+        |  SELECT l, rr, cnt FROM p$r
+        |  ORDER BY cnt DESC, l ASC, rr ASC LIMIT 1)""".stripMargin
+      ctes += s"""w$r AS (
+        |  SELECT w, wc, replace(seg,
+        |    '$Sep' || b.l || '$Sep2' || b.rr || '$Sep',
+        |    '$Sep' || b.l || b.rr || '$Sep') AS seg
+        |  FROM w${r - 1}, b$r b)""".stripMargin
+    }
+    ctes.mkString(",\n")
+  }
+
+  /** Per-word-instance table + final subword counts (shared by the
+    * q79/q81 oracles): inst joins back to the trained vocab's final
+    * segmentation — identical to the engine's fresh-segment + ranked
+    * replaces (BpeSpec pins trained-seg ≡ applied-seg). */
+  private def bpeInstCtes(k: Int): String =
+    s"""inst AS (
+      |  SELECT doc_id, source, w
+      |  FROM (SELECT doc_id, source,
+      |          unnest(regexp_split_to_array(text, '\\s+')) AS w
+      |        FROM documents)
+      |  WHERE length(w) > 0),
+      |subn AS (
+      |  SELECT w, CAST(len(list_filter(string_split(seg, '$Sep'),
+      |    x -> x <> '')) AS BIGINT) AS n_sub FROM w$k)""".stripMargin
+
+  private def q78OracleSql: String =
+    s"WITH ${bpeOracleCtes(QueryMerges)}\n" +
+      (1 to QueryMerges).map(r =>
+        s"""SELECT CAST($r AS INTEGER) AS "rank", l AS "left", """ +
+          s"""rr AS "right", l || rr AS merged, """ +
+          s"CAST(cnt AS BIGINT) AS pair_count FROM b$r")
+        .mkString("\nUNION ALL\n") + "\nORDER BY rank"
+
+  /** The learned merge table — oracle-checked against the unrolled
+    * k-round DuckDB replica (BpeSpec additionally pins the engine
+    * semantics against a textbook reference implementation). */
+  val qBpeMerges: Q = Q("q78_bpe_merges", q78OracleSql) { (s, d) =>
     import s.implicits._
-    trainedMerges(s, d, k = 8).toDF()
+    trainedMerges(s, d, k = QueryMerges).toDF()
       .orderBy("rank")
   }
 
@@ -229,10 +300,19 @@ object Bpe {
     size(filter(split(applied, Sep), x => x =!= ""))
   }
 
+  private def q79OracleSql: String =
+    s"""WITH ${bpeOracleCtes(QueryMerges)},
+      |${bpeInstCtes(QueryMerges)}
+      |SELECT source, count(DISTINCT doc_id) AS n_docs,
+      |       count(*) AS n_words,
+      |       CAST(sum(n_sub) AS BIGINT) AS total_subwords
+      |FROM inst JOIN subn USING (w)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   /** Corpus token-count measurement under the trained tokenizer. */
-  val qBpeTokenize: Q = Q.noOracle("q79_bpe_tokenize") { (s, d) =>
+  val qBpeTokenize: Q = Q("q79_bpe_tokenize", q79OracleSql) { (s, d) =>
     val docs = Tables.load(s, d, "documents")
-    val merges = trainedMerges(s, d, k = 8)
+    val merges = trainedMerges(s, d, k = QueryMerges)
     val perWord = docs
       .select(col("doc_id"), col("source"),
         explode(TextOps.tokens(col("text"))).as("w"))
@@ -250,11 +330,29 @@ object Bpe {
     * composition: production packs training sequences by real token
     * counts, not whitespace proxies (a doc's subword count under the
     * merges can differ from its word count by the whole morphology of
-    * the corpus). Same per-shard prefix-sum shape as q73; rows-only
-    * because the trained merges are engine-internal. */
-  val qBpePacking: Q = Q.noOracle("q81_bpe_packing") { (s, d) =>
+    * the corpus). Same per-shard prefix-sum shape as q73. */
+  private def q81OracleSql: String =
+    s"""WITH ${bpeOracleCtes(QueryMerges)},
+      |${bpeInstCtes(QueryMerges)},
+      |perdoc AS (
+      |  SELECT source, doc_id, sum(n_sub) AS doc_tokens
+      |  FROM inst JOIN subn USING (w)
+      |  GROUP BY source, doc_id),
+      |packed AS (
+      |  SELECT source, doc_id, doc_tokens,
+      |    (sum(doc_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |       ROWS UNBOUNDED PRECEDING) - 1) // ${Curation.PackBudget}
+      |      AS pack_id
+      |  FROM perdoc)
+      |SELECT source, CAST(pack_id AS BIGINT) AS pack_id,
+      |       count(*) AS n_docs,
+      |       CAST(sum(doc_tokens) AS BIGINT) AS pack_tokens
+      |FROM packed GROUP BY source, pack_id
+      |ORDER BY source, pack_id""".stripMargin
+
+  val qBpePacking: Q = Q("q81_bpe_packing", q81OracleSql) { (s, d) =>
     val docs = Tables.load(s, d, "documents")
-    val merges = trainedMerges(s, d, k = 8)
+    val merges = trainedMerges(s, d, k = QueryMerges)
     val perDoc = docs
       .select(col("doc_id"), col("source"),
         explode(TextOps.tokens(col("text"))).as("w"))

@@ -156,16 +156,27 @@ object NearDup {
   // -------------------------------------------------- MinHash + LSH
   // Signature construction is shuffle-free (k=32 pure hash expressions
   // over the shingle array); LSH banding (8 bands × 4 rows) induces the
-  // single candidate-generation shuffle. No DuckDB oracle — xxhash64 is
-  // engine-specific — so the driver records a rows-only check; the
-  // ScalaTest spec asserts recall against exact Jaccard instead.
+  // single candidate-generation shuffle.
+  //
+  // The k-th hash is TWO-LEVEL: base = xxhash64(shingle) once, then
+  // h_k = xxhash64(k, base) — an int lane + an 8-byte lane. vs the
+  // earlier xxhash64(k, shingle) form this hashes the ~30-byte shingle
+  // string ONCE instead of 32× (the per-k work drops to a fixed 8-byte
+  // lane, all codegen'd), and it is what made the q25 DuckDB oracle
+  // possible: the 8-byte lane is the short replicable formula
+  // (DuckHash.longLaneK1/longLaneFinish) while 32 full variable-length
+  // string hashes per shingle were prohibitive oracle-side. Min over a
+  // 64-bit universal-ish family per seed — the MinHash estimator is
+  // unchanged.
   val NumHashes = 32
   val NumBands = 8
   val RowsPerBand: Int = NumHashes / NumBands
 
-  def minhashSignature(sh: Column): Column =
+  def minhashSignature(sh: Column): Column = {
+    val base = transform(sh, s => xxhash64(s))
     array((0 until NumHashes).map(k =>
-      array_min(transform(sh, s => xxhash64(lit(k), s)))): _*)
+      array_min(transform(base, h => xxhash64(lit(k), h)))): _*)
+  }
 
   // THE one place the minhash signature, banded bucket hash, and
   // agreement estimate are defined (the withSimhash convention):
@@ -182,8 +193,9 @@ object NearDup {
     * fewer than 3 tokens have no shingles and are absent. */
   def minhashSigs(docs: DataFrame, id: String, text: Column): DataFrame = {
     val sh = shingleIndex(docs, id, text)
+      .withColumn("hb", xxhash64(col("s")))
     val minCols = (0 until NumHashes).map(k =>
-      min(xxhash64(lit(k), col("s"))).as(s"h$k"))
+      min(xxhash64(lit(k), col("hb"))).as(s"h$k"))
     sh.groupBy(id).agg(minCols.head, minCols.tail: _*)
       .select(col(id),
         array((0 until NumHashes).map(k => col(s"h$k")): _*).as("sig"))
@@ -204,7 +216,82 @@ object NearDup {
     size(filter(zip_with(a, b, (x, y) => x === y), e => e)) /
       lit(NumHashes.toDouble)
 
-  val qMinhashLsh: Q = Q.noOracle("q25_minhash_lsh") { (s, d) =>
+  /** DuckDB replica of the whole q25 pipeline: shingles → one string
+    * XXH64 per distinct shingle ([[graft.ops.DuckHash.strChain]]) → 32
+    * seeded 8-byte lanes (seed-independent k1 shared; the 32 int-lane
+    * seed constants come from Spark's own XXH64 via
+    * [[graft.ops.DuckHash.intLaneConst]]) → per-doc mins → band hash
+    * (int lane + 4 chained 8-byte lanes) → bucket join → agreement. */
+  /** Shared oracle CTE fragment: given a relation `docsrc` providing
+    * (doc_id, text), emits the CTE definitions sh / persd / minh /
+    * brow / bseed / bsrc / bands replicating shingles → two-level
+    * minhash (string chain once per distinct shingle, 32 seeded
+    * 8-byte lanes off the shared k1) → per-doc per-band hash (int
+    * lane + 4 chained long lanes). q25 composes the pair query on
+    * top; q92 composes the two-batch incremental fold. */
+  private[analytics] def minhashOracleCtes(docsrc: String): String = {
+    import graft.ops.DuckHash
+    val mask = (BigInt(1) << 64) - 1
+    val shSql =
+      s"""SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+        |      FROM $docsrc),
+        |     unnest(generate_series(1, len(t) - 2)) AS u(i)""".stripMargin
+    var hb = DuckHash.strChain("SELECT DISTINCT s FROM sh",
+      "s", "42", out = "sh_h")
+    hb = DuckHash.longLaneK1(hb, "sh_h", "__k1")
+    // 32 seed lanes: C_k = xxhash64(int k, 42) as UBIGINT
+    val seedRows = (0 until NumHashes).map(k =>
+      s"($k, ${BigInt(DuckHash.intLaneConst(k)) & mask}::UBIGINT)")
+      .mkString(", ")
+    var ps = s"SELECT * FROM ($hb) CROSS JOIN " +
+      s"(VALUES $seedRows) seeds(k, __ck)"
+    ps = DuckHash.longLaneFinish(ps, "__k1", "__ck", "h")
+    val bandSeeds = (0 until NumBands).map(b =>
+      s"($b, ${DuckHash.intLaneConst(b)}::BIGINT)").mkString(", ")
+    var bh = "SELECT * FROM bsrc"
+    for (i <- 1 to RowsPerBand) {
+      val seed = if (i == 1) "bsd" else s"s${i - 1}"
+      bh = DuckHash.longChainSeeded(bh, s"e$i", seed, out = s"s$i")
+    }
+    s"""sh AS ($shSql),
+       |persd AS (SELECT s, k, h FROM ($ps)),
+       |minh AS (
+       |  SELECT sh.doc_id, p.k, min(p.h) AS mh
+       |  FROM sh JOIN persd p USING (s)
+       |  GROUP BY sh.doc_id, p.k),
+       |brow AS (
+       |  SELECT doc_id, CAST(k // $RowsPerBand AS INTEGER) AS band_idx,
+       |    ${(1 to RowsPerBand).map(r =>
+      s"max(CASE WHEN k % $RowsPerBand = ${r - 1} THEN mh END) AS e$r")
+      .mkString(",\n    ")}
+       |  FROM minh GROUP BY doc_id, k // $RowsPerBand),
+       |bseed AS (SELECT * FROM (VALUES $bandSeeds) v(band_idx, bsd)),
+       |bsrc AS (SELECT b.*, s.bsd FROM brow b JOIN bseed s USING (band_idx)),
+       |bands AS (SELECT doc_id, band_idx, s$RowsPerBand AS band_hash
+       |          FROM ($bh))""".stripMargin
+  }
+
+  private def q25OracleSql: String = {
+    val est = Exact.dec4Sql(Exact.halfUpDivSql("n_agree*10000", "32"))
+    s"""WITH ${minhashOracleCtes("documents")},
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |   AND a.doc_id < b.doc_id),
+       |agree AS (
+       |  SELECT c.a_id, c.b_id,
+       |         sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS n_agree
+       |  FROM cand c
+       |  JOIN minh ma ON ma.doc_id = c.a_id
+       |  JOIN minh mb ON mb.doc_id = c.b_id AND mb.k = ma.k
+       |  GROUP BY c.a_id, c.b_id)
+       |SELECT a_id, b_id, $est AS est_jaccard
+       |FROM agree WHERE n_agree >= 13 ORDER BY a_id, b_id""".stripMargin
+  }
+
+  val qMinhashLsh: Q = Q("q25_minhash_lsh", q25OracleSql) { (s, d) =>
     val sigs = minhashSigs(T(s, d, "documents"), "doc_id", col("text"))
       .persist()
     val bands = minhashBandRows(sigs, "doc_id").persist()
@@ -224,9 +311,16 @@ object NearDup {
     val sb = sigs.select(col("doc_id").as("b_id"), col("sig").as("sig_b"))
     candidates
       .join(sa, Seq("a_id")).join(sb, Seq("b_id"))
+      // agreement kept in exact integer space (n of 32 positions): the
+      // ≥0.4 threshold is n ≥ 13, and the estimate renders as a fixed
+      // 4-decimal string (computed doubles are hash-fragile — Exact)
       .select(col("a_id"), col("b_id"),
-        sigAgreement(col("sig_a"), col("sig_b")).as("est_jaccard"))
-      .filter(col("est_jaccard") >= 0.4)
+        size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), e => e)).as("n_agree"))
+      .filter(col("n_agree") >= lit((0.4 * NumHashes).ceil.toInt))
+      .select(col("a_id"), col("b_id"),
+        Exact.dec4(Exact.halfUpDiv(col("n_agree") * 10000, lit(32)))
+          .as("est_jaccard"))
       .orderBy("a_id", "b_id")
   }
 
@@ -313,7 +407,70 @@ object NearDup {
       }.reduce(_ + _).as("simhash"))
   }
 
-  val qSimhash: Q = Q.noOracle("q26_simhash") { (s, d) =>
+  /** DuckDB replica of q26: distinct-token XXH64s (string chain, one
+    * per distinct token corpus-wide, joined back), per-(doc,bit)
+    * set-bit majorities, banding with the same MaxBucket window cap,
+    * Hamming verify via native bit_count/xor. */
+  private def q26OracleSql: String = {
+    import graft.ops.DuckHash
+    val u = "18446744073709551616"
+    val tokh = DuckHash.strChain(
+      "SELECT DISTINCT tok FROM (SELECT unnest(list_distinct(" +
+        "regexp_split_to_array(text, '\\s+'))) AS tok FROM documents)",
+      "tok", "42", out = "h")
+    s"""WITH tokh AS ($tokh),
+       |dt AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    regexp_split_to_array(text, '\\s+'))) AS tok
+       |  FROM documents),
+       |dth AS (SELECT dt.doc_id,
+       |          CAST((tokh.h::HUGEINT % $u + $u) % $u AS UBIGINT) AS hu
+       |        FROM dt JOIN tokh USING (tok)),
+       |cnts AS (
+       |  SELECT doc_id, b.bit,
+       |         sum(CAST((hu >> CAST(b.bit AS INTEGER)) & 1::UBIGINT
+       |             AS BIGINT)) AS c,
+       |         count(*) AS n
+       |  FROM dth, (SELECT unnest(range($SimBits)) AS bit) b
+       |  GROUP BY doc_id, b.bit),
+       |sim AS (
+       |  SELECT doc_id,
+       |         CAST(sum(CASE WHEN 2 * c > n THEN
+       |           (1::HUGEINT << CAST(bit AS INTEGER))
+       |           ELSE 0::HUGEINT END) AS HUGEINT) AS su
+       |  FROM cnts GROUP BY doc_id),
+       |sims AS (
+       |  SELECT doc_id,
+       |         CAST(CASE WHEN su >= ${BigInt(1) << 63} THEN su - $u
+       |              ELSE su END AS BIGINT) AS simhash,
+       |         CAST(su AS UBIGINT) AS shu
+       |  FROM sim),
+       |bands AS (
+       |  SELECT doc_id, simhash, b.band_idx,
+       |         CAST((shu >> CAST(16 * b.band_idx AS INTEGER))
+       |              & 65535::UBIGINT AS BIGINT) AS band_val
+       |  FROM sims, (SELECT unnest(range($SimBands)) AS band_idx) b),
+       |capped AS (
+       |  SELECT * FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY band_idx, band_val) AS bn
+       |    FROM bands) WHERE bn <= $MaxBucket),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM capped a JOIN capped b
+       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |   AND a.doc_id < b.doc_id),
+       |ham AS (
+       |  SELECT a_id, b_id,
+       |         bit_count(xor(sa.simhash, sb.simhash)) AS hamming
+       |  FROM cand
+       |  JOIN sims sa ON sa.doc_id = a_id
+       |  JOIN sims sb ON sb.doc_id = b_id)
+       |SELECT a_id, b_id, CAST(hamming AS INTEGER) AS hamming
+       |FROM ham WHERE hamming <= $MaxHamming ORDER BY a_id, b_id"""
+      .stripMargin
+  }
+
+  val qSimhash: Q = Q("q26_simhash", q26OracleSql) { (s, d) =>
     // persist: feeds the band index AND both per-pair hash lookups
     val sims = simhash(T(s, d, "documents"), "doc_id", col("text"))
       .persist()

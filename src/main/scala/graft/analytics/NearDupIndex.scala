@@ -231,10 +231,111 @@ object NearDupIndex {
   // idempotence, O(batch) appends) are asserted in NearDupIndexSpec.
   // Near-dup structure in the slice is MEASURED, not assumed (the
   // surviving replica-pair deltas are multiples of 4); re-slicing
-  // must re-verify that cross-crawl matches remain. xxhash64
-  // signatures are engine-specific → rows-only.
+  // must re-verify that cross-crawl matches remain.
+
+  /** DuckDB replica of the WHOLE two-crawl fold: the shared minhash
+    * CTEs ([[NearDup.minhashOracleCtes]] — string-chain shingle
+    * fingerprints, 32 seeded lanes, band hashes), then batch-0
+    * within-batch clustering (recursive min-label closure, the q35
+    * pattern), batch-1 history probe against batch-0 SURVIVORS with
+    * the deterministic per-doc candidate cap, agreement ≥ ½·32
+    * positions, and the cluster-anchor coalesce — decision for
+    * decision what [[ingestWithSigs]] computes through the store. */
+  private def q92OracleSql: String = {
+    val minAgree =
+      (SigAgreeThreshold * NearDup.NumHashes).ceil.toInt  // est ≥ 0.5
+    def agreePairs(cands: String, a: String, b: String) =
+      s"""SELECT c.$a, c.$b FROM ($cands) c
+         |  JOIN minh mx ON mx.doc_id = c.$a
+         |  JOIN minh my ON my.doc_id = c.$b AND my.k = mx.k
+         |  GROUP BY c.$a, c.$b
+         |  HAVING sum(CASE WHEN mx.mh = my.mh THEN 1 ELSE 0 END)
+         |         >= $minAgree""".stripMargin
+    def closure(tag: String, agreed: String) =
+      s"""edges$tag AS (
+         |  SELECT a_id AS a, b_id AS b FROM $agreed
+         |  UNION SELECT b_id, a_id FROM $agreed),
+         |r$tag(a, b) AS (
+         |  SELECT a, b FROM edges$tag
+         |  UNION
+         |  SELECT r$tag.a, e.b FROM r$tag JOIN edges$tag e
+         |    ON r$tag.b = e.a),
+         |comp$tag AS (SELECT a AS doc_id, min(b) AS mn
+         |             FROM r$tag GROUP BY a)""".stripMargin
+    s"""WITH RECURSIVE
+       |docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+       |${NearDup.minhashOracleCtes("docs")},
+       |bb AS (SELECT (max(doc_id) // 2) AS b1 FROM docs),
+       |dband AS (
+       |  SELECT bands.*,
+       |         CASE WHEN doc_id <= bb.b1 THEN 0 ELSE 1 END AS batch
+       |  FROM bands, bb),
+       |cand0 AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM dband a JOIN dband b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |   AND a.doc_id < b.doc_id
+       |  WHERE a.batch = 0 AND b.batch = 0),
+       |agree0 AS (${agreePairs("SELECT * FROM cand0", "a_id", "b_id")}),
+       |${closure("0", "agree0")},
+       |lab0 AS (
+       |  SELECT d.doc_id,
+       |         least(d.doc_id, coalesce(c.mn, d.doc_id)) AS keep_id
+       |  FROM docs d LEFT JOIN comp0 c USING (doc_id), bb
+       |  WHERE d.doc_id <= bb.b1),
+       |d0 AS (
+       |  SELECT doc_id,
+       |         CASE WHEN keep_id <> doc_id THEN keep_id END AS dup_of
+       |  FROM lab0),
+       |hist AS (SELECT doc_id FROM d0 WHERE dup_of IS NULL),
+       |cand1h AS (
+       |  SELECT DISTINCT n.doc_id, o.doc_id AS old_id
+       |  FROM dband n JOIN dband o
+       |    ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
+       |  JOIN hist h ON h.doc_id = o.doc_id
+       |  WHERE n.batch = 1 AND o.batch = 0),
+       |cap1 AS (
+       |  SELECT doc_id, old_id FROM (
+       |    SELECT doc_id, old_id, row_number() OVER (
+       |      PARTITION BY doc_id ORDER BY old_id) AS rn
+       |    FROM cand1h) WHERE rn <= $MaxCandidatesPerDoc),
+       |hagree AS (${agreePairs("SELECT * FROM cap1", "doc_id", "old_id")}),
+       |histmin AS (
+       |  SELECT doc_id, min(old_id) AS h_dup FROM hagree GROUP BY doc_id),
+       |cand1 AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM dband a JOIN dband b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |   AND a.doc_id < b.doc_id
+       |  WHERE a.batch = 1 AND b.batch = 1),
+       |agree1 AS (${agreePairs("SELECT * FROM cand1", "a_id", "b_id")}),
+       |${closure("1", "agree1")},
+       |lab1 AS (
+       |  SELECT d.doc_id,
+       |         least(d.doc_id, coalesce(c.mn, d.doc_id)) AS keep_id
+       |  FROM docs d LEFT JOIN comp1 c USING (doc_id), bb
+       |  WHERE d.doc_id > bb.b1),
+       |anch1 AS (
+       |  SELECT l.keep_id, min(h.h_dup) AS cluster_h
+       |  FROM lab1 l LEFT JOIN histmin h USING (doc_id)
+       |  GROUP BY l.keep_id),
+       |d1 AS (
+       |  SELECT l.doc_id,
+       |         coalesce(a.cluster_h, h.h_dup,
+       |           CASE WHEN l.keep_id <> l.doc_id THEN l.keep_id END)
+       |           AS dup_of
+       |  FROM lab1 l
+       |  LEFT JOIN anch1 a USING (keep_id)
+       |  LEFT JOIN histmin h USING (doc_id))
+       |SELECT doc_id, dup_of IS NOT NULL AS is_dup, dup_of,
+       |       CAST(batch AS BIGINT) AS batch_id
+       |FROM (SELECT *, 0 AS batch FROM d0
+       |      UNION ALL SELECT *, 1 AS batch FROM d1)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val qIncrementalNearDup: Q =
-    Q.noOracle("q92_incremental_neardup") { (s, d) =>
+    Q("q92_incremental_neardup", q92OracleSql) { (s, d) =>
       val store = new ModelStore(
         graft.pipeline.PipelineQuery.tempStoreDir())
       val docs = Tables.load(s, d, "documents")

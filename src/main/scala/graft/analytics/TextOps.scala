@@ -214,8 +214,44 @@ object TextOps {
   def rollingHash(tokensCol: Column): Column =
     aggregate(tokensCol, lit(0L), (acc, t) => xxhash64(acc, t))
 
-  // rows-only: the hash chain is engine-specific (xxhash64)
-  val qRollingFingerprint: Q = Q.noOracle("q38_rolling_fingerprint") {
+  /** DuckDB replica of the q38 chain: a RECURSIVE CTE walks token
+    * positions — each step seeds with xxhash64(acc-as-long, 42)
+    * ([[graft.ops.DuckHash.longChainSeeded]]) then hashes the token's
+    * UTF-8 run under that seed ([[graft.ops.DuckHash.strChain]]).
+    * Recursion (vs a fold lambda) keeps the rendered SQL linear: a
+    * full string hash inlined in a list_reduce lambda duplicates its
+    * argument per chain level and goes exponential. Total work is one
+    * chain step per token INSTANCE — the corpus token stream. The
+    * prefix fingerprint reads the same walk at pos = min(16, n). */
+  private def q38OracleSql: String = {
+    import graft.ops.DuckHash
+    var step = DuckHash.longChainSeeded(
+      "SELECT r.doc_id AS doc_id, r.pos + 1 AS pos, " +
+        "t.toks[r.pos + 1] AS __tk, r.acc AS __acc " +
+        "FROM roll r JOIN tok t USING (doc_id) WHERE r.pos < t.n",
+      "__acc", "42", out = "__sd1")
+    step = DuckHash.strChain(step, "__tk", "__sd1", out = "__acc2")
+    s"""WITH RECURSIVE
+       |tok AS (
+       |  SELECT doc_id, t AS toks, len(t) AS n
+       |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+       |        FROM documents)),
+       |roll AS (
+       |  SELECT doc_id, 0 AS pos, 0::BIGINT AS acc FROM tok
+       |  UNION ALL
+       |  SELECT doc_id, pos, __acc2 AS acc FROM ($step)
+       |)
+       |SELECT t.doc_id,
+       |       f.acc AS rolling_fp,
+       |       p.acc AS prefix16_fp,
+       |       CAST(t.n AS INTEGER) AS n_tokens
+       |FROM tok t
+       |JOIN roll f ON f.doc_id = t.doc_id AND f.pos = t.n
+       |JOIN roll p ON p.doc_id = t.doc_id AND p.pos = least(16, t.n)
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
+  val qRollingFingerprint: Q = Q("q38_rolling_fingerprint", q38OracleSql) {
     (s, d) =>
       val t = tokens(col("text"))
       T(s, d, "documents")
