@@ -193,21 +193,90 @@ object Quantiles {
   }
 
   // ------------------------------------------- percentile sketch
-  // Mergeable one-pass sketch (Spark's approx_percentile / Greenwald-
-  // Khanna): the path for high-cardinality value domains where the
-  // exact histogram would itself be shuffle-heavy. Engine-specific
-  // sketch ⇒ rows-only; QuantilesSpec bounds its rank error against
-  // the exact answer.
-  val qQuantileSketch: Q = Q.noOracle("q48_quantile_sketch") { (s, d) =>
-    nationCents(s, d)
-      .groupBy("n_name")
-      .agg(count(lit(1)).as("n_orders"),
-        percentile_approx(col("cents"), array(lit(0.5), lit(0.95)),
-          lit(10000)).as("qs"))
-      .select(col("n_name"), col("n_orders"),
-        Exact.dec2(col("qs").getItem(0)).as("p50_approx"),
-        Exact.dec2(col("qs").getItem(1)).as("p95_approx"))
-      .orderBy("n_name")
+  // Mergeable one-pass quantile sketch for high-cardinality value
+  // domains where the exact histogram would itself be shuffle-heavy:
+  // HdrHistogram-style integer LOG-BINNING — values below 2^(k+1) are
+  // their own bucket; above, a bucket is (octave, top-k-bits), so the
+  // bucket lower bound under-estimates the true value by at most
+  // 2^-k (k=6 → ≤1.6% relative error). Versus the earlier GK
+  // (percentile_approx) carrier this sketch is deterministic
+  // (GK merge results depend on partial-buffer arrival order),
+  // trivially mergeable at 100 TB (bucket counts ADD — a per-shard
+  // groupBy then a sum, no sketch-merge protocol), bounded at
+  // ~2^k·octaves rows, and integer-exact end to end — which is what
+  // makes the DuckDB oracle possible. QuantilesSpec bounds the
+  // relative value error against the exact answer.
+  val SubBucketBits = 6
+
+  private def q48OracleSql: String = {
+    val k = SubBucketBits
+    s"""WITH oc AS (
+      |  SELECT n.n_name, ${Exact.centsSql("o.o_totalprice")} AS cents
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+      |b1 AS (SELECT n_name, cents, length(bin(cents)) - 1 AS e FROM oc),
+      |bx AS (
+      |  SELECT n_name,
+      |    CASE WHEN e <= $k THEN cents
+      |         ELSE (e - $k) * ${1L << k} + (cents >> (e - $k)) END AS idx,
+      |    CASE WHEN e <= $k THEN cents
+      |         ELSE (cents >> (e - $k)) << (e - $k) END AS rep
+      |  FROM b1),
+      |sk AS (SELECT n_name, idx, count(*) AS cnt, max(rep) AS rep
+      |       FROM bx GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT *,
+      |    sum(cnt) OVER (PARTITION BY n_name ORDER BY idx) AS cum,
+      |    sum(cnt) OVER (PARTITION BY n_name) AS n
+      |  FROM sk)
+      |SELECT n_name, CAST(max(n) AS BIGINT) AS n_orders,
+      |  ${Exact.dec2Sql("min(CASE WHEN cum >= (n+1)//2 THEN rep END)")}
+      |    AS p50_approx,
+      |  ${Exact.dec2Sql("min(CASE WHEN cum >= (n*95+99)//100 THEN rep END)")}
+      |    AS p95_approx
+      |FROM cum GROUP BY n_name ORDER BY n_name""".stripMargin
+  }
+
+  val qQuantileSketch: Q = Q("q48_quantile_sketch", q48OracleSql) {
+    (s, d) =>
+      val k = SubBucketBits
+      // floor(log2 v) without libm: bit length of the binary rendering
+      val binned = nationCents(s, d)
+        .withColumn("e", length(bin(col("cents"))) - 1)
+        .select(col("n_name"),
+          when(col("e") <= k, col("cents")).otherwise(
+            (col("e") - k).cast("long") * (1L << k) +
+              call_function("shiftright", col("cents"), col("e") - k))
+            .as("idx"),
+          when(col("e") <= k, col("cents")).otherwise(
+            call_function("shiftleft",
+              call_function("shiftright", col("cents"), col("e") - k),
+              col("e") - k)).as("rep"))
+      // THE sketch: bucket counts (mergeable by addition); rep is a
+      // function of idx so max() just carries it through the groupBy
+      val sketch = binned.groupBy("n_name", "idx")
+        .agg(count(lit(1)).as("cnt"), max("rep").as("rep"))
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy("n_name").orderBy("idx")
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy("n_name")
+      // rank rules shared with the exact q47 (lower median, ceil ranks);
+      // rep is monotone in idx, so min() over qualifying buckets is the
+      // first bucket whose cumulative count crosses the rank
+      sketch
+        .withColumn("cum", sum("cnt").over(wOrd))
+        .withColumn("n", sum("cnt").over(wAll))
+        .groupBy("n_name")
+        .agg(max("n").as("n_orders"),
+          min(when(col("cum") >= rankP50(col("n")), col("rep")))
+            .as("p50c"),
+          min(when(col("cum") >= rankP95(col("n")), col("rep")))
+            .as("p95c"))
+        .select(col("n_name"), col("n_orders"),
+          Exact.dec2(col("p50c")).as("p50_approx"),
+          Exact.dec2(col("p95c")).as("p95_approx"))
+        .orderBy("n_name")
   }
 
   // ------------------------------------------- decile binning

@@ -510,14 +510,116 @@ object RefQueries {
   // fixed-size sketch per group. Sketch estimates are engine-specific
   // → rows-only driver check; ApproxSpec bounds the relative error
   // against the exact count.
-  val q33ApproxDistinct: Q = Q.noOracle("q33_approx_distinct") { (s, d) =>
-    T(s, d, "events")
-      .groupBy("event_type")
-      .agg(
-        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-        countDistinct(col("user_id")).as("exact_users"),
-        count(lit(1)).as("n_events"))
-      .orderBy("event_type")
+  // --------------------------------- approximate distinct (HLL sketch)
+  // EXPLICIT-REGISTER HyperLogLog instead of the opaque
+  // approx_count_distinct buffer: register index = top p hash bits,
+  // rho = leading-zero run of the remaining window (+1), registers
+  // max-merged — a real mergeable sketch (register rows ADD-merge
+  // across shards/batches with one more max-groupBy; the built-in's
+  // binary buffer can't be inspected, persisted to a model table, or
+  // cross-checked). Every step is integer arithmetic except the final
+  // harmonic fold, which both engines evaluate as the SAME IEEE ops in
+  // the SAME register order (sorted fold of exact 2^-reg terms), so
+  // the estimate — including the linear-counting branch, table-driven
+  // to keep libm out of SQL — is bit-reproducible and DuckDB-checkable.
+  // m = 2^11 registers → ~2.3% standard error (HllSpec bounds it).
+  val HllP = 11
+  val HllM: Int = 1 << HllP
+  private val HllWinBits = 64 - HllP
+  private val HllAlphaM2: Double =
+    0.7213 / (1.0 + 1.079 / HllM) * HllM.toDouble * HllM.toDouble
+  // linear-counting values m·ln(m/V), computed ONCE here and shared by
+  // engine (broadcast-joined literal frame) and oracle (VALUES list) —
+  // the two sides must use identical doubles, and shortest-repr
+  // round-trips exactly through both literal parsers
+  private[queries] val HllLcTable: Seq[(Int, Double)] =
+    (1 until HllM).map(v => v -> HllM * math.log(HllM.toDouble / v))
+
+  private def q33OracleSql: String = {
+    val u = "18446744073709551616"
+    val hashed = graft.ops.DuckHash.chain(
+      "SELECT DISTINCT event_type, user_id FROM events", "user_id")
+    val lcRows = HllLcTable.map { case (v, d) => s"($v, $d)" }
+      .mkString(", ")
+    s"""WITH hh AS ($hashed),
+       |rb AS (
+       |  SELECT event_type,
+       |    CAST(hu >> $HllWinBits AS BIGINT) AS idx,
+       |    CAST(hu & ${(1L << HllWinBits) - 1}::UBIGINT AS BIGINT) AS wv
+       |  FROM (SELECT event_type,
+       |          CAST((xxh::HUGEINT % $u + $u) % $u AS UBIGINT) AS hu
+       |        FROM hh)),
+       |regs AS (
+       |  SELECT event_type, idx,
+       |    max(CASE WHEN wv = 0 THEN ${HllWinBits + 1}
+       |        ELSE ${HllWinBits + 1} - length(bin(wv)) END) AS reg
+       |  FROM rb GROUP BY 1, 2),
+       |gr AS (
+       |  SELECT event_type, count(*) AS np,
+       |    list(1.0 / CAST(1::BIGINT << reg AS DOUBLE) ORDER BY idx)
+       |      AS terms
+       |  FROM regs GROUP BY event_type),
+       |ss AS (
+       |  SELECT event_type, $HllM - np AS v0,
+       |    list_reduce(list_prepend(CAST($HllM - np AS DOUBLE), terms),
+       |      (a, x) -> a + x) AS ssum
+       |  FROM gr),
+       |lc(v0, lcv) AS (SELECT * FROM (VALUES $lcRows)),
+       |est AS (
+       |  SELECT s.event_type,
+       |    CASE WHEN s.v0 > 0 AND $HllAlphaM2 / s.ssum <= ${2.5 * HllM}
+       |         THEN l.lcv ELSE $HllAlphaM2 / s.ssum END AS es
+       |  FROM ss s LEFT JOIN lc l USING (v0)),
+       |ex AS (
+       |  SELECT event_type,
+       |    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       |    CAST(count(*) AS BIGINT) AS n_events
+       |  FROM events GROUP BY 1)
+       |SELECT e.event_type,
+       |  CAST(floor(e.es + 0.5) AS BIGINT) AS approx_users,
+       |  x.exact_users, x.n_events
+       |FROM est e JOIN ex x USING (event_type)
+       |ORDER BY event_type""".stripMargin
+  }
+
+  val q33ApproxDistinct: Q = Q("q33_approx_distinct", q33OracleSql) {
+    (s, d) =>
+      val h = xxhash64(col("user_id"))
+      val wv = h.bitwiseAND(lit((1L << HllWinBits) - 1))
+      val regs = T(s, d, "events")
+        .select(col("event_type"),
+          shiftrightunsigned(h, HllWinBits).as("idx"),
+          when(wv === 0L, lit(HllWinBits + 1))
+            .otherwise(lit(HllWinBits + 1) - length(bin(wv))).as("rho"))
+        .groupBy("event_type", "idx").agg(max("rho").as("reg"))
+      val folded = regs
+        .groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("idx"), col("reg"))))
+          .as("rs"))
+        .select(col("event_type"),
+          (lit(HllM) - size(col("rs"))).as("v0"),
+          aggregate(col("rs"),
+            (lit(HllM) - size(col("rs"))).cast("double"),
+            (acc, x) => acc + lit(1.0) /
+              call_function("shiftleft", lit(1L), x.getField("reg"))
+                .cast("double")).as("ssum"))
+      val lcDf = {
+        import s.implicits._
+        HllLcTable.toDF("v0", "lcv")
+      }
+      val est0 = lit(HllAlphaM2) / col("ssum")
+      val approx = folded
+        .join(broadcast(lcDf), Seq("v0"), "left")
+        .select(col("event_type"),
+          floor(when(col("v0") > 0 && est0 <= lit(2.5 * HllM),
+            col("lcv")).otherwise(est0) + lit(0.5)).cast("long")
+            .as("approx_users"))
+      val exact = T(s, d, "events")
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          count(lit(1)).as("n_events"))
+      approx.join(exact, Seq("event_type"))
+        .orderBy("event_type")
   }
 
   // Exact companion of q33, oracle-checked (the HLL estimate above is

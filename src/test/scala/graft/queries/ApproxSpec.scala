@@ -4,8 +4,9 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
 
-/** HLL++ approximate distinct must track the exact count within the
-  * configured relative standard deviation (with slack). */
+/** The explicit-register HLL estimate must track the exact count
+  * within its design standard error (~1.04/√m ≈ 2.3% at m = 2^11,
+  * asserted with slack). */
 class ApproxSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
 
