@@ -71,6 +71,30 @@ class BpeSpec extends AnyFunSuite {
     assert(q.map(_.getInt(0)).toSeq == (1 to 8))
   }
 
+  test("oracle data-margin guard: ASCII corpus, k live merge rounds") {
+    // The q78/q79/q81 DuckDB oracle breaks ties in the per-round
+    // argmax lexicographically; Scala compares UTF-16 code units while
+    // DuckDB compares UTF-8 bytes, and the two orders coincide only
+    // when every symbol stays in ASCII. It also unrolls exactly
+    // Bpe.QueryMerges rounds, which requires the corpus to sustain
+    // that many non-empty pair tables. A regenerated testdata corpus
+    // that violates either assumption must fail HERE with a named
+    // reason, not at the driver gate as an opaque hash mismatch.
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
+      val words = Bpe.wordTable(
+        graft.io.Tables.load(spark, d, "documents"), "text")
+        .select("w").collect().map(_.getString(0))
+      val nonAscii = words.filter(_.exists(_ >= 0x80))
+      assert(nonAscii.isEmpty,
+        s"$d: non-ASCII tokens would decouple Scala/DuckDB collation " +
+          s"in the BPE argmax tie-break: ${nonAscii.take(3).mkString(",")}")
+      assert(Bpe.trainedMerges(spark, d, Bpe.QueryMerges)
+        .length == Bpe.QueryMerges,
+        s"$d: corpus ran out of pairs before ${Bpe.QueryMerges} rounds " +
+          "(the unrolled oracle assumes k live rounds)")
+    }
+  }
+
   test("persisted tokenizer artifact round-trips: loaded merges " +
       "tokenize exactly like the in-memory ones") {
     import org.apache.spark.sql.functions._
