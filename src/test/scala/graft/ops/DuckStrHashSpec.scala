@@ -109,6 +109,39 @@ class DuckStrHashSpec extends AnyFunSuite {
     }
   }
 
+  test("string formula matches Spark on a seeded random sweep " +
+    "(every length residue, multibyte, long tails)") {
+    // deterministic pseudo-random corpus: every length 0..96 plus a
+    // long tail, mixed ASCII / 2-byte / 3-byte code points — exercises
+    // every (stripes × 8-byte × 4-byte × 1-byte) tail combination the
+    // fixed edge list can't enumerate
+    val rnd = new scala.util.Random(0xD5EADBEEFL)
+    val alphabet = ('a' to 'z') ++ ('0' to '9') ++ "éüßñ中文日λπΩ"
+    val cases = (0 to 96).map { n =>
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length)))
+        .mkString
+    } ++ (1 to 40).map { _ =>
+      val n = 97 + rnd.nextInt(160)
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length)))
+        .mkString
+    }
+    val got = cases.toDF("s")
+      .select(col("s"), xxhash64(col("s")).as("h0"),
+        xxhash64(lit(3), col("s")).as("h1"),
+        xxhash64(lit(-7L), col("s")).as("h2"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    cases.foreach { s =>
+      val b = s.getBytes("UTF-8")
+      assert(got(s)._1 == xxh64Bytes(b, 42L), s"plain len=${b.length}")
+      assert(got(s)._2 ==
+        xxh64Bytes(b, DuckHash.intLaneConst(3)), s"int-seed len=${b.length}")
+      assert(got(s)._3 ==
+        xxh64Bytes(b, xxh64LongSeeded(-7L, 42L)), s"long-seed len=${b.length}")
+    }
+  }
+
   test("intLaneConst delegates to Spark's own int lane") {
     val got = (0 until 32).toDF("k")
       .select(col("k"), xxhash64(col("k")).as("h"))
