@@ -78,6 +78,28 @@ class QuantilesSpec extends AnyFunSuite {
     }
   }
 
+  test("sketch plan orders buckets, never raw fact rows") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Sort, Window => LWindow}
+    // same scale discipline as the exact path: the cumulative walk and
+    // final ORDER BY operate on the BUCKETED sketch (≤ ~2^6·octaves
+    // rows per group), so every Window/Sort must sit above the bucket
+    // Aggregate — a formulation that windows or sorts the raw join
+    // output would put one below and fail here
+    val lp = Quantiles.qQuantileSketch.build(spark, Dir)
+      .queryExecution.optimizedPlan
+    val ordering = lp.collect {
+      case w: LWindow => w.asInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
+      case s: Sort => s.asInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
+    }
+    assert(ordering.nonEmpty)
+    ordering.foreach { node =>
+      assert(node.collect { case a: Aggregate => a }.nonEmpty,
+        s"ordering operator below the bucket aggregate:\n$node")
+    }
+  }
+
   test("exact plan aggregates the histogram, not sorted rows") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Sort, Window => LWindow}
     val lp = Quantiles.qExactPercentiles.build(spark, Dir)
