@@ -91,8 +91,12 @@ object Bench {
     // Iteration aid: SPARK_GRAFT_ONLY=q34,q92 restricts the sweep to
     // queries whose name starts with one of the comma-separated
     // prefixes. Unset (the driver's invocation) runs everything.
+    // a set-but-empty var (e.g. an unset shell interpolation) must
+    // mean "everything", not "nothing" — a zero-query sweep would
+    // print an empty result and skip the detail artifact silently
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
     def selected(name: String): Boolean =
       only.forall(_.exists(name.startsWith))
     // Dry pre-sweep at the smallest scale factor: run every query once

@@ -413,7 +413,6 @@ object NearDup {
     * Hamming verify via native bit_count/xor. */
   private def q26OracleSql: String = {
     import graft.ops.DuckHash
-    val u = "18446744073709551616"
     val tokh = DuckHash.strChain(
       "SELECT DISTINCT tok FROM (SELECT unnest(list_distinct(" +
         "regexp_split_to_array(text, '\\s+'))) AS tok FROM documents)",
@@ -423,8 +422,7 @@ object NearDup {
        |  SELECT doc_id, unnest(list_distinct(
        |    regexp_split_to_array(text, '\\s+'))) AS tok
        |  FROM documents),
-       |dth AS (SELECT dt.doc_id,
-       |          CAST((tokh.h::HUGEINT % $u + $u) % $u AS UBIGINT) AS hu
+       |dth AS (SELECT dt.doc_id, ${DuckHash.toU("tokh.h")} AS hu
        |        FROM dt JOIN tokh USING (tok)),
        |cnts AS (
        |  SELECT doc_id, b.bit,
@@ -441,8 +439,8 @@ object NearDup {
        |  FROM cnts GROUP BY doc_id),
        |sims AS (
        |  SELECT doc_id,
-       |         CAST(CASE WHEN su >= ${BigInt(1) << 63} THEN su - $u
-       |              ELSE su END AS BIGINT) AS simhash,
+       |         ${graft.ops.DuckHash.toSigned("CAST(su AS UBIGINT)")}
+       |           AS simhash,
        |         CAST(su AS UBIGINT) AS shu
        |  FROM sim),
        |bands AS (

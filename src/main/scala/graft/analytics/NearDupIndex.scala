@@ -56,6 +56,18 @@ object NearDupIndex {
     * the same bounded-candidates trade [[NearDup.MaxBucket]] makes. */
   val MaxCandidatesPerDoc = 256
 
+  /** Version stamp of the signature family persisted in the index.
+    * The minhash definition changed once already (per-k string hash →
+    * two-level `xxhash64(k, xxhash64(shingle))`): signatures from
+    * different families NEVER collide in bands or agree positionally,
+    * so probing pre-upgrade history would silently classify every
+    * re-crawl as novel — permanent corpus duplication with no error.
+    * The stamp makes that failure LOUD instead (the same
+    * stored-meta-pins-the-layout discipline as
+    * [[IncrementalDedup]]'s `ps_keys`/`ps_bits` sketch parameters). */
+  val SigFamily: String =
+    s"minhash2-k${NearDup.NumHashes}-b${NearDup.NumBands}"
+
   /** Batch-side BAND-row bound for the broadcast probe arm: under it
     * the batch band rows broadcast against the scan-local history
     * bands (history never shuffles); over it — a TB-scale crawl — the
@@ -89,15 +101,13 @@ object NearDupIndex {
     } finally sigs.unpersist(): Unit
   }
 
-  // Phase timings to stderr (diagnostics, same convention as
-  // Pipeline.materializeModel's [pipeline-io] lines).
-  private def timed[T](phase: String)(body: => T): T = {
-    val t0 = System.nanoTime()
-    val r = body
-    System.err.println(f"[ndindex] $phase " +
-      f"${(System.nanoTime() - t0) / 1e9}%.2f s")
-    r
-  }
+  // Phase timings to stderr + job labeling (graft.ops.PhaseTimer —
+  // the one shared stopwatch convention with Pipeline's
+  // [pipeline-io] lines).
+  private def timed[T](spark: SparkSession, phase: String)(
+      body: => T): T =
+    graft.ops.PhaseTimer.timed(spark, s"[ndindex] $phase",
+      s"ndindex $phase")(body)
 
   private def ingestWithSigs(spark: SparkSession, store: ModelStore,
       layer: String, name: String, docs: DataFrame, id: String,
@@ -106,7 +116,7 @@ object NearDupIndex {
     val bands = bandRows(sigs, "doc_id")
     // materializes the sigs cache; gates the probe-join arm (bands are
     // exactly NumBands rows per signed doc)
-    val nBandRows = timed("sig-count")(sigs.count()) * NumBands
+    val nBandRows = timed(spark, "sig-count")(sigs.count()) * NumBands
     def gate(df: DataFrame): DataFrame =
       if (nBandRows <= broadcastMaxBandRows) broadcast(df)
       else df.hint("shuffle_hash")
@@ -116,6 +126,12 @@ object NearDupIndex {
     // gate (the history is hash-probed in place, never exchanged) and
     // shuffle-hash above it
     val histPairs = store.read(spark, layer, s"${name}_sigs").map { hist =>
+      val fam = store.meta(spark, layer, s"${name}_sigs", "sig_family")
+      require(fam.contains(SigFamily),
+        s"near-dup index '$layer.${name}_sigs' holds signatures of " +
+          s"family ${fam.getOrElse("<unstamped>")} but this engine " +
+          s"computes $SigFamily; cross-family probing would silently " +
+          "miss every historical match — rebuild the index from text")
       val histBands = bandRows(
         hist.select(col("doc_id").as("old_id"), col("sig")), "old_id")
       val cands = histBands.join(
@@ -150,7 +166,7 @@ object NearDupIndex {
         Seq("b_id"))
       .filter(sigAgree(col("sa"), col("sb")) >= threshold)
       .select("a_id", "b_id")
-    val labels = timed("batch-cluster")(
+    val labels = timed(spark, "batch-cluster")(
       NearDup.clusterPairs(batchPairs)) // (doc_id, keep_id)
 
     // a cluster is anchored to history if ANY member matched it; the
@@ -162,7 +178,7 @@ object NearDupIndex {
     val histMin = histPairs.getOrElse(
       sigs.select(col("doc_id"), lit(null).cast("long").as("h_dup"))
         .limit(0)).persist()
-    timed("histmin-materialize")(histMin.count())
+    timed(spark, "histmin-materialize")(histMin.count())
     val anchors = labels.join(histMin, Seq("doc_id"), "left")
       .groupBy("keep_id").agg(min("h_dup").as("cluster_h"))
 
@@ -185,7 +201,7 @@ object NearDupIndex {
           .as("dup_of"))
       .withColumn("is_dup", col("dup_of").isNotNull)
       .withColumn("batch_id", lit(batchId))
-    val decidedCp = timed("decide-checkpoint")(decided0.localCheckpoint())
+    val decidedCp = timed(spark, "decide-checkpoint")(decided0.localCheckpoint())
     histMin.unpersist()
 
     // ---- survivors extend the index as one linked batch partition.
@@ -195,11 +211,12 @@ object NearDupIndex {
     // — the same empty-trigger guard as sink().
     val survivors = decidedCp.filter(!col("is_dup")).select("doc_id")
     val survivorSigs = sigs.join(survivors, Seq("doc_id"), "left_semi")
-    if (!timed("survivor-empty-check")(survivorSigs.isEmpty)) {
-      timed("sig-append-write") {
+    if (!timed(spark, "survivor-empty-check")(survivorSigs.isEmpty)) {
+      timed(spark, "sig-append-write") {
         store.writeTouchedPartitions(
           survivorSigs.withColumn("ingest_batch", lit(batchId)),
-          layer, s"${name}_sigs", partitionBy = Seq("ingest_batch"))
+          layer, s"${name}_sigs", partitionBy = Seq("ingest_batch"),
+          meta = Map("sig_family" -> SigFamily))
       }
       store.vacuum(spark, layer, s"${name}_sigs", keepLast = 2)
     }

@@ -220,19 +220,12 @@ object Pipeline {
       ref: String => DataFrame,
       vars: Map[String, String],
       meta: Map[String, String] = Map.empty): Unit = {
-    // Phase timings to stderr (diagnostics; stdout stays Bench-clean).
-    def timed[T](phase: String)(body: => T): T = {
-      val t0 = System.nanoTime()
-      // label the phase's jobs (thread-local, models run one per pool
-      // thread) so profilers/UIs attribute work to pipeline phases
-      spark.sparkContext.setJobDescription(
-        s"pipeline ${m.layer}.${m.name} $phase")
-      val r =
-        try body finally spark.sparkContext.setJobDescription(null)
-      System.err.println(f"[pipeline-io] ${m.layer}.${m.name} $phase " +
-        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
-      r
-    }
+    // Phase timings to stderr + job labeling (graft.ops.PhaseTimer —
+    // the one shared stopwatch convention)
+    def timed[T](phase: String)(body: => T): T =
+      graft.ops.PhaseTimer.timed(spark,
+        s"[pipeline-io] ${m.layer}.${m.name} $phase",
+        s"pipeline ${m.layer}.${m.name} $phase")(body)
     val existing =
       if (mode == RunMode.Incremental) store.read(spark, m.layer, m.name)
       else None

@@ -135,12 +135,15 @@ object DuckHash {
   private def addU(a: String, b: String): String =
     s"CAST(((($a)::HUGEINT + ($b)::HUGEINT) % $U) AS UBIGINT)"
 
-  /** Signed BIGINT expr → UBIGINT (bit pattern). */
-  private def toU(x: String): String =
+  /** Signed BIGINT expr → UBIGINT (bit pattern). Public so oracle
+    * builders reuse THE wrap-conversion convention instead of
+    * re-inlining the 2^64 constants (a drift here must reach every
+    * replica at once). */
+  def toU(x: String): String =
     s"CAST(((CAST($x AS HUGEINT) % $U + $U) % $U) AS UBIGINT)"
 
-  /** UBIGINT expr → signed BIGINT (bit pattern). */
-  private def toSigned(x: String): String =
+  /** UBIGINT expr → signed BIGINT (bit pattern); public, see [[toU]]. */
+  def toSigned(x: String): String =
     s"CAST(CASE WHEN $x >= 9223372036854775808::UBIGINT " +
       s"THEN ($x)::HUGEINT - $U ELSE ($x)::HUGEINT END AS BIGINT)"
 

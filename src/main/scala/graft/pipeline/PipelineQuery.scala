@@ -60,9 +60,17 @@ object PipelineQuery {
     * helper only serves the self-contained demo/benchmark queries. */
   private val scratchBase: Option[java.nio.file.Path] = {
     val shm = java.nio.file.Paths.get("/dev/shm")
-    if (java.nio.file.Files.isDirectory(shm) &&
-        java.nio.file.Files.isWritable(shm)) Some(shm)
-    else None
+    // capacity gate, not just writability: containers commonly mount a
+    // 64 MB /dev/shm, where data-sized scratch writes would ENOSPC
+    // mid-query — below the floor the stores stay on java.io.tmpdir
+    val minUsable = 4L << 30
+    try {
+      if (java.nio.file.Files.isDirectory(shm) &&
+          java.nio.file.Files.isWritable(shm) &&
+          java.nio.file.Files.getFileStore(shm)
+            .getUsableSpace >= minUsable) Some(shm)
+      else None
+    } catch { case _: java.io.IOException => None }
   }
   private[graft] def tempStoreDir(): String = {
     val dir = scratchBase match {

@@ -536,7 +536,6 @@ object RefQueries {
     (1 until HllM).map(v => v -> HllM * math.log(HllM.toDouble / v))
 
   private def q33OracleSql: String = {
-    val u = "18446744073709551616"
     val hashed = graft.ops.DuckHash.chain(
       "SELECT DISTINCT event_type, user_id FROM events", "user_id")
     val lcRows = HllLcTable.map { case (v, d) => s"($v, $d)" }
@@ -546,8 +545,7 @@ object RefQueries {
        |  SELECT event_type,
        |    CAST(hu >> $HllWinBits AS BIGINT) AS idx,
        |    CAST(hu & ${(1L << HllWinBits) - 1}::UBIGINT AS BIGINT) AS wv
-       |  FROM (SELECT event_type,
-       |          CAST((xxh::HUGEINT % $u + $u) % $u AS UBIGINT) AS hu
+       |  FROM (SELECT event_type, ${graft.ops.DuckHash.toU("xxh")} AS hu
        |        FROM hh)),
        |regs AS (
        |  SELECT event_type, idx,

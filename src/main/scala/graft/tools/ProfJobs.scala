@@ -28,8 +28,12 @@ object ProfJobs {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         starts.put(j.jobId, j.time): Unit
       override def onJobEnd(j: SparkListenerJobEnd): Unit = {
-        Option(starts.get(j.jobId)).foreach { t0 =>
-          jobWall += j.time - t0; nJobs += 1
+        // NOTE: Option(chm.get) is a DEAD guard on a primitive-valued
+        // map — Scala unboxes the missing-entry null to 0L, so a
+        // missed start would add epoch-millis to jobWall; test
+        // presence explicitly
+        if (starts.containsKey(j.jobId)) {
+          jobWall += j.time - starts.get(j.jobId); nJobs += 1
         }
       }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {

@@ -31,8 +31,12 @@ object ProfJobs2 {
       override def onJobEnd(e: SparkListenerJobEnd): Unit =
         Option(jobs.get(e.jobId)).foreach(j => j.wall = e.time - j.t0)
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
-        Option(stageToJob.get(e.stageInfo.stageId))
-          .flatMap(id => Option(jobs.get(id))).foreach { j =>
+        // presence test, not Option(get): the Int-valued map unboxes a
+        // missing entry's null to 0, which would misattribute an
+        // unknown stage to jobId 0
+        (if (stageToJob.containsKey(e.stageInfo.stageId))
+          Option(jobs.get(stageToJob.get(e.stageInfo.stageId)))
+        else None).foreach { j =>
             j.task += e.stageInfo.taskMetrics.executorRunTime
             j.nStages += 1
           }

@@ -56,6 +56,31 @@ class NearDupIndexSpec extends AnyFunSuite {
     d1.unpersist(); d2.unpersist(); base.unpersist(): Unit
   }
 
+  test("a foreign-family signature store fails LOUD, not silently " +
+      "novel") {
+    // pre-upgrade (or foreign-engine) signatures never band-collide
+    // with this engine's two-level minhash: probing them would
+    // classify every re-crawl as novel and permanently duplicate the
+    // corpus. The sig_family meta stamp turns that into an immediate
+    // error.
+    val root = Files.createTempDirectory("graft-ndidx").toString
+    val store = new ModelStore(root)
+    val base = docs.limit(50).persist()
+    NearDupIndex.ingest(spark, store, "nd", "idx", base, "doc_id",
+      col("text"), 0L).count()
+    // simulate a store written by a different signature family
+    val hijacked = store.read(spark, "nd", "idx_sigs").get
+    store.write(hijacked, "nd", "idx_sigs",
+      meta = Map("sig_family" -> "minhash1-legacy"))
+    val e = intercept[IllegalArgumentException] {
+      NearDupIndex.ingest(spark, store, "nd", "idx", base, "doc_id",
+        col("text"), 1L).count()
+    }
+    assert(e.getMessage.contains("minhash1-legacy") &&
+      e.getMessage.contains(NearDupIndex.SigFamily))
+    base.unpersist()
+  }
+
   test("within-batch clusters keep the smallest id; history anchoring " +
       "claims the whole cluster") {
     val root = Files.createTempDirectory("graft-ndidx2").toString
