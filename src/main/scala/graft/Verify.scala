@@ -10,8 +10,14 @@ object Verify {
     require(args.length >= 2,
       "usage: graft.Verify <sfDir> <outDir> [q1,q2,...]")
     val Array(sfDir, outDir) = args.take(2)
+    // trim + drop empties: "q34, q92" must select q92, and a stray
+    // trailing comma must not silently select nothing (Bench's
+    // SPARK_GRAFT_ONLY parser has the same contract)
     val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
+      if (args.length > 2)
+        Some(args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet)
+          .filter(_.nonEmpty)
+      else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.SparkTuning(SparkSession.builder())
       .master(s"local[$cpus]")

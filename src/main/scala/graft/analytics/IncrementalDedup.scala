@@ -261,12 +261,18 @@ object IncrementalDedup {
     } finally { winners.unpersist(); () }
     // read back from the committed version: the returned plan must not
     // re-probe history (a lazy re-evaluation after the commit would see
-    // its own batch and return empty)
+    // its own batch and return empty). localCheckpoint (eager)
+    // materializes it so the frame no longer references the version
+    // path a LATER fold's keepLast=2 vacuum deletes — a caller holding
+    // fold N's result across fold N+2 would otherwise hit
+    // FileNotFoundException (the NearDupIndex decide-checkpoint
+    // discipline; the batch-sized payload is bounded).
     store.read(spark, layer, name).get
       .filter(col("ingest_batch") === batchId)
       // partition-dir column inference narrows small ids to int —
       // pin the declared type
       .withColumn("ingest_batch", col("ingest_batch").cast("long"))
+      .localCheckpoint()
   }
 
   /** foreachBatch sink: forever-dedup at ingest. Where

@@ -240,12 +240,19 @@ object VectorOps {
     * join, and multi-band hits dedup through one candidate-bounded
     * (q_id, vec_id) aggregate before top-k. */
   def lshBands(emb: DataFrame, dims: Int, bands: Int): DataFrame =
-    // n2 rides in the same projection as the generator: Catalyst
-    // evaluates non-generator expressions in the Generate node's child
-    // project, so the 64-element self-dot runs once per VECTOR — a
-    // post-explode select would run it once per band row (`bands`×)
-    emb.select(col("vec_id"), quantize(col("embedding")).as("qv"),
-        norm2Q(quantize(col("embedding"))).as("n2"),
+    // qv is aliased in its OWN projection first (the withQuant form):
+    // quantize is a lambda-bearing HOF, excluded from subexpression
+    // elimination, so inlining it under norm2Q's self-dot would run
+    // the 64-element transform 3× per vector. n2 then rides in the
+    // same projection as the generator: Catalyst evaluates
+    // non-generator expressions in the Generate node's child project,
+    // so the self-dot runs once per VECTOR — a post-explode select
+    // would run it once per band row (`bands`×). CollapseProject
+    // leaves the two-step shape alone (it refuses to duplicate
+    // non-cheap aliased expressions).
+    emb.select(col("vec_id"), col("embedding"),
+        quantize(col("embedding")).as("qv"))
+      .select(col("vec_id"), col("qv"), norm2Q(col("qv")).as("n2"),
         explode(array((0 until bands).map(bd =>
           struct(lit(bd).as("band_idx"),
             lshBucket(col("embedding"), dims, seed = bd).as("bucket"))): _*))

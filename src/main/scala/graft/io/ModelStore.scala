@@ -206,7 +206,12 @@ final class ModelStore(val root: String) {
     val base = new Path(versionDir(layer, name, cur))
     val fs = fsFor(spark, base)
     def check(p: Path, cols: Seq[String]): Boolean = cols match {
-      case Seq() => true
+      // the LEAF level must hold data, not further col= dirs: a stored
+      // layout DEEPER than the declared partitionBy (the scheme
+      // changed between runs) must fail the check, or the pruned write
+      // would commit a version mixing two partition depths
+      case Seq() => !fs.listStatus(p).exists(s =>
+        s.isDirectory && s.getPath.getName.contains("="))
       case c +: rest =>
         val entries = fs.listStatus(p).toSeq
         val dirs = entries.filter(s =>

@@ -32,15 +32,25 @@ object Tables {
     * immutable source directories (the driver's testdata; amplified
     * copies are written once, then read); a session restart gets a
     * fresh identity key, so no plans leak across sessions. */
+  private final case class CachedPlan(session: SparkSession,
+      df: DataFrame)
   private val planCache = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String, String), DataFrame]()
+    (Int, String, String), CachedPlan]()
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (sys.env.get("GRAFT_TUNE_PLANCACHE").contains("off"))
       loadUncached(spark, sfDir, name) // A/B toggle (SparkTuning doc)
-    else planCache.computeIfAbsent(
-      (System.identityHashCode(spark), sfDir, name),
-      _ => loadUncached(spark, sfDir, name))
+    else {
+      // opportunistic purge: entries of STOPPED sessions can never be
+      // reused (identity key) but would pin the session and grow the
+      // map for the JVM lifetime; the map is small (live sessions ×
+      // tables), so the scan is cheap
+      planCache.forEach((k, v) =>
+        if (v.session.sparkContext.isStopped) { planCache.remove(k); () })
+      planCache.computeIfAbsent(
+        (System.identityHashCode(spark), sfDir, name),
+        _ => CachedPlan(spark, loadUncached(spark, sfDir, name))).df
+    }
 
   private def loadUncached(spark: SparkSession, sfDir: String,
       name: String): DataFrame = {

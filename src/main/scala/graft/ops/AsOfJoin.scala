@@ -58,7 +58,13 @@ object AsOfJoin {
     // NULLs together, which would hand their payload to NULL-key left
     // rows — an equality-key match SQL (and the DuckDB ASOF oracle)
     // never produces. NULL-key left rows keep NULL payload instead.
-    val rTagged = right.filter(col(key).isNotNull).select(
+    // NULL-TIME right rows are excluded too: `orderBy(asc)` sorts
+    // NULLs first, so such a row would precede every real row of its
+    // key and its payload would back-fill left rows that have NO
+    // earlier match — SQL ASOF (`lt >= rt` is NULL for NULL rt) never
+    // matches them.
+    val rTagged = right
+      .filter(col(key).isNotNull && col(rightTime).isNotNull).select(
       leftCols.map(c =>
         if (c == key) col(key)
         else lit(null).cast(left.schema(c).dataType).as(c)) ++

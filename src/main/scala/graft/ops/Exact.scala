@@ -31,9 +31,14 @@ object Exact {
   // All portable rounding goes through halfUpDiv below instead.
 
   /** Integer floor division (positive divisor). Kept in long range —
-    * the double round-trip is exact below 2^53. */
+    * the double round-trip is exact below 2^53. A zero divisor yields
+    * NULL — the same thing DuckDB's `//` does — instead of the ANSI
+    * DIVIDE_BY_ZERO error Spark 4 would raise from `pmod` (an empty
+    * document's `length(text)` denominator must not kill the query on
+    * one engine while the oracle NULLs it on the other). */
   def floorDiv(a: Column, b: Column): Column =
-    ((a - pmod(a, b)) / b).cast("long")
+    when(b === 0, lit(null).cast("long"))
+      .otherwise(((a - pmod(a, b)) / b).cast("long"))
 
   /** round(num/den) HALF_UP in exact integer space (num ≥ 0, den > 0):
     * floor((2·num + den) / (2·den)). This is how all money rounding is

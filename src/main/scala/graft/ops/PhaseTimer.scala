@@ -14,9 +14,14 @@ object PhaseTimer {
       body: => T): T = {
     val t0 = System.nanoTime()
     // thread-local: concurrent phases (model pool threads) label
-    // independently
+    // independently. RESTORE the prior description rather than
+    // clearing — a nested timed must not strip its enclosing phase's
+    // label from the jobs that follow it.
+    val prev = spark.sparkContext
+      .getLocalProperty("spark.job.description")
     spark.sparkContext.setJobDescription(jobDesc)
-    val r = try body finally spark.sparkContext.setJobDescription(null)
+    val r = try body
+      finally spark.sparkContext.setJobDescription(prev)
     System.err.println(
       f"$logLine ${(System.nanoTime() - t0) / 1e9}%.2f s")
     r

@@ -49,6 +49,21 @@ class IncrementalDedupSpec extends AnyFunSuite {
       8L -> 2L))
   }
 
+  test("a fold's returned frame survives two later folds' vacuums") {
+    // applyBatch returns an eager localCheckpoint: a LAZY read-back
+    // would be pinned to its store version's path, which keepLast=2
+    // vacuuming deletes two folds later — the caller holding fold-0's
+    // result across fold 2 would hit FileNotFoundException
+    val st = store()
+    val kept0 = IncrementalDedup.applyBatch(spark, st, "d", "fps",
+      docs(1L -> "alpha", 2L -> "beta"), 0L)
+    IncrementalDedup.applyBatch(spark, st, "d", "fps",
+      docs(3L -> "gamma"), 1L): Unit
+    IncrementalDedup.applyBatch(spark, st, "d", "fps",
+      docs(4L -> "delta"), 2L): Unit
+    assert(keptIds(kept0) === Set(1L, 2L))
+  }
+
   test("a later-batch duplicate is dropped; its return reflects it") {
     val st = store()
     IncrementalDedup.applyBatch(spark, st, "d", "fps",

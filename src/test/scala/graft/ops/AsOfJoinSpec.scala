@@ -95,6 +95,26 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got == Map(1L -> None, 2L -> Some(200L)))
   }
 
+  test("NULL-time right rows never match (NULLS-FIRST must not " +
+      "back-fill no-match left rows)") {
+    // SQL ASOF semantics: `lt >= rt` is NULL for a NULL rt, so a
+    // NULL-time right row matches nothing. The window form sorts NULLs
+    // first — unfiltered, that row's payload would back-fill every
+    // left row BEFORE the key's first real match.
+    val left = Seq((1L, ts(10), "a"), (1L, ts(30), "b"))
+      .toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, Option.empty[Timestamp], 999L),   // NULL time: must not match
+      (1L, Some(ts(20)), 200L))
+      .toDF("k", "rt", "v")
+    val out = AsOfJoin.asOf(left, right, "k", "t", "rt", Seq("v"))
+      .orderBy("t")
+      .select("tag", "v").as[(String, Option[Long])].collect()
+    assert(out.toSeq == Seq(
+      ("a", None),        // before any real right row — NOT 999
+      ("b", Some(200L))))
+  }
+
   test("one shuffle on the key: no range-join or cartesian in the plan") {
     val left = Seq((1L, ts(1), "x")).toDF("k", "t", "tag")
     val right = Seq((1L, ts(1), 1L)).toDF("k", "rt", "v")

@@ -37,6 +37,19 @@ class ExactSpec extends AnyFunSuite {
     }
   }
 
+  test("zero divisor yields NULL (DuckDB `// 0` parity, not an ANSI " +
+      "error)") {
+    // an empty document's length(text)=0 denominator must NULL the
+    // ratio — the same thing the DuckDB oracle's `//` does — not kill
+    // the whole query with Spark 4's ANSI DIVIDE_BY_ZERO
+    val out = Seq((10L, 0L), (10L, 2L)).toDF("n", "d")
+      .select(Exact.halfUpDiv(col("n"), col("d")).as("h"),
+        Exact.floorDiv(col("n"), col("d")).as("f"))
+      .collect()
+    assert(out(0).isNullAt(0) && out(0).isNullAt(1))
+    assert(out(1).getLong(0) == 5L && out(1).getLong(1) == 5L)
+  }
+
   test("cents is exact for 2-decimal doubles") {
     val cs = lcg(7).take(2000).map(x => math.abs(x) % 1000000000L).toSeq
     val got = cs.map(_ / 100.0).toDF("x")

@@ -224,6 +224,12 @@ class PipelineSpec extends AnyFunSuite {
     // so the NEXT incremental run can prune
     assert(store.hasPartitionLayout(spark, "silver", "orders_cleaned",
       Seq("order_year", "order_month")))
+    // a layout DEEPER than the declared scheme must fail too: a
+    // PREFIX of the stored columns passing the check would route the
+    // pruned write into a version mixing two partition depths
+    // ("Conflicting directory structures" on the next read)
+    assert(!store.hasPartitionLayout(spark, "silver", "orders_cleaned",
+      Seq("order_year")))
   }
 
   test("append strategy (no uniqueKey) accumulates rows across runs") {
