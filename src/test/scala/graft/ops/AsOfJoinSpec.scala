@@ -42,7 +42,11 @@ class AsOfJoinSpec extends AnyFunSuite {
       (rnd.nextInt(20).toLong, ts(rnd.nextInt(1000).toLong), i.toLong))
       .toDF("k", "t", "row_id")
     val right = Seq.tabulate(150)(i =>
-      (rnd.nextInt(20).toLong, ts(rnd.nextInt(1000).toLong),
+      (rnd.nextInt(20).toLong,
+        // ~1/8 NULL times: must match NOTHING (the SQL `rt <= t`
+        // brute force below is NULL-safe false for them)
+        if (rnd.nextInt(8) == 0) None
+        else Some(ts(rnd.nextInt(1000).toLong)),
         // ~1/4 NULL payload values: the matched row's NULL must
         // survive verbatim, never backfilled from an older row
         if (rnd.nextInt(4) == 0) None else Some(i.toLong)))
