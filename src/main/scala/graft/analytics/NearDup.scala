@@ -216,19 +216,16 @@ object NearDup {
     size(filter(zip_with(a, b, (x, y) => x === y), e => e)) /
       lit(NumHashes.toDouble)
 
-  /** DuckDB replica of the whole q25 pipeline: shingles → one string
-    * XXH64 per distinct shingle ([[graft.ops.DuckHash.strChain]]) → 32
-    * seeded 8-byte lanes (seed-independent k1 shared; the 32 int-lane
-    * seed constants come from Spark's own XXH64 via
-    * [[graft.ops.DuckHash.intLaneConst]]) → per-doc mins → band hash
-    * (int lane + 4 chained 8-byte lanes) → bucket join → agreement. */
   /** Shared oracle CTE fragment: given a relation `docsrc` providing
     * (doc_id, text), emits the CTE definitions sh / persd / minh /
     * brow / bseed / bsrc / bands replicating shingles → two-level
-    * minhash (string chain once per distinct shingle, 32 seeded
-    * 8-byte lanes off the shared k1) → per-doc per-band hash (int
-    * lane + 4 chained long lanes). q25 composes the pair query on
-    * top; q92 composes the two-batch incremental fold. */
+    * minhash — one string XXH64 per distinct shingle
+    * ([[graft.ops.DuckHash.strChain]]), then 32 seeded 8-byte lanes
+    * off the shared seed-independent k1, with the int-lane seed
+    * constants taken from Spark's own XXH64 via
+    * [[graft.ops.DuckHash.intLaneConst]] — and the per-doc per-band
+    * hash (int lane + 4 chained long lanes). q25 composes the pair
+    * query on top; q92 composes the two-batch incremental fold. */
   private[analytics] def minhashOracleCtes(docsrc: String): String = {
     import graft.ops.DuckHash
     val mask = (BigInt(1) << 64) - 1
@@ -439,7 +436,7 @@ object NearDup {
        |  FROM cnts GROUP BY doc_id),
        |sims AS (
        |  SELECT doc_id,
-       |         ${graft.ops.DuckHash.toSigned("CAST(su AS UBIGINT)")}
+       |         ${DuckHash.toSigned("CAST(su AS UBIGINT)")}
        |           AS simhash,
        |         CAST(su AS UBIGINT) AS shu
        |  FROM sim),
