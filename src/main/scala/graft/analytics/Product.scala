@@ -121,21 +121,25 @@ object Product {
   // runs over |days| rows only.
   val qUserGrowth: Q = Q(
     "q85_user_growth",
-    """WITH f AS (
+    """WITH ev AS (SELECT * FROM events WHERE ts IS NOT NULL),
+      |f AS (
       |  SELECT user_id, min(CAST(ts AS DATE)) AS d
-      |  FROM events GROUP BY user_id),
+      |  FROM ev GROUP BY user_id),
       |nu AS (SELECT d, CAST(count(*) AS BIGINT) AS new_users
       |       FROM f GROUP BY d),
       |au AS (SELECT CAST(ts AS DATE) AS d,
       |         CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
-      |       FROM events GROUP BY 1)
+      |       FROM ev GROUP BY 1)
       |SELECT au.d, COALESCE(nu.new_users, 0) AS new_users,
       |  CAST(sum(COALESCE(nu.new_users, 0)) OVER (ORDER BY au.d
       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users,
       |  au.active_users
       |FROM au LEFT JOIN nu ON au.d = nu.d
       |ORDER BY au.d""".stripMargin) { (s, d) =>
-    val events = T(s, d, "events")
+    // a timestamp-less event carries no activity date — and a NULL
+    // date group would land at opposite ends of the cumulative window
+    // on the two engines (Spark NULLS FIRST, DuckDB NULLS LAST)
+    val events = T(s, d, "events").filter(col("ts").isNotNull)
     val nu = events.groupBy("user_id")
       .agg(min(col("ts").cast("date")).as("d"))
       .groupBy("d").agg(count(lit(1)).as("new_users"))

@@ -24,20 +24,33 @@ object Temporal {
   // oracle is DuckDB's native ASOF LEFT JOIN over the same snapshot.
   val qAsOfJoin: Q = Q(
     "q43_asof_join",
+    // NULL-time rows route AROUND the ASOF on both sides: SQL
+    // comparison semantics (NULL >= rt, lt >= NULL → no match) are
+    // what the engine's AsOfJoin implements, but DuckDB's ASOF
+    // operator resolves NULL probe times engine-specifically — so the
+    // oracle unions NULL-ts left rows back with NULL payload and drops
+    // NULL-ts purchases, matching the engine's documented exclusions.
     """WITH purchases AS (
       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS last_purchase_ts,
       |    max(value) AS last_purchase_value
-      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
-      |SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
-      |  e.event_type, p.last_purchase_ts,
-      |  CAST((epoch_us(CAST(e.ts AS TIMESTAMP))
-      |        - epoch_us(p.last_purchase_ts)) // 1000000 AS BIGINT)
-      |    AS secs_since_purchase,
-      |  p.last_purchase_value
-      |FROM events e ASOF LEFT JOIN purchases p
-      |  ON e.user_id = p.user_id
-      |    AND CAST(e.ts AS TIMESTAMP) >= p.last_purchase_ts
-      |ORDER BY event_id""".stripMargin) { (s, d) =>
+      |  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+      |  GROUP BY 1, 2),
+      |j AS (
+      |  SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+      |    e.event_type, p.last_purchase_ts, p.last_purchase_value
+      |  FROM (SELECT * FROM events WHERE ts IS NOT NULL) e
+      |  ASOF LEFT JOIN purchases p
+      |    ON e.user_id = p.user_id
+      |      AND CAST(e.ts AS TIMESTAMP) >= p.last_purchase_ts
+      |  UNION ALL
+      |  SELECT event_id, user_id, CAST(NULL AS TIMESTAMP) AS ts,
+      |    event_type, CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE)
+      |  FROM events WHERE ts IS NULL)
+      |SELECT event_id, user_id, ts, event_type, last_purchase_ts,
+      |  CAST((epoch_us(ts) - epoch_us(last_purchase_ts)) // 1000000
+      |    AS BIGINT) AS secs_since_purchase,
+      |  last_purchase_value
+      |FROM j ORDER BY event_id""".stripMargin) { (s, d) =>
     val ev = T(s, d, "events")
     val purchases = ev.filter(col("event_type") === "purchase")
       .groupBy(col("user_id"), col("ts").as("last_purchase_ts"))

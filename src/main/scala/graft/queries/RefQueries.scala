@@ -471,13 +471,17 @@ object RefQueries {
       |            OVER (PARTITION BY user_id
       |              ORDER BY CAST(ts AS TIMESTAMP), event_id))
       |          > 1800000000 THEN 1 ELSE 0 END AS is_new
-      |    FROM events) g) t
+      |    FROM events WHERE ts IS NOT NULL) g) t
       |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     // gap in exact microseconds (a seconds cast would truncate and
     // disagree with the oracle on sub-second boundaries)
     val gap = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
     T(s, d, "events")
+      // an event with no timestamp belongs to no session — and the
+      // engines would otherwise ORDER it differently (Spark windows
+      // sort NULLS FIRST, DuckDB NULLS LAST), shifting every session id
+      .filter(col("ts").isNotNull)
       .withColumn("is_new",
         when(lag(col("ts"), 1).over(w).isNull, 1)
           .when(gap > 1800L * 1000000L, 1).otherwise(0))
@@ -493,11 +497,18 @@ object RefQueries {
   // ------------------------------------------------------ JSON extraction
   val q18JsonExtract: Q = Q(
     "q18_json_extract",
+    // malformed/nested-prop tolerance: Spark's get_json_object NULLs
+    // invalid JSON while DuckDB's json_extract raises — the oracle
+    // guards with json_valid; a nested object under $.k survives
+    // extraction as a string on both engines and must TRY_CAST to
+    // NULL, not kill the query (Spark 4 ANSI cast throws)
     """SELECT event_id,
-      |  CAST(json_extract(props, '$.k') AS INTEGER) AS prop_k,
-      |  CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_mod
+      |  TRY_CAST(CASE WHEN json_valid(props)
+      |    THEN json_extract(props, '$.k') END AS INTEGER) AS prop_k,
+      |  TRY_CAST(CASE WHEN json_valid(props)
+      |    THEN json_extract(props, '$.k') END AS INTEGER) % 10 AS k_mod
       |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
-    val k = get_json_object(col("props"), "$.k").cast(IntegerType)
+    val k = expr("try_cast(get_json_object(props, '$.k') AS int)")
     T(s, d, "events")
       .select(col("event_id"), k.as("prop_k"), (k % 10).as("k_mod"))
       .orderBy("event_id")
@@ -536,8 +547,14 @@ object RefQueries {
     (1 until HllM).map(v => v -> HllM * math.log(HllM.toDouble / v))
 
   private def q33OracleSql: String = {
+    // NULL user_ids are EXCLUDED from the sketch, matching
+    // count(DISTINCT user_id)'s null-skip: unfiltered, Spark's
+    // xxhash64 would skip the null child (register of the bare seed —
+    // counting null as one "user") while the oracle's chain would
+    // propagate NULL — three different answers on one corpus
     val hashed = graft.ops.DuckHash.chain(
-      "SELECT DISTINCT event_type, user_id FROM events", "user_id")
+      "SELECT DISTINCT event_type, user_id FROM events " +
+        "WHERE user_id IS NOT NULL", "user_id")
     val lcRows = HllLcTable.map { case (v, d) => s"($v, $d)" }
       .mkString(", ")
     s"""WITH hh AS ($hashed),
@@ -573,10 +590,10 @@ object RefQueries {
        |    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
        |    CAST(count(*) AS BIGINT) AS n_events
        |  FROM events GROUP BY 1)
-       |SELECT e.event_type,
-       |  CAST(floor(e.es + 0.5) AS BIGINT) AS approx_users,
+       |SELECT x.event_type,
+       |  coalesce(CAST(floor(e.es + 0.5) AS BIGINT), 0) AS approx_users,
        |  x.exact_users, x.n_events
-       |FROM est e JOIN ex x USING (event_type)
+       |FROM ex x LEFT JOIN est e USING (event_type)
        |ORDER BY event_type""".stripMargin
   }
 
@@ -584,7 +601,10 @@ object RefQueries {
     (s, d) =>
       val h = xxhash64(col("user_id"))
       val wv = h.bitwiseAND(lit((1L << HllWinBits) - 1))
+      // null users excluded — the sketch must count what
+      // countDistinct counts (see the oracle-side note)
       val regs = T(s, d, "events")
+        .filter(col("user_id").isNotNull)
         .select(col("event_type"),
           shiftrightunsigned(h, HllWinBits).as("idx"),
           when(wv === 0L, lit(HllWinBits + 1))
@@ -616,7 +636,13 @@ object RefQueries {
         .groupBy("event_type")
         .agg(countDistinct(col("user_id")).as("exact_users"),
           count(lit(1)).as("n_events"))
-      approx.join(exact, Seq("event_type"))
+      // exact drives the join: a group whose user_ids are ALL null has
+      // no registers, but must surface with approx 0 (= its exact
+      // count), not vanish
+      exact.join(approx, Seq("event_type"), "left")
+        .select(col("event_type"),
+          coalesce(col("approx_users"), lit(0L)).as("approx_users"),
+          col("exact_users"), col("n_events"))
         .orderBy("event_type")
   }
 
