@@ -30,7 +30,11 @@ object Quantiles {
 
   /** Per-nation order-total cents: the shared input of q47/q48. */
   private def nationCents(s: SparkSession, d: String): DataFrame =
+    // NULL amounts carry no rank: a NULL cents row would shift the
+    // engines' percentile targets differently (rank counts include it
+    // on one side only) — excluded like any aggregate ignores NULLs
     T(s, d, "orders")
+      .filter(col("o_totalprice").isNotNull)
       .join(T(s, d, "customer"), col("o_custkey") === col("c_custkey"))
       .join(broadcast(T(s, d, "nation")),
         col("c_nationkey") === col("n_nationkey"))
@@ -54,7 +58,8 @@ object Quantiles {
       |  SELECT n.n_name, ${Exact.centsSql("o.o_totalprice")} AS cents
       |  FROM orders o
       |  JOIN customer c ON o.o_custkey = c.c_custkey
-      |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  WHERE o.o_totalprice IS NOT NULL),
       |r AS (
       |  SELECT n_name, cents,
       |    row_number() OVER (PARTITION BY n_name ORDER BY cents) AS rk,
@@ -129,7 +134,8 @@ object Quantiles {
       |  SELECT n.n_name, ${Exact.centsSql("o.o_totalprice")} AS cents
       |  FROM orders o
       |  JOIN customer c ON o.o_custkey = c.c_custkey
-      |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  WHERE o.o_totalprice IS NOT NULL),
       |r AS (
       |  SELECT n_name, cents,
       |    row_number() OVER (PARTITION BY n_name ORDER BY cents) AS rk,
@@ -214,14 +220,18 @@ object Quantiles {
       |  SELECT n.n_name, ${Exact.centsSql("o.o_totalprice")} AS cents
       |  FROM orders o
       |  JOIN customer c ON o.o_custkey = c.c_custkey
-      |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
-      |b1 AS (SELECT n_name, cents, length(bin(cents)) - 1 AS e FROM oc),
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  WHERE o.o_totalprice IS NOT NULL),
+      |b1 AS (SELECT n_name, cents, abs(cents) AS av,
+      |              length(bin(abs(cents))) - 1 AS e FROM oc),
       |bx AS (
       |  SELECT n_name,
-      |    CASE WHEN e <= $k THEN cents
-      |         ELSE (e - $k) * ${1L << k} + (cents >> (e - $k)) END AS idx,
-      |    CASE WHEN e <= $k THEN cents
-      |         ELSE (cents >> (e - $k)) << (e - $k) END AS rep
+      |    CASE WHEN cents < 0 THEN -1 ELSE 1 END *
+      |    CASE WHEN e <= $k THEN av
+      |         ELSE (e - $k) * ${1L << k} + (av >> (e - $k)) END AS idx,
+      |    CASE WHEN cents < 0 THEN -1 ELSE 1 END *
+      |    CASE WHEN e <= $k THEN av
+      |         ELSE (av >> (e - $k)) << (e - $k) END AS rep
       |  FROM b1),
       |sk AS (SELECT n_name, idx, count(*) AS cnt, max(rep) AS rep
       |       FROM bx GROUP BY 1, 2),
@@ -241,18 +251,23 @@ object Quantiles {
   val qQuantileSketch: Q = Q("q48_quantile_sketch", q48OracleSql) {
     (s, d) =>
       val k = SubBucketBits
-      // floor(log2 v) without libm: bit length of the binary rendering
+      // floor(log2 |v|) without libm: bit length of the binary
+      // rendering. Sign-split: buckets index the MAGNITUDE and carry
+      // the sign (idx stays monotone in the value; a negative bucket's
+      // representative floors toward zero — |rep| ≤ |v| within 2^-k)
+      val sign = when(col("cents") < 0, lit(-1L)).otherwise(lit(1L))
       val binned = nationCents(s, d)
-        .withColumn("e", length(bin(col("cents"))) - 1)
+        .withColumn("av", abs(col("cents")))
+        .withColumn("e", length(bin(col("av"))) - 1)
         .select(col("n_name"),
-          when(col("e") <= k, col("cents")).otherwise(
+          (sign * when(col("e") <= k, col("av")).otherwise(
             (col("e") - k).cast("long") * (1L << k) +
-              call_function("shiftright", col("cents"), col("e") - k))
+              call_function("shiftright", col("av"), col("e") - k)))
             .as("idx"),
-          when(col("e") <= k, col("cents")).otherwise(
+          (sign * when(col("e") <= k, col("av")).otherwise(
             call_function("shiftleft",
-              call_function("shiftright", col("cents"), col("e") - k),
-              col("e") - k)).as("rep"))
+              call_function("shiftright", col("av"), col("e") - k),
+              col("e") - k))).as("rep"))
       // THE sketch: bucket counts (mergeable by addition); rep is a
       // function of idx so max() just carries it through the groupBy
       val sketch = binned.groupBy("n_name", "idx")

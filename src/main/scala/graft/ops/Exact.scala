@@ -40,17 +40,27 @@ object Exact {
     when(b === 0, lit(null).cast("long"))
       .otherwise(((a - pmod(a, b)) / b).cast("long"))
 
-  /** round(num/den) HALF_UP in exact integer space (num ≥ 0, den > 0):
-    * floor((2·num + den) / (2·den)). This is how all money rounding is
-    * done engine-side — double `round()` is not portable across engines
-    * (Spark rounds the shortest decimal string repr, DuckDB the binary
+  /** round(num/den) HALF_UP in exact integer space (den > 0), i.e.
+    * java.math HALF_UP: halves round AWAY from zero. Computed
+    * sign-symmetrically from |num| — floor((2·|num| + den)/(2·den))
+    * with the sign re-applied — because the two engines' integer
+    * division disagree below zero (Spark's pmod-based floorDiv FLOORS,
+    * DuckDB's `//` TRUNCATES toward zero: −949900//200 is −4749 there,
+    * −4750 here), so a direct formula would silently diverge on every
+    * negative amount. Double `round()` is not portable either (Spark
+    * rounds the shortest decimal string repr, DuckDB the binary
     * value; they disagree on decimal halves). */
-  def halfUpDiv(num: Column, den: Column): Column =
-    floorDiv(num * 2 + den, den * 2)
+  def halfUpDiv(num: Column, den: Column): Column = {
+    val q = floorDiv(abs(num) * 2 + den, den * 2)
+    when(num < 0, -q).otherwise(q)
+  }
 
-  /** DuckDB mirror of [[halfUpDiv]]. */
+  /** DuckDB mirror of [[halfUpDiv]] (|num| keeps `//` in the
+    * nonnegative range where truncation and floor agree). */
   def halfUpDivSql(num: String, den: String): String =
-    s"((($num)*2 + ($den)) // (($den)*2))"
+    s"(CASE WHEN ($num) < 0 " +
+      s"THEN -((abs($num)*2 + ($den)) // (($den)*2)) " +
+      s"ELSE ((($num)*2 + ($den)) // (($den)*2)) END)"
 
   // --------------------------------------- fixed-format STRING output
   // Raw doubles are a cross-engine hash hazard even when the VALUE is

@@ -75,6 +75,9 @@ object OlapQueries {
   // windows, after the daily pre-aggregation.
   val qMovingWindow: Q = Q(
     "q54_moving_window",
+    // a NULL order date has no day and would land at OPPOSITE ends of
+    // the ordered windows on the two engines (Spark NULLS FIRST,
+    // DuckDB NULLS LAST) — excluded on both sides
     s"""WITH daily AS (
       |  SELECT r_name AS region, CAST(o_orderdate AS DATE) AS day,
       |    sum(${Exact.centsSql("o_totalprice")}) AS cents
@@ -82,6 +85,7 @@ object OlapQueries {
       |  JOIN customer c ON o.o_custkey = c.c_custkey
       |  JOIN nation n ON c.c_nationkey = n.n_nationkey
       |  JOIN region r ON n.n_regionkey = r.r_regionkey
+      |  WHERE o.o_orderdate IS NOT NULL
       |  GROUP BY 1, 2)
       |SELECT region, day,
       |  ${Exact.dec2Sql("cents")} AS revenue,
@@ -91,6 +95,7 @@ object OlapQueries {
            " OVER (PARTITION BY region ORDER BY day), cents)")} AS dod_delta
       |FROM daily ORDER BY region, day""".stripMargin) { (s, d) =>
     val daily = starRevenue(s, d)
+      .filter(col("day").isNotNull)
       .groupBy(col("r_name").as("region"), col("day"))
       .agg(sum("cents").as("cents"))
     val ord = Window.partitionBy("region").orderBy("day")

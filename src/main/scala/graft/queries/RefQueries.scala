@@ -106,7 +106,7 @@ object RefQueries {
     "q04_string_clean",
     """SELECT c_custkey,
       |  upper(trim(c_name)) AS name_upper,
-      |  concat(trim(c_name), ' [', c_mktsegment, ']') AS display_name,
+      |  trim(c_name) || ' [' || c_mktsegment || ']' AS display_name,
       |  CAST(length(c_name) AS INTEGER) AS name_len,
       |  regexp_replace(c_name, '[^0-9]', '', 'g') AS digits,
       |  regexp_matches(c_name, '^Customer#[0-9]+$') AS is_wellformed,

@@ -24,7 +24,13 @@ class ExactSpec extends AnyFunSuite {
       (math.abs(p.head) % 1000000000L, math.abs(p(1)) % 100000L + 1L)
     }.toSeq
     val halves = Seq((5L, 10L), (15L, 10L), (25L, 10L), (1050L, 100L),
-      (0L, 7L), (999999999L, 1L))
+      (0L, 7L), (999999999L, 1L),
+      // negatives: HALF_UP rounds AWAY from zero, and the exact case
+      // -949900/200 = -4749.5 is where DuckDB's truncating `//` and
+      // Spark's flooring pmod used to disagree (adversarial-orders
+      // find: q06 on a negative price)
+      (-5L, 10L), (-15L, 10L), (-25L, 10L), (-949900L, 200L),
+      (-475000L, 100L), (-1L, 3L))
     val cases = rand ++ halves
     val got = cases.toDF("n", "d")
       .select(col("n"), col("d"), Exact.halfUpDiv(col("n"), col("d")))
