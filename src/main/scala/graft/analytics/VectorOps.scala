@@ -57,10 +57,23 @@ object VectorOps {
   /** Squared norm of a quantized vector (exact integer). */
   def norm2Q(a: Column): Column = dotQ(a, a)
 
-  /** Cosine similarity from quantized vectors (deterministic double). */
+  /** Cosine similarity from quantized vectors (deterministic double).
+    * A zero-norm vector (failed encoder output — real at corpus
+    * scale) is similar to NOTHING: cosine 0, not a query-killing
+    * ANSI divide-by-zero (Spark 4 raises even on double division) and
+    * not DuckDB's silent NULL — [[cosineSqlCase]] mirrors the same
+    * convention oracle-side. 0 never crosses a dedup threshold and
+    * ranks below any positively-correlated candidate in top-k. */
   def cosineQ(a: Column, b: Column, n2a: Column, n2b: Column): Column =
-    dotQ(a, b).cast("double") /
-      (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
+    when(n2a === 0 || n2b === 0, lit(0.0)).otherwise(
+      dotQ(a, b).cast("double") /
+        (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double"))))
+
+  /** DuckDB mirror of [[cosineQ]]'s zero-norm convention: wraps a
+    * cosine SQL expression so zero-norm operands yield 0.0 exactly
+    * like the engine (DuckDB's own x/0 is NULL, not an error). */
+  def cosineSqlCase(n2a: String, n2b: String, cosExpr: String): String =
+    s"CASE WHEN ($n2a) = 0 OR ($n2b) = 0 THEN 0.0 ELSE ($cosExpr) END"
 
   private def T(s: SparkSession, d: String, n: String): DataFrame =
     Tables.load(s, d, n)
@@ -93,10 +106,11 @@ object VectorOps {
       |  FROM base),
       |p AS (
       |  SELECT q.vec_id AS q_id, b.vec_id,
+      |    CASE WHEN q.n2 = 0 OR b.n2 = 0 THEN 0.0 ELSE
       |    CAST((SELECT sum(u.a*u.b)
       |          FROM (SELECT unnest(q.qv) a, unnest(b.qv) b) u) AS DOUBLE)
       |      / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
-      |      AS cos_sim
+      |      END AS cos_sim
       |  FROM n q, n b
       |  WHERE q.vec_id < $NumQueries AND b.vec_id <> q.vec_id)
       |SELECT q_id, vec_id, ${Exact.dbl4Sql("cos_sim")} AS cos_sim,
@@ -165,15 +179,18 @@ object VectorOps {
       |  FROM embeddings WHERE vec_id % 50 = 0)
       |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
       |  ${Exact.dbl4Sql(
-             """CAST((SELECT sum(u.x*u.y)
-      |        FROM (SELECT unnest(a.qv) x, unnest(b.qv) y) u) AS DOUBLE)
-      |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))""")}
-      |    AS cos_sim,
-      |  a.label = b.label AS same_label,
-      |  CAST((SELECT sum(u.x*u.y)
+             """CASE WHEN a.n2 = 0 OR b.n2 = 0 THEN 0.0 ELSE
+      |    CAST((SELECT sum(u.x*u.y)
       |        FROM (SELECT unnest(a.qv) x, unnest(b.qv) y) u) AS DOUBLE)
       |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
-      |    >= 0.95 AS is_near_dup
+      |    END""")}
+      |    AS cos_sim,
+      |  a.label = b.label AS same_label,
+      |  CASE WHEN a.n2 = 0 OR b.n2 = 0 THEN 0.0 ELSE
+      |    CAST((SELECT sum(u.x*u.y)
+      |        FROM (SELECT unnest(a.qv) x, unnest(b.qv) y) u) AS DOUBLE)
+      |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+      |    END >= 0.95 AS is_near_dup
       |FROM n a, n b WHERE a.vec_id < b.vec_id
       |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
     val n = withQuant(T(s, d, "embeddings"))
@@ -316,10 +333,11 @@ object VectorOps {
       |  WHERE qb.vec_id < $NumQueries AND cb.vec_id <> qb.vec_id),
       |p AS (
       |  SELECT c.q_id, c.vec_id,
+      |    CASE WHEN q.n2 = 0 OR b.n2 = 0 THEN 0.0 ELSE
       |    CAST((SELECT sum(u.a*u.b)
       |          FROM (SELECT unnest(q.qv) a, unnest(b.qv) b) u) AS DOUBLE)
       |      / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
-      |      AS cos_sim
+      |      END AS cos_sim
       |  FROM cand c JOIN n q ON q.vec_id = c.q_id
       |  JOIN n b ON b.vec_id = c.vec_id)
       |SELECT q_id, vec_id, ${Exact.dbl4Sql("cos_sim")} AS cos_sim,
@@ -458,8 +476,9 @@ object VectorOps {
     s"(SELECT sum(u.a*u.b) FROM (SELECT unnest($a) a, unnest($b) b) u)"
   private def cosSql(qv: String, cqv: String, n2: String, cn2: String)
       : String =
-    s"CAST(${dotSql(qv, cqv)} AS DOUBLE) / " +
-      s"(sqrt(CAST($n2 AS DOUBLE)) * sqrt(CAST($cn2 AS DOUBLE)))"
+    cosineSqlCase(n2, cn2,
+      s"CAST(${dotSql(qv, cqv)} AS DOUBLE) / " +
+        s"(sqrt(CAST($n2 AS DOUBLE)) * sqrt(CAST($cn2 AS DOUBLE)))")
   /** Nearest-centroid assignment (max cosine, ties to smaller c_id). */
   private def assignSql(train: String, cents: String): String =
     s"SELECT vec_id, qv, n2, c_id FROM (" +
@@ -618,10 +637,11 @@ object VectorOps {
       |p AS (
       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
       |  FROM m a JOIN m b ON a.vec_id < b.vec_id
-      |  WHERE CAST((SELECT sum(u.x*u.y)
+      |  WHERE CASE WHEN a.n2 = 0 OR b.n2 = 0 THEN 0.0 ELSE
+      |      CAST((SELECT sum(u.x*u.y)
       |          FROM (SELECT unnest(a.qv) x, unnest(b.qv) y) u) AS DOUBLE)
       |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
-      |      >= 0.95),
+      |      END >= 0.95),
       |edges AS (
       |  SELECT a_id AS a, b_id AS b FROM p
       |  UNION SELECT b_id, a_id FROM p),
