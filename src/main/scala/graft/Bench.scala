@@ -1,6 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Fold one query's per-pass samples into its reported time: the
+    * MINIMUM over passes (co-tenant spikes are uncorrelated across
+    * windows; a genuine regression is present in every one), except
+    * that a failure in ANY pass (-1 sentinel) dominates — a good
+    * sample must never mask a bad one (BenchCombineSpec pins this). */
+  def combinePasses(samples: Seq[Double]): Double =
+    if (samples.exists(_ < 0)) -1.0 else samples.min
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -173,8 +181,7 @@ object Bench {
       r
     }
     val results = names.map { case (name, _) =>
-      val samples = passResults.map(_(name))
-      name -> (if (samples.exists(_ < 0)) -1.0 else samples.min)
+      name -> Bench.combinePasses(passResults.map(_(name)))
     }.toMap
     if (errors.nonEmpty)
       System.err.println(s"[bench] FAILED queries: ${errors.mkString(", ")}")

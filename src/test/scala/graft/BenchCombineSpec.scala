@@ -1,0 +1,28 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins [[Bench.combinePasses]] — the fold from per-pass bench samples
+  * to the one reported per-query number. Two properties matter:
+  * the reported time is the minimum over passes (best-of-N treatment
+  * of uncorrelated co-tenant spikes), and the -1 failure sentinel
+  * DOMINATES: a query that failed in any pass must report failed,
+  * never a surviving good sample — a bench run must not look faster
+  * (or greener) than a run in which every pass succeeded. */
+class BenchCombineSpec extends AnyFunSuite {
+
+  test("minimum over all-green passes") {
+    assert(Bench.combinePasses(Seq(3.2, 1.7, 2.9)) === 1.7)
+    assert(Bench.combinePasses(Seq(5.0)) === 5.0)
+  }
+
+  test("a failure in any pass dominates every good sample") {
+    assert(Bench.combinePasses(Seq(0.4, -1.0)) === -1.0)
+    assert(Bench.combinePasses(Seq(-1.0, 0.4)) === -1.0)
+    assert(Bench.combinePasses(Seq(-1.0, -1.0)) === -1.0)
+  }
+
+  test("zero elapsed is a valid (green) sample, not a failure") {
+    assert(Bench.combinePasses(Seq(0.0, 2.0)) === 0.0)
+  }
+}
