@@ -204,8 +204,11 @@ object Bench {
     // unauditable). Persist the full line to a file so every round's
     // per-query numbers are directly readable regardless of capture
     // size. Best-effort: a read-only cwd must not fail the bench.
-    // …but never clobber the full-sweep artifact with a filtered run.
-    if (only.isEmpty)
+    // …but never clobber the full-sweep artifact with a filtered run,
+    // nor with a run at a different scale factor than the gate's
+    // (the verify recipe runs Bench at sf0.01 — that sweep must not
+    // overwrite the committed sf0.1 quiet-floor record).
+    if (only.isEmpty && new java.io.File(sfDir).getName == "sf0.1")
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
       catch { case _: Throwable => () }
