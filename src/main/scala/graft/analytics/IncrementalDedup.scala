@@ -119,6 +119,9 @@ object IncrementalDedup {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
       .persist()
+    // set iff the kept (anti-join) frame gets its own cache below;
+    // released in the finally so a failed fold can't leak the block
+    var keptCache: Option[DataFrame] = None
     try {
       // materializes the cache and gates the join arms below
       val nWinners = winners.count()
@@ -163,6 +166,16 @@ object IncrementalDedup {
               "left_semi")
           winners.join(gate(existing), Seq(keyCol), "left_anti")
       }
+      // Exact kept-key count for sketch capacity accounting: persist
+      // the anti-join output and count it BEFORE the sketch commit (the
+      // data write below reuses the cache, so the history column is
+      // still scanned exactly once per fold). Counting nWinners instead
+      // over-counted cross-batch duplicates — never an under-sized
+      // filter, but a mostly-duplicate workload would trigger geometric
+      // rebuilds over the full history far earlier than the true key
+      // population warrants. Empty history keeps the winners cache.
+      if (history.isDefined) keptCache = Some(kept.persist())
+      val nKept = if (keptCache.isDefined) kept.count() else nWinners
       val tagged = kept.withColumn("ingest_batch", lit(batchId))
       // ---- sketch maintenance, sized to the key population. Explicit
       // estKeys/numBits pin the parameters exactly (spec paths, and
@@ -171,12 +184,12 @@ object IncrementalDedup {
       // geometrically — overflow triggers a rebuild over all history
       // (amortized O(1) per capacity doubling), and a parameter or
       // layout change NEVER merges into a mismatched stored sketch.
-      // storedKeys + nWinners over-counts distinct keys (cross-batch
-      // duplicates count twice) — over-provisioning only, never an
-      // under-sized filter. Sketch first (over-approximation is safe),
-      // then the data commit.
+      // storedKeys + nKept is the exact population when every prior
+      // fold took the merge path; the rebuild path's histN + nKept
+      // re-grounds it from the real history count. Sketch first
+      // (over-approximation is safe), then the data commit.
       val explicit = estKeysEff != AutoSize || numBitsEff != AutoSize
-      val totalKeys = storedKeys + nWinners
+      val totalKeys = storedKeys + nKept
       // Merge compatibility is decided on the POST-clamp per-shard
       // parameters, not the requested totals: buildShardedSketch
       // silently clamps to the session's runtime-bloomFilter conf
@@ -235,7 +248,7 @@ object IncrementalDedup {
           // missing-meta store still sizes to its real population.
           val histKeys = history.map(_.select(col(keyCol)))
           val histN = histKeys.map(_.count()).getOrElse(0L)
-          val n = histN + nWinners
+          val n = histN + nKept
           val (e, b) =
             if (explicit) (estKeysEff, numBitsEff)
             else {
@@ -258,7 +271,10 @@ object IncrementalDedup {
       store.writeTouchedPartitions(tagged, layer, name,
         partitionBy = Seq("ingest_batch"))
       store.vacuum(spark, layer, name, keepLast = 2)
-    } finally { winners.unpersist(); () }
+    } finally {
+      keptCache.foreach(_.unpersist())
+      winners.unpersist(): Unit
+    }
     // read back from the committed version: the returned plan must not
     // re-probe history (a lazy re-evaluation after the commit would see
     // its own batch and return empty). localCheckpoint (eager)

@@ -112,6 +112,26 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(meta2("num_bits") === Some(65536L))
   }
 
+  test("n_keys meta tracks the true distinct population across " +
+      "duplicate-heavy folds") {
+    // the capacity estimate counts KEPT keys, not batch winners: a
+    // mostly-duplicate workload must not inflate n_keys (which would
+    // trigger geometric rebuilds over the full history long before the
+    // real population warrants one)
+    val st = store()
+    IncrementalDedup.applyBatch(spark, st, "d", "fps",
+      docs(1L -> "a", 2L -> "b", 3L -> "c"), 0L): Unit
+    // 3 winners, but only one novel key
+    IncrementalDedup.applyBatch(spark, st, "d", "fps",
+      docs(10L -> "a", 11L -> "b", 12L -> "d"), 1L): Unit
+    // all duplicates: population unchanged
+    IncrementalDedup.applyBatch(spark, st, "d", "fps",
+      docs(20L -> "c", 21L -> "d"), 2L): Unit
+    val nKeys = st.meta(spark, "d", "fps_sketch", "n_keys")
+      .flatMap(_.toLongOption)
+    assert(nKeys === Some(4L)) // {a, b, c, d}
+  }
+
   test("a deleted sketch degrades to verify-everything, not data loss") {
     val rootDir = Files.createTempDirectory("graft-incdedup-nosketch")
     val st = new ModelStore(rootDir.toString)
