@@ -49,6 +49,19 @@ object SparkTuning {
     .config(
       "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
       if (env("GRAFT_TUNE_COMMITTER").contains("v2")) "2" else "1")
+    // Timestamps write as INT64 TIMESTAMP_MICROS instead of Spark's
+    // legacy INT96 default. INT96 is deprecated in the parquet format
+    // and — decisively here — carries NO column statistics (parquet
+    // refuses its broken ordering), so a stored table's timestamp
+    // columns get neither row-group min/max skipping under watermark
+    // predicates nor commit-time footer stats (graft.io.ParquetStats,
+    // the O(1) high-watermark lookup). Micros matches Spark's own
+    // in-memory precision — no value change on round-trip. Flip
+    // GRAFT_TUNE_INT96=on to A/B the legacy behavior (stats lookups
+    // then fall back to scans by design).
+    .config("spark.sql.parquet.outputTimestampType",
+      if (env("GRAFT_TUNE_INT96").contains("on")) "INT96"
+      else "TIMESTAMP_MICROS")
     // AQE partition coalescing stays at the Spark default
     // (`parallelismFirst=true`). The `false`+16 MB-advisory variant —
     // attractive on paper for intermediate-small shuffles, and the

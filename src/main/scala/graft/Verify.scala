@@ -30,9 +30,24 @@ object Verify {
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
     var failed = List.empty[String]
-    selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+    // Dump format contract: result parquet writes timestamps as INT96
+    // (tz-naive on every reader), NOT the session's TIMESTAMP_MICROS
+    // engine default — micros parquet is tagged adjusted-to-UTC, which
+    // pandas-based comparers read as a tz-AWARE dtype and fail to
+    // compare against DuckDB's naive oracle timestamps. The toggle
+    // wraps ONLY the dump write: queries themselves (including their
+    // internal ModelStore materializations) run under the shipped
+    // stats-bearing micros config.
+    def dump(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val key = "spark.sql.parquet.outputTimestampType"
+      val prior = spark.conf.get(key)
+      spark.conf.set(key, "INT96")
+      try df.coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
+      finally spark.conf.set(key, prior)
+    }
+    selected.foreach { case (name, fn) =>
+      try dump(fn(spark, sfDir), name)
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         failed ::= name

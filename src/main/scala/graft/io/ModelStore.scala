@@ -69,12 +69,14 @@ final class ModelStore(val root: String) {
   def write(df: DataFrame, layer: String, name: String,
       partitionBy: Seq[String] = Nil, zorderBy: Seq[String] = Nil,
       description: String = "",
-      meta: Map[String, String] = Map.empty): Unit = {
+      meta: Map[String, String] = Map.empty,
+      statsCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     val next = currentVersion(spark, layer, name) + 1
     val dest = new Path(versionDir(layer, name, next))
     writeData(df, dest, partitionBy, zorderBy)
-    commit(spark, layer, name, next, description, meta)
+    commit(spark, layer, name, next, description,
+      meta ++ statsMeta(spark, dest, statsCols))
   }
 
   /** Small-file compaction — the bin-packing half of the reference's
@@ -107,7 +109,8 @@ final class ModelStore(val root: String) {
       meta: Map[String, String] = Map.empty,
       touched: Option[DataFrame] = None,
       touchedRows: Option[(org.apache.spark.sql.types.StructType,
-        Seq[org.apache.spark.sql.Row])] = None): Unit = {
+        Seq[org.apache.spark.sql.Row])] = None,
+      statsCols: Seq[String] = Nil): Unit = {
     require(partitionBy.nonEmpty, "writeTouchedPartitions needs partitions")
     val spark = df.sparkSession
     val cur = currentVersion(spark, layer, name)
@@ -163,8 +166,30 @@ final class ModelStore(val root: String) {
         .foreach(rel => linkOrCopyDir(fs,
           new Path(src, rel), new Path(dest, rel)))
     }
-    commit(spark, layer, name, next, description, meta)
+    // stats AFTER the link pass: the footer walk must see the whole
+    // version (fresh + carried-over partitions), so the recorded max
+    // is the true table max — exact even when a backfill just REMOVED
+    // the previous maximum
+    commit(spark, layer, name, next, description,
+      meta ++ statsMeta(spark, dest, statsCols))
   }
+
+  /** Footer-derived column maxima for a just-written version dir, as
+    * `stat_max_<col>` meta entries (the Delta column-stats analog —
+    * computed once at commit time, O(files) metadata reads, persisted
+    * so readers never re-derive them). A column whose stats are
+    * unavailable (legacy INT96 files, all-NULL) writes an EMPTY value:
+    * the tombstone overrides the commit's carry-forward of the prior
+    * version's entry, which would otherwise go stale-high after a
+    * rewrite and silently skip rows in watermark gates (stale-LOW is
+    * safe — merge re-processing is idempotent — but stale-high never
+    * is). Consumers treat empty as absent and fall back to scanning. */
+  private def statsMeta(spark: SparkSession, dest: Path,
+      statsCols: Seq[String]): Map[String, String] =
+    statsCols.map { c =>
+      s"stat_max_$c" -> ParquetStats.columnMax(
+        spark.sparkContext.hadoopConfiguration, dest, c).getOrElse("")
+    }.toMap
 
   private def writeData(df: DataFrame, dest: Path,
       partitionBy: Seq[String], zorderBy: Seq[String]): Unit = {
@@ -382,6 +407,15 @@ final class ModelStore(val root: String) {
   /** Persisted table comment of the current version, if any (O7). */
   def comment(spark: SparkSession, layer: String, name: String)
       : Option[String] = meta(spark, layer, name, "table_comment")
+
+  /** Commit-time footer-stats MAX of `column` in the current version
+    * (recorded when the writer passed `statsCols`). None when never
+    * recorded or tombstoned (empty) — callers fall back to scanning.
+    * The value is exact table state, not an approximation: it is
+    * re-derived from every file of each committed version. */
+  def statMax(spark: SparkSession, layer: String, name: String,
+      column: String): Option[String] =
+    meta(spark, layer, name, s"stat_max_$column").filter(_.nonEmpty)
 }
 
 object ModelStore {

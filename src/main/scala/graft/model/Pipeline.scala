@@ -29,7 +29,15 @@ final case class BuildCtx(
     ref: String => DataFrame,                // ref('model')
     existing: Option[DataFrame],             // {{ this }} (None on bootstrap)
     mode: RunMode,
-    vars: Map[String, String]) {
+    vars: Map[String, String],
+    /** Commit-time footer-stats MAX of a column of `{{ this }}`
+      * ([[graft.io.ModelStore.statMax]], populated for the model's
+      * declared [[ModelDef.statsCols]]) — lets the incremental
+      * watermark gate read the target's high-water mark in O(1)
+      * instead of re-scanning the table column per run. None (the
+      * default for directly-constructed contexts) falls back to the
+      * scan. */
+    statMax: String => Option[String] = _ => None) {
   def isIncremental: Boolean =
     mode == RunMode.Incremental && existing.isDefined
   /** `var('ingest_batch_date')` default, `dbt_project.yml:27–28`. */
@@ -47,6 +55,12 @@ final case class ModelDef(
     uniqueKey: Option[String] = None,   // merge key, S3
     partitionBy: Seq[String] = Nil,     // S5
     zorderBy: Seq[String] = Nil,        // S7 OPTIMIZE/ZORDER post-hook
+    /** Columns whose MAX is recorded as commit-time footer stats
+      * (`stat_max_<col>` meta — the Delta column-stats analog).
+      * Declare the model's incremental watermark column here so the
+      * next run's gate reads the high-water mark from meta instead of
+      * scanning the table. */
+    statsCols: Seq[String] = Nil,
     description: String = "",           // O7 persist_docs
     postHooks: Seq[DataFrame => Unit] = Nil,   // O6 generic post-hooks
     build: BuildCtx => DataFrame)
@@ -176,7 +190,7 @@ final class Pipeline(
         .select(m.partitionBy.map(functions.col): _*).distinct())
     store.writeTouchedPartitions(rebuilt, m.layer, m.name,
       m.partitionBy, m.zorderBy, description = m.description,
-      touched = existingTouched)
+      touched = existingTouched, statsCols = m.statsCols)
     store.vacuum(spark, m.layer, m.name, keepLast = retainVersions)
     store.read(spark, m.layer, m.name).get
   }
@@ -235,7 +249,8 @@ object Pipeline {
       ref = ref,
       existing = existing,
       mode = if (existing.isDefined) mode else RunMode.Bootstrap,
-      vars = vars)
+      vars = vars,
+      statMax = c => store.statMax(spark, m.layer, m.name, c))
     val updates = m.build(ctx)
     // Materialization strategy (S3/S4): a uniqueKey means MERGE upsert;
     // without one, incremental runs APPEND to the existing table — the
@@ -301,25 +316,28 @@ object Pipeline {
             store.writeTouchedPartitions(merged, m.layer, m.name,
               m.partitionBy, m.zorderBy, description = m.description,
               meta = meta,
-              touchedRows = Some((touchedDf.schema, touched.toSeq)))
+              touchedRows = Some((touchedDf.schema, touched.toSeq)),
+              statsCols = m.statsCols)
           }
         } finally u.unpersist()
       case (Some(ex), Some(key)) =>
         timed("merge-write") {
           store.write(MergeWriter.merge(ex, updates, key), m.layer, m.name,
             m.partitionBy, m.zorderBy, description = m.description,
-            meta = meta)
+            meta = meta, statsCols = m.statsCols)
         }
       case (Some(ex), None) =>
         timed("append-write") {
           store.write(ex.unionByName(updates, allowMissingColumns = true),
             m.layer, m.name, m.partitionBy, m.zorderBy,
-            description = m.description, meta = meta)
+            description = m.description, meta = meta,
+            statsCols = m.statsCols)
         }
       case _ =>
         timed("bootstrap-write") {
           store.write(updates, m.layer, m.name, m.partitionBy, m.zorderBy,
-            description = m.description, meta = meta)
+            description = m.description, meta = meta,
+            statsCols = m.statsCols)
         }
     }
     // O6: post-hooks run against the materialized table (the dbt

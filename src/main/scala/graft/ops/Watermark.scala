@@ -63,4 +63,30 @@ object Watermark {
         incoming.filter(col(incomingTs) >
           lit(wm).cast(incoming.schema(incomingTs).dataType))
     }
+
+  /** [[newerThan]] with an O(1) high-water mark: when the target's
+    * commit-time footer stats carry the watermark column's MAX
+    * ([[graft.io.ModelStore.statMax]] via `BuildCtx.statMax`), the
+    * gate uses it directly — no scan of the target table at all. At
+    * 100 TB the `SELECT MAX(last_updated_at) FROM {{ this }}` subquery
+    * the reference runs per incremental model reads a terabyte-scale
+    * column; the stats lookup reads one meta file. Absent stats
+    * (never recorded, tombstoned after a stats-less rewrite, empty
+    * table) fall back to the exact scan — the stat is exact when
+    * present, so the two paths are equivalent by construction
+    * (WatermarkStatsSpec pins it). */
+  def newerThanStat(incoming: DataFrame, target: Option[DataFrame],
+      statMax: String => Option[String],
+      incomingTs: String, targetTs: String,
+      defaultWm: String = "1900-01-01 00:00:00"): DataFrame =
+    target match {
+      case None => incoming // bootstrap: full scan
+      case Some(_) =>
+        statMax(targetTs) match {
+          case Some(wm) => incoming.filter(col(incomingTs) >
+            lit(wm).cast(incoming.schema(incomingTs).dataType))
+          case None =>
+            newerThan(incoming, target, incomingTs, targetTs, defaultWm)
+        }
+    }
 }

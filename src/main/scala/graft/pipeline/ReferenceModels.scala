@@ -34,8 +34,11 @@ final class ReferenceModels(clock: Clock) {
     if (!ctx.isIncremental) df
     else
       // P6/J4: scalar watermark → literal predicate → parquet pushdown
-      // (reference orders_cleaned.sql:53–59).
-      graft.ops.Watermark.newerThan(df, ctx.existing,
+      // (reference orders_cleaned.sql:53–59). The scalar itself comes
+      // from the target's commit-time footer stats when present
+      // (O(1) — no per-run scan of {{ this }}; see ModelDef.statsCols
+      // on each model), falling back to the exact MAX scan.
+      graft.ops.Watermark.newerThanStat(df, ctx.existing, ctx.statMax,
         "_cdc_timestamp", "last_updated_at",
         defaultWm =
           ctx.variable("ingest_batch_date", "1900-01-01") + " 00:00:00")
@@ -66,6 +69,7 @@ final class ReferenceModels(clock: Clock) {
     tags = Set("silver", "feed_customers"),
     uniqueKey = Some("customer_id"),
     zorderBy = Seq("customer_id"),
+    statsCols = Seq("last_updated_at"),   // O(1) watermark lookup
     description = "Latest customer snapshot (SCD Type-1) from CDC feed",
     build = { ctx =>
       val src = watermarkGate(ctx, ctx.source("bronze", "customers_cdc"))
@@ -126,6 +130,7 @@ final class ReferenceModels(clock: Clock) {
     uniqueKey = Some("order_id"),
     partitionBy = Seq("order_year", "order_month"),
     zorderBy = Seq("order_id", "customer_id", "order_date"),
+    statsCols = Seq("last_updated_at"),   // O(1) watermark lookup
     description = "Cleaned and validated orders from CDC (SCD Type-1)",
     build = { ctx =>
       val src = watermarkGate(ctx, ctx.source("bronze", "orders_cdc"))

@@ -1,0 +1,124 @@
+package graft.io
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Pins [[ParquetStats.columnMax]] — the footer-only column MAX that
+  * backs the O(1) incremental watermark lookup — against the scan
+  * truth (`df.agg(max)`), per supported type, across multi-file and
+  * partitioned layouts, and pins the conservative fallbacks: INT96
+  * legacy files, all-NULL columns, and unsupported types must return
+  * None (callers scan), never a wrong value. */
+class ParquetStatsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def conf = spark.sparkContext.hadoopConfiguration
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-pstats").toString
+
+  private def scanMaxString(dir: String, col: String): Option[String] = {
+    val row = spark.read.parquet(dir)
+      .agg(max(org.apache.spark.sql.functions.col(col)).cast("string"))
+      .head()
+    if (row.isNullAt(0)) None else Some(row.getString(0))
+  }
+
+  test("timestamp max matches the scan, string-round-trip identical") {
+    val dir = tmp()
+    spark.range(1000).selectExpr(
+        "timestamp'2021-03-04 05:06:07' + make_interval(0,0,0,0,0,0,id) AS ts",
+        "id")
+      .repartition(4) // multiple files; stats fold across them
+      .write.mode("overwrite").parquet(dir)
+    val got = ParquetStats.columnMax(conf, new Path(dir), "ts")
+    assert(got === scanMaxString(dir, "ts"))
+    assert(got.isDefined)
+  }
+
+  test("fractional-second timestamps render with micros, like Spark") {
+    val dir = tmp()
+    Seq("2021-03-04 05:06:07.123456", "2021-03-04 05:06:07.2")
+      .toDF("s").selectExpr("cast(s AS timestamp) AS ts")
+      .write.mode("overwrite").parquet(dir)
+    assert(ParquetStats.columnMax(conf, new Path(dir), "ts") ===
+      scanMaxString(dir, "ts"))
+  }
+
+  test("date, long, int and string maxima match the scan") {
+    val dir = tmp()
+    spark.range(500).selectExpr(
+        "date'2020-01-01' + cast(id AS int) AS d",
+        "id * 1000 AS l",
+        "cast(id AS int) - 250 AS i",
+        "concat('k', lpad(cast(id AS string), 4, '0')) AS s")
+      .repartition(3)
+      .write.mode("overwrite").parquet(dir)
+    for (c <- Seq("d", "l", "i", "s"))
+      assert(ParquetStats.columnMax(conf, new Path(dir), c) ===
+        scanMaxString(dir, c), s"column $c")
+  }
+
+  test("partitioned layout: the walk covers every partition dir") {
+    val dir = tmp()
+    spark.range(300).selectExpr("id % 3 AS p", "id AS v")
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+    assert(ParquetStats.columnMax(conf, new Path(dir), "v") ===
+      Some("299"))
+  }
+
+  test("negative and pre-epoch values (floorDiv rendering)") {
+    val dir = tmp()
+    Seq(-17L, -3L).toDF("v")
+      .selectExpr("v", "timestamp'1969-12-31 23:59:58.5' AS ts")
+      .write.mode("overwrite").parquet(dir)
+    assert(ParquetStats.columnMax(conf, new Path(dir), "v") === Some("-3"))
+    assert(ParquetStats.columnMax(conf, new Path(dir), "ts") ===
+      scanMaxString(dir, "ts"))
+  }
+
+  test("INT96 legacy files yield None (fallback to scan), not a value") {
+    val dir = tmp()
+    val prior = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try spark.range(10)
+      .selectExpr("timestamp'2021-01-01 00:00:00' AS ts")
+      .write.mode("overwrite").parquet(dir)
+    finally spark.conf.set("spark.sql.parquet.outputTimestampType", prior)
+    assert(ParquetStats.columnMax(conf, new Path(dir), "ts") === None)
+  }
+
+  test("all-NULL column and missing column yield None") {
+    val dir = tmp()
+    spark.range(10).selectExpr("cast(null AS timestamp) AS ts", "id")
+      .write.mode("overwrite").parquet(dir)
+    assert(ParquetStats.columnMax(conf, new Path(dir), "ts") === None)
+    assert(ParquetStats.columnMax(conf, new Path(dir), "nope") === None)
+  }
+
+  test("unsupported types (double, decimal, nested) yield None") {
+    val dir = tmp()
+    spark.range(10).selectExpr(
+        "cast(id AS double) AS dbl",
+        "cast(id AS decimal(10,2)) AS dec",
+        "named_struct('a', id) AS st")
+      .write.mode("overwrite").parquet(dir)
+    for (c <- Seq("dbl", "dec", "st"))
+      assert(ParquetStats.columnMax(conf, new Path(dir), c) === None,
+        s"column $c")
+  }
+
+  test("a NULL-only file among valued files contributes nothing") {
+    val dir = tmp()
+    spark.range(5).selectExpr("cast(null AS bigint) AS v")
+      .write.mode("overwrite").parquet(dir)
+    Seq(41L, 7L).toDF("v").write.mode("append").parquet(dir)
+    assert(ParquetStats.columnMax(conf, new Path(dir), "v") === Some("41"))
+  }
+}

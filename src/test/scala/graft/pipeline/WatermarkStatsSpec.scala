@@ -1,0 +1,122 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.io.ModelStore
+import graft.model.{Pipeline, RunMode}
+
+/** The O(1) incremental watermark: models declaring `statsCols` get a
+  * commit-time `stat_max_<col>` meta derived from parquet footers, and
+  * the watermark gate consumes it instead of scanning `{{ this }}`.
+  * Pins: the stat equals the scan truth after every materialization
+  * strategy (bootstrap write, pruned merge with linked partitions,
+  * plain merge), the stats path and the scan path produce IDENTICAL
+  * pipeline results, and a stats-less rewrite tombstones the meta
+  * (stale-high watermarks must be impossible — they would silently
+  * drop rows). */
+class WatermarkStatsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val clock = Clock(
+    Date.valueOf("2024-04-01"), Timestamp.valueOf("2024-04-01 00:00:00"))
+  private val models = new ReferenceModels(clock)
+
+  private def store() =
+    new ModelStore(Files.createTempDirectory("graft-wmstats").toString)
+
+  private def scanMax(st: ModelStore, layer: String, name: String,
+      c: String): Option[String] = {
+    val row = st.read(spark, layer, name).get
+      .agg(max(col(c)).cast("string")).head()
+    if (row.isNullAt(0)) None else Some(row.getString(0))
+  }
+
+  test("stat equals the scan truth after bootstrap and pruned merge") {
+    val st = store()
+    val run1 = new Pipeline(models.all, st, (_, n) => n match {
+      case "customers_cdc" => CdcFixtures.customersBatch1()
+      case "orders_cdc" => CdcFixtures.ordersBatch1()
+    })
+    run1.run(spark, RunMode.Bootstrap)
+    for (t <- Seq("customers_latest", "orders_cleaned"))
+      assert(st.statMax(spark, "silver", t, "last_updated_at") ===
+        scanMax(st, "silver", t, "last_updated_at"), t)
+
+    val run2 = new Pipeline(models.all, st, (_, n) => n match {
+      case "customers_cdc" => CdcFixtures.customersBatch2()
+      case "orders_cdc" => CdcFixtures.ordersBatch2()
+    })
+    run2.run(spark, RunMode.Incremental)
+    // orders_cleaned took the PRUNED merge (partitioned): the stat is
+    // derived over fresh AND linked partition dirs
+    for (t <- Seq("customers_latest", "orders_cleaned"))
+      assert(st.statMax(spark, "silver", t, "last_updated_at") ===
+        scanMax(st, "silver", t, "last_updated_at"), t)
+  }
+
+  test("stats path ≡ scan path: identical pipeline results") {
+    def finalTables(statsOn: Boolean) = {
+      val ms =
+        if (statsOn) models.all
+        else models.all.map(_.copy(statsCols = Nil)) // force scan gate
+      val st = store()
+      new Pipeline(ms, st, (_, n) => n match {
+        case "customers_cdc" => CdcFixtures.customersBatch1()
+        case "orders_cdc" => CdcFixtures.ordersBatch1()
+      }).run(spark, RunMode.Bootstrap)
+      val out = new Pipeline(ms, st, (_, n) => n match {
+        case "customers_cdc" => CdcFixtures.customersBatch2()
+        case "orders_cdc" => CdcFixtures.ordersBatch2()
+      }).run(spark, RunMode.Incremental)
+      out.view.mapValues(_.collect().toSet).toMap
+    }
+    val withStats = finalTables(statsOn = true)
+    val withScan = finalTables(statsOn = false)
+    assert(withStats.keySet === withScan.keySet)
+    for (t <- withStats.keySet) assert(withStats(t) === withScan(t), t)
+  }
+
+  test("linked partitions carry the true max through a low-valued merge") {
+    val st = store()
+    val high = Seq(("a", 1, Timestamp.valueOf("2024-03-20 10:00:00")))
+      .toDF("k", "p", "ts")
+    st.write(high, "l", "t", partitionBy = Seq("p"),
+      statsCols = Seq("ts"))
+    // second version touches ONLY partition 2 with an OLDER timestamp;
+    // the 2024-03-20 row survives via the linked p=1 dir and the stat
+    // must still report it
+    val low = Seq(("b", 2, Timestamp.valueOf("2024-03-01 00:00:00")))
+      .toDF("k", "p", "ts")
+    st.writeTouchedPartitions(low, "l", "t", partitionBy = Seq("p"),
+      statsCols = Seq("ts"))
+    assert(st.statMax(spark, "l", "t", "ts") ===
+      Some("2024-03-20 10:00:00"))
+    assert(st.statMax(spark, "l", "t", "ts") === scanMax(st, "l", "t", "ts"))
+  }
+
+  test("a stats-less rewrite tombstones the meta (no stale-high carry)") {
+    val st = store()
+    val d1 = Seq(("a", Timestamp.valueOf("2024-03-20 10:00:00")))
+      .toDF("k", "ts")
+    st.write(d1, "l", "t", statsCols = Seq("ts"))
+    assert(st.statMax(spark, "l", "t", "ts").isDefined)
+    // rewrite as INT96 (no parquet stats): were the old meta carried
+    // forward, a shrunken table would keep the old (now possibly
+    // stale-HIGH) watermark and the gate would silently skip rows
+    val prior = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try st.write(
+      Seq(("b", Timestamp.valueOf("2024-02-01 00:00:00"))).toDF("k", "ts"),
+      "l", "t", statsCols = Seq("ts"))
+    finally spark.conf.set("spark.sql.parquet.outputTimestampType", prior)
+    assert(st.statMax(spark, "l", "t", "ts") === None)
+    // ...while unrelated meta still carries forward as before
+    assert(st.meta(spark, "l", "t", "stat_max_ts") === Some(""))
+  }
+}
