@@ -75,8 +75,10 @@ final class ModelStore(val root: String) {
     val next = currentVersion(spark, layer, name) + 1
     val dest = new Path(versionDir(layer, name, next))
     writeData(df, dest, partitionBy, zorderBy)
+    // full rewrite: every partition is fresh, nothing linked
     commit(spark, layer, name, next, description,
-      meta ++ statsMeta(spark, dest, statsCols))
+      meta ++ statsMeta(spark, layer, name, dest, partitionBy,
+        statsCols, linkedRels = Set.empty))
   }
 
   /** Small-file compaction — the bin-packing half of the reference's
@@ -91,8 +93,12 @@ final class ModelStore(val root: String) {
       partitionBy: Seq[String] = Nil, zorderBy: Seq[String] = Nil)
       : Unit =
     read(spark, layer, name).foreach { df =>
+      // re-derive whatever stats the table tracks: compaction preserves
+      // data but rewrites every file, so the per-partition stat entries
+      // must be recomputed (a stats-less write would tombstone them)
       write(df, layer, name, partitionBy, zorderBy,
-        description = "compact")
+        description = "compact",
+        statsCols = statsColsOf(spark, layer, name))
     }
 
   /** Partition-pruned incremental write (the Delta-MERGE file-pruning
@@ -117,6 +123,7 @@ final class ModelStore(val root: String) {
     val next = cur + 1
     val dest = new Path(versionDir(layer, name, next))
     writeData(df, dest, partitionBy, zorderBy)
+    var linkedRels = Set.empty[String]
     if (cur > 0) {
       val fs = fsFor(spark, dest)
       val src = new Path(versionDir(layer, name, cur))
@@ -161,35 +168,121 @@ final class ModelStore(val root: String) {
               freshWritten ++ rels
           }
       }
-      partitionRelPaths(fs, src, partitionBy.length)
-        .filterNot(fresh)
-        .foreach(rel => linkOrCopyDir(fs,
-          new Path(src, rel), new Path(dest, rel)))
+      linkedRels = partitionRelPaths(fs, src, partitionBy.length)
+        .filterNot(fresh).toSet
+      linkedRels.foreach(rel => linkOrCopyDir(fs,
+        new Path(src, rel), new Path(dest, rel)))
     }
-    // stats AFTER the link pass: the footer walk must see the whole
-    // version (fresh + carried-over partitions), so the recorded max
-    // is the true table max — exact even when a backfill just REMOVED
-    // the previous maximum
+    // stats AFTER the link pass, walking ONLY the freshly-written
+    // partitions; carried-over dirs are byte-identical links, so their
+    // recorded per-partition maxima are reused — the recorded table
+    // max stays exact (a backfill that REMOVED the previous maximum
+    // drops that partition's entry) at O(touched files) cost
     commit(spark, layer, name, next, description,
-      meta ++ statsMeta(spark, dest, statsCols))
+      meta ++ statsMeta(spark, layer, name, dest, partitionBy,
+        statsCols, linkedRels))
   }
 
-  /** Footer-derived column maxima for a just-written version dir, as
-    * `stat_max_<col>` meta entries (the Delta column-stats analog —
-    * computed once at commit time, O(files) metadata reads, persisted
-    * so readers never re-derive them). A column whose stats are
-    * unavailable (legacy INT96 files, all-NULL) writes an EMPTY value:
-    * the tombstone overrides the commit's carry-forward of the prior
-    * version's entry, which would otherwise go stale-high after a
+  /** Columns with recorded (or tombstoned) stats meta on the current
+    * version — what a data-preserving rewrite (compact) re-derives. */
+  private def statsColsOf(spark: SparkSession, layer: String,
+      name: String): Seq[String] = {
+    val v = currentVersion(spark, layer, name)
+    if (v == 0) return Nil
+    val dir = new Path(versionDir(layer, name, v))
+    val fs = fsFor(spark, dir)
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("_meta_stat_max_"))
+      .map(_.stripPrefix("_meta_stat_max_"))
+  }
+
+  /** Commit-time footer-derived column maxima (the Delta
+    * stats-in-the-commit-log analog), as two meta entries per column:
+    *
+    *  - `stat_parts_<col>`: per-partition-dir maxima (kind header +
+    *    one URL-encoded `rel \t value` line each). Only FRESH
+    *    partitions' footers are walked; linked dirs reuse the prior
+    *    version's entries (byte-identical files ⇒ identical maxima),
+    *    so each commit costs O(touched files) metadata reads — never
+    *    O(table).
+    *  - `stat_max_<col>`: the fold of the per-partition maxima — the
+    *    exact table max (a rewrite that removed the old maximum drops
+    *    that partition's entry, so the fold can DECREASE correctly).
+    *
+    * A column whose stats are unusable anywhere (legacy INT96 files,
+    * stats disabled, mixed physical types) writes EMPTY values for
+    * both: the tombstone overrides the commit's carry-forward of the
+    * prior entries, which would otherwise go stale-high after a
     * rewrite and silently skip rows in watermark gates (stale-LOW is
     * safe — merge re-processing is idempotent — but stale-high never
-    * is). Consumers treat empty as absent and fall back to scanning. */
-  private def statsMeta(spark: SparkSession, dest: Path,
-      statsCols: Seq[String]): Map[String, String] =
-    statsCols.map { c =>
-      s"stat_max_$c" -> ParquetStats.columnMax(
-        spark.sparkContext.hadoopConfiguration, dest, c).getOrElse("")
+    * is). Consumers treat empty as absent and fall back to scanning.
+    *
+    * A write that does NOT declare statsCols on a table that HAS
+    * stats meta tombstones all of it — an undeclared data change must
+    * never inherit the old maxima. [[compact]] (data-preserving by
+    * construction) re-derives instead. */
+  private def statsMeta(spark: SparkSession, layer: String, name: String,
+      dest: Path, partitionBy: Seq[String], statsCols: Seq[String],
+      linkedRels: Set[String]): Map[String, String] = {
+    if (statsCols.isEmpty)
+      // tombstone whatever the prior version recorded (see scaladoc)
+      return statsColsOf(spark, layer, name).flatMap(c =>
+        Seq(s"stat_max_$c" -> "", s"stat_parts_$c" -> "")).toMap
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = fsFor(spark, dest)
+    val allRels: Seq[String] =
+      if (partitionBy.isEmpty) Seq("")
+      else partitionRelPaths(fs, dest, partitionBy.length)
+    def filesUnder(rel: String): Seq[Path] = {
+      val base = if (rel.isEmpty) dest else new Path(dest, rel)
+      if (!fs.exists(base)) Nil
+      else fs.listStatus(base).toSeq.filter(s => s.isFile &&
+        s.getPath.getName.endsWith(".parquet")).map(_.getPath)
+    }
+    statsCols.flatMap { c =>
+      // prior per-partition maxima (the version being superseded is
+      // still the CURRENT one here — commit hasn't swapped the pointer)
+      val prior = meta(spark, layer, name, s"stat_parts_$c")
+        .flatMap(ModelStore.parseParts)
+      // linked rels resolve from the prior map when it exists; absent
+      // entries there mean "no non-null values in that partition" and
+      // are trusted. Without a prior map (first stats-bearing commit
+      // over linked history, or a tombstone) the linked dirs are
+      // walked too — the one-time upgrade cost.
+      val (reuseRels, walkRels) = prior match {
+        case Some(_) => (linkedRels.toSeq.sorted,
+          allRels.filterNot(linkedRels))
+        case None => (Nil, allRels)
+      }
+      val walked = ParquetStats.groupedMax(conf,
+        walkRels.map(r => r -> filesUnder(r)), c)
+      val reused: Seq[(String, ParquetStats.DirStat)] = prior match {
+        case Some((kind, parts)) => reuseRels.map(r =>
+          r -> parts.get(r).map(v =>
+            ParquetStats.MaxValue(kind, v): ParquetStats.DirStat)
+            .getOrElse(ParquetStats.NoValue))
+        case None => Nil
+      }
+      val perRel = (walked.toSeq ++ reused).collect {
+        case (r, v: ParquetStats.MaxValue) => r -> v
+      }
+      val unusable =
+        walked.valuesIterator.contains(ParquetStats.Unusable) ||
+          perRel.map(_._2.kind).distinct.sizeIs > 1
+      if (unusable || perRel.isEmpty)
+        Seq(s"stat_max_$c" -> "", s"stat_parts_$c" -> "")
+      else {
+        val kind = perRel.head._2.kind
+        val tableMax = perRel.map(_._2.rendered)
+          .reduce((a, b) => if (ParquetStats.compare(kind, a, b) >= 0) a
+            else b)
+        Seq(s"stat_max_$c" -> tableMax,
+          s"stat_parts_$c" -> ModelStore.renderParts(kind,
+            perRel.map { case (r, v) => r -> v.rendered }))
+      }
     }.toMap
+  }
 
   private def writeData(df: DataFrame, dest: Path,
       partitionBy: Seq[String], zorderBy: Seq[String]): Unit = {
@@ -419,6 +512,29 @@ final class ModelStore(val root: String) {
 }
 
 object ModelStore {
+
+  /** Serialize per-partition stat maxima: kind header, then one
+    * URL-encoded `rel \t value` line per partition (URL-encoding keeps
+    * tabs/newlines in string-typed values or exotic partition paths
+    * unambiguous). */
+  private[io] def renderParts(kind: String,
+      parts: Seq[(String, String)]): String = {
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    (kind +: parts.sortBy(_._1).map { case (r, v) =>
+      s"${enc(r)}\t${enc(v)}" }).mkString("\n")
+  }
+
+  /** Parse [[renderParts]] output; None for a tombstone (empty). */
+  private[io] def parseParts(s: String)
+      : Option[(String, Map[String, String])] = {
+    if (s.isEmpty) return None
+    def dec(x: String) = java.net.URLDecoder.decode(x, "UTF-8")
+    val lines = s.split("\n", -1).toSeq
+    Some((lines.head, lines.tail.filter(_.nonEmpty).map { l =>
+      val Array(r, v) = l.split("\t", 2)
+      dec(r) -> dec(v)
+    }.toMap))
+  }
 
   /** Render already-collected touched-partition tuples to the relative
     * `col=value/...` paths Spark's partitioned writer would produce —

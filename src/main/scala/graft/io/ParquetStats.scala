@@ -1,5 +1,7 @@
 package graft.io
 
+import scala.collection.parallel.CollectionConverters._
+
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.parquet.hadoop.ParquetFileReader
@@ -12,86 +14,153 @@ import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 /** Footer-statistics column bounds — the Delta per-file column-stats
   * analog for [[ModelStore]] tables. Parquet already persists min/max
   * per column chunk at write time; reading them back is a
-  * metadata-only walk of the file footers, so a table-level MAX costs
-  * O(files) driver-side IO instead of an O(table) column scan. The
-  * incremental high-watermark lookup (reference
+  * metadata-only walk of the file footers, so a column MAX costs
+  * O(files touched) driver-side IO instead of an O(table) column
+  * scan. The incremental high-watermark lookup (reference
   * `orders_cleaned.sql:53–59`: `SELECT MAX(last_updated_at) FROM
   * {{ this }}` per run) is the motivating consumer: at 100 TB that
-  * subquery reads a terabyte-scale column every run, while the footer
-  * walk reads kilobytes.
+  * subquery reads a terabyte-scale column, while the footer path
+  * reads kilobytes of metadata.
   *
   * Conservative by construction: any file whose footer lacks usable
   * statistics for the column (legacy INT96 timestamps — parquet
-  * refuses their ordering — or stats disabled at write time) makes the
-  * whole lookup return None, and callers fall back to scanning. A
-  * value can therefore be trusted absolutely when present.
+  * refuses their broken ordering — or stats disabled at write time)
+  * poisons the lookup to [[ParquetStats.Unusable]], and callers fall
+  * back to scanning. A value can therefore be trusted absolutely when
+  * present. Footer reads parallelize over a bounded driver pool
+  * (measured ~7 ms per sequential open even on tmpfs — a 100-file
+  * partition walk would otherwise cost ~1 s of serial driver time).
   *
-  * Escalation path at cluster scale: footers live beside the data on
-  * the object store, so the walk becomes one round-trip per file from
-  * the driver — the regime where Delta's design (stats duplicated into
-  * the commit log at write time) pays off. [[ModelStore]] follows it:
-  * the walk runs ONCE at commit time and the result persists as
-  * version meta, so readers never re-walk anything.
+  * [[ModelStore]] keeps the walk O(touched): per-PARTITION maxima
+  * persist as version meta and carry over with linked partition dirs,
+  * so each commit walks only the files it freshly wrote — Delta's
+  * stats-in-the-commit-log design.
   */
 object ParquetStats {
 
+  /** Outcome of a footer-stats MAX over a set of files. */
+  sealed trait DirStat
+  /** Some footer lacked trustworthy stats (INT96, stats disabled,
+    * unsupported type) — callers must fall back to scanning and must
+    * NOT reuse any previously recorded value. */
+  case object Unusable extends DirStat
+  /** Every footer had stats but no file holds a non-null value. */
+  case object NoValue extends DirStat
+  /** The exact MAX, rendered as a string round-trippable through
+    * `lit(s).cast(<column type>)` in a UTC session, plus the
+    * comparison `kind` ([[compare]]) for cross-partition folds. */
+  final case class MaxValue(kind: String, rendered: String)
+    extends DirStat
+
   /** MAX of a top-level column across every `*.parquet` file under
-    * `dir` (recursive, so partitioned layouts and linked partition
-    * dirs are covered), from footer statistics alone.
+    * `dir` (recursive — partitioned layouts and linked partition dirs
+    * are covered), from footer statistics alone. None when unusable
+    * or valueless; see [[dirMax]] to distinguish.
     *
-    * Returns the max rendered as a string round-trippable through
-    * `lit(s).cast(<column type>)` in a UTC session: timestamps as
-    * `yyyy-MM-dd HH:mm:ss[.SSSSSS]`, dates as `yyyy-MM-dd`, integrals
-    * as decimal strings, strings verbatim. None when no file carries a
-    * non-null value for the column or any footer lacks trustworthy
-    * stats (callers must fall back to scanning).
-    *
+    * Rendering: timestamps as `yyyy-MM-dd HH:mm:ss[.SSSSSS]` (UTC,
+    * trailing zeros trimmed — Spark's own cast-to-string form), dates
+    * as `yyyy-MM-dd`, integrals as decimal strings, strings verbatim.
     * String columns compare in parquet `Binary` order, which agrees
     * with Spark's UTF8 ordering on ASCII; the store's stat consumers
     * are time/integral watermark columns, where ordering is exact. */
   def columnMax(conf: Configuration, dir: Path, column: String)
-      : Option[String] = {
-    val fs = dir.getFileSystem(conf)
-    val files = listParquet(fs, dir)
-    if (files.isEmpty) return None
-    var acc: Option[Comparable[Any]] = None
-    var render: Any => String = null
-    for (f <- files) {
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
-      try {
-        val footer = reader.getFooter
-        val schema = footer.getFileMetaData.getSchema
-        // top-level primitive columns only: nested paths have
-        // per-level null semantics footer stats can't summarize safely
-        if (!schema.containsField(column)) return None
-        val field = schema.getType(Seq(column): _*)
-        if (!field.isPrimitive) return None
-        val prim = field.asPrimitiveType()
-        val it = footer.getBlocks.iterator()
-        while (it.hasNext) {
-          val block = it.next()
-          val chunk = block.getColumns.stream()
-            .filter(c => c.getPath.size() == 1 &&
-              c.getPath.iterator().next() == column)
-            .findFirst()
-          if (!chunk.isPresent) return None
-          val stats = chunk.get().getStatistics
-          // stats == null / isEmpty: the writer recorded nothing;
-          // INT96's deprecated ordering also lands here. A chunk of
-          // only NULLs (hasNonNullValue false) contributes no value
-          // but doesn't poison the lookup.
-          if (stats == null || stats.isEmpty) return None
-          if (stats.hasNonNullValue) {
-            if (render == null) render = renderer(prim).getOrElse {
-              return None
-            }
-            val v = stats.genericGetMax.asInstanceOf[Comparable[Any]]
-            if (acc.forall(_.compareTo(v) < 0)) acc = Some(v)
-          }
-        }
-      } finally reader.close()
+      : Option[String] =
+    dirMax(conf, dir, column) match {
+      case MaxValue(_, s) => Some(s)
+      case _ => None
     }
-    acc.map(render)
+
+  /** [[columnMax]] with the full tri-state outcome. */
+  def dirMax(conf: Configuration, dir: Path, column: String): DirStat = {
+    val fs = dir.getFileSystem(conf)
+    filesMax(conf, listParquet(fs, dir), column)
+  }
+
+  /** Footer-stats MAX over an explicit file list (parallel reads). */
+  def filesMax(conf: Configuration, files: Seq[Path], column: String)
+      : DirStat = {
+    if (files.isEmpty) return NoValue
+    // parallel footer reads on the driver: opens are independent
+    // metadata IO (~7 ms each sequential, measured), and the common
+    // ForkJoin pool caps fan-out at machine width
+    files.toIndexedSeq.par.map(f => fileMax(conf, f, column)).seq
+      .foldLeft(NoValue: DirStat)(combine)
+  }
+
+  /** Per-group footer-stats MAX over labeled file groups (one parallel
+    * sweep across ALL files, so 100 one-file partition dirs still read
+    * at machine width instead of serially group-by-group). Groups with
+    * no files report [[NoValue]]. */
+  def groupedMax(conf: Configuration, groups: Seq[(String, Seq[Path])],
+      column: String): Map[String, DirStat] = {
+    val flat = for ((g, fs) <- groups; f <- fs) yield (g, f)
+    val perFile = flat.toIndexedSeq.par
+      .map { case (g, f) => g -> fileMax(conf, f, column) }.seq
+    val folded = perFile.groupBy(_._1).map { case (g, vs) =>
+      g -> vs.map(_._2).foldLeft(NoValue: DirStat)(combine)
+    }
+    groups.map { case (g, _) => g -> folded.getOrElse(g, NoValue) }.toMap
+  }
+
+  private def combine(a: DirStat, b: DirStat): DirStat = (a, b) match {
+    case (Unusable, _) | (_, Unusable) => Unusable
+    case (acc, NoValue) => acc
+    case (NoValue, v) => v
+    case (x @ MaxValue(kind, xv), y @ MaxValue(k2, yv)) =>
+      if (kind != k2) Unusable // mixed physical types across files
+      else if (compare(kind, xv, yv) >= 0) x else y
+  }
+
+  /** Order two rendered stat values of the same `kind`. Canonical
+    * timestamp/date renderings are zero-padded with trailing-zero-free
+    * fractions, so lexicographic order IS chronological; integrals
+    * parse; strings compare lexicographically (see [[columnMax]]). */
+  def compare(kind: String, a: String, b: String): Int = kind match {
+    case "int" => java.lang.Long.compare(a.toLong, b.toLong)
+    case _ => a.compareTo(b)
+  }
+
+  private def fileMax(conf: Configuration, f: Path, column: String)
+      : DirStat = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+    try {
+      val footer = reader.getFooter
+      val schema = footer.getFileMetaData.getSchema
+      // top-level primitive columns only: nested paths have per-level
+      // null semantics footer stats can't summarize safely
+      if (!schema.containsField(column)) return Unusable
+      val field = schema.getType(Seq(column): _*)
+      if (!field.isPrimitive) return Unusable
+      val prim = field.asPrimitiveType()
+      val kr = renderer(prim) match {
+        case Some(x) => x
+        case None => return Unusable
+      }
+      var acc: Option[Comparable[Any]] = None
+      val it = footer.getBlocks.iterator()
+      while (it.hasNext) {
+        val block = it.next()
+        val chunk = block.getColumns.stream()
+          .filter(c => c.getPath.size() == 1 &&
+            c.getPath.iterator().next() == column)
+          .findFirst()
+        if (!chunk.isPresent) return Unusable
+        val stats = chunk.get().getStatistics
+        // stats == null / isEmpty: the writer recorded nothing;
+        // INT96's deprecated ordering also lands here. A chunk of
+        // only NULLs (hasNonNullValue false) contributes no value
+        // but doesn't poison the lookup.
+        if (stats == null || stats.isEmpty) return Unusable
+        if (stats.hasNonNullValue) {
+          val v = stats.genericGetMax.asInstanceOf[Comparable[Any]]
+          if (acc.forall(_.compareTo(v) < 0)) acc = Some(v)
+        }
+      }
+      acc match {
+        case Some(v) => MaxValue(kr._1, kr._2(v))
+        case None => NoValue
+      }
+    } finally reader.close()
   }
 
   private def listParquet(fs: FileSystem, dir: Path): Seq[Path] = {
@@ -104,12 +173,12 @@ object ParquetStats {
     }
   }
 
-  /** String renderer for a primitive column's stat values, by logical
+  /** (kind, renderer) for a primitive column's stat values, by logical
     * type; None for types whose rendering is not trivially
     * session-stable (INT96, FLOAT/DOUBLE scientific edges, DECIMAL
     * scale choices) — those fall back to scanning. */
   private def renderer(prim: org.apache.parquet.schema.PrimitiveType)
-      : Option[Any => String] = {
+      : Option[(String, Any => String)] = {
     val logical = prim.getLogicalTypeAnnotation
     (prim.getPrimitiveTypeName, logical) match {
       case (PrimitiveTypeName.INT64, ts: TimestampLogicalTypeAnnotation) =>
@@ -118,7 +187,7 @@ object ParquetStats {
           case LogicalTypeAnnotation.TimeUnit.MICROS => 1000000L
           case LogicalTypeAnnotation.TimeUnit.NANOS => 1000000000L
         }
-        Some { v =>
+        Some(("ts", { v =>
           val x = v.asInstanceOf[Long]
           val secs = Math.floorDiv(x, perSecond)
           val frac = Math.floorMod(x, perSecond)
@@ -136,21 +205,21 @@ object ParquetStats {
           if (ldt.getNano == 0) base
           else base + "." +
             f"${ldt.getNano / 1000}%06d".reverse.dropWhile(_ == '0').reverse
-        }
+        }))
       case (PrimitiveTypeName.INT32, _: DateLogicalTypeAnnotation) =>
-        Some(v => java.time.LocalDate
-          .ofEpochDay(v.asInstanceOf[Integer].longValue()).toString)
+        Some(("date", v => java.time.LocalDate
+          .ofEpochDay(v.asInstanceOf[Integer].longValue()).toString))
       // plain or int-annotated integrals only: a DECIMAL annotation
       // over INT32/INT64 stores UNSCALED values, which toString would
       // render wrong
-      case (PrimitiveTypeName.INT32, null) => Some(_.toString)
+      case (PrimitiveTypeName.INT32, null) => Some(("int", _.toString))
       case (PrimitiveTypeName.INT32, _: LogicalTypeAnnotation
-          .IntLogicalTypeAnnotation) => Some(_.toString)
-      case (PrimitiveTypeName.INT64, null) => Some(_.toString)
+          .IntLogicalTypeAnnotation) => Some(("int", _.toString))
+      case (PrimitiveTypeName.INT64, null) => Some(("int", _.toString))
       case (PrimitiveTypeName.INT64, _: LogicalTypeAnnotation
-          .IntLogicalTypeAnnotation) => Some(_.toString)
+          .IntLogicalTypeAnnotation) => Some(("int", _.toString))
       case (PrimitiveTypeName.BINARY, _: StringLogicalTypeAnnotation) =>
-        Some(v => v.asInstanceOf[Binary].toStringUsingUTF8)
+        Some(("str", v => v.asInstanceOf[Binary].toStringUsingUTF8))
       case _ => None
     }
   }

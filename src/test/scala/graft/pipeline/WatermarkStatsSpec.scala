@@ -100,6 +100,39 @@ class WatermarkStatsSpec extends AnyFunSuite {
     assert(st.statMax(spark, "l", "t", "ts") === scanMax(st, "l", "t", "ts"))
   }
 
+  test("an emptied partition drops its entry: the stat can DECREASE") {
+    // the backfill-purge case: v2 declares the max-holding partition
+    // touched but writes no rows for it — the recorded max must fall
+    // to the surviving partition's, never carry the deleted maximum
+    val st = store()
+    val v1 = Seq(
+      ("a", 1, Timestamp.valueOf("2024-03-20 10:00:00")),
+      ("b", 2, Timestamp.valueOf("2024-02-01 00:00:00"))).toDF("k", "p", "ts")
+    st.write(v1, "l", "t", partitionBy = Seq("p"), statsCols = Seq("ts"))
+    assert(st.statMax(spark, "l", "t", "ts") === Some("2024-03-20 10:00:00"))
+    st.writeTouchedPartitions(v1.limit(0), "l", "t",
+      partitionBy = Seq("p"), touched = Some(Seq(1).toDF("p")),
+      statsCols = Seq("ts"))
+    assert(st.statMax(spark, "l", "t", "ts") === Some("2024-02-01 00:00:00"))
+    assert(st.statMax(spark, "l", "t", "ts") === scanMax(st, "l", "t", "ts"))
+  }
+
+  test("undeclared writes tombstone stats; compact re-derives them") {
+    val st = store()
+    val d1 = Seq(("a", Timestamp.valueOf("2024-03-20 10:00:00")))
+      .toDF("k", "ts")
+    st.write(d1, "l", "t", statsCols = Seq("ts"))
+    assert(st.statMax(spark, "l", "t", "ts").isDefined)
+    // a write that does not declare statsCols must not inherit the old
+    // maxima (it may have changed the data arbitrarily)
+    st.write(Seq(("b", Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("k", "ts"), "l", "t")
+    assert(st.statMax(spark, "l", "t", "ts") === None)
+    // compact preserves data, so it re-derives the tracked columns
+    st.compact(spark, "l", "t")
+    assert(st.statMax(spark, "l", "t", "ts") === Some("2024-01-01 00:00:00"))
+  }
+
   test("a stats-less rewrite tombstones the meta (no stale-high carry)") {
     val st = store()
     val d1 = Seq(("a", Timestamp.valueOf("2024-03-20 10:00:00")))
