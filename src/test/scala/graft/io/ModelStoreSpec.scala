@@ -195,4 +195,27 @@ class ModelStoreSpec extends AnyFunSuite {
     // self-diff is empty
     assert(store.diffVersions(spark, "silver", "t", "k", 2, 2).isEmpty)
   }
+
+  test("stat-parts serialization round-trips adversarial rels/values") {
+    // rel paths and string-typed stat values may contain the format's
+    // own delimiters (tab, newline), URL metacharacters, unicode, and
+    // the empty string (unpartitioned tables' root key) — URL-encoding
+    // must make every one of them round-trip exactly
+    val rnd = new scala.util.Random(7)
+    def nasty(): String = {
+      val pool = "a=b/%09\t\n\u00e9\u4e16% +&#?\"'"
+      (0 until rnd.nextInt(12)).map(_ =>
+        pool(rnd.nextInt(pool.length))).mkString
+    }
+    (1 to 200).foreach { _ =>
+      val parts = (0 until rnd.nextInt(6)).map(_ => (nasty(), nasty()))
+        .distinctBy(_._1)
+      val kind = Seq("ts", "date", "int", "str")(rnd.nextInt(4))
+      val rendered = ModelStore.renderParts(kind, parts)
+      val parsed = ModelStore.parseParts(rendered)
+      assert(parsed === Some((kind, parts.toMap)))
+    }
+    // the empty rendering is the tombstone, never a valid parse
+    assert(ModelStore.parseParts("") === None)
+  }
 }

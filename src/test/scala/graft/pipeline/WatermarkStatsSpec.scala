@@ -117,6 +117,42 @@ class WatermarkStatsSpec extends AnyFunSuite {
     assert(st.statMax(spark, "l", "t", "ts") === scanMax(st, "l", "t", "ts"))
   }
 
+  test("backfill purging the newest span lowers the watermark " +
+      "end-to-end (no silent skip)") {
+    // THE scenario the exact-stats design exists for: an upstream
+    // purge removes the rows holding the table's max watermark via
+    // backfill. A running-max (or stale carry-forward) would keep the
+    // OLD high-water mark and the next incremental would silently
+    // skip every row in the purged span; the per-partition fold must
+    // decrease to the surviving max instead.
+    val st = store()
+    def pipeline(orders: org.apache.spark.sql.DataFrame) =
+      new Pipeline(models.all, st, (_, n) => n match {
+        case "customers_cdc" => CdcFixtures.customersBatch1()
+        case "orders_cdc" => orders
+      })
+    pipeline(CdcFixtures.ordersBatch1()).run(spark, RunMode.Bootstrap)
+    val t = st.read(spark, "silver", "orders_cleaned").get
+    val wmRow = t.orderBy(col("last_updated_at").desc)
+      .select("order_year", "order_month", "last_updated_at").head()
+    val (wy, wm) = (wmRow.getInt(0), wmRow.getInt(1))
+    val oldStat = st.statMax(spark, "silver", "orders_cleaned",
+      "last_updated_at").get
+    // purge: the corrected source has NO rows for the wm partition
+    val purgedIds = t.filter(col("order_year") === wy &&
+        col("order_month") === wm)
+      .select("order_id").collect().map(_.getString(0)).toSet
+    pipeline(CdcFixtures.ordersBatch1()
+        .filter(!col("order_id").isin(purgedIds.toSeq: _*)))
+      .backfill(spark, "orders_cleaned",
+        col("order_year") === wy && col("order_month") === wm)
+    val newStat = st.statMax(spark, "silver", "orders_cleaned",
+      "last_updated_at")
+    assert(newStat === scanMax(st, "silver", "orders_cleaned",
+      "last_updated_at"))
+    assert(newStat.get < oldStat) // strictly lowered, not carried
+  }
+
   test("undeclared writes tombstone stats; compact re-derives them") {
     val st = store()
     val d1 = Seq(("a", Timestamp.valueOf("2024-03-20 10:00:00")))
