@@ -34,5 +34,20 @@ class WatermarkPushdownSpec extends AnyFunSuite {
     assert(gated.count() ==
       source.filter($"_cdc_timestamp" >
         Timestamp.valueOf("2024-03-15 10:00:00")).count())
+
+    // the stats-meta path (newerThanStat with a recorded high-water
+    // mark) must produce the SAME pushed literal — O(1) lookup, same
+    // physical plan
+    val statGated = Watermark.newerThanStat(source, Some(target),
+      c => if (c == "last_updated_at") Some("2024-03-15 10:00:00")
+        else None,
+      "_cdc_timestamp", "last_updated_at")
+    val statPlan = statGated.queryExecution.executedPlan.toString
+    assert(statPlan.contains("PushedFilters"), statPlan)
+    assert(statPlan.contains("GreaterThan(_cdc_timestamp"), statPlan)
+    assert(statGated.count() == gated.count())
+    // absent stats fall back to the scan path with identical results
+    assert(Watermark.newerThanStat(source, Some(target), _ => None,
+      "_cdc_timestamp", "last_updated_at").count() == gated.count())
   }
 }
