@@ -114,9 +114,32 @@ final class Pipeline(
   }
 
   /** Run the (tag-selected subset of the) DAG in `mode`. Returns the
-    * materialized DataFrame per model name. */
+    * materialized DataFrame per model name; throws (after the whole
+    * runnable DAG completes) if any model failed — see [[runReport]]
+    * for the per-model statuses. */
   def run(spark: SparkSession, mode: RunMode,
       selectTags: Option[Set[String]] = None): Map[String, DataFrame] = {
+    val report = runReport(spark, mode, selectTags)
+    if (report.failed.nonEmpty) {
+      val failures = report.status.collect {
+        case (n, Pipeline.Failed(e)) => s"$n (${e.getMessage})"
+      }
+      sys.error(s"pipeline run failed: ${failures.mkString("; ")}; " +
+        s"skipped downstream: ${report.skipped.mkString(", ")}")
+    }
+    report.results
+  }
+
+  /** [[run]] with dbt's failure semantics surfaced instead of thrown:
+    * a failing model does NOT abort the run — every model whose deps
+    * all succeeded still materializes (independent subtrees of a
+    * 6-hour DAG must not lose their work to an unrelated failure),
+    * dependents of a failure are marked [[Pipeline.SkippedDep]]
+    * without running (dbt's SKIP), and the per-model outcome is
+    * returned for the caller to decide on. `results` holds only the
+    * successfully materialized models. */
+  def runReport(spark: SparkSession, mode: RunMode,
+      selectTags: Option[Set[String]] = None): Pipeline.RunReport = {
     val selected = selectTags match {
       case None => models
       case Some(ts) => models.filter(m => m.tags.exists(ts))
@@ -126,19 +149,38 @@ final class Pipeline(
     val pool = Executors.newFixedThreadPool(threads)
     implicit val ec: ExecutionContext =
       ExecutionContext.fromExecutorService(pool)
-    val futures = mutable.Map.empty[String, Future[Unit]]
+    // every future COMPLETES (with the model's status) rather than
+    // failing — the await below therefore waits for the whole runnable
+    // DAG, never aborting mid-flight on the first error
+    val futures = mutable.Map.empty[String, Future[Pipeline.ModelStatus]]
     try {
       for (m <- order) {
-        val depFs = m.deps.flatMap(futures.get)
-        futures(m.name) = Future.sequence(depFs).map { _ =>
-          materialize(spark, m, mode)
-          ()
+        val depFs = m.deps.filter(futures.contains).map(d =>
+          futures(d).map(d -> _))
+        futures(m.name) = Future.sequence(depFs).map { depStatus =>
+          depStatus.find(!_._2.ok) match {
+            case Some((dep, _)) =>
+              System.err.println(
+                s"[pipeline] ${m.layer}.${m.name} SKIPPED (upstream $dep)")
+              Pipeline.SkippedDep(dep)
+            case None =>
+              try { materialize(spark, m, mode); Pipeline.Succeeded }
+              catch {
+                case scala.util.control.NonFatal(e) =>
+                  System.err.println(
+                    s"[pipeline] ${m.layer}.${m.name} FAILED: " +
+                      s"${e.getMessage}")
+                  Pipeline.Failed(e)
+              }
+          }
         }
       }
-      Await.result(Future.sequence(futures.values.toSeq), Duration.Inf)
+      val status = order.map(m =>
+        m.name -> Await.result(futures(m.name), Duration.Inf)).toMap
+      val results = order.filter(m => status(m.name).ok)
+        .map(m => m.name -> store.read(spark, m.layer, m.name).get).toMap
+      Pipeline.RunReport(results, status)
     } finally pool.shutdown()
-
-    order.map(m => m.name -> store.read(spark, m.layer, m.name).get).toMap
   }
 
   /** Surgical partition backfill — the "re-run one month" repair: the
@@ -223,6 +265,25 @@ final class Pipeline(
 }
 
 object Pipeline {
+
+  /** Per-model outcome of a DAG run — dbt's success/error/skip. */
+  sealed trait ModelStatus { def ok: Boolean = this == Succeeded }
+  case object Succeeded extends ModelStatus
+  /** The model's own materialization threw. */
+  final case class Failed(error: Throwable) extends ModelStatus
+  /** Not run: the named upstream dependency did not succeed. */
+  final case class SkippedDep(dep: String) extends ModelStatus
+
+  /** Outcome of [[Pipeline.runReport]]: materialized frames for the
+    * successful models plus every model's status. */
+  final case class RunReport(
+      results: Map[String, org.apache.spark.sql.DataFrame],
+      status: Map[String, ModelStatus]) {
+    def failed: Seq[String] =
+      status.collect { case (n, _: Failed) => n }.toSeq.sorted
+    def skipped: Seq[String] =
+      status.collect { case (n, _: SkippedDep) => n }.toSeq.sorted
+  }
 
   /** Materialize one model: build → merge/append per strategy → write →
     * post-hooks. Shared by the batch DAG executor above and the

@@ -374,4 +374,52 @@ class PipelineSpec extends AnyFunSuite {
     // silver untouched, gold rebuilt from stored silver
     assert(store.read(spark, "gold", "dim_customer").get.count() == 3)
   }
+
+  test("a failing model skips dependents but independent subtrees " +
+      "still run (dbt semantics)") {
+    // DAG: a (ok), boom (throws), c -> boom (must SKIP), d -> a (ok).
+    // dbt continues independent subtrees on a model error and marks
+    // downstream SKIP; a 6-hour DAG must not lose unrelated work.
+    import graft.model.{BuildCtx, ModelDef}
+    import org.apache.spark.sql.functions.lit
+    def leaf(n: String) = ModelDef(name = n, layer = "l",
+      build = (ctx: BuildCtx) =>
+        spark.range(3).withColumn("src", lit(n)))
+    val boom = ModelDef(name = "boom", layer = "l",
+      build = (_: BuildCtx) => sys.error("synthetic model failure"))
+    val c = ModelDef(name = "c", layer = "l", deps = Seq("boom"),
+      build = (ctx: BuildCtx) => ctx.ref("boom"))
+    val d = ModelDef(name = "d", layer = "l", deps = Seq("a"),
+      build = (ctx: BuildCtx) => ctx.ref("a"))
+    val store = new ModelStore(
+      Files.createTempDirectory("graft-dagfail").toString)
+    val p = new Pipeline(Seq(leaf("a"), boom, c, d), store,
+      (_, n) => sys.error(s"no source $n"))
+
+    val report = p.runReport(spark, RunMode.Bootstrap)
+    assert(report.failed == Seq("boom"))
+    assert(report.skipped == Seq("c"))
+    assert(report.results.keySet == Set("a", "d"))
+    assert(report.status("d") == Pipeline.Succeeded)
+    // failed/skipped models committed nothing; survivors did
+    assert(store.read(spark, "l", "boom").isEmpty)
+    assert(store.read(spark, "l", "c").isEmpty)
+    assert(store.read(spark, "l", "d").get.count() == 3)
+    // run() reports the same outcome as one loud error AFTER the
+    // whole runnable DAG completed
+    val err = intercept[RuntimeException] {
+      p.run(spark, RunMode.Bootstrap)
+    }
+    assert(err.getMessage.contains("boom"))
+    assert(err.getMessage.contains("skipped downstream: c"))
+
+    // transitive skip: e -> c -> boom also skips, naming its OWN
+    // unmet dependency
+    val e = ModelDef(name = "e", layer = "l", deps = Seq("c"),
+      build = (ctx: BuildCtx) => ctx.ref("c"))
+    val p2 = new Pipeline(Seq(leaf("a"), boom, c, d, e), store,
+      (_, n) => sys.error(s"no source $n"))
+    val r2 = p2.runReport(spark, RunMode.Bootstrap)
+    assert(r2.status("e") == Pipeline.SkippedDep("c"))
+  }
 }
