@@ -69,6 +69,26 @@ object Validate {
     rules.reduce(_ unionByName _)
       .withColumn("passed", col("n_violations") === 0L)
       .orderBy("rule")
+
+  /** Rules as a model post-hook that FAILS the materialization when
+    * any rule reports violations — the `dbt build` contract (tests
+    * gate downstream models). Composes with the DAG executor's
+    * failure semantics: the failing model is marked
+    * [[graft.model.Pipeline.Failed]] and its dependents SKIP, while
+    * independent subtrees keep running. The rules receive the
+    * MATERIALIZED table (post-hooks run on the committed state, as
+    * dbt tests select from the built relation). */
+  def failOnViolations(rules: DataFrame => Seq[DataFrame])
+      : DataFrame => Unit = { materialized =>
+    val bad = report(rules(materialized))
+      .filter(!col("passed"))
+      .select("rule", "n_violations")
+      .collect() // bounded: one row per declared rule
+    if (bad.nonEmpty)
+      sys.error("schema tests failed: " + bad.map(r =>
+        s"${r.getString(0)} (${r.getLong(1)} violations)")
+        .mkString(", "))
+  }
 }
 
 /** Driver-checkable quality/profiling queries. */

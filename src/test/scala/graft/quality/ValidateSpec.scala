@@ -56,4 +56,34 @@ class ValidateSpec extends AnyFunSuite {
         r.getString(0) != "l_returnflag") // string extrema ordered
     }
   }
+
+  test("failOnViolations gates the DAG like dbt build: model fails, " +
+      "dependents skip, the built relation stays") {
+    import java.nio.file.Files
+    import graft.io.ModelStore
+    import graft.model.{BuildCtx, ModelDef, Pipeline, RunMode}
+    import org.apache.spark.sql.functions.lit
+    val tested = ModelDef(name = "t", layer = "l",
+      postHooks = Seq(Validate.failOnViolations(df => Seq(
+        Validate.unique(df, "t", "k")))),
+      build = (_: BuildCtx) =>
+        Seq(1L, 1L, 2L).toDF("k")) // duplicate key -> test fails
+    val down = ModelDef(name = "down", layer = "l", deps = Seq("t"),
+      build = (ctx: BuildCtx) => ctx.ref("t"))
+    val indep = ModelDef(name = "indep", layer = "l",
+      build = (_: BuildCtx) => spark.range(2).withColumn("x", lit(1)))
+    val store = new ModelStore(
+      Files.createTempDirectory("graft-vhook").toString)
+    val p = new Pipeline(Seq(tested, down, indep), store,
+      (_, n) => sys.error(s"no source $n"))
+    val r = p.runReport(spark, RunMode.Bootstrap)
+    assert(r.failed == Seq("t"))
+    assert(r.status("t").asInstanceOf[Pipeline.Failed]
+      .error.getMessage.contains("unique_t_k"))
+    assert(r.skipped == Seq("down"))
+    assert(r.results.keySet == Set("indep"))
+    // dbt parity: the relation IS built (tests run on the committed
+    // state); the failure gates DOWNSTREAM, it does not roll back
+    assert(store.read(spark, "l", "t").get.count() == 3)
+  }
 }
