@@ -139,11 +139,27 @@ final class Pipeline(
     * returned for the caller to decide on. `results` holds only the
     * successfully materialized models. */
   def runReport(spark: SparkSession, mode: RunMode,
-      selectTags: Option[Set[String]] = None): Pipeline.RunReport = {
-    val selected = selectTags match {
+      selectTags: Option[Set[String]] = None): Pipeline.RunReport =
+    runSelected(spark, mode, selectTags match {
       case None => models
       case Some(ts) => models.filter(m => m.tags.exists(ts))
-    }
+    })
+
+  /** `dbt retry` parity: re-run ONLY the models a prior report left
+    * failed or skipped, in dependency order. Succeeded models are not
+    * re-materialized — a re-run model's `ref()` to one reads its
+    * committed table, so a fixed transient (or a fixed model bug
+    * shipped between runs) completes the DAG at the cost of the
+    * unfinished work only. The returned report covers the retried
+    * subset. */
+  def retry(spark: SparkSession, prior: Pipeline.RunReport,
+      mode: RunMode): Pipeline.RunReport = {
+    val rerun = (prior.failed ++ prior.skipped).toSet
+    runSelected(spark, mode, models.filter(m => rerun(m.name)))
+  }
+
+  private def runSelected(spark: SparkSession, mode: RunMode,
+      selected: Seq[ModelDef]): Pipeline.RunReport = {
     val order = topoOrder(selected)
 
     val pool = Executors.newFixedThreadPool(threads)

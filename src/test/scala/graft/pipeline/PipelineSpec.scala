@@ -421,5 +421,19 @@ class PipelineSpec extends AnyFunSuite {
       (_, n) => sys.error(s"no source $n"))
     val r2 = p2.runReport(spark, RunMode.Bootstrap)
     assert(r2.status("e") == Pipeline.SkippedDep("c"))
+
+    // dbt retry: with the failure fixed, retrying the prior report
+    // re-runs ONLY boom + its skipped dependents; the succeeded
+    // models are not re-materialized (their versions are untouched)
+    val aVersion = store.currentVersion(spark, "l", "a")
+    val fixed = boom.copy(build = (_: BuildCtx) =>
+      spark.range(1).withColumnRenamed("id", "k"))
+    val p3 = new Pipeline(Seq(leaf("a"), fixed, c, d, e), store,
+      (_, n) => sys.error(s"no source $n"))
+    val r3 = p3.retry(spark, r2, RunMode.Bootstrap)
+    assert(r3.status.keySet == Set("boom", "c", "e"))
+    assert(r3.failed.isEmpty && r3.skipped.isEmpty)
+    assert(store.read(spark, "l", "c").get.count() == 1)
+    assert(store.currentVersion(spark, "l", "a") == aVersion)
   }
 }
