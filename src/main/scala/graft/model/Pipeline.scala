@@ -199,6 +199,28 @@ final class Pipeline(
     } finally pool.shutdown()
   }
 
+  /** `dbt docs generate` analog: one row per model with its declared
+    * orchestration metadata (deps = lineage edges, tags, merge key,
+    * layout, stats columns, description) joined with the LIVE store
+    * state (current version, column names/types of the materialized
+    * table, persisted comment). Driver-side metadata only — no data
+    * jobs; the schema read is a parquet footer. */
+  def catalog(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    models.map { m =>
+      val v = store.currentVersion(spark, m.layer, m.name)
+      val schema =
+        if (v == 0) Seq.empty[String]
+        else store.read(spark, m.layer, m.name).get.schema.fields
+          .map(f => s"${f.name}:${f.dataType.simpleString}").toSeq
+      (m.name, m.layer, m.deps, m.tags.toSeq.sorted,
+        m.uniqueKey.getOrElse(""), m.partitionBy, m.zorderBy,
+        m.statsCols, m.description, v.toLong, schema)
+    }.toDF("model", "layer", "deps", "tags", "unique_key",
+      "partition_by", "zorder_by", "stats_cols", "description",
+      "current_version", "columns")
+  }
+
   /** Surgical partition backfill — the "re-run one month" repair: the
     * model is rebuilt from sources in full-refresh semantics but ONLY
     * the rows matching `partitionPred` are written, swapping exactly

@@ -375,6 +375,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(store.read(spark, "gold", "dim_customer").get.count() == 3)
   }
 
+  test("catalog: lineage + live store state, one row per model") {
+    val (p, _) = newPipeline(Map(
+      "customers_cdc" -> CdcFixtures.customersBatch1(),
+      "orders_cdc" -> CdcFixtures.ordersBatch1()))
+    p.run(spark, RunMode.Bootstrap)
+    val cat = p.catalog(spark).collect()
+      .map(r => r.getAs[String]("model") -> r).toMap
+    assert(cat.keySet ==
+      Set("customers_latest", "orders_cleaned", "dim_customer"))
+    val oc = cat("orders_cleaned")
+    def seq(r: org.apache.spark.sql.Row, c: String): Seq[String] =
+      r.getAs[scala.collection.Seq[String]](c).toSeq
+    assert(seq(oc, "deps") == Seq("customers_latest"))
+    assert(oc.getAs[String]("unique_key") == "order_id")
+    assert(seq(oc, "partition_by") == Seq("order_year", "order_month"))
+    assert(seq(oc, "stats_cols") == Seq("last_updated_at"))
+    assert(oc.getAs[Long]("current_version") == 1L)
+    assert(seq(oc, "columns").contains("order_id:string"))
+    assert(seq(cat("dim_customer"), "deps").toSet ==
+      Set("customers_latest", "orders_cleaned"))
+  }
+
   test("a failing model skips dependents but independent subtrees " +
       "still run (dbt semantics)") {
     // DAG: a (ok), boom (throws), c -> boom (must SKIP), d -> a (ok).
