@@ -225,10 +225,16 @@ final class ModelStore(val root: String) {
   private def statsMeta(spark: SparkSession, layer: String, name: String,
       dest: Path, partitionBy: Seq[String], statsCols: Seq[String],
       linkedRels: Set[String]): Map[String, String] = {
-    if (statsCols.isEmpty)
-      // tombstone whatever the prior version recorded (see scaladoc)
-      return statsColsOf(spark, layer, name).flatMap(c =>
-        Seq(s"stat_max_$c" -> "", s"stat_parts_$c" -> "")).toMap
+    // tombstone every previously-tracked column the current write does
+    // NOT declare (see scaladoc) — including the NARROWING case: a
+    // write declaring only a subset must not let commit()'s meta
+    // carry-forward preserve a stale (possibly stale-HIGH) max for
+    // the dropped columns
+    val dropped = statsColsOf(spark, layer, name)
+      .filterNot(statsCols.contains)
+      .flatMap(c => Seq(s"stat_max_$c" -> "", s"stat_parts_$c" -> ""))
+      .toMap
+    if (statsCols.isEmpty) return dropped
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = fsFor(spark, dest)
     val allRels: Seq[String] =
@@ -240,25 +246,29 @@ final class ModelStore(val root: String) {
       else fs.listStatus(base).toSeq.filter(s => s.isFile &&
         s.getPath.getName.endsWith(".parquet")).map(_.getPath)
     }
-    statsCols.flatMap { c =>
-      // prior per-partition maxima (the version being superseded is
-      // still the CURRENT one here — commit hasn't swapped the pointer)
-      val prior = meta(spark, layer, name, s"stat_parts_$c")
-        .flatMap(ModelStore.parseParts)
-      // linked rels resolve from the prior map when it exists; absent
-      // entries there mean "no non-null values in that partition" and
-      // are trusted. Without a prior map (first stats-bearing commit
-      // over linked history, or a tombstone) the linked dirs are
-      // walked too — the one-time upgrade cost.
-      val (reuseRels, walkRels) = prior match {
-        case Some(_) => (linkedRels.toSeq.sorted,
-          allRels.filterNot(linkedRels))
-        case None => (Nil, allRels)
-      }
-      val walked = ParquetStats.groupedMax(conf,
-        walkRels.map(r => r -> filesUnder(r)), c)
-      val reused: Seq[(String, ParquetStats.DirStat)] = prior match {
-        case Some((kind, parts)) => reuseRels.map(r =>
+    // prior per-partition maxima per column (the version being
+    // superseded is still the CURRENT one here — commit hasn't swapped
+    // the pointer). Linked rels resolve from the prior map when it
+    // exists; absent entries there mean "no non-null values in that
+    // partition" and are trusted. Without a prior map (first
+    // stats-bearing commit over linked history, or a tombstone) the
+    // linked dirs are walked too — the one-time upgrade cost.
+    val prior = statsCols.map(c => c ->
+      meta(spark, layer, name, s"stat_parts_$c")
+        .flatMap(ModelStore.parseParts)).toMap
+    def walkRelsOf(c: String): Seq[String] =
+      if (prior(c).isDefined) allRels.filterNot(linkedRels)
+      else allRels
+    // every footer opens ONCE and yields all columns needing its rel —
+    // columns with a prior map skip the linked dirs' entries
+    val relsToWalk = statsCols.flatMap(walkRelsOf).distinct
+    val walkedAll = ParquetStats.groupedMaxAll(conf,
+      relsToWalk.map(r => r -> filesUnder(r)), statsCols)
+    val computed = statsCols.flatMap { c =>
+      val walked = walkedAll(c).view.filterKeys(
+        walkRelsOf(c).toSet).toMap
+      val reused: Seq[(String, ParquetStats.DirStat)] = prior(c) match {
+        case Some((kind, parts)) => linkedRels.toSeq.sorted.map(r =>
           r -> parts.get(r).map(v =>
             ParquetStats.MaxValue(kind, v): ParquetStats.DirStat)
             .getOrElse(ParquetStats.NoValue))
@@ -282,6 +292,7 @@ final class ModelStore(val root: String) {
             perRel.map { case (r, v) => r -> v.rendered }))
       }
     }.toMap
+    dropped ++ computed
   }
 
   private def writeData(df: DataFrame, dest: Path,

@@ -83,7 +83,8 @@ object ParquetStats {
     // parallel footer reads on the driver: opens are independent
     // metadata IO (~7 ms each sequential, measured), and the common
     // ForkJoin pool caps fan-out at machine width
-    files.toIndexedSeq.par.map(f => fileMax(conf, f, column)).seq
+    files.toIndexedSeq.par
+      .map(f => fileMaxAll(conf, f, Seq(column))(column)).seq
       .foldLeft(NoValue: DirStat)(combine)
   }
 
@@ -92,14 +93,24 @@ object ParquetStats {
     * at machine width instead of serially group-by-group). Groups with
     * no files report [[NoValue]]. */
   def groupedMax(conf: Configuration, groups: Seq[(String, Seq[Path])],
-      column: String): Map[String, DirStat] = {
+      column: String): Map[String, DirStat] =
+    groupedMaxAll(conf, groups, Seq(column))(column)
+
+  /** Multi-column [[groupedMax]]: every footer opens ONCE and yields
+    * all requested columns' stats (a 3-column declaration must not
+    * triple the metadata IO). Returns column → group → outcome. */
+  def groupedMaxAll(conf: Configuration, groups: Seq[(String, Seq[Path])],
+      columns: Seq[String]): Map[String, Map[String, DirStat]] = {
     val flat = for ((g, fs) <- groups; f <- fs) yield (g, f)
     val perFile = flat.toIndexedSeq.par
-      .map { case (g, f) => g -> fileMax(conf, f, column) }.seq
-    val folded = perFile.groupBy(_._1).map { case (g, vs) =>
-      g -> vs.map(_._2).foldLeft(NoValue: DirStat)(combine)
-    }
-    groups.map { case (g, _) => g -> folded.getOrElse(g, NoValue) }.toMap
+      .map { case (g, f) => g -> fileMaxAll(conf, f, columns) }.seq
+    columns.map { c =>
+      val folded = perFile.groupBy(_._1).map { case (g, vs) =>
+        g -> vs.map(_._2(c)).foldLeft(NoValue: DirStat)(combine)
+      }
+      c -> groups.map { case (g, _) =>
+        g -> folded.getOrElse(g, NoValue) }.toMap
+    }.toMap
   }
 
   private def combine(a: DirStat, b: DirStat): DirStat = (a, b) match {
@@ -111,56 +122,77 @@ object ParquetStats {
       else if (compare(kind, xv, yv) >= 0) x else y
   }
 
-  /** Order two rendered stat values of the same `kind`. Canonical
-    * timestamp/date renderings are zero-padded with trailing-zero-free
-    * fractions, so lexicographic order IS chronological; integrals
-    * parse; strings compare lexicographically (see [[columnMax]]). */
+  /** Order two rendered stat values of the same `kind`. Time kinds
+    * compare the year NUMERICALLY, then the fixed-width remainder
+    * lexicographically — plain string order diverges once years pass
+    * four digits ("10000-…" < "9999-…" lexicographically) or go
+    * negative; within one year, months/days/times are zero-padded and
+    * fractions trailing-zero-trimmed, so lexicographic order IS
+    * chronological. Integrals parse; strings compare lexicographically
+    * (see [[columnMax]]). */
   def compare(kind: String, a: String, b: String): Int = kind match {
     case "int" => java.lang.Long.compare(a.toLong, b.toLong)
+    case "ts" | "date" =>
+      // year = everything before the first '-' past position 0 (a
+      // leading '-' is a negative year's sign; '+' parses natively)
+      def split(s: String): (Long, String) = {
+        val i = s.indexOf('-', 1)
+        (s.substring(0, i).toLong, s.substring(i))
+      }
+      val (ya, ra) = split(a)
+      val (yb, rb) = split(b)
+      if (ya != yb) java.lang.Long.compare(ya, yb) else ra.compareTo(rb)
     case _ => a.compareTo(b)
   }
 
-  private def fileMax(conf: Configuration, f: Path, column: String)
-      : DirStat = {
+  /** One footer open, all requested columns extracted. */
+  private def fileMaxAll(conf: Configuration, f: Path,
+      columns: Seq[String]): Map[String, DirStat] = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
     try {
       val footer = reader.getFooter
-      val schema = footer.getFileMetaData.getSchema
-      // top-level primitive columns only: nested paths have per-level
-      // null semantics footer stats can't summarize safely
-      if (!schema.containsField(column)) return Unusable
-      val field = schema.getType(Seq(column): _*)
-      if (!field.isPrimitive) return Unusable
-      val prim = field.asPrimitiveType()
-      val kr = renderer(prim) match {
-        case Some(x) => x
-        case None => return Unusable
-      }
-      var acc: Option[Comparable[Any]] = None
-      val it = footer.getBlocks.iterator()
-      while (it.hasNext) {
-        val block = it.next()
-        val chunk = block.getColumns.stream()
-          .filter(c => c.getPath.size() == 1 &&
-            c.getPath.iterator().next() == column)
-          .findFirst()
-        if (!chunk.isPresent) return Unusable
-        val stats = chunk.get().getStatistics
-        // stats == null / isEmpty: the writer recorded nothing;
-        // INT96's deprecated ordering also lands here. A chunk of
-        // only NULLs (hasNonNullValue false) contributes no value
-        // but doesn't poison the lookup.
-        if (stats == null || stats.isEmpty) return Unusable
-        if (stats.hasNonNullValue) {
-          val v = stats.genericGetMax.asInstanceOf[Comparable[Any]]
-          if (acc.forall(_.compareTo(v) < 0)) acc = Some(v)
-        }
-      }
-      acc match {
-        case Some(v) => MaxValue(kr._1, kr._2(v))
-        case None => NoValue
-      }
+      columns.map(c => c -> footerMax(footer, c)).toMap
     } finally reader.close()
+  }
+
+  private def footerMax(
+      footer: org.apache.parquet.hadoop.metadata.ParquetMetadata,
+      column: String): DirStat = {
+    val schema = footer.getFileMetaData.getSchema
+    // top-level primitive columns only: nested paths have per-level
+    // null semantics footer stats can't summarize safely
+    if (!schema.containsField(column)) return Unusable
+    val field = schema.getType(Seq(column): _*)
+    if (!field.isPrimitive) return Unusable
+    val prim = field.asPrimitiveType()
+    val kr = renderer(prim) match {
+      case Some(x) => x
+      case None => return Unusable
+    }
+    var acc: Option[Comparable[Any]] = None
+    val it = footer.getBlocks.iterator()
+    while (it.hasNext) {
+      val block = it.next()
+      val chunk = block.getColumns.stream()
+        .filter(c => c.getPath.size() == 1 &&
+          c.getPath.iterator().next() == column)
+        .findFirst()
+      if (!chunk.isPresent) return Unusable
+      val stats = chunk.get().getStatistics
+      // stats == null / isEmpty: the writer recorded nothing;
+      // INT96's deprecated ordering also lands here. A chunk of
+      // only NULLs (hasNonNullValue false) contributes no value
+      // but doesn't poison the lookup.
+      if (stats == null || stats.isEmpty) return Unusable
+      if (stats.hasNonNullValue) {
+        val v = stats.genericGetMax.asInstanceOf[Comparable[Any]]
+        if (acc.forall(_.compareTo(v) < 0)) acc = Some(v)
+      }
+    }
+    acc match {
+      case Some(v) => MaxValue(kr._1, kr._2(v))
+      case None => NoValue
+    }
   }
 
   private def listParquet(fs: FileSystem, dir: Path): Seq[Path] = {

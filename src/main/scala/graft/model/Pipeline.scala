@@ -122,10 +122,15 @@ final class Pipeline(
     val report = runReport(spark, mode, selectTags)
     if (report.failed.nonEmpty) {
       val failures = report.status.collect {
-        case (n, Pipeline.Failed(e)) => s"$n (${e.getMessage})"
+        case (n, Pipeline.Failed(e)) => s"$n (${String.valueOf(e.getMessage)})"
       }
-      sys.error(s"pipeline run failed: ${failures.mkString("; ")}; " +
-        s"skipped downstream: ${report.skipped.mkString(", ")}")
+      // first failure rides as the CAUSE so the real stack trace (and
+      // exception type) survives for callers and logs
+      val first = report.status(report.failed.head)
+        .asInstanceOf[Pipeline.Failed].error
+      throw new RuntimeException(
+        s"pipeline run failed: ${failures.mkString("; ")}; " +
+          s"skipped downstream: ${report.skipped.mkString(", ")}", first)
     }
     report.results
   }

@@ -80,10 +80,15 @@ object Validate {
     * dbt tests select from the built relation). */
   def failOnViolations(rules: DataFrame => Seq[DataFrame])
       : DataFrame => Unit = { materialized =>
-    val bad = report(rules(materialized))
-      .filter(!col("passed"))
-      .select("rule", "n_violations")
-      .collect() // bounded: one row per declared rule
+    val declared = rules(materialized)
+    // no rules declared (e.g. conditional rule sets) = nothing to
+    // violate — a pass, not an empty-reduce crash in report()
+    val bad =
+      if (declared.isEmpty) Array.empty[org.apache.spark.sql.Row]
+      else report(declared)
+        .filter(!col("passed"))
+        .select("rule", "n_violations")
+        .collect() // bounded: one row per declared rule
     if (bad.nonEmpty)
       sys.error("schema tests failed: " + bad.map(r =>
         s"${r.getString(0)} (${r.getLong(1)} violations)")

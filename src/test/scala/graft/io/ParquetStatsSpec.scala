@@ -114,6 +114,19 @@ class ParquetStatsSpec extends AnyFunSuite {
         s"column $c")
   }
 
+  test("compare orders time kinds chronologically past 4-digit years") {
+    // lexicographic order breaks at year 10000 and for negative years;
+    // the kind-aware comparator must not
+    assert(ParquetStats.compare("ts",
+      "10000-01-01 00:00:00", "9999-12-31 00:00:00") > 0)
+    assert(ParquetStats.compare("date", "+10000-01-01", "9999-12-31") > 0)
+    assert(ParquetStats.compare("ts",
+      "-005-01-01 00:00:00", "0004-01-01 00:00:00") < 0)
+    assert(ParquetStats.compare("ts",
+      "2024-01-02 03:04:05.2", "2024-01-02 03:04:05.15") > 0)
+    assert(ParquetStats.compare("int", "9", "10") < 0)
+  }
+
   test("a NULL-only file among valued files contributes nothing") {
     val dir = tmp()
     spark.range(5).selectExpr("cast(null AS bigint) AS v")

@@ -169,6 +169,24 @@ class WatermarkStatsSpec extends AnyFunSuite {
     assert(st.statMax(spark, "l", "t", "ts") === Some("2024-01-01 00:00:00"))
   }
 
+  test("NARROWING statsCols tombstones the dropped column's meta") {
+    // declaring a subset must not let the commit's meta carry-forward
+    // preserve a stale (possibly stale-HIGH) max for the dropped
+    // column — the same silent-skip hazard as a stats-less rewrite
+    val st = store()
+    val v1 = Seq(("a", Timestamp.valueOf("2024-03-20 10:00:00"), 9L))
+      .toDF("k", "ts", "n")
+    st.write(v1, "l", "t", statsCols = Seq("ts", "n"))
+    assert(st.statMax(spark, "l", "t", "ts").isDefined)
+    assert(st.statMax(spark, "l", "t", "n") === Some("9"))
+    // v2 drops "n" from the declaration AND lowers its data max
+    st.write(Seq(("b", Timestamp.valueOf("2024-03-21 10:00:00"), 1L))
+      .toDF("k", "ts", "n"), "l", "t", statsCols = Seq("ts"))
+    assert(st.statMax(spark, "l", "t", "ts") ===
+      Some("2024-03-21 10:00:00"))
+    assert(st.statMax(spark, "l", "t", "n") === None) // tombstoned
+  }
+
   test("a stats-less rewrite tombstones the meta (no stale-high carry)") {
     val st = store()
     val d1 = Seq(("a", Timestamp.valueOf("2024-03-20 10:00:00")))

@@ -86,4 +86,12 @@ class ValidateSpec extends AnyFunSuite {
     // state); the failure gates DOWNSTREAM, it does not roll back
     assert(store.read(spark, "l", "t").get.count() == 3)
   }
+
+  test("failOnViolations with no declared rules is a pass, not a crash") {
+    var ran = false
+    Validate.failOnViolations(_ => Seq.empty)(
+      spark.range(3).toDF("k"))
+    ran = true
+    assert(ran)
+  }
 }

@@ -8,8 +8,8 @@ duplicate groups. It rewrites a testdata scale-factor dir into a
 schema-identical sibling where:
 
   events:     30% of events land on ONE hot user (event_id % 10 < 3),
-              and half of those are 'click' — the hot-user sessionize /
-              as-of / funnel regime;
+              and the even-id two-thirds of those are 'click' — the
+              hot-user sessionize / as-of / funnel regime;
   orders:     30% of orders belong to ONE hot customer (the skewed
               groupBy/join key q37/q74 exist for);
   lineitem:   10% of lineitems attach to ONE hot order (join fan-out);
