@@ -171,6 +171,12 @@ object NearDup {
   val NumHashes = 32
   val NumBands = 8
   val RowsPerBand: Int = NumHashes / NumBands
+  /** Candidate pairs survive when ≥ this many of the [[NumHashes]]
+    * signature positions agree (estimated Jaccard ≥ 0.4). Derived,
+    * never hardcoded: the engine filter AND the q25 oracle both read
+    * it, so retuning NumHashes or the fraction cannot silently leave
+    * the oracle certifying a different threshold. */
+  val MinAgree: Int = (0.4 * NumHashes).ceil.toInt
 
   def minhashSignature(sh: Column): Column = {
     val base = transform(sh, s => xxhash64(s))
@@ -270,7 +276,8 @@ object NearDup {
   }
 
   private def q25OracleSql: String = {
-    val est = Exact.dec4Sql(Exact.halfUpDivSql("n_agree*10000", "32"))
+    val est = Exact.dec4Sql(
+      Exact.halfUpDivSql("n_agree*10000", NumHashes.toString))
     s"""WITH ${minhashOracleCtes("documents")},
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
@@ -285,7 +292,7 @@ object NearDup {
        |  JOIN minh mb ON mb.doc_id = c.b_id AND mb.k = ma.k
        |  GROUP BY c.a_id, c.b_id)
        |SELECT a_id, b_id, $est AS est_jaccard
-       |FROM agree WHERE n_agree >= 13 ORDER BY a_id, b_id""".stripMargin
+       |FROM agree WHERE n_agree >= $MinAgree ORDER BY a_id, b_id""".stripMargin
   }
 
   val qMinhashLsh: Q = Q("q25_minhash_lsh", q25OracleSql) { (s, d) =>
@@ -308,15 +315,16 @@ object NearDup {
     val sb = sigs.select(col("doc_id").as("b_id"), col("sig").as("sig_b"))
     candidates
       .join(sa, Seq("a_id")).join(sb, Seq("b_id"))
-      // agreement kept in exact integer space (n of 32 positions): the
-      // ≥0.4 threshold is n ≥ 13, and the estimate renders as a fixed
-      // 4-decimal string (computed doubles are hash-fragile — Exact)
+      // agreement kept in exact integer space (n of NumHashes
+      // positions, kept ≥ MinAgree — shared constants with the
+      // oracle); the estimate renders as a fixed 4-decimal string
+      // (computed doubles are hash-fragile — Exact)
       .select(col("a_id"), col("b_id"),
         size(filter(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => x === y), e => e)).as("n_agree"))
-      .filter(col("n_agree") >= lit((0.4 * NumHashes).ceil.toInt))
+      .filter(col("n_agree") >= lit(MinAgree))
       .select(col("a_id"), col("b_id"),
-        Exact.dec4(Exact.halfUpDiv(col("n_agree") * 10000, lit(32)))
+        Exact.dec4(Exact.halfUpDiv(col("n_agree") * 10000, lit(NumHashes)))
           .as("est_jaccard"))
       .orderBy("a_id", "b_id")
   }

@@ -672,9 +672,10 @@ object VectorOps {
   // pure exact-integer arithmetic over the assignment.
   val qEmbeddingClusters: Q = {
     val (cents, assigned) = trainedSql
-    val mean = s"CASE WHEN sum_dot >= 0 THEN ${Exact.halfUpDivSql(
-      "sum_dot", "n_vectors")} ELSE -(${Exact.halfUpDivSql(
-      "-sum_dot", "n_vectors")}) END"
+    // halfUpDivSql is sign-symmetric (HALF_UP away from zero, Exact):
+    // a cluster's net affinity can be negative and needs no extra
+    // sign handling here
+    val mean = Exact.halfUpDivSql("sum_dot", "n_vectors")
     Q(
       "q80_embedding_clusters",
       s"""SELECT c_id, CAST(n_vectors AS BIGINT) AS n_vectors,
@@ -695,14 +696,10 @@ object VectorOps {
         .groupBy("c_id")
         .agg(count(lit(1)).as("n_vectors"), sum("dot").as("sum_dot"),
           min("dot").as("min_dot"), max("dot").as("max_dot"))
-        // halfUpDiv's contract is num ≥ 0; a cluster's net affinity
-        // can be negative, so round half AWAY FROM ZERO by sign
-        // (plain halfUpDiv on a negative sum rounds toward +∞)
+        // halfUpDiv is sign-symmetric (HALF_UP away from zero): a
+        // cluster's net affinity can be negative and rounds by |sum|
         .withColumn("mean_dot",
-          when(col("sum_dot") >= 0,
-            graft.ops.Exact.halfUpDiv(col("sum_dot"), col("n_vectors")))
-            .otherwise(-graft.ops.Exact.halfUpDiv(-col("sum_dot"),
-              col("n_vectors"))))
+          graft.ops.Exact.halfUpDiv(col("sum_dot"), col("n_vectors")))
         .select("c_id", "n_vectors", "mean_dot", "min_dot", "max_dot")
         .orderBy("c_id")
     }

@@ -60,9 +60,9 @@ object ParquetStats {
     * Rendering: timestamps as `yyyy-MM-dd HH:mm:ss[.SSSSSS]` (UTC,
     * trailing zeros trimmed — Spark's own cast-to-string form), dates
     * as `yyyy-MM-dd`, integrals as decimal strings, strings verbatim.
-    * String columns compare in parquet `Binary` order, which agrees
-    * with Spark's UTF8 ordering on ASCII; the store's stat consumers
-    * are time/integral watermark columns, where ordering is exact. */
+    * String columns fold in unsigned-UTF-8 order ([[compare]]) — the
+    * same order parquet's `Binary` stats and Spark's `UTF8String` use,
+    * so the cross-file fold picks the same max a scan would. */
   def columnMax(conf: Configuration, dir: Path, column: String)
       : Option[String] =
     dirMax(conf, dir, column) match {
@@ -128,8 +128,13 @@ object ParquetStats {
     * four digits ("10000-…" < "9999-…" lexicographically) or go
     * negative; within one year, months/days/times are zero-padded and
     * fractions trailing-zero-trimmed, so lexicographic order IS
-    * chronological. Integrals parse; strings compare lexicographically
-    * (see [[columnMax]]). */
+    * chronological. Integrals parse; strings compare as unsigned
+    * UTF-8 bytes — the order parquet selected each FILE's max in (its
+    * `Binary` stat comparator) and Spark's own `UTF8String` order.
+    * UTF-16 `compareTo` diverges from both on supplementary-plane
+    * characters (surrogates 0xD800–0xDFFF sort below 0xE000–0xFFFF
+    * code units but encode ABOVE them in UTF-8), so folding with it
+    * could pick a non-maximal string across files. */
   def compare(kind: String, a: String, b: String): Int = kind match {
     case "int" => java.lang.Long.compare(a.toLong, b.toLong)
     case "ts" | "date" =>
@@ -142,7 +147,9 @@ object ParquetStats {
       val (ya, ra) = split(a)
       val (yb, rb) = split(b)
       if (ya != yb) java.lang.Long.compare(ya, yb) else ra.compareTo(rb)
-    case _ => a.compareTo(b)
+    case _ => java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** One footer open, all requested columns extracted. */
@@ -230,13 +237,23 @@ object ParquetStats {
             java.time.ZoneOffset.UTC)
           // render exactly as Spark's own cast-to-string does — no
           // fraction at second precision, trailing zeros trimmed — so
-          // the value is bit-identical either way it was derived
+          // the value is bit-identical either way it was derived.
+          // NANOS floors to micros: a Spark timestamp literal cannot
+          // carry sub-microsecond digits (and Spark only reads NANOS
+          // columns through the same truncation — Tables.load), so the
+          // rendered value is the exact MAX of the micros domain the
+          // consumer compares in; floor is monotone, so folding
+          // truncated per-file maxima still yields the table's
+          // truncated maximum. The guard must be on the MICROS
+          // remainder — a sub-microsecond-only fraction used to render
+          // a bare trailing dot, which ANSI cast-to-timestamp rejects.
           val base = f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-" +
             f"${ldt.getDayOfMonth}%02d ${ldt.getHour}%02d:" +
             f"${ldt.getMinute}%02d:${ldt.getSecond}%02d"
-          if (ldt.getNano == 0) base
+          val microFrac = ldt.getNano / 1000
+          if (microFrac == 0) base
           else base + "." +
-            f"${ldt.getNano / 1000}%06d".reverse.dropWhile(_ == '0').reverse
+            f"$microFrac%06d".reverse.dropWhile(_ == '0').reverse
         }))
       case (PrimitiveTypeName.INT32, _: DateLogicalTypeAnnotation) =>
         Some(("date", v => java.time.LocalDate

@@ -134,4 +134,64 @@ class ParquetStatsSpec extends AnyFunSuite {
     Seq(41L, 7L).toDF("v").write.mode("append").parquet(dir)
     assert(ParquetStats.columnMax(conf, new Path(dir), "v") === Some("41"))
   }
+
+  /** Spark can only write MICROS; NANOS footers need a raw writer. */
+  private def writeNanos(dir: String, values: Seq[Long]): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.hadoop.util.HadoopOutputFile
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val schema = Types.buildMessage()
+      .optional(PrimitiveTypeName.INT64)
+      .as(LogicalTypeAnnotation.timestampType(
+        true, LogicalTypeAnnotation.TimeUnit.NANOS))
+      .named("ts")
+      .named("m")
+    val w = ExampleParquetWriter
+      .builder(HadoopOutputFile.fromPath(
+        new Path(dir, s"part-${values.hashCode & 0x7fffffff}.parquet"),
+        conf))
+      .withType(schema)
+      .build()
+    try {
+      val gf = new SimpleGroupFactory(schema)
+      values.foreach { v =>
+        val g = gf.newGroup(); g.add("ts", v); w.write(g)
+      }
+    } finally w.close()
+  }
+
+  test("NANOS timestamps floor to micros; never a bare trailing dot") {
+    // a sub-microsecond-only fraction used to render "…00:00:00." —
+    // which Spark 4's ANSI cast-to-timestamp rejects, killing the
+    // watermark gate that consumes the stat — and sub-micro residue
+    // must floor away (Spark itself only reads NANOS truncated)
+    val d1 = tmp()
+    writeNanos(d1, Seq(789L)) // 789 ns: micros remainder is zero
+    val got1 = ParquetStats.columnMax(conf, new Path(d1), "ts")
+    assert(got1 === Some("1970-01-01 00:00:00"))
+    val d2 = tmp()
+    writeNanos(d2, Seq(123456789L, 789L)) // max .123456789 → .123456
+    val got2 = ParquetStats.columnMax(conf, new Path(d2), "ts")
+    assert(got2 === Some("1970-01-01 00:00:00.123456"))
+    // both render round-trippable through the ANSI cast
+    for (s <- got1.toSeq ++ got2.toSeq)
+      assert(!spark.sql(s"SELECT CAST('$s' AS timestamp)")
+        .head().isNullAt(0))
+  }
+
+  test("string max folds across files in UTF-8 order, like the scan") {
+    // U+FFFD is the largest BMP code unit here (0xFFFD) but U+1F600
+    // (surrogate pair 0xD83D 0xDE00) is the larger CODE POINT: UTF-16
+    // compareTo picks U+FFFD, parquet/Spark UTF-8 order picks the
+    // emoji. One row per file so the cross-file fold decides.
+    val dir = tmp()
+    Seq("�").toDF("s").write.mode("overwrite").parquet(dir)
+    Seq("😀").toDF("s").write.mode("append").parquet(dir)
+    assert(ParquetStats.compare("str", "�", "😀") < 0)
+    assert(ParquetStats.columnMax(conf, new Path(dir), "s") ===
+      scanMaxString(dir, "s"))
+    assert(scanMaxString(dir, "s") === Some("😀"))
+  }
 }
