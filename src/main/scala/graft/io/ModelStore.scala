@@ -75,11 +75,24 @@ final class ModelStore(val root: String) {
     val next = currentVersion(spark, layer, name) + 1
     val dest = new Path(versionDir(layer, name, next))
     writeData(df, dest, partitionBy, zorderBy)
-    // full rewrite: every partition is fresh, nothing linked
+    // full rewrite: every partition is fresh, nothing linked.
+    // layoutMeta is written unconditionally (empty included) so an
+    // explicit re-layout OVERWRITES the carried-forward declaration —
+    // carry-forward must never resurrect a dropped partitioning.
     commit(spark, layer, name, next, description,
-      meta ++ statsMeta(spark, layer, name, dest, partitionBy,
-        statsCols, linkedRels = Set.empty))
+      meta ++ layoutMeta(partitionBy, zorderBy) ++
+        statsMeta(spark, layer, name, dest, partitionBy,
+          statsCols, linkedRels = Set.empty))
   }
+
+  /** Commit-meta declaration of the version's physical layout, read
+    * back by [[compact]] so a routine maintenance rewrite preserves
+    * the table's partitioning/clustering instead of silently
+    * flattening it (Delta's OPTIMIZE never re-layouts). */
+  private def layoutMeta(partitionBy: Seq[String],
+      zorderBy: Seq[String]): Map[String, String] = Map(
+    "layout_partition_by" -> ModelStore.renderCols(partitionBy),
+    "layout_zorder_by" -> ModelStore.renderCols(zorderBy))
 
   /** Small-file compaction — the bin-packing half of the reference's
     * `OPTIMIZE` post-hook (`orders_cleaned.sql:15`; the ZORDER half is
@@ -93,13 +106,60 @@ final class ModelStore(val root: String) {
       partitionBy: Seq[String] = Nil, zorderBy: Seq[String] = Nil)
       : Unit =
     read(spark, layer, name).foreach { df =>
+      // Layout is PRESERVED by default: an empty argument means "keep
+      // the stored layout" (read from commit meta; directory-discovered
+      // for tables that predate the meta), never "flatten" — a routine
+      // compact() used to rewrite a partitioned table unpartitioned,
+      // permanently demoting every later incremental merge to a full
+      // rewrite (hasPartitionLayout false) and breaking the delta-log
+      // export's partitionColumns invariant. A deliberate re-layout is
+      // write()'s job, not a maintenance op's.
+      val pb =
+        if (partitionBy.nonEmpty) partitionBy
+        else meta(spark, layer, name, "layout_partition_by")
+          .map(ModelStore.parseCols)
+          .getOrElse(discoveredPartitionColumns(spark, layer, name))
+      val zb =
+        if (zorderBy.nonEmpty) zorderBy
+        else meta(spark, layer, name, "layout_zorder_by")
+          .map(ModelStore.parseCols).getOrElse(Nil)
       // re-derive whatever stats the table tracks: compaction preserves
       // data but rewrites every file, so the per-partition stat entries
       // must be recomputed (a stats-less write would tombstone them)
-      write(df, layer, name, partitionBy, zorderBy,
+      write(df, layer, name, pb, zb,
         description = "compact",
         statsCols = statsColsOf(spark, layer, name))
     }
+
+  /** Partition columns of the CURRENT version as evidenced by its
+    * `col=value` directory tree — the fallback layout source for
+    * tables committed before layout meta existed. Empty for
+    * unpartitioned layouts (or a tree Spark's writer could not have
+    * produced — mixed column names at one level). */
+  private def discoveredPartitionColumns(spark: SparkSession,
+      layer: String, name: String): Seq[String] = {
+    val v = currentVersion(spark, layer, name)
+    if (v == 0) return Nil
+    val base = new Path(versionDir(layer, name, v))
+    val fs = fsFor(spark, base)
+    if (!fs.exists(base)) return Nil
+    val out = scala.collection.mutable.Buffer.empty[String]
+    var p = base
+    var descend = true
+    while (descend) {
+      val dirs = fs.listStatus(p).toSeq.filter(s =>
+        s.isDirectory && s.getPath.getName.contains("="))
+      if (dirs.isEmpty) descend = false
+      else {
+        val names = dirs.map(_.getPath.getName.takeWhile(_ != '='))
+          .distinct
+        if (names.size != 1) return Nil // not a Spark-written layout
+        out += names.head
+        p = dirs.head.getPath
+      }
+    }
+    out.toSeq
+  }
 
   /** Partition-pruned incremental write (the Delta-MERGE file-pruning
     * analog, reference `orders_cleaned.sql:14`): `df` holds the merged
@@ -179,8 +239,9 @@ final class ModelStore(val root: String) {
     // max stays exact (a backfill that REMOVED the previous maximum
     // drops that partition's entry) at O(touched files) cost
     commit(spark, layer, name, next, description,
-      meta ++ statsMeta(spark, layer, name, dest, partitionBy,
-        statsCols, linkedRels))
+      meta ++ layoutMeta(partitionBy, zorderBy) ++
+        statsMeta(spark, layer, name, dest, partitionBy,
+          statsCols, linkedRels))
   }
 
   /** Columns with recorded (or tombstoned) stats meta on the current
@@ -523,6 +584,16 @@ final class ModelStore(val root: String) {
 }
 
 object ModelStore {
+
+  /** Serialize a column list for layout meta (URL-encoding keeps a
+    * comma inside an exotic column name unambiguous). Empty list ⇔
+    * empty string. */
+  private[io] def renderCols(cols: Seq[String]): String =
+    cols.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(",")
+
+  private[io] def parseCols(s: String): Seq[String] =
+    s.split(",").toSeq.filter(_.nonEmpty)
+      .map(java.net.URLDecoder.decode(_, "UTF-8"))
 
   /** Serialize per-partition stat maxima: kind header, then one
     * URL-encoded `rel \t value` line per partition (URL-encoding keeps

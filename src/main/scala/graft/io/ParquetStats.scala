@@ -262,11 +262,17 @@ object ParquetStats {
       // over INT32/INT64 stores UNSCALED values, which toString would
       // render wrong
       case (PrimitiveTypeName.INT32, null) => Some(("int", _.toString))
-      case (PrimitiveTypeName.INT32, _: LogicalTypeAnnotation
-          .IntLogicalTypeAnnotation) => Some(("int", _.toString))
+      // SIGNED int annotations only: parquet orders UINT stats
+      // unsigned, but the signed toString/compare here would rank a
+      // UINT64 ≥ 2^63 below every positive value — conservative
+      // Unusable, like every other non-trivially-renderable type
+      case (PrimitiveTypeName.INT32, i: LogicalTypeAnnotation
+          .IntLogicalTypeAnnotation) if i.isSigned =>
+        Some(("int", _.toString))
       case (PrimitiveTypeName.INT64, null) => Some(("int", _.toString))
-      case (PrimitiveTypeName.INT64, _: LogicalTypeAnnotation
-          .IntLogicalTypeAnnotation) => Some(("int", _.toString))
+      case (PrimitiveTypeName.INT64, i: LogicalTypeAnnotation
+          .IntLogicalTypeAnnotation) if i.isSigned =>
+        Some(("int", _.toString))
       case (PrimitiveTypeName.BINARY, _: StringLogicalTypeAnnotation) =>
         Some(("str", v => v.asInstanceOf[Binary].toStringUsingUTF8))
       case _ => None

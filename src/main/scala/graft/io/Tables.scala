@@ -47,9 +47,15 @@ object Tables {
       // tables), so the scan is cheap
       planCache.forEach((k, v) =>
         if (v.session.sparkContext.isStopped) { planCache.remove(k); () })
-      planCache.computeIfAbsent(
+      val cached = planCache.computeIfAbsent(
         (System.identityHashCode(spark), sfDir, name),
-        _ => CachedPlan(spark, loadUncached(spark, sfDir, name))).df
+        _ => CachedPlan(spark, loadUncached(spark, sfDir, name)))
+      // identityHashCode is not unique: if two LIVE sessions collide
+      // on the key, never serve one a plan bound to the other (wrong
+      // session confs, or a failure when that session stops) — the
+      // collider just pays the uncached load
+      if (cached.session eq spark) cached.df
+      else loadUncached(spark, sfDir, name)
     }
 
   private def loadUncached(spark: SparkSession, sfDir: String,

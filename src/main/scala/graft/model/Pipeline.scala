@@ -253,11 +253,7 @@ final class Pipeline(
         m.name, m.partitionBy),
       s"stored layout of ${m.layer}.${m.name} does not match " +
         s"partitionBy=${m.partitionBy.mkString(",")}")
-    val ref = (name: String) => {
-      val dep = byName(name)
-      store.read(spark, dep.layer, dep.name).getOrElse(
-        sys.error(s"ref('$name') not materialized yet"))
-    }
+    val ref = refResolver(spark)
     val ctx = BuildCtx(spark = spark, source = sources, ref = ref,
       existing = None, mode = RunMode.Bootstrap, vars = vars)
     val rebuilt = m.build(ctx).filter(partitionPred)
@@ -280,14 +276,20 @@ final class Pipeline(
     store.read(spark, m.layer, m.name).get
   }
 
-  private def materialize(spark: SparkSession, m: ModelDef,
-      mode: RunMode): Unit = {
-    val t0 = System.nanoTime()
-    val ref = (name: String) => {
+  /** `ref()` resolution shared by every build path (normal runs and
+    * backfills must resolve identically): dependency name → its
+    * CURRENT materialized table, failing loudly when unmet. */
+  private def refResolver(spark: SparkSession): String => DataFrame =
+    (name: String) => {
       val dep = byName(name)
       store.read(spark, dep.layer, dep.name).getOrElse(
         sys.error(s"ref('$name') not materialized yet"))
     }
+
+  private def materialize(spark: SparkSession, m: ModelDef,
+      mode: RunMode): Unit = {
+    val t0 = System.nanoTime()
+    val ref = refResolver(spark)
     Pipeline.materializeModel(spark, store, m, mode, sources, ref, vars)
     store.vacuum(spark, m.layer, m.name, keepLast = retainVersions)
     if (exportDeltaLog) {
@@ -425,11 +427,17 @@ object Pipeline {
           }
         } finally u.unpersist()
       case (Some(ex), Some(key)) =>
-        timed("merge-write") {
-          store.write(MergeWriter.merge(ex, updates, key), m.layer, m.name,
+        // MergeWriter.merge consumes `updates` twice (column-pruned
+        // anti-join keys + full-width union), so an unpersisted plan
+        // would run the whole model build — source scan, CdcDedup
+        // window shuffle — twice per run; pay it once, like the
+        // pruned arm above
+        val u = updates.persist()
+        try timed("merge-write") {
+          store.write(MergeWriter.merge(ex, u, key), m.layer, m.name,
             m.partitionBy, m.zorderBy, description = m.description,
             meta = meta, statsCols = m.statsCols)
-        }
+        } finally u.unpersist()
       case (Some(ex), None) =>
         timed("append-write") {
           store.write(ex.unionByName(updates, allowMissingColumns = true),

@@ -74,9 +74,13 @@ object DuckHash {
     q = s"SELECT *, ${umul(uxor("__f1", "__f1 // 536870912"),
       "1609587929392839161")} AS __f2 FROM ($q)"
     val fin = uxor("__f2", "__f2 // 4294967296")
+    // NULL input: Spark's xxhash64 SKIPS null children, leaving the
+    // hash at the seed (42) — never NULL. The replica must match, or
+    // a null-keyed row would silently diverge engine vs oracle.
     s"SELECT * EXCLUDE (__u,__k1a,__k1b,__k1,__a0,__a1,__a2,__f1,__f2), " +
+      s"CASE WHEN __f2 IS NULL THEN 42 ELSE " +
       s"CAST(CASE WHEN $fin >= 9223372036854775808 THEN $fin - $U " +
-      s"ELSE $fin END AS BIGINT) AS xxh FROM ($q)"
+      s"ELSE $fin END AS BIGINT) END AS xxh FROM ($q)"
   }
 
   // ===================================================================
@@ -233,9 +237,14 @@ object DuckHash {
     q = s"SELECT *, list_reduce(list_prepend(__h4, $tb), " +
       s"(a, b) -> ${byteU("a", "b")}) AS __h1 FROM ($q)"
     q = fmixU(q, "__h1", "__xf")
+    // NULL input: Spark xxhash64 skips null children (hash stays at
+    // the seed, never NULL) — encode(NULL) poisons the whole fold to
+    // NULL here, so coalesce back to the seed to match
     s"SELECT * EXCLUDE (__hx, __sd, __n, __b, __w8, __v1, __v2, __v3, " +
       s"__v4, __m0, __m1, __m2, __m3, __m4, __ht, __h8, __u32, __h4, " +
-      s"__h1, __fa, __fb, __xf), ${toSigned("__xf")} AS $out FROM ($q)"
+      s"__h1, __fa, __fb, __xf), CASE WHEN __xf IS NULL THEN " +
+      s"${toSigned("__sd")} ELSE ${toSigned("__xf")} END AS $out " +
+      s"FROM ($q)"
   }
 
   /** Wrap `src` so the result adds BIGINT `out` = Spark `xxhash64` of
@@ -252,8 +261,11 @@ object DuckHash {
     q = s"SELECT *, ${addU(mulU(rotlU("__la", 27), PS1), PS4)} AS __lb " +
       s"FROM ($q)"
     q = fmixU(q, "__lb", "__lf")
+    // NULL lane value: Spark skips the null child, so xxhash64(k, h)
+    // with h NULL is the seed value itself (hash of k) — match it
     s"SELECT * EXCLUDE (__lsd, __lv, __lk, __la, __lb, __fa, __fb, " +
-      s"__lf), ${toSigned("__lf")} AS $out FROM ($q)"
+      s"__lf), CASE WHEN __lf IS NULL THEN ${toSigned("__lsd")} " +
+      s"ELSE ${toSigned("__lf")} END AS $out FROM ($q)"
   }
 
   /** The seed-independent half of an 8-byte lane: k1 = rotl31(v·P2)·P1.
@@ -274,7 +286,10 @@ object DuckHash {
       xorU(addU(addU(seedU, PS5), "8::UBIGINT"), k1), 27), PS1), PS4)} " +
       s"AS __pa FROM ($src)"
     q = fmixU(q, "__pa", "__pf")
-    s"SELECT * EXCLUDE (__pa, __fa, __fb, __pf), ${toSigned("__pf")} " +
-      s"AS $out FROM ($q)"
+    // NULL k1 (null lane value upstream): Spark's null-skip semantics
+    // make the result the seed value itself — match, never NULL
+    s"SELECT * EXCLUDE (__pa, __fa, __fb, __pf), " +
+      s"CASE WHEN __pf IS NULL THEN ${toSigned(seedU)} " +
+      s"ELSE ${toSigned("__pf")} END AS $out FROM ($q)"
   }
 }

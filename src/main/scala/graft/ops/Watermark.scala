@@ -35,8 +35,14 @@ object Watermark {
     val row = df.agg(max(col(tsCol)).cast("string")).head()
     if (row.isNullAt(0)) DefaultWatermark
     else {
-      val wall = java.time.LocalDateTime.parse(
-        row.getString(0).replace(' ', 'T'))
+      // a DATE-typed watermark column renders without a time part
+      // ("1998-08-02"), which LocalDateTime.parse rejects — treat it
+      // as midnight, matching Spark's own date→timestamp cast
+      val s = row.getString(0)
+      val wall =
+        if (s.indexOf(' ') < 0 && s.indexOf('T') < 0)
+          java.time.LocalDate.parse(s).atStartOfDay()
+        else java.time.LocalDateTime.parse(s.replace(' ', 'T'))
       val ts = Timestamp.from(wall.toInstant(java.time.ZoneOffset.UTC))
       if (shiftDays == 0) ts
       else Timestamp.from(ts.toInstant.minusSeconds(shiftDays * 86400L))

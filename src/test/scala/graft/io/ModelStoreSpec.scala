@@ -122,6 +122,35 @@ class ModelStoreSpec extends AnyFunSuite {
     assert(store.currentVersion(spark, "silver", "nope") == 0)
   }
 
+  test("compact preserves the stored partition layout by default") {
+    val store = new ModelStore(
+      Files.createTempDirectory("graft-store-compact-layout").toString)
+    val df = spark.range(300).selectExpr(
+      "id AS k", "id % 3 AS p", "id * 2 AS v")
+    store.write(df, "silver", "t", partitionBy = Seq("p"),
+      zorderBy = Seq("k"))
+    assert(store.hasPartitionLayout(spark, "silver", "t", Seq("p")))
+    // a routine maintenance compact (no layout args) used to rewrite
+    // the table UNPARTITIONED, permanently demoting every later
+    // incremental merge to a full rewrite — it must re-apply the
+    // stored layout instead
+    store.compact(spark, "silver", "t")
+    assert(store.currentVersion(spark, "silver", "t") == 2)
+    assert(store.hasPartitionLayout(spark, "silver", "t", Seq("p")),
+      "compact flattened the partition layout")
+    // the layout declaration survives the compact commit too (meta
+    // carry-forward + explicit rewrite), so a SECOND compact still
+    // preserves it
+    store.compact(spark, "silver", "t")
+    assert(store.hasPartitionLayout(spark, "silver", "t", Seq("p")))
+    val a = df.select("k", "p", "v")
+    val b = store.read(spark, "silver", "t").get.select("k", "p", "v")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // an explicit layout argument is still honored (deliberate op)
+    store.compact(spark, "silver", "t", partitionBy = Seq("v"))
+    assert(store.hasPartitionLayout(spark, "silver", "t", Seq("v")))
+  }
+
   test("missing table reads as None, version 0") {
     val store = new ModelStore(
       Files.createTempDirectory("graft-store3").toString)

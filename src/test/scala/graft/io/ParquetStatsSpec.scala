@@ -181,6 +181,34 @@ class ParquetStatsSpec extends AnyFunSuite {
         .head().isNullAt(0))
   }
 
+  test("unsigned int annotations yield None (signed fold would misrank)") {
+    // parquet orders UINT stats unsigned; the signed toString/compare
+    // here would rank a UINT64 ≥ 2^63 below every positive value —
+    // conservative Unusable, like other non-trivially-renderable types
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.hadoop.util.HadoopOutputFile
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val dir = tmp()
+    val schema = Types.buildMessage()
+      .optional(PrimitiveTypeName.INT64)
+      .as(LogicalTypeAnnotation.intType(64, false)) // UINT_64
+      .named("u")
+      .named("m")
+    val w = ExampleParquetWriter
+      .builder(HadoopOutputFile.fromPath(
+        new Path(dir, "part-0.parquet"), conf))
+      .withType(schema).build()
+    try {
+      val gf = new SimpleGroupFactory(schema)
+      Seq(5L, -1L).foreach { v => // -1L bit pattern = 2^64-1 unsigned
+        val g = gf.newGroup(); g.add("u", v); w.write(g)
+      }
+    } finally w.close()
+    assert(ParquetStats.columnMax(conf, new Path(dir), "u") === None)
+  }
+
   test("string max folds across files in UTF-8 order, like the scan") {
     // U+FFFD is the largest BMP code unit here (0xFFFD) but U+1F600
     // (surrogate pair 0xD83D 0xDE00) is the larger CODE POINT: UTF-16

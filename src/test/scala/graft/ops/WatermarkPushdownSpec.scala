@@ -50,4 +50,22 @@ class WatermarkPushdownSpec extends AnyFunSuite {
     assert(Watermark.newerThanStat(source, Some(target), _ => None,
       "_cdc_timestamp", "last_updated_at").count() == gated.count())
   }
+
+  test("highWatermark handles DATE-typed watermark columns") {
+    // a DATE column renders "1998-08-02" — no time part, which
+    // LocalDateTime.parse rejects; the watermark must read it as
+    // midnight (Spark's own date→timestamp cast), not throw
+    val df = spark.sql(
+      "SELECT * FROM VALUES (date'1998-08-02'), (date'1997-01-05') " +
+        "AS t(d)")
+    assert(Watermark.highWatermark(df, "d") ===
+      Timestamp.valueOf("1998-08-02 00:00:00"))
+    assert(Watermark.highWatermark(df, "d", shiftDays = 2) ===
+      Timestamp.valueOf("1998-07-31 00:00:00"))
+    // timestamp columns keep their exact behavior
+    val ts = spark.sql(
+      "SELECT * FROM VALUES (timestamp'2024-03-15 10:11:12.5') AS t(x)")
+    assert(Watermark.highWatermark(ts, "x") ===
+      Timestamp.valueOf("2024-03-15 10:11:12.5"))
+  }
 }
