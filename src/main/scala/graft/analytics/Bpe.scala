@@ -218,11 +218,17 @@ object Bpe {
       ctes += s"""b$r AS (
         |  SELECT l, rr, cnt FROM p$r
         |  ORDER BY cnt DESC, l ASC, rr ASC LIMIT 1)""".stripMargin
+      // LEFT JOIN ON TRUE, not a cross join: when the corpus fully
+      // merges before round k, p$r/b$r dry up EMPTY and a cross join
+      // would wipe w$r (and every later round, and subn) to zero rows
+      // while the engine simply stops learning — the coalesce carries
+      // the finished segmentation through the remaining rounds, the
+      // same no-op the engine's early stop implies
       ctes += s"""w$r AS (
-        |  SELECT w, wc, replace(seg,
+        |  SELECT w, wc, coalesce(replace(seg,
         |    '$Sep' || b.l || '$Sep2' || b.rr || '$Sep',
-        |    '$Sep' || b.l || b.rr || '$Sep') AS seg
-        |  FROM w${r - 1}, b$r b)""".stripMargin
+        |    '$Sep' || b.l || b.rr || '$Sep'), seg) AS seg
+        |  FROM w${r - 1} LEFT JOIN b$r b ON TRUE)""".stripMargin
     }
     ctes.mkString(",\n")
   }

@@ -260,9 +260,24 @@ object Curation {
         .select(col("lang"), substring(col("tok"), 1, 1).as("ch"))
       val candidates = chars.groupBy("lang").agg(mg(col("ch")).as("hh"))
         .select(col("lang"), explode(map_keys(col("hh"))).as("ch"))
-      val totals = chars.groupBy("lang").agg(count(lit(1)).as("total"))
-      chars.join(broadcast(candidates), Seq("lang", "ch"))
-        .groupBy("lang", "ch").agg(count(lit(1)).as("n"))
+      // ONE recount pass serves both the candidate counts and the
+      // per-language totals: non-candidate items collapse into a
+      // single NULL bucket per language (state ≤ k+1 per language, so
+      // the aggregation stays bounded however many distinct items the
+      // corpus holds), and total = sum over all buckets. Previously
+      // totals and recount each re-ran the corpus tokenize+explode —
+      // three passes; now two (sketch + recount), with no
+      // corpus-sized persist.
+      val tagged = chars
+        .join(broadcast(candidates.withColumn("__cand", lit(1))),
+          Seq("lang", "ch"), "left")
+        .withColumn("bucket",
+          when(col("__cand").isNotNull, col("ch")))
+      val counts = tagged.groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n")) // bounded: langs × (k+1); exchange reused
+      val totals = counts.groupBy("lang").agg(sum("n").as("total"))
+      counts.filter(col("bucket").isNotNull)
+        .select(col("lang"), col("bucket").as("ch"), col("n"))
         .join(broadcast(totals), Seq("lang"))
         .filter(col("n") * (HeavyK + 1) > col("total"))
         .select("lang", "ch", "n", "total")

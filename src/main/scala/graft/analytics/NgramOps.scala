@@ -127,8 +127,12 @@ object NgramOps {
     val docs = T(s, d, "documents").select(
       col("doc_id"), TextOps.tokens(col("text")).as("t"),
       (Curation.sampleKey(col("doc_id"), "eval-") < EvalRate).as("is_eval"))
+    // persist: the eval and train branches filter BEFORE their
+    // exchanges, so the per-token md5 gram generation over the whole
+    // corpus would otherwise run once per branch
     val grams = docs.select(col("doc_id"), col("is_eval"),
       explode(gramHashes(col("t"), GramN)).as("g"))
+      .persist()
     val eg = grams.filter(col("is_eval")).select("g").distinct()
     val tg = grams.filter(!col("is_eval")).select("doc_id", "g").distinct()
     val hits = tg.join(broadcast(eg), "g")

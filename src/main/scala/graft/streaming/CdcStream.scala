@@ -110,16 +110,21 @@ object CdcStream {
   }
 
   /** Streaming SCD-1 sink: per micro-batch, upsert the batch's winners
-    * into the stored table on `key`, dropping keys whose latest op is
-    * DELETE from the upsert set (reference `customers_latest.sql:153`
-    * exclusion semantics applied per batch).
+    * into the stored table on `key` and DELETE stored keys whose
+    * batch winner is a DELETE (reference `customers_latest.sql:153`
+    * exclusion semantics: a key whose latest CDC op is a delete is
+    * absent from the model). Applying the delete to STORED state is
+    * what makes the result independent of micro-batch boundaries — an
+    * INSERT and its DELETE must converge to "key absent" whether they
+    * share a trigger or arrive one apart, exactly as the batch q12
+    * exclusion over the same full feed would.
     *
     * The batch is reduced to ONE winner per key before the merge
     * (Delta's MERGE raises on multiple matches; an at-least-once feed
     * can legally deliver several versions of a key per trigger — the
     * upsert must apply the latest, not all of them), and the DELETE
-    * filter runs on the winner: a key whose newest version is DELETE
-    * contributes nothing, rather than resurrecting an older version. */
+    * decision runs on the winner: a key whose newest version is DELETE
+    * is removed, never resurrected at an older version. */
   def scd1Sink(spark: SparkSession, store: ModelStore, layer: String,
       name: String)(batchDs: Dataset[CdcEvent], batchId: Long): Unit = {
     import org.apache.spark.sql.functions.col
@@ -131,11 +136,18 @@ object CdcStream {
     // silently lose that key's latest version. Only a literal DELETE
     // excludes the winner.
     val updates = winners.filter(!(col("op") <=> "DELETE"))
+    val delKeys = winners.filter(col("op") <=> "DELETE")
+      .select(col("key").as("__del_k"))
     val merged = store.read(spark, layer, name) match {
       case Some(existing) =>
+        // apply the batch's winning DELETEs to stored state first
+        // (<=> so a NULL-key delete removes the stored NULL-key row,
+        // matching MergeWriter's null-safe replacement), then upsert.
         // checkUniqueKeys=false: latestByKey above already guarantees
         // one winner per key, skip the redundant window.
-        MergeWriter.merge(existing, updates, "key",
+        val kept = existing.join(delKeys,
+          existing.col("key") <=> col("__del_k"), "left_anti")
+        MergeWriter.merge(kept, updates, "key",
           checkUniqueKeys = false)
       case None => updates
     }

@@ -179,10 +179,19 @@ class CdcStreamSpec extends AnyFunSuite {
 
       val state = store.read(spark, "silver", "stream_t").get
         .as[CdcEvent].collect().map(e => e.key -> e.payload).toMap
-      // K1 upserted to v2; K2's DELETE dropped from the upsert set so
-      // the prior state remains (reference's dead-delete semantics);
+      // K1 upserted to v2; K2's cross-batch DELETE removes the stored
+      // row — the result must not depend on which trigger the delete
+      // landed in (a batch q12 run over the same full feed drops K2);
       // K3 inserted
-      assert(state == Map("K1" -> "v2", "K2" -> "w1", "K3" -> "x1"))
+      assert(state == Map("K1" -> "v2", "K3" -> "x1"))
+
+      // a key deleted in one trigger can be re-inserted by a later one
+      input.addData(
+        ev("K2", "INSERT", "2024-03-15 12:00:00", payload = "w2"))
+      query.processAllAvailable()
+      val state2 = store.read(spark, "silver", "stream_t").get
+        .as[CdcEvent].collect().map(e => e.key -> e.payload).toMap
+      assert(state2 == Map("K1" -> "v2", "K2" -> "w2", "K3" -> "x1"))
     } finally query.stop()
   }
 
