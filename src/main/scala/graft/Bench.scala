@@ -48,10 +48,7 @@ object Bench {
       store.writeTouchedPartitions(
         graft.io.MergeWriter.merge(ex, upd, "k"), "w", "t", Seq("p"))
       store.vacuum(spark, "w", "t", keepLast = 1)
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      rm(tmp.toFile)
+      Harness.deleteRecursively(tmp.toFile)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] write warm-up failed: ${e.getMessage}")
@@ -87,10 +84,7 @@ object Bench {
           "concat('warm doc text number ', id, ' with shared shingle " +
             "content that repeats across documents for banding') AS text"),
         "doc_id", col("text"), 1L).count()
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      rm(tmp.toFile)
+      Harness.deleteRecursively(tmp.toFile)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] index warm-up failed: ${e.getMessage}")
@@ -107,6 +101,15 @@ object Bench {
       .filter(_.nonEmpty)
     def selected(name: String): Boolean =
       only.forall(_.exists(name.startsWith))
+    // a typo'd prefix must fail loudly, not run a zero-query sweep
+    // that prints total=0 and exits 0 (the silent-empty failure mode
+    // the empty-var guard above closes for the unset case)
+    only.foreach { prefixes =>
+      val unmatched = prefixes.filterNot(p =>
+        SparkEntry.queries.keys.exists(_.startsWith(p)))
+      require(unmatched.isEmpty,
+        s"SPARK_GRAFT_ONLY matches no query: ${unmatched.mkString(", ")}")
+    }
     // Dry pre-sweep at the smallest scale factor: run every query once
     // on sf0.001 data (when a sibling sf0.001 dir exists) before any
     // measurement. Each query owns DISTINCT generated codegen classes;
@@ -115,8 +118,10 @@ object Bench {
     // more CPU on its first execution), at ~1/100 of the data. This is
     // the same principle as the subsystem warm-ups above taken to its
     // conclusion: the sweep measures steady-state query execution, not
-    // each plan's first-compilation cliff. Disable with
-    // SPARK_GRAFT_NOWARM=1 to measure cold-start behavior instead.
+    // each plan's first-compilation cliff. Disable with a NON-EMPTY
+    // SPARK_GRAFT_NOWARM (e.g. =1) to measure cold-start instead — an
+    // empty value (unset shell interpolation) must keep the warm-up,
+    // like the SPARK_GRAFT_ONLY parser above.
     val warmDir = new java.io.File(sfDir).getParentFile match {
       case null => None
       case p =>
@@ -125,7 +130,8 @@ object Bench {
           new java.io.File(sfDir).getAbsolutePath) Some(w.getAbsolutePath)
         else None
     }
-    if (!sys.env.contains("SPARK_GRAFT_NOWARM")) warmDir.foreach { wd =>
+    if (!sys.env.get("SPARK_GRAFT_NOWARM").exists(_.nonEmpty))
+      warmDir.foreach { wd =>
       val t0 = System.nanoTime()
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => selected(n) }
@@ -185,7 +191,8 @@ object Bench {
     }.toMap
     if (errors.nonEmpty)
       System.err.println(s"[bench] FAILED queries: ${errors.mkString(", ")}")
-    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => Harness.jsonStr(k) + ":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     // Full combined line first (per-query detail, distinct metric name),
@@ -195,10 +202,11 @@ object Bench {
     // truncated away). "total" appears on exactly ONE line: a consumer
     // matching the first occurrence and one summing all matches now
     // read the same number.
+    val sfJ = Harness.jsonStr(sfDir)
     val detail =
-      s"""{"metric":"total_detail","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total_detail","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"sf":$sfJ}"""
     println(detail)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":$sfJ}""")
     // The driver's log capture keeps only a bounded stdout tail, which
     // has truncated the per-query map before (round 4: q01–q37
     // unauditable). Persist the full line to a file so every round's
@@ -213,5 +221,11 @@ object Bench {
         java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
       catch { case _: Throwable => () }
     spark.stop()
+    // a query failure must be loud in the exit code, not only in the
+    // stderr tail and the detail map's -1 sentinels: the headline
+    // total sums successes only, so a run with failures would
+    // otherwise read FASTER than a green one to any consumer that
+    // compares totals without parsing per-query detail
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

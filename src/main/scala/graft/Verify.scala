@@ -56,26 +56,15 @@ object Verify {
         // place, and a caller ignoring this run's exit code (or
         // check.py, which only sees existing dirs) would validate old
         // data as if this run produced it.
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(new java.io.File(s"$outDir/$name"))
+        Harness.deleteRecursively(new java.io.File(s"$outDir/$name"))
       }
       // queries may persist() shared intermediates — release them
       spark.catalog.clearCache()
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    // JSON string escape shared with Bench (Harness.jsonStr): a tab or
+    // CR in builder-authored SQL would otherwise make the driver's
+    // json.load fail and silently zero the round's correctness.
+    def q(s: String): String = Harness.jsonStr(s)
     // ALWAYS the full oracle map, even for a subset dump: a filtered
     // map silently downgrades every other query in the out dir to a
     // weaker rows-only check on the next tools/check.py run (and a

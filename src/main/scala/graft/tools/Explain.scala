@@ -11,7 +11,12 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names: Set[String] =
-      if (args.length > 1) args(1).split(",").toSet else Set.empty
+      // trim + drop empties: "q34, q92" must select q92 and a trailing
+      // comma must not inject an empty name (same contract as the
+      // Verify/Bench selectors)
+      if (args.length > 1)
+        args(1).split(",").map(_.trim).filter(_.nonEmpty).toSet
+      else Set.empty
     val spark = graft.SparkTuning(SparkSession.builder())
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

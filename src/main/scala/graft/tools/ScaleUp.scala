@@ -26,15 +26,23 @@ object ScaleUp {
     }
     val K = 1000000000L
 
-    // dimensions stay as-is (realistic: facts grow, dims grow slower)
-    Seq("region", "nation", "customer", "supplier", "part").foreach { n =>
+    // small dimensions stay as-is (realistic: facts grow, dims grow
+    // slower); customer must replicate WITH its dependents' offsets —
+    // events.user_id and orders.o_custkey are FKs into c_custkey, and
+    // an offset on only the fact side would orphan every replica's
+    // rows (an amplified q74/q09 join would then measure a degenerate
+    // ~1/factor match rate, not the operator at scale)
+    Seq("region", "nation", "supplier", "part").foreach { n =>
       Tables.load(spark, src, n)
         .write.mode("overwrite").parquet(s"$out/$n.parquet")
     }
+    replicate("customer", (df, i) => df
+      .withColumn("c_custkey", col("c_custkey") + lit(i * K)))
     replicate("lineitem", (df, i) => df
       .withColumn("l_orderkey", col("l_orderkey") + lit(i * K)))
     replicate("orders", (df, i) => df
-      .withColumn("o_orderkey", col("o_orderkey") + lit(i * K)))
+      .withColumn("o_orderkey", col("o_orderkey") + lit(i * K))
+      .withColumn("o_custkey", col("o_custkey") + lit(i * K)))
     // same K offset as every other key: amplified metrics assume
     // DISJOINT per-replica key ranges — a smaller user_id stride would
     // overlap at higher source SFs and silently merge distinct users,
@@ -49,6 +57,13 @@ object ScaleUp {
       // amplified corpus is internally inconsistent (n_chars-bucketed
       // signals contradict length(text)-based ones)
       .withColumn("n_chars", length(col("text")).cast("long")))
+    // replicas keep byte-identical vectors ON PURPOSE: cosine-based
+    // dedup treats exact and near duplicates identically (≥ threshold),
+    // so identical replicas exercise the same grown-cluster regime the
+    // suffixed documents do — within-cluster candidate pairs grow
+    // quadratically with cluster size under EITHER choice, which is
+    // the inherent (and intended) hard case of amplifying duplicate
+    // clusters, not an artifact of byte identity
     replicate("embeddings", (df, i) => df
       .withColumn("vec_id", col("vec_id") + lit(i * K)))
   }
