@@ -64,23 +64,9 @@ class PropertySpec extends AnyFunSuite {
         .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
         .distinct
       if (edges.nonEmpty) {
-        // reference union-find with path compression
-        val parent = scala.collection.mutable.Map.empty[Long, Long]
-        def find(x: Long): Long = {
-          val p = parent.getOrElse(x, x)
-          if (p == x) x else { val r = find(p); parent(x) = r; r }
-        }
-        edges.foreach { case (a, b) =>
-          val (ra, rb) = (find(a), find(b))
-          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-        }
-        // canonical labels: min member of each component
-        val roots = edges.flatMap(e => Seq(e._1, e._2)).distinct
-          .map(x => x -> find(x))
-        val canon = roots.groupBy(_._2).flatMap { case (_, members) =>
-          val mn = members.map(_._1).min
-          members.map(_._1 -> mn)
-        }
+        // shared reference union-find (TestRefs): min-member labels
+        val canon = graft.TestRefs.minLabels(
+          edges.flatMap(e => Seq(e._1, e._2)).distinct, edges)
 
         val got = graft.analytics.NearDup
           .clusterPairs(edges.toDF("a_id", "b_id"))

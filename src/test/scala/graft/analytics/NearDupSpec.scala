@@ -34,17 +34,8 @@ class NearDupSpec extends AnyFunSuite {
         .filter { case (a, b) => a != b }
         .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
         .distinct
-      val parent = scala.collection.mutable.Map(
-        (0L until n).map(_ -> -1L): _*)
-      def find(x: Long): Long =
-        if (parent(x) < 0) x
-        else { val r = find(parent(x)); parent(x) = r; r }
-      edges.foreach { case (a, b) =>
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
       val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
-      val expected = touched.map(v => v -> find(v)).toMap
+      val expected = graft.TestRefs.minLabels(touched, edges)
       val got = NearDup.clusterPairs(edges.toDF("a_id", "b_id"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == expected, s"trial $trial")

@@ -165,18 +165,13 @@ class VectorOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
     // exact oracle: all-pairs cosine ≥ 0.95, transitively closed by
-    // union-find — the LSH path must reproduce it exactly at this size
-    val parent = scala.collection.mutable.Map(all.map(_._1 -> -1L): _*)
-    def find(x: Long): Long =
-      if (parent(x) < 0) x else { val r = find(parent(x)); parent(x) = r; r }
-    for {
+    // the shared reference union-find (TestRefs) — the LSH path must
+    // reproduce it exactly at this size
+    val closeEdges = for {
       (i, a) <- all; (j, b) <- all
       if i < j && cosRef(a, b) >= 0.95
-    } {
-      val (ri, rj) = (find(i), find(j))
-      if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
-    }
-    val expected = all.map { case (i, _) => i -> find(i) }.toMap
+    } yield (i, j)
+    val expected = graft.TestRefs.minLabels(all.map(_._1), closeEdges)
     assert(decisions == expected)
     // the planted cluster really did collapse onto one keeper
     assert(decisions(30L) == decisions(5L)

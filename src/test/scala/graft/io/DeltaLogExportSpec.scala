@@ -17,6 +17,23 @@ class DeltaLogExportSpec extends AnyFunSuite {
   import spark.implicits._
   private val mapper = new ObjectMapper()
 
+  /** Parse one log file's JSON-line actions, closing the reader (a
+    * leaked Source per call would accumulate OS handles over the
+    * suite's shared JVM). One definition for every test. */
+  private def actionsIn(logDir: java.io.File, file: String) = {
+    val src = scala.io.Source.fromFile(new java.io.File(logDir, file))
+    try src.getLines().filter(_.nonEmpty).map(mapper.readTree).toSeq
+    finally src.close()
+  }
+
+  private def readSmall(f: java.io.File): String = {
+    val src = scala.io.Source.fromFile(f)
+    try src.getLines().mkString finally src.close()
+  }
+
+  private def walk(f: java.io.File): Seq[java.io.File] =
+    if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+
   test("log entries carry protocol/metaData/add/remove per the spec; " +
       "snapshot equals the live files; re-export is a no-op") {
     val root = Files.createTempDirectory("graft-dlog").toString
@@ -44,9 +61,7 @@ class DeltaLogExportSpec extends AnyFunSuite {
     assert(entries.toSeq ==
       Seq("00000000000000000000.json", "00000000000000000001.json"))
 
-    def actions(file: String) =
-      scala.io.Source.fromFile(new java.io.File(logDir, file))
-        .getLines().filter(_.nonEmpty).map(mapper.readTree).toSeq
+    def actions(file: String) = actionsIn(logDir, file)
 
     val e0 = actions(entries(0))
     // protocol action: first entry only, plain-parquet feature level
@@ -87,8 +102,6 @@ class DeltaLogExportSpec extends AnyFunSuite {
     }
     val curV = store.currentVersion(spark, "silver", "t")
     val base = new java.io.File(store.versionDir("silver", "t", curV))
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
     val onDisk = walk(base).filter(_.getName.endsWith(".parquet"))
       .map(f => s"v$curV/" +
         base.toURI.relativize(f.toURI).getPath -> f.length).toMap
@@ -110,9 +123,7 @@ class DeltaLogExportSpec extends AnyFunSuite {
       "silver", "t2", partitionBy = Seq("yr", "tag"))
     assert(DeltaLogExport.export(spark, store, "silver", "t2") == 0L)
     val logDir = new java.io.File(s"$root/silver/t2/_delta_log")
-    def actions(file: String) =
-      scala.io.Source.fromFile(new java.io.File(logDir, file))
-        .getLines().filter(_.nonEmpty).map(mapper.readTree).toSeq
+    def actions(file: String) = actionsIn(logDir, file)
     val e0 = actions("00000000000000000000.json")
     val meta = e0.find(_.has("metaData")).get.get("metaData")
     assert(meta.get("partitionColumns").get(0).asText == "yr")
@@ -196,8 +207,7 @@ class DeltaLogExportSpec extends AnyFunSuite {
 
     val logDir = new java.io.File(s"$root/silver/tc/_delta_log")
     val ptr = mapper.readTree(
-      scala.io.Source.fromFile(new java.io.File(logDir, "_last_checkpoint"))
-        .getLines().mkString)
+      readSmall(new java.io.File(logDir, "_last_checkpoint")))
     assert(ptr.get("version").asLong == 1L)
     val ckptFile = new java.io.File(logDir,
       "00000000000000000001.checkpoint.parquet")
@@ -221,9 +231,7 @@ class DeltaLogExportSpec extends AnyFunSuite {
       .select("metaData.schemaString").collect()
     assert(metaRows.length == 1 &&
       metaRows.head.getString(0).contains("struct"))
-    def actions(file: String) =
-      scala.io.Source.fromFile(new java.io.File(logDir, file))
-        .getLines().filter(_.nonEmpty).map(mapper.readTree).toSeq
+    def actions(file: String) = actionsIn(logDir, file)
     actions("00000000000000000002.json").foreach { n =>
       if (n.has("add")) live += n.get("add").get("path").asText
       else if (n.has("remove")) live -= n.get("remove").get("path").asText
@@ -239,8 +247,6 @@ class DeltaLogExportSpec extends AnyFunSuite {
     // and both equal the files of the current store version on disk
     val curV = store.currentVersion(spark, "silver", "tc")
     val base = new java.io.File(store.versionDir("silver", "tc", curV))
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
     val onDisk = walk(base).filter(_.getName.endsWith(".parquet"))
       .map(f => s"v$curV/" + base.toURI.relativize(f.toURI).getPath).toSet
     assert(live.map(p => java.net.URLDecoder.decode(p, "UTF-8")) == onDisk)
@@ -280,9 +286,7 @@ class DeltaLogExportSpec extends AnyFunSuite {
       "silver", "te", partitionBy = Seq("p"))
     assert(DeltaLogExport.export(spark, store, "silver", "te") == 1L)
     val logDir = new java.io.File(s"$root/silver/te/_delta_log")
-    def actions(file: String) =
-      scala.io.Source.fromFile(new java.io.File(logDir, file))
-        .getLines().filter(_.nonEmpty).map(mapper.readTree).toSeq
+    def actions(file: String) = actionsIn(logDir, file)
     val e1 = actions("00000000000000000001.json")
     assert(e1.count(_.has("add")) == 0)
     assert(e1.count(_.has("remove")) == 2) // both v1 files left

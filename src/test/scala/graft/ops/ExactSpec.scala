@@ -16,8 +16,8 @@ class ExactSpec extends AnyFunSuite {
   import spark.implicits._
 
   // deterministic LCG so the sweep is reproducible
-  private def lcg(seed: Long): Iterator[Long] =
-    Iterator.iterate(seed)(x => x * 6364136223846793005L + 1442695040888963407L)
+  // shared masked LCG (TestRefs): outputs are non-negative
+  private def lcg(seed: Long): Iterator[Long] = graft.TestRefs.lcg(seed)
 
   test("halfUpDiv matches BigDecimal HALF_UP division") {
     val rand = lcg(42).take(4000).grouped(2).map { p =>

@@ -18,16 +18,12 @@ class CleaningPropertySpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
 
-  private def lcg(seed: Long): Iterator[Long] =
-    Iterator.iterate(seed)(x => x * 6364136223846793005L + 1442695040888963407L)
-      .map(x => (x >>> 16) & 0x7fffffffL)
-
   private val statuses = Seq("pending", "Processing", "IN_TRANSIT",
     " completed ", "FULFILLED", "canceled", "VOID", "garbage", "SHIPPED")
   private val regions = Seq("ne", "MIDWEST", "sw", "north", "nowhere")
 
   private def genOrders(n: Int): Seq[OrderCdc] = {
-    val r = lcg(12345)
+    val r = graft.TestRefs.lcg(12345)
     (1 to n).map { i =>
       def pick[T](xs: Seq[T]): T = xs((r.next() % xs.size).toInt)
       def money(maxCents: Long): Option[Double] = r.next() % 5 match {

@@ -37,12 +37,19 @@ class ConvergenceSpec extends AnyFunSuite {
     }
   }
 
-  private def canon(df: DataFrame, drop: Seq[String]): Set[String] = {
+  private def canon(df: DataFrame, drop: Seq[String])
+      : Map[String, Int] = {
     val d = df.drop(drop: _*)
     // column order differs between the merge path (join moves the key
-    // first) and the bootstrap path — compare by sorted column name
+    // first) and the bootstrap path — compare by sorted column name.
+    // MULTISET (row → count), not Set: a merge bug that materializes
+    // a row in both a carried-over and a rewritten partition yields
+    // byte-identical duplicates a Set would collapse; the unit
+    // separator keeps distinct rows from colliding when a field value
+    // contains the joiner.
     d.select(d.columns.sorted.map(d.col): _*).collect()
-      .map(r => r.toSeq.map(String.valueOf).mkString("|")).toSet
+      .map(r => r.toSeq.map(String.valueOf).mkString("\u001f"))
+      .groupBy(identity).map { case (k, v) => k -> v.length }
   }
 
   test("bootstrap+incremental ≡ full refresh (modulo first_seen_at)") {

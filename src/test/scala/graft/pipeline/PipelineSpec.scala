@@ -31,8 +31,17 @@ class PipelineSpec extends AnyFunSuite {
     (p, store)
   }
 
-  private def byKey(df: DataFrame, key: String): Map[String, Row] =
-    df.collect().map(r => r.getString(r.fieldIndex(key)) -> r).toMap
+  private def byKey(df: DataFrame, key: String): Map[String, Row] = {
+    val rows = df.collect()
+    val m = rows.map(r => r.getString(r.fieldIndex(key)) -> r).toMap
+    // toMap silently keeps one copy of a duplicated key, so without
+    // this every keySet/per-key assertion downstream is blind to the
+    // classic merge failure (a key's row inserted without removing
+    // the old one) — enforce the uniqueKey invariant at the helper
+    assert(m.size == rows.length,
+      s"duplicate '$key' rows: ${rows.length} rows, ${m.size} keys")
+    m
+  }
 
   test("bootstrap: dedup, tie-break, delete exclusion, cleaning, dim") {
     val (p, _) = newPipeline(Map(

@@ -23,13 +23,9 @@ class PrunedMergePropertySpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
 
-  private def lcg(seed: Long): Iterator[Long] =
-    Iterator.iterate(seed)(x => x * 6364136223846793005L + 1442695040888963407L)
-      .map(x => (x >>> 16) & 0x7fffffffL)
-
   test("partitioned pruned merge ≡ unpartitioned full merge over " +
       "random batch sequences with migrations and NULLs") {
-    val r = lcg(20260813L)
+    val r = graft.TestRefs.lcg(20260813L)
     val keys = (0 until 12).map(i => s"k$i")
     val parts = Seq(Some("p0"), Some("p1"), Some("p2"), None)
 
@@ -66,17 +62,22 @@ class PrunedMergePropertySpec extends AnyFunSuite {
         mode, noSrc, noRef, Map.empty)
       Pipeline.materializeModel(spark, storeB, model(batch, false),
         mode, noSrc, noRef, Map.empty)
+      // MULTISET compare (sorted Seq, not Set): the canonical failure
+      // mode of link-based carry-over is the same row materialized in
+      // both a linked dir and the rewritten output — a Set would
+      // collapse exactly that duplication and pass
       def rows(st: ModelStore) = st.read(spark, "s", "t").get
         .collect()
         .map(r => (Option(r.getAs[String]("k")),
           Option(r.getAs[String]("p")), r.getAs[Long]("v")))
-        .toSet
+        .toSeq.sorted
       val a = rows(storeA)
       val b = rows(storeB)
       assert(a == b, s"divergence at round $round:\n  pruned=$a\n  full=$b")
       // uniqueKey invariant holds on the pruned side (NULL counts as
-      // one key under the null-safe anti-join)
-      assert(a.toSeq.map(_._1).distinct.size == a.size,
+      // one key under the null-safe anti-join) — over the raw rows,
+      // so a duplicated key row fails here too
+      assert(a.map(_._1).distinct.size == a.size,
         s"duplicate keys at round $round: $a")
     }
   }

@@ -191,7 +191,8 @@ class WatermarkStatsSpec extends AnyFunSuite {
     val st = store()
     val d1 = Seq(("a", Timestamp.valueOf("2024-03-20 10:00:00")))
       .toDF("k", "ts")
-    st.write(d1, "l", "t", statsCols = Seq("ts"))
+    st.write(d1, "l", "t", statsCols = Seq("ts"),
+      meta = Map("stream_batch_id" -> "7")) // unrelated key, see below
     assert(st.statMax(spark, "l", "t", "ts").isDefined)
     // rewrite as INT96 (no parquet stats): were the old meta carried
     // forward, a shrunken table would keep the old (now possibly
@@ -203,7 +204,11 @@ class WatermarkStatsSpec extends AnyFunSuite {
       "l", "t", statsCols = Seq("ts"))
     finally spark.conf.set("spark.sql.parquet.outputTimestampType", prior)
     assert(st.statMax(spark, "l", "t", "ts") === None)
-    // ...while unrelated meta still carries forward as before
+    // the tombstone is an explicit EMPTY value (not a deleted key) —
+    // the encoding statMax's nonEmpty filter relies on
     assert(st.meta(spark, "l", "t", "stat_max_ts") === Some(""))
+    // ...while a genuinely UNRELATED key still carries forward (the
+    // exactly-once marker class the carry-forward exists to protect)
+    assert(st.meta(spark, "l", "t", "stream_batch_id") === Some("7"))
   }
 }

@@ -44,17 +44,22 @@ class CdcStreamSpec extends AnyFunSuite {
         .map(e => e.key -> e.payload).toMap
       assert(round1 == Map("K1" -> "v2", "K2" -> "b"))  // ties by ingest
 
-      // second micro-batch: older event must NOT displace state
+      // second micro-batch: older event must NOT displace state. The
+      // Update-mode memory sink ACCUMULATES emissions, so the check
+      // must be "batch 2 emitted nothing new for K1" — a maxBy over
+      // the emission history would pick the 11:00 winner even if the
+      // stale event HAD displaced state and been emitted (tautology).
+      val k1Emissions1 = spark.table("latest_out").as[CdcEvent]
+        .collect().count(_.key == "K1")
       input.addData(
         ev("K1", "UPDATE", "2024-03-15 09:00:00", payload = "stale"),
         ev("K3", "INSERT", "2024-03-15 12:00:00", payload = "new"))
       query.processAllAvailable()
       val all = spark.table("latest_out").as[CdcEvent].collect()
-      val lastPerKey = all.groupBy(_.key).map { case (k, es) =>
-        k -> es.maxBy(_.cdcTimestamp.getTime).payload
-      }
-      assert(lastPerKey("K1") == "v2")   // stale row lost to state
-      assert(lastPerKey("K3") == "new")
+      assert(all.count(_.key == "K1") == k1Emissions1,
+        "stale event displaced state (new K1 emission)")
+      assert(!all.exists(_.payload == "stale"))
+      assert(all.filter(_.key == "K3").map(_.payload).toSeq == Seq("new"))
 
       // third micro-batch: watermark is now ~11:50 (max 12:00 − 10min);
       // a NEW key arriving behind it must be dropped entirely — this is

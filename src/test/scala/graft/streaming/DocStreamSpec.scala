@@ -29,9 +29,10 @@ class DocStreamSpec extends AnyFunSuite {
     try {
       input.addData(
         doc(1, "2024-03-15 10:00:00", "the quick brown fox jumps"),
-        // same normalized content (case/whitespace differ) — duplicate
-        doc(2, "2024-03-15 10:01:00", "  The  Quick  Brown  Fox  Jumps"
-          .toLowerCase),
+        // same normalized content — GENUINELY case- and whitespace-
+        // variant (a pre-lowercased fixture would leave the
+        // case-normalization half of the fingerprint untested)
+        doc(2, "2024-03-15 10:01:00", "  The  Quick  Brown  Fox  Jumps"),
         doc(3, "2024-03-15 10:02:00", "a different document entirely"))
       query.processAllAvailable()
       input.addData(
