@@ -366,10 +366,33 @@ final class ModelStore(val root: String) {
     // balanced multi-dimension skipping callers can pre-cluster with
     // graft.functions.ZOrder.cluster (true Morton interleave) at the
     // cost of one extra min/max pass over the model.
+    //
+    // Partitioned writes range-partition on (partitionBy ++ zorderBy),
+    // NOT hash on partitionBy alone: a hash by the partition columns
+    // caps write parallelism at the number of DISTINCT partition
+    // values (one month = one task = one giant sorted file, however
+    // big the cluster — measured 157 s for the 15M-row medallion
+    // bootstrap at ≈sf10, 45% of the whole pipeline). Ranging on the
+    // zorder key as well splits each partition value across buckets
+    // while keeping rows of one value contiguous per task, so the
+    // dynamic-partition writer still emits few, clustered files per
+    // dir and AQE still coalesces small writes; parallelism now
+    // scales with data size instead of calendar cardinality. A bonus:
+    // a partition value's several files carry DISJOINT zorder ranges
+    // (range split), so file-level min/max skipping within a
+    // partition improves over one monolithic file. Measured cost:
+    // ~1.4 s on the sf0.1 medallion E2E (range sampling jobs) —
+    // accepted for the cluster-scale win. Without zorder columns the
+    // range key would be degenerate (equal keys share one bucket —
+    // no spread, still a sampling pass), so those writes keep the
+    // hash layout.
     val clustered =
-      if (partitionBy.nonEmpty)
-        df.repartition(partitionBy.map(col): _*)
+      if (partitionBy.nonEmpty && zorderBy.nonEmpty)
+        df.repartitionByRange((partitionBy ++ zorderBy).map(col): _*)
           .sortWithinPartitions((partitionBy ++ zorderBy).map(col): _*)
+      else if (partitionBy.nonEmpty)
+        df.repartition(partitionBy.map(col): _*)
+          .sortWithinPartitions(partitionBy.map(col): _*)
       else if (zorderBy.nonEmpty)
         df.repartitionByRange(zorderBy.map(col): _*)
           .sortWithinPartitions(zorderBy.map(col): _*)

@@ -439,18 +439,31 @@ object Pipeline {
             meta = meta, statsCols = m.statsCols)
         } finally u.unpersist()
       case (Some(ex), None) =>
-        timed("append-write") {
-          store.write(ex.unionByName(updates, allowMissingColumns = true),
+        // persist iff the write range-partitions (partitioned AND
+        // zordered): that exchange SAMPLES
+        // its input in a separate job before shuffling, so an
+        // unpersisted build would compute twice (at ≈sf10 the
+        // medallion bootstrap paid its 15M-row CDC-dedup window twice,
+        // +60 s measured). Zorder-only writes keep their historical
+        // no-persist behavior: their builds re-run cheaper than a
+        // table-size cache round-trip (measured on customers_latest).
+        val part = m.partitionBy.nonEmpty && m.zorderBy.nonEmpty
+        val u = if (part) updates.persist() else updates
+        try timed("append-write") {
+          store.write(ex.unionByName(u, allowMissingColumns = true),
             m.layer, m.name, m.partitionBy, m.zorderBy,
             description = m.description, meta = meta,
             statsCols = m.statsCols)
-        }
+        } finally if (part) { u.unpersist(); () }
       case _ =>
-        timed("bootstrap-write") {
-          store.write(updates, m.layer, m.name, m.partitionBy, m.zorderBy,
+        // persist iff the write range-partitions — as the append arm
+        val part = m.partitionBy.nonEmpty && m.zorderBy.nonEmpty
+        val u = if (part) updates.persist() else updates
+        try timed("bootstrap-write") {
+          store.write(u, m.layer, m.name, m.partitionBy, m.zorderBy,
             description = m.description, meta = meta,
             statsCols = m.statsCols)
-        }
+        } finally if (part) { u.unpersist(); () }
     }
     // O6: post-hooks run against the materialized table (the dbt
     // post_hook analog; ZORDER itself is folded into the write above)
