@@ -247,4 +247,58 @@ class ModelStoreSpec extends AnyFunSuite {
     // the empty rendering is the tombstone, never a valid parse
     assert(ModelStore.parseParts("") === None)
   }
+
+  test("partitioned+zordered write splits a partition value across " +
+      "files with disjoint zorder ranges") {
+    // The cluster-scale layout claim: hash-on-partitionBy caps write
+    // parallelism at the number of distinct partition values (one
+    // month = one task = one monolithic file); the range layout on
+    // (partitionBy ++ zorderBy) must instead split each partition
+    // value across several tasks whose files carry DISJOINT zorder
+    // ranges (so within-partition min/max file skipping works). AQE
+    // would coalesce this tiny input to one bucket, masking the
+    // layout — disable coalescing for the assertion only.
+    val prev = spark.conf.getOption(
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+      "false")
+    try {
+      val store = new ModelStore(
+        Files.createTempDirectory("graft-rangelayout").toString)
+      val df = spark.range(8000).selectExpr(
+        "cast(id % 2 AS int) AS p", "id AS z", "id * 3 AS v")
+      store.write(df, "silver", "rl",
+        partitionBy = Seq("p"), zorderBy = Seq("z"))
+
+      val vdir = store.versionDir("silver", "rl",
+        store.currentVersion(spark, "silver", "rl"))
+      val base = new org.apache.hadoop.fs.Path(vdir, "p=0")
+      val fs = base.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val files = fs.listStatus(base).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+      // 4 shuffle partitions over 2 partition values → ≥2 range
+      // buckets land inside p=0 (the hash layout would give exactly 1)
+      assert(files.size > 1,
+        s"expected p=0 split across >1 file, got ${files.size}")
+      val ranges = files.map { f =>
+        val r = spark.read.parquet(f.toString)
+          .selectExpr("min(z)", "max(z)").head()
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Seq((_, aMax), (bMin, _)) =>
+          assert(aMax < bMin,
+            s"zorder ranges overlap within p=0: $ranges")
+        case _ => ()
+      }
+      // and the layout change loses nothing
+      assert(store.read(spark, "silver", "rl").get.count() == 8000)
+    } finally prev match {
+      case Some(v) => spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.enabled", v)
+      case None => spark.conf.unset(
+        "spark.sql.adaptive.coalescePartitions.enabled")
+    }
+  }
 }
