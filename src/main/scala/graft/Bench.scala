@@ -154,13 +154,18 @@ object Bench {
     // total measures which queries the neighbors landed on, not the
     // engine. The minimum over independent windows is the standard
     // best-of-N treatment for exogenous interference: spikes are
-    // uncorrelated across passes, so two passes suppress almost all
-    // of them while a genuine regression (present in EVERY pass)
-    // survives untouched. Failures stay conservative: a query that
-    // fails in ANY pass reports -1, a good sample never masks a bad
-    // one. Per-pass totals go to stderr for auditability.
+    // uncorrelated across passes, so each extra pass multiplies the
+    // chance a spike survives into the reported minimum by its
+    // per-window probability, while a genuine regression (present in
+    // EVERY pass) survives untouched. Three passes (~65 s each warm)
+    // keep the whole run well inside the observed driver budget
+    // (single-pass windows up to 422 s have completed) and cut the
+    // residual per-query inflation risk a further order of magnitude
+    // vs two. Failures stay conservative: a query that fails in ANY
+    // pass reports -1, a good sample never masks a bad one. Per-pass
+    // totals go to stderr for auditability.
     val passes = sys.env.get("SPARK_GRAFT_PASSES")
-      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(2)
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
     val errors = scala.collection.mutable.LinkedHashSet.empty[String]
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => selected(n) }
