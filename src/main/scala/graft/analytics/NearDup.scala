@@ -660,15 +660,12 @@ object NearDup {
       .select(col(id), coalesce(col("keep_id"), col(id)).as("keep_id"))
   }
 
-  // Composed end-to-end dedup decision over the documents table.
-  // Oracle: the SAME capped-shingle Jaccard pair set q24's oracle
-  // builds (df-cap ≡ HAVING count ≤ MaxDf; threshold 0.5 mirrored in
-  // exact integers as 2·n_inter ≥ union), unioned with the exact-dup
-  // pairs (q19's normalized-md5 fingerprint), closed transitively by a
-  // recursive CTE (fine at oracle scale — the ENGINE's fixpoint /
-  // union-find is the 100 TB path), min label per component.
-  val qDedupCorpus: Q = Q(
-    "q35_dedup_corpus",
+  // Shared oracle CTE: the q35 clustering decision (capped-shingle
+  // Jaccard ∪ exact-fingerprint pairs, transitive closure, min label
+  // per component) exposed as a `cl(doc_id, keep_id)` relation so the
+  // canonical-selection oracle (q95) certifies against the SAME
+  // cluster definition the engine composes on.
+  private val clusterOracleCte: String =
     s"""WITH RECURSIVE tok AS (
       |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
       |  FROM documents),
@@ -707,13 +704,73 @@ object NearDup {
       |  SELECT a, b FROM edges
       |  UNION
       |  SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a),
-      |comp AS (SELECT a AS doc_id, min(b) AS mn FROM r GROUP BY a)
-      |SELECT d.doc_id,
-      |  least(d.doc_id, coalesce(c.mn, d.doc_id)) AS keep_id
-      |FROM documents d LEFT JOIN comp c USING (doc_id)
-      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
-    dedupCorpus(T(s, d, "documents"), "doc_id", col("text"))
-      .orderBy("doc_id")
+      |comp AS (SELECT a AS doc_id, min(b) AS mn FROM r GROUP BY a),
+      |cl AS (
+      |  SELECT d.doc_id,
+      |    least(d.doc_id, coalesce(c.mn, d.doc_id)) AS keep_id
+      |  FROM documents d LEFT JOIN comp c USING (doc_id))""".stripMargin
+
+  // Composed end-to-end dedup decision over the documents table.
+  // Oracle: the SAME capped-shingle Jaccard pair set q24's oracle
+  // builds (df-cap ≡ HAVING count ≤ MaxDf; threshold 0.5 mirrored in
+  // exact integers as 2·n_inter ≥ union), unioned with the exact-dup
+  // pairs (q19's normalized-md5 fingerprint), closed transitively by a
+  // recursive CTE (fine at oracle scale — the ENGINE's fixpoint /
+  // union-find is the 100 TB path), min label per component.
+  val qDedupCorpus: Q = Q(
+    "q35_dedup_corpus",
+    s"""$clusterOracleCte
+      |SELECT doc_id, keep_id FROM cl ORDER BY doc_id""".stripMargin) {
+    (s, d) =>
+      dedupCorpus(T(s, d, "documents"), "doc_id", col("text"))
+        .orderBy("doc_id")
+  }
+
+  // ------------------------------------ canonical selection per cluster
+  // The post-dedup "keep the best copy" curation step (cf. CCNet /
+  // RefinedWeb corpus pipelines): collapse each q35 dup cluster to one
+  // row naming its canonical document — the member with the most words,
+  // ties broken to the smallest doc_id so re-runs are deterministic.
+  // Scale shape: the cluster decision is q35's banded path; selection
+  // itself is two hash-aggregations and a cluster-keyed join over
+  // cluster-sized data — no all-pairs, one shuffle family on keep_id.
+  // The argmax is two-phase (per-cluster max, then min id among the
+  // maxima) because a single-pass max_by has no deterministic tie-break
+  // in either engine.
+  def canonicalPerCluster(docs: DataFrame): DataFrame = {
+    val g = dedupCorpus(docs, "doc_id", col("text"))
+      .join(docs.select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_words")),
+        Seq("doc_id"))
+    val b = g.groupBy("keep_id")
+      .agg(count(lit(1)).as("n_docs"), max("n_words").as("best_n_words"))
+    val canon = g.join(b.select("keep_id", "best_n_words"), Seq("keep_id"))
+      .filter(col("n_words") === col("best_n_words"))
+      .groupBy("keep_id").agg(min("doc_id").as("canonical_id"))
+    b.join(canon, Seq("keep_id"))
+      .select("keep_id", "canonical_id", "n_docs", "best_n_words")
+  }
+
+  val qClusterCanonical: Q = Q(
+    "q95_cluster_canonical",
+    s"""$clusterOracleCte,
+      |g AS (
+      |  SELECT cl.keep_id, cl.doc_id,
+      |    CAST(len(regexp_split_to_array(d.text, '\\s+')) AS BIGINT)
+      |      AS n_words
+      |  FROM cl JOIN documents d USING (doc_id)),
+      |b AS (
+      |  SELECT keep_id, CAST(count(*) AS BIGINT) AS n_docs,
+      |    max(n_words) AS best_n_words
+      |  FROM g GROUP BY keep_id),
+      |canon AS (
+      |  SELECT g.keep_id, min(g.doc_id) AS canonical_id
+      |  FROM g JOIN b USING (keep_id)
+      |  WHERE g.n_words = b.best_n_words GROUP BY g.keep_id)
+      |SELECT b.keep_id, canon.canonical_id, b.n_docs, b.best_n_words
+      |FROM b JOIN canon USING (keep_id) ORDER BY keep_id""".stripMargin) {
+    (s, d) =>
+      canonicalPerCluster(T(s, d, "documents")).orderBy("keep_id")
   }
 
   // -------------------------------------- edit-distance verification
@@ -770,5 +827,6 @@ object NearDup {
   }
 
   val all: Seq[Q] =
-    Seq(qNgramJaccard, qMinhashLsh, qSimhash, qDedupCorpus, qEditDistance)
+    Seq(qNgramJaccard, qMinhashLsh, qSimhash, qDedupCorpus,
+      qClusterCanonical, qEditDistance)
 }

@@ -75,6 +75,27 @@ class NearDupSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 21L))
   }
 
+  test("q95 canonical selection: longest doc wins, ties to smallest id, " +
+      "singletons are their own canonical") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val longer = base + " z1 z2"          // near dup of base, +2 words
+    val docs = Seq(
+      (10L, base),
+      (11L, longer),          // longest in 10's cluster → canonical
+      (12L, base),            // exact dup of 10
+      (20L, (200 to 260).map(i => s"u$i").mkString(" ")),   // singleton
+      (30L, "p q r s t"),
+      (31L, "p q r s t"))     // exact-dup pair, equal length → tie on id
+      .toDF("doc_id", "text")
+    val byCluster = NearDup.canonicalPerCluster(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(byCluster(10L) == ((11L, 3L, 62L)))   // longest member wins
+    assert(byCluster(20L) == ((20L, 1L, 61L)))   // singleton = self
+    assert(byCluster(30L) == ((30L, 2L, 5L)))    // tie → smallest id
+    assert(byCluster.keySet == Set(10L, 20L, 30L))
+  }
+
   test("clusterPairs: chains collapse to the smallest member") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
       .toDF("a_id", "b_id")
