@@ -705,7 +705,72 @@ object VectorOps {
     }
   }
 
+  // ------------------------------------- semantic dedup (SemDeDup)
+  /** Within-cluster semantic dedup (SemDeDup, Abbas et al. 2023,
+    * arXiv:2303.09540): partition the corpus with the trained k-means
+    * quantizer, then inside each cell drop every vector with cosine ≥
+    * `threshold` to a lower-id cell-mate. The cell partition is the
+    * paper's scale lever and the one this plan inherits: candidate
+    * pairs form only inside a cell, so cost is Σ|cell|² with k grown
+    * alongside the corpus — never |corpus|². Returns one row per
+    * vector: (vec_id, c_id, keep_flag 1|0). */
+  def semDedup(emb: DataFrame, k: Int = NumCentroids,
+      threshold: Double = SemDedupThreshold): DataFrame = {
+    val base = withQuant(emb).persist()
+    // cents is a localCheckpoint leaf (per-iteration, inside), so the
+    // training chain is not re-derived by the assignment below
+    val cents = kmeansCentroids(base, k)
+    val assigned = ivfAssign(base, cents).persist()
+    val a = assigned.as("a")
+    val b = assigned.as("b")
+    val dropped = a.join(b,
+        col("a.c_id") === col("b.c_id") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .filter(cosineQ(col("a.qv"), col("b.qv"), col("a.n2"), col("b.n2"))
+        >= threshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    assigned
+      .join(dropped.withColumn("__drp", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("c_id"),
+        when(col("__drp").isNull, lit(1)).otherwise(lit(0))
+          .as("keep_flag"))
+  }
+
+  /** SemDeDup decision threshold over the documents' embedding corpus.
+    * 0.40 sits inside the testdata's cosine range (max all-pairs
+    * ≈ 0.60 at sf0.1) so real drops are exercised; the ≥-compare is
+    * bit-deterministic cross-engine regardless of margin — both sides
+    * evaluate the identical IEEE expression on identical operands
+    * (exact integer dot, correctly-rounded sqrt and divide). */
+  val SemDedupThreshold = 0.40
+
+  // Oracle: COMPLETE, no recall caveat — unlike the banded q39 path,
+  // the within-cell pair set is exhaustive on both sides, and the
+  // cell assignment is the already-certified q32/q80 Lloyd replica
+  // (trainedSql). The only approximation SemDeDup makes — a near-dup
+  // pair split across two cells is never compared — is replicated
+  // exactly because both engines compute the same assignment.
+  val qSemDedup: Q = {
+    val (_, assigned) = trainedSql
+    val cos = cosSql("a.qv", "b.qv", "a.n2", "b.n2")
+    Q(
+      "q96_semdedup",
+      s"""WITH assigned AS ($assigned),
+        |drp AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM assigned a JOIN assigned b
+        |    ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+        |  WHERE $cos >= $SemDedupThreshold)
+        |SELECT s.vec_id, s.c_id,
+        |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER)
+        |    AS keep_flag
+        |FROM assigned s LEFT JOIN drp d USING (vec_id)
+        |ORDER BY s.vec_id""".stripMargin) { (s, d) =>
+      semDedup(T(s, d, "embeddings")).orderBy("vec_id")
+    }
+  }
+
   val all: Seq[Q] =
     Seq(qAnnTopK, qEmbeddingStats, qEmbeddingDedup, qAnnLshBuckets,
-      qAnnIvf, qEmbeddingDedupCorpus, qEmbeddingClusters)
+      qAnnIvf, qEmbeddingDedupCorpus, qEmbeddingClusters, qSemDedup)
 }

@@ -178,6 +178,37 @@ class VectorOpsSpec extends AnyFunSuite {
       && decisions(31L) == decisions(5L))
   }
 
+  test("semDedup: planted cell-mate dup drops (lower id kept), " +
+      "distinct directions survive, partition is total") {
+    // two directions (seeds 0 and 1) with k=2; ids 4 and 5 are planted
+    // scaled near-copies of their cell's seed (cos ≈ 1), ids 2 and 3
+    // sit ~19° off their seed (cos ≈ 0.943 < 0.95) so they survive
+    val rows = Seq(
+      (0L, "a", Seq(1.0f, 0.0f)),
+      (1L, "b", Seq(0.0f, 1.0f)),
+      (2L, "a", Seq(0.85f, 0.3f)),
+      (3L, "b", Seq(0.3f, 0.85f)),
+      (4L, "a", Seq(1.0f, 0.001f)),   // dup of 0 → dropped
+      (5L, "b", Seq(0.02f, 1.1f)))    // dup of 1 → dropped
+      .toDF("vec_id", "label", "embedding")
+    val out = VectorOps.semDedup(rows, k = 2, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getInt(2))))
+      .toMap
+    assert(out.keySet == (0L to 5L).toSet)          // total partition
+    assert(out(0L)._2 == 1 && out(4L)._2 == 0)      // lower id kept
+    assert(out(1L)._2 == 1 && out(5L)._2 == 0)
+    assert(out(2L)._2 == 1 && out(3L)._2 == 1)      // sub-threshold kept
+    // the cell structure really is two cells split by direction
+    assert(out(0L)._1 == out(2L)._1 && out(0L)._1 == out(4L)._1)
+    assert(out(1L)._1 == out(3L)._1 && out(1L)._1 == out(5L)._1)
+    assert(out(0L)._1 != out(1L)._1)
+    // re-run is bit-identical (deterministic training + assignment)
+    val again = VectorOps.semDedup(rows, k = 2, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getInt(2))))
+      .toMap
+    assert(again == out)
+  }
+
   test("brute-force top-k finds the planted nearest neighbor") {
     // vec 0 is the query; vec 1 is a scaled copy (cos = 1); others noise
     val q = (0 until 64).map(i => (math.cos(i) / 3).toFloat)
