@@ -345,7 +345,103 @@ object TextOps {
     }
   }
 
+  // ---------------------- DSIR importance weights (data selection)
+  /** Hashed-unigram importance weights for data selection (DSIR, Xie
+    * et al. 2023, arXiv:2302.03169): score every document by how much
+    * its hashed-token distribution resembles a TARGET slice (here the
+    * q20 HIGH-quality band) versus the RAW corpus —
+    * `weight(doc) = Σ_tokens [ln p̂_tgt(b) − ln p̂_raw(b)]` with
+    * add-one smoothing over `buckets` feature buckets. The per-bucket
+    * log-ratio is quantized to integer micro-nats (the
+    * [[VectorOps.quantize]] sign/floor formula) so per-doc weights are
+    * exact BIGINT sums — cross-engine deterministic regardless of
+    * summation order; the only doubles that could diverge are the 2·B
+    * `ln` calls, boundary-guarded by TextOpsSpec's margin assertion.
+    * Scale shape: tokenize/bucket is scan-local (codegen'd xxhash64);
+    * the contrast table is `buckets` rows built by one
+    * map-side-combined pass and BROADCAST back; the weight itself is
+    * one hash-agg keyed on doc_id. Nothing here is corpus-quadratic
+    * or driver-sided. */
+  val DsirBuckets = 256
+
+  def dsirWeights(docs: DataFrame, buckets: Int = DsirBuckets)
+      : DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .withColumn("b", pmod(xxhash64(col("w")), lit(buckets.toLong)))
+    val db = tok.groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+    val tgtIds = docs.filter(qualityBand(col("text")) === "HIGH")
+      .select("doc_id")
+    val rb = db.groupBy("b").agg(sum("n").as("r_cnt"))
+    val tb = db.join(tgtIds, "doc_id").groupBy("b")
+      .agg(sum("n").as("t_cnt"))
+    val tot = rb.agg(coalesce(sum("r_cnt"), lit(0L)).as("r_tot"))
+      .crossJoin(tb.agg(coalesce(sum("t_cnt"), lit(0L)).as("t_tot")))
+    val dd =
+      log((coalesce(col("t_cnt"), lit(0L)) + 1).cast("double") /
+        (col("t_tot") + buckets).cast("double")) -
+      log((coalesce(col("r_cnt"), lit(0L)) + 1).cast("double") /
+        (col("r_tot") + buckets).cast("double"))
+    val ctr = docs.sparkSession.range(0, buckets).toDF("b")
+      .join(tb, Seq("b"), "left").join(rb, Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("b"),
+        (signum(dd) * floor(abs(dd * 1000000d) + 0.5)).cast("long")
+          .as("dq"))
+    db.join(broadcast(ctr), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_tokens"),
+        sum(col("n") * col("dq")).as("weight_q"))
+  }
+
+  // Oracle: the bucket function is the strChain xxhash64 replica over
+  // DISTINCT tokens (the engine hashes instances; same mapping), the
+  // contrast table is 2·B ln() calls on bit-identical doubles
+  // quantized by the shared sign/floor formula, and the weight is an
+  // exact integer sum — so the hash compare certifies the whole
+  // selection decision, not a tolerance band.
+  val qDsirWeights: Q = {
+    import graft.ops.DuckHash
+    val B = DsirBuckets
+    val hx = DuckHash.strChain("SELECT w FROM dtok", "w", "42")
+    Q(
+      "q97_dsir_weights",
+      s"""WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w
+        |  FROM documents),
+        |dtok AS (SELECT DISTINCT w FROM tok),
+        |bkt AS (SELECT w, ((xxh % $B) + $B) % $B AS b FROM ($hx)),
+        |db AS (SELECT t.doc_id, k.b, count(*) AS n
+        |       FROM tok t JOIN bkt k USING (w) GROUP BY 1, 2),
+        |tgt AS (SELECT doc_id FROM documents
+        |        WHERE len(regexp_split_to_array(text, '\\s+')) >= 40
+        |          AND len(list_filter(regexp_split_to_array(text, '\\s+'),
+        |                w -> w IN ($stopSqlList))) > 0),
+        |rb AS (SELECT b, sum(n) AS r_cnt FROM db GROUP BY b),
+        |tb AS (SELECT b, sum(n) AS t_cnt
+        |       FROM db JOIN tgt USING (doc_id) GROUP BY b),
+        |tot AS (SELECT (SELECT coalesce(sum(r_cnt), 0) FROM rb) AS r_tot,
+        |               (SELECT coalesce(sum(t_cnt), 0) FROM tb) AS t_tot),
+        |ctr AS (SELECT b,
+        |    CAST(sign(dd) * floor(abs(dd * 1000000) + 0.5) AS BIGINT)
+        |      AS dq FROM (
+        |  SELECT s.b,
+        |    ln(CAST(coalesce(t.t_cnt, 0) + 1 AS DOUBLE)
+        |       / CAST(tot.t_tot + $B AS DOUBLE))
+        |    - ln(CAST(coalesce(r.r_cnt, 0) + 1 AS DOUBLE)
+        |       / CAST(tot.r_tot + $B AS DOUBLE)) AS dd
+        |  FROM (SELECT unnest(generate_series(0, ${B - 1})) AS b) s
+        |  LEFT JOIN tb t USING (b) LEFT JOIN rb r USING (b)
+        |  CROSS JOIN tot))
+        |SELECT db.doc_id, CAST(sum(db.n) AS BIGINT) AS n_tokens,
+        |  CAST(sum(db.n * c.dq) AS BIGINT) AS weight_q
+        |FROM db JOIN ctr c USING (b)
+        |GROUP BY db.doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      dsirWeights(T(s, d, "documents")).orderBy("doc_id")
+    }
+  }
+
   val all: Seq[Q] =
     Seq(qDedupExact, qTextQuality, qLangId, qTokenCount, qFingerprint,
-      qRollingFingerprint, qPiiScrub, qRepetition)
+      qRollingFingerprint, qPiiScrub, qRepetition, qDsirWeights)
 }

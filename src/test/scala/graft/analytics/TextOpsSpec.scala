@@ -67,4 +67,67 @@ class TextOpsSpec extends AnyFunSuite {
     assert(rows(1L) == (1, true))
     assert(rows(2L) == (40, false))
   }
+
+  test("dsirWeights: target-like tokens out-weigh raw-only tokens; " +
+      "every doc is scored") {
+    // doc 1 is the only HIGH-band (target) doc, built from the alpha
+    // vocabulary; doc 2 is a LOW beta-vocab doc. The two probes share
+    // a band (both LOW) and a length — only their vocabulary differs,
+    // so the weight ordering isolates the importance contrast.
+    val aWords = (1 to 45).map(i => s"alpha$i")
+    val bWords = (1 to 45).map(i => s"beta$i")
+    val docs = Seq(
+      (1L, (aWords.take(39) :+ "the").mkString(" ")),  // 40 w + stop → HIGH
+      (2L, bWords.take(12).mkString(" ")),
+      (3L, aWords.take(8).mkString(" ")),              // alpha probe
+      (4L, bWords.take(8).mkString(" ")))              // beta probe
+      .toDF("doc_id", "text")
+    val w = TextOps.dsirWeights(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(w.keySet == Set(1L, 2L, 3L, 4L))
+    assert(w(3L) > w(4L),
+      s"alpha probe ${w(3L)} must out-weigh beta probe ${w(4L)}")
+    // determinism: exact integer weights reproduce bit-for-bit
+    val again = TextOps.dsirWeights(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again == w)
+  }
+
+  test("q97 oracle margin guard: no per-bucket log-ratio within float " +
+      "noise of a quantization boundary at either verify scale factor") {
+    // The q97 oracle quantizes ln-ratio doubles with the shared
+    // sign/floor formula; the engine's Math.log and DuckDB's ln can
+    // differ by ~1 ulp (≈1e-9 after the 1e6 scale), so the compare is
+    // exact only while every |dd·1e6| fractional part stays clear of
+    // the 0.5 boundary. A testdata regeneration that erodes the margin
+    // should fail HERE with a named cause, not as an opaque hash
+    // mismatch in the gate.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = graft.io.Tables.load(spark, dir, "documents")
+      val tok = docs
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+        .withColumn("b", pmod(xxhash64(col("w")), lit(256L)))
+      val db = tok.groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+      val r = db.groupBy("b").agg(sum("n")).collect()
+        .map(x => x.getLong(0) -> x.getLong(1)).toMap
+      val t = db.join(docs.filter(
+          TextOps.qualityBand(col("text")) === "HIGH").select("doc_id"),
+          "doc_id")
+        .groupBy("b").agg(sum("n")).collect()
+        .map(x => x.getLong(0) -> x.getLong(1)).toMap
+      val rTot = r.values.sum; val tTot = t.values.sum
+      var minDist = Double.MaxValue
+      for (b <- 0L until 256L) {
+        val dd =
+          math.log((t.getOrElse(b, 0L) + 1).toDouble / (tTot + 256)) -
+          math.log((r.getOrElse(b, 0L) + 1).toDouble / (rTot + 256))
+        val y = math.abs(dd * 1000000d)
+        minDist = math.min(minDist, math.abs(y - math.floor(y) - 0.5))
+      }
+      assert(minDist > 1e-6,
+        s"$dir: min boundary distance eroded to $minDist — q97's " +
+          "ln-ratio quantization is no longer float-robust on this " +
+          "testdata; rescale DsirBuckets or demote q97 to rows-only")
+    }
+  }
 }
