@@ -153,6 +153,77 @@ object NearDup {
       .orderBy("a_id", "b_id")
   }
 
+  // ---------------------------------------------- shingle containment
+  /** Asymmetric containment (Broder 1997, "On the resemblance and
+    * containment of documents"): |sh(A) ∩ sh(B)| / |sh(A)| ≥ τ flags A
+    * as CONTAINED in B — the sub-document/boilerplate/quotation case
+    * resemblance (q24's symmetric Jaccard) structurally misses: a
+    * short doc fully embedded in a long one has high containment but
+    * low Jaccard. Same df-capped inverted-index candidate generation
+    * as q24 (never all-pairs); both directions of each candidate pair
+    * are tested in exact integer space (τ = 0.8 as ·10000 ≥ ·8000). */
+  def containmentPairs(docs: DataFrame): DataFrame = {
+    val sh = shingleIndex(docs, "doc_id", col("text"))
+    val (pairs, sizes, _) = invertedPairCounts(sh, "doc_id")
+    val sa = broadcast(sizes.as("sa"))
+    val sb = broadcast(sizes.as("sb"))
+    val j = pairs
+      .join(sa, col("a_id") === col("sa.doc_id"))
+      .join(sb, col("b_id") === col("sb.doc_id"))
+      .select(col("a_id"), col("b_id"), col("n_inter"),
+        col("sa.n").as("na"), col("sb.n").as("nb"))
+    val dirA = j.filter(col("n_inter") * 10000 >= col("na") * 8000)
+      .select(col("a_id").as("contained_id"),
+        col("b_id").as("container_id"), col("n_inter"),
+        col("na").as("n_contained"))
+    val dirB = j.filter(col("n_inter") * 10000 >= col("nb") * 8000)
+      .select(col("b_id").as("contained_id"),
+        col("a_id").as("container_id"), col("n_inter"),
+        col("nb").as("n_contained"))
+    dirA.unionByName(dirB)
+      .withColumn("containment",
+        Exact.dec4(Exact.halfUpDiv(col("n_inter") * 10000,
+          col("n_contained"))))
+  }
+
+  val qContainment: Q = Q(
+    "q98_containment",
+    s"""WITH tok AS (
+      |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |  FROM tok, unnest(generate_series(1, len(t) - 2)) AS u(i)),
+      |keep AS (
+      |  SELECT s FROM sh GROUP BY s
+      |  HAVING count(DISTINCT doc_id) <= $MaxDf),
+      |shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+      |j AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    CAST(count(*) AS BIGINT) AS n_inter,
+      |    any_value(sa.n) AS na, any_value(sb.n) AS nb
+      |  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  JOIN sizes sa ON a.doc_id = sa.doc_id
+      |  JOIN sizes sb ON b.doc_id = sb.doc_id
+      |  GROUP BY 1, 2),
+      |dir AS (
+      |  SELECT a_id AS contained_id, b_id AS container_id, n_inter,
+      |    CAST(na AS BIGINT) AS n_contained
+      |  FROM j WHERE n_inter * 10000 >= na * 8000
+      |  UNION ALL
+      |  SELECT b_id, a_id, n_inter, CAST(nb AS BIGINT)
+      |  FROM j WHERE n_inter * 10000 >= nb * 8000)
+      |SELECT contained_id, container_id, n_inter, n_contained,
+      |  ${Exact.dec4Sql(Exact.halfUpDivSql("n_inter*10000",
+           "n_contained"))} AS containment
+      |FROM dir ORDER BY contained_id, container_id""".stripMargin) {
+    (s, d) =>
+      containmentPairs(T(s, d, "documents"))
+        .orderBy("contained_id", "container_id")
+  }
+
   // -------------------------------------------------- MinHash + LSH
   // Signature construction is shuffle-free (k=32 pure hash expressions
   // over the shingle array); LSH banding (8 bands × 4 rows) induces the
@@ -827,6 +898,6 @@ object NearDup {
   }
 
   val all: Seq[Q] =
-    Seq(qNgramJaccard, qMinhashLsh, qSimhash, qDedupCorpus,
+    Seq(qNgramJaccard, qContainment, qMinhashLsh, qSimhash, qDedupCorpus,
       qClusterCanonical, qEditDistance)
 }

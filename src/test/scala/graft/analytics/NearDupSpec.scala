@@ -75,6 +75,34 @@ class NearDupSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 21L))
   }
 
+  test("containment: an embedded sub-document is flagged directionally " +
+      "where symmetric Jaccard stays silent") {
+    // doc 2 = a 10-token slice of doc 1 (60 tokens): containment of 2
+    // in 1 is 1.0 while Jaccard ≈ 8/58 ≈ 0.14 — below q24's 0.5 gate.
+    val big = (1 to 60).map(i => s"w$i").mkString(" ")
+    val slice = (21 to 30).map(i => s"w$i").mkString(" ")
+    val other = (200 to 230).map(i => s"u$i").mkString(" ")
+    val docs = Seq((1L, big), (2L, slice), (3L, other))
+      .toDF("doc_id", "text")
+    val rows = NearDup.containmentPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(rows.keySet == Set((2L, 1L)))   // one direction only
+    val (nInter, nContained, c) = rows((2L, 1L))
+    assert(nContained == 8L && nInter == 8L)   // 10 tokens → 8 shingles
+    assert(c == "1.0000")
+    // and the Jaccard pair set at the 0.5 gate really misses it
+    val sh = NearDup.shingleIndex(docs, "doc_id", col("text"))
+    val (pairs, sizes, _) = NearDup.invertedPairCounts(sh, "doc_id")
+    val ns = sizes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val jac = pairs.collect().map { r =>
+      val (a, b, ni) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      ((a, b), ni.toDouble / (ns(a) + ns(b) - ni))
+    }.toMap
+    assert(jac((1L, 2L)) < 0.5)
+  }
+
   test("q95 canonical selection: longest doc wins, ties to smallest id, " +
       "singletons are their own canonical") {
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
