@@ -364,12 +364,21 @@ object TextOps {
     * or driver-sided. */
   val DsirBuckets = 256
 
-  def dsirWeights(docs: DataFrame, buckets: Int = DsirBuckets)
-      : DataFrame = {
-    val tok = docs
+  private def dsirBucketCounts(docs: DataFrame, buckets: Int)
+      : DataFrame =
+    docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .withColumn("b", pmod(xxhash64(col("w")), lit(buckets.toLong)))
-    val db = tok.groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+
+  /** The trained DSIR contrast table: `buckets` rows of
+    * (bucket, micro-nat log-ratio). Built batch-side in one
+    * map-side-combined pass; the batch scorer broadcast-joins it, the
+    * streaming gate ships it as a literal (the Bloom-sketch pattern —
+    * artifact size is the design constant B, not the corpus). */
+  def dsirContrast(docs: DataFrame, buckets: Int = DsirBuckets)
+      : DataFrame = {
+    val db = dsirBucketCounts(docs, buckets)
     val tgtIds = docs.filter(qualityBand(col("text")) === "HIGH")
       .select("doc_id")
     val rb = db.groupBy("b").agg(sum("n").as("r_cnt"))
@@ -382,17 +391,37 @@ object TextOps {
         (col("t_tot") + buckets).cast("double")) -
       log((coalesce(col("r_cnt"), lit(0L)) + 1).cast("double") /
         (col("r_tot") + buckets).cast("double"))
-    val ctr = docs.sparkSession.range(0, buckets).toDF("b")
+    docs.sparkSession.range(0, buckets).toDF("b")
       .join(tb, Seq("b"), "left").join(rb, Seq("b"), "left")
       .crossJoin(broadcast(tot))
       .select(col("b"),
         (signum(dd) * floor(abs(dd * 1000000d) + 0.5)).cast("long")
           .as("dq"))
-    db.join(broadcast(ctr), Seq("b"))
+  }
+
+  /** Contrast table as a bucket-indexed literal array for the
+    * streaming gate ([[graft.streaming.DocStream.importanceGate]]).
+    * The collect is bounded by the design constant `buckets` (256
+    * longs), the same justification as the eval Bloom sketch. */
+  def dsirContrastArray(docs: DataFrame, buckets: Int = DsirBuckets)
+      : Array[Long] = {
+    val byBucket = dsirContrast(docs, buckets).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Array.tabulate(buckets)(b => byBucket(b.toLong))
+  }
+
+  /** Score `docs` against a contrast trained on `train` (defaults to
+    * scoring the training corpus itself — the q97 contract). The
+    * train-here/score-there split is the deployment shape: train once
+    * on a sample, score the full 100 TB corpus with one broadcast. */
+  def dsirWeights(docs: DataFrame, buckets: Int = DsirBuckets,
+      train: DataFrame = null): DataFrame =
+    dsirBucketCounts(docs, buckets)
+      .join(broadcast(dsirContrast(
+        Option(train).getOrElse(docs), buckets)), Seq("b"))
       .groupBy("doc_id")
       .agg(sum("n").as("n_tokens"),
         sum(col("n") * col("dq")).as("weight_q"))
-  }
 
   // Oracle: the bucket function is the strChain xxhash64 replica over
   // DISTINCT tokens (the engine hashes instances; same mapping), the

@@ -83,4 +83,26 @@ object DocStream {
       .withColumn("is_contaminated", col("n_flagged_grams") > 0)
       .drop("__t")
   }
+
+  /** DSIR-at-ingest: score each streaming document's importance
+    * against a contrast table compiled ONCE batch-side
+    * ([[TextOps.dsirContrastArray]] — the q97 trainer). The scorer is
+    * a pure scan-local expression over a B-long literal (bucket the
+    * token with the same codegen'd xxhash64, index the array, sum the
+    * exact integer micro-nats), so the gate is STATELESS — no
+    * streaming state, no watermark interaction, append mode at any
+    * rate — and emits bit-identical weights to the batch q97 scorer
+    * for the same text (spec-pinned). Artifact size is the design
+    * constant B, not the corpus, same as the eval Bloom sketch. */
+  def importanceGate(docs: DataFrame, contrast: Array[Long])
+      : DataFrame = {
+    val b = contrast.length.toLong
+    docs
+      .withColumn("dsir_weight_q",
+        aggregate(
+          transform(TextOps.tokens(col("text")), w =>
+            element_at(lit(contrast),
+              (pmod(xxhash64(w), lit(b)) + 1).cast("int"))),
+          lit(0L), (acc, x) => acc + x))
+  }
 }

@@ -139,4 +139,47 @@ class DocStreamSpec extends AnyFunSuite {
       assert(!rows(2L)._2 && rows(2L)._1 == 0)
     } finally query.stop()
   }
+
+  test("importance gate scores the stream bit-identically to the " +
+      "batch q97 scorer") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    // batch side: train the contrast on a corpus with one HIGH-band
+    // target doc (alpha vocab) and a LOW raw doc (beta vocab)
+    val aWords = (1 to 45).map(i => s"alpha$i")
+    val bWords = (1 to 45).map(i => s"beta$i")
+    val corpus = Seq(
+      (1L, (aWords.take(39) :+ "the").mkString(" ")),
+      (2L, bWords.take(12).mkString(" ")))
+      .toDF("doc_id", "text")
+    val contrast = graft.analytics.TextOps.dsirContrastArray(corpus)
+
+    // the same two probe texts scored by BOTH tiers against the SAME
+    // trained contrast (the train-here/score-there deployment shape)
+    val probeA = aWords.take(8).mkString(" ")
+    val probeB = bWords.take(8).mkString(" ")
+    val batch = graft.analytics.TextOps.dsirWeights(
+        Seq((3L, probeA), (4L, probeB)).toDF("doc_id", "text"),
+        train = corpus)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+
+    val input = MemoryStream[IngestedDoc]
+    val query = DocStream
+      .importanceGate(input.toDS().toDF()
+        .withColumnRenamed("text", "text"), contrast)
+      .writeStream.format("memory").queryName("dsir_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        doc(3, "2024-03-15 10:00:00", probeA),
+        doc(4, "2024-03-15 10:01:00", probeB))
+      query.processAllAvailable()
+      val stream = spark.table("dsir_out")
+        .select(col("docId"), col("dsir_weight_q")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(stream(3L) == batch(3L) && stream(4L) == batch(4L))
+      assert(stream(3L) > stream(4L))   // target-like still wins
+    } finally query.stop()
+  }
 }
