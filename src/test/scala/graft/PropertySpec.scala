@@ -140,4 +140,69 @@ class PropertySpec extends AnyFunSuite {
       assert(kept == want, s"trial $trial shares=$shares")
     }
   }
+
+  test("containment == reference shingle-set computation on random " +
+      "corpora") {
+    import graft.analytics.NearDup
+    val rnd = new Random(47)
+    for (trial <- 1 to 5) {
+      val vocab = (1 to 25).map(i => s"v$i")
+      val docs = (0L until 12L).map { id =>
+        val len = 3 + rnd.nextInt(25)
+        (id, List.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      // reference: distinct 3-shingle sets, df-cap, directional rule
+      val sh = docs.map { case (id, t) =>
+        id -> t.split("\\s+").sliding(3).filter(_.size == 3)
+          .map(_.mkString(" ")).toSet
+      }.toMap
+      val df = sh.values.flatten.toSeq.groupBy(identity)
+        .view.mapValues(_.size).toMap
+      val kept = sh.view.mapValues(
+        _.filter(s => df(s) <= NearDup.MaxDf)).toMap
+      val want = (for {
+        (a, sa) <- kept.toSeq; (b, sb) <- kept.toSeq
+        if a != b && sa.nonEmpty
+        ni = (sa intersect sb).size.toLong
+        if ni * 10000 >= sa.size.toLong * 8000 && ni > 0
+      } yield (a, b, ni, sa.size.toLong)).toSet
+      val got = NearDup.containmentPairs(docs.toDF("doc_id", "text"))
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == want, s"trial $trial")
+    }
+  }
+
+  test("canonical selection invariants hold on random corpora") {
+    import graft.analytics.NearDup
+    val rnd = new Random(48)
+    for (trial <- 1 to 3) {
+      val vocab = (1 to 20).map(i => s"w$i")
+      val docs = (0L until 14L).map { id =>
+        val len = 3 + rnd.nextInt(20)
+        (id, List.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val clusters = NearDup.dedupCorpus(df, "doc_id", col("text"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val words = docs.map { case (id, t) =>
+        id -> t.split("\\s+").length.toLong }.toMap
+      val rows = NearDup.canonicalPerCluster(df).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      // one row per distinct cluster label; sizes sum to the corpus
+      assert(rows.keySet == clusters.values.toSet, s"trial $trial")
+      assert(rows.values.map(_._2).sum == docs.size.toLong)
+      rows.foreach { case (label, (canonical, nDocs, best)) =>
+        val members = clusters.filter(_._2 == label).keys.toSet
+        assert(members.contains(canonical), s"trial $trial $label")
+        assert(nDocs == members.size.toLong)
+        assert(best == members.map(words).max)
+        // the canonical is the SMALLEST id among the longest members
+        assert(canonical == members.filter(words(_) == best).min,
+          s"trial $trial $label")
+      }
+    }
+  }
 }
