@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
@@ -249,5 +250,268 @@ object NgramOps {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(qContamination, qChunkDedup, qBigramLm)
+  // ------------------- n-gram LM perplexity filter (CCNet-style)
+  /** CCNet's quality filter (Wenzek et al. 2019, arXiv:1911.00359;
+    * the LLaMA-pipeline staple): train a small LM on a trusted target
+    * corpus, score every document by per-token negative log-likelihood,
+    * keep the low-perplexity head. Here the LM is a bucketed bigram
+    * model with add-one smoothing trained on the q20 HIGH band:
+    * `P(c|p) = (C(p,c)+1) / (C(p)+B)` over `LmBuckets` hashed token
+    * classes, and documents are banded head/middle/tail at exact
+    * integer TERTILE thresholds of the per-bigram score.
+    *
+    * Cross-engine determinism, piece by piece:
+    *  - the token class is two md5 hex digits (md5 is bit-identical on
+    *    both engines — no xxhash64 replica chain needed), decoded with
+    *    the same ascii() arithmetic on both sides;
+    *  - the only doubles are the B² grid-cell `ln` calls, quantized to
+    *    integer micro-nats with the shared sign/floor formula (the q97
+    *    pattern; NgramOpsSpec's margin guard keeps the fractional parts
+    *    clear of the 0.5 boundary on the shipped testdata);
+    *  - per-doc scores are exact BIGINT sums of quantized cells, the
+    *    per-token score is [[Exact.halfUpDiv]], and the tertile
+    *    thresholds are exact integer rank logic — `t_k` = the smallest
+    *    score whose cumulative doc count reaches k·N/3 — banded by
+    *    VALUE (ties share a band), so no float or ordering ambiguity
+    *    anywhere past the guarded grid.
+    *
+    * Scale shape (the CCNet deployment): tokenize/bucket is scan-local
+    * codegen (md5 + ascii, no UDFs); LM training is one
+    * map-side-combined pass over the TARGET slice only; the B²-row
+    * grid (256²·24 B ≈ 1.5 MB) is BROADCAST to the scorers; scoring is
+    * one hash-agg on doc_id. The threshold pass windows over the
+    * PER-SCORE aggregate (≤ distinct scores rows, thousands — never
+    * the corpus), so the single-partition window is bounded by
+    * construction; at 100 TB the same thresholds would come from this
+    * exact aggregate. Nothing is corpus-quadratic or driver-sided. */
+  val LmBuckets = 256
+
+  /** hex digit char → 0-15 (md5 output is lowercase on both engines). */
+  private def hexVal(c: Column): Column =
+    when(ascii(c) >= 97, ascii(c) - 87).otherwise(ascii(c) - 48)
+
+  private def hexValSql(c: String): String =
+    s"(CASE WHEN ascii($c) >= 97 THEN ascii($c) - 87 ELSE ascii($c) - 48 END)"
+
+  /** Token → LM bucket in [0, 256): first two md5 hex digits. */
+  def tokenBucket(w: Column): Column =
+    (hexVal(substring(md5(w), 1, 1)) * 16 +
+      hexVal(substring(md5(w), 2, 1))).cast("long")
+
+  private def tokenBucketSql: String =
+    s"(${hexValSql("substr(md5(w),1,1)")} * 16 + " +
+      s"${hexValSql("substr(md5(w),2,1)")})"
+
+  /** Per-doc bucketed-bigram counts: (doc_id, bp, bc, n). Docs with
+    * fewer than two tokens contribute no rows (explode of the null
+    * branch) — they are unscoreable by a bigram LM on both engines. */
+  private[analytics] def bigramBucketCounts(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        transform(TextOps.tokens(col("text")), w => tokenBucket(w))
+          .as("bk"))
+      .select(col("doc_id"),
+        explode(when(size(col("bk")) >= 2,
+          transform(sequence(lit(1), size(col("bk")) - 1),
+            i => struct(element_at(col("bk"), i).as("bp"),
+              element_at(col("bk"), i + 1).as("bc"))))).as("p"))
+      .select(col("doc_id"), col("p.bp").as("bp"), col("p.bc").as("bc"))
+      .groupBy("doc_id", "bp", "bc").agg(count(lit(1)).as("n"))
+
+  /** The trained LM: all B² (bp, bc) cells with the add-one-smoothed
+    * conditional ln-prob quantized to integer micro-nats. Trained on
+    * `train`'s HIGH-quality band; broadcast back to the scorers (the
+    * train-once / score-the-corpus split, like [[TextOps.dsirContrast]]). */
+  def lmGrid(train: DataFrame, buckets: Int = LmBuckets): DataFrame = {
+    val tbg = bigramBucketCounts(
+        train.filter(TextOps.qualityBand(col("text")) === "HIGH"))
+      .groupBy("bp", "bc").agg(sum("n").as("cbg"))
+    val tpf = tbg.groupBy("bp").agg(sum("cbg").as("cp"))
+    val s = train.sparkSession
+    val grid = s.range(0, buckets).toDF("bp")
+      .crossJoin(s.range(0, buckets).toDF("bc"))
+    val dd = log((coalesce(col("cbg"), lit(0L)) + 1).cast("double") /
+      (coalesce(col("cp"), lit(0L)) + buckets).cast("double"))
+    grid.join(tbg, Seq("bp", "bc"), "left").join(tpf, Seq("bp"), "left")
+      .select(col("bp"), col("bc"),
+        (signum(dd) * floor(abs(dd * 1000000d) + 0.5)).cast("long")
+          .as("dq"))
+  }
+
+  /** Score `docs` against an LM trained on `train` (defaults to docs —
+    * the q99 contract) and band head/middle/tail at exact tertile
+    * thresholds of the per-bigram score. */
+  def perplexityBands(docs: DataFrame, buckets: Int = LmBuckets,
+      train: DataFrame = null): DataFrame = {
+    val sc = bigramBucketCounts(docs)
+      .join(broadcast(lmGrid(Option(train).getOrElse(docs), buckets)),
+        Seq("bp", "bc"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_bigrams"),
+        (-sum(col("n") * col("dq"))).as("nll_q"))
+      .withColumn("nllpt_q",
+        Exact.halfUpDiv(col("nll_q"), col("n_bigrams")))
+    val perR = sc.groupBy("nllpt_q").agg(count(lit(1)).as("c"))
+    // window over the per-score AGGREGATE (≤ distinct scores rows) —
+    // bounded, so the unpartitioned ordering is not a scale hazard
+    val cum = perR.withColumn("cum",
+      sum("c").over(Window.orderBy("nllpt_q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val th = cum
+      .crossJoin(broadcast(perR.agg(sum(col("c")).as("nd"))))
+      .agg(
+        min(when(col("cum") * 3 >= col("nd"), col("nllpt_q"))).as("t1"),
+        min(when(col("cum") * 3 >= col("nd") * 2, col("nllpt_q")))
+          .as("t2"))
+    sc.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("n_bigrams"), col("nll_q"),
+        col("nllpt_q"),
+        when(col("nllpt_q") <= col("t1"), "head")
+          .when(col("nllpt_q") <= col("t2"), "middle")
+          .otherwise("tail").as("band"))
+  }
+
+  val qLmPerplexity: Q = {
+    val B = LmBuckets
+    val stopSql = TextOps.Stopwords.map(w => s"'$w'").mkString(", ")
+    val hud = Exact.halfUpDivSql("nll_q", "n_bigrams")
+    Q(
+      "q99_lm_perplexity",
+      s"""WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+        |  FROM documents),
+        |bkts AS (SELECT doc_id,
+        |    list_transform(t, w -> $tokenBucketSql) AS bk FROM toks),
+        |bg AS (SELECT doc_id, bk[u.i] AS bp, bk[u.i+1] AS bc
+        |       FROM bkts, unnest(range(1, len(bk))) AS u(i)),
+        |dbc AS (SELECT doc_id, bp, bc, count(*) AS n
+        |        FROM bg GROUP BY 1, 2, 3),
+        |tgt AS (SELECT doc_id FROM documents
+        |        WHERE len(regexp_split_to_array(text, '\\s+')) >= 40
+        |          AND len(list_filter(regexp_split_to_array(text, '\\s+'),
+        |                w -> w IN ($stopSql))) > 0),
+        |tbg AS (SELECT bp, bc, sum(n) AS cbg
+        |        FROM dbc JOIN tgt USING (doc_id) GROUP BY 1, 2),
+        |tpf AS (SELECT bp, sum(cbg) AS cp FROM tbg GROUP BY 1),
+        |grid AS (SELECT p.bp, q.bc
+        |         FROM (SELECT unnest(range(0, $B)) AS bp) p
+        |         CROSS JOIN (SELECT unnest(range(0, $B)) AS bc) q),
+        |lm AS (SELECT bp, bc,
+        |    CAST(sign(dd) * floor(abs(dd * 1000000) + 0.5) AS BIGINT)
+        |      AS dq FROM (
+        |  SELECT g.bp, g.bc,
+        |    ln(CAST(coalesce(t.cbg, 0) + 1 AS DOUBLE)
+        |       / CAST(coalesce(p.cp, 0) + $B AS DOUBLE)) AS dd
+        |  FROM grid g LEFT JOIN tbg t USING (bp, bc)
+        |  LEFT JOIN tpf p USING (bp))),
+        |sc AS (SELECT d.doc_id, CAST(sum(d.n) AS BIGINT) AS n_bigrams,
+        |              CAST(-sum(d.n * l.dq) AS BIGINT) AS nll_q
+        |       FROM dbc d JOIN lm l USING (bp, bc) GROUP BY 1),
+        |sc2 AS (SELECT doc_id, n_bigrams, nll_q,
+        |               CAST($hud AS BIGINT) AS nllpt_q FROM sc),
+        |pr AS (SELECT nllpt_q, count(*) AS c FROM sc2 GROUP BY 1),
+        |cm AS (SELECT nllpt_q,
+        |    sum(c) OVER (ORDER BY nllpt_q ROWS UNBOUNDED PRECEDING)
+        |      AS cum,
+        |    (SELECT sum(c) FROM pr) AS nd FROM pr),
+        |th AS (SELECT
+        |    min(CASE WHEN cum * 3 >= nd THEN nllpt_q END) AS t1,
+        |    min(CASE WHEN cum * 3 >= nd * 2 THEN nllpt_q END) AS t2
+        |  FROM cm)
+        |SELECT s.doc_id, s.n_bigrams, s.nll_q, s.nllpt_q,
+        |  CASE WHEN s.nllpt_q <= th.t1 THEN 'head'
+        |       WHEN s.nllpt_q <= th.t2 THEN 'middle'
+        |       ELSE 'tail' END AS band
+        |FROM sc2 s CROSS JOIN th ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        perplexityBands(T(s, d, "documents")).orderBy("doc_id")
+    }
+  }
+
+  // --------------- exact repeated-substring spans (corpus dedup)
+  /** Exact substring-level dedup (Lee et al. 2021, arXiv:2107.06499
+    * "Deduplicating Training Data Makes Language Models Better",
+    * ExactSubstr): find every maximal token span whose k-token windows
+    * ALL recur somewhere in the corpus — the spans a substring-dedup
+    * pass would cut. Mechanically: every overlapping k-gram occurring
+    * ≥2 times anywhere (same doc or cross-doc) marks its [pos, pos+k)
+    * token interval; overlapping/adjacent marked intervals merge per
+    * doc into maximal spans (the paper's suffix-array output
+    * re-expressed relationally).
+    *
+    * Scale shape: engine-side gram fingerprints are xxhash64 LONGS
+    * (8-byte shuffle width — the [[qBigramLm]] discipline; raw gram
+    * strings never leave the scan), and the positioned gram stream is
+    * persisted across its two consumers (recurrence count + membership
+    * join) so the corpus is tokenized and hashed once. The recurrence
+    * test is one count-aggregate on the fingerprint plus a
+    * one-row-per-gram membership join back (no pair enumeration — a
+    * gram with a million occurrences contributes a million MARKS, not
+    * a million² pairs, so the mega-dup skew regime degrades linearly);
+    * interval merging is two windows PARTITIONED BY doc_id (per-doc
+    * state, fully parallel). The oracle groups by the gram string's
+    * md5 — the same gram-equality relation; engine and oracle diverge
+    * only on an in-corpus xxhash64 collision (~n²/2⁶⁵, absent at test
+    * scale; at 100 TB a collision merely over-marks one window). */
+  val DupSpanK = 8
+
+  val qDupSpans: Q = {
+    val K = DupSpanK
+    Q(
+      "q100_dup_spans",
+      s"""WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+        |  FROM documents),
+        |gr AS (SELECT doc_id, CAST(u.i - 1 AS INTEGER) AS pos,
+        |              md5(array_to_string(t[u.i:u.i+$K-1], ' ')) AS g
+        |       FROM toks, unnest(range(1, len(t) - $K + 2)) AS u(i)
+        |       WHERE len(t) >= $K),
+        |f AS (SELECT g FROM gr GROUP BY g HAVING count(*) >= 2),
+        |d AS (SELECT gr.doc_id, gr.pos AS s, gr.pos + $K AS e
+        |      FROM gr JOIN f USING (g)),
+        |m AS (SELECT doc_id, s, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+        |  FROM d),
+        |i AS (SELECT doc_id, s, e,
+        |    sum(CASE WHEN maxe IS NULL OR s > maxe THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY s
+        |        ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM m)
+        |SELECT doc_id, CAST(min(s) AS INTEGER) AS span_start,
+        |       CAST(max(e) AS INTEGER) AS span_end,
+        |       CAST(max(e) - min(s) AS INTEGER) AS span_tokens
+        |FROM i GROUP BY doc_id, grp
+        |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
+      val gr = T(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(gramLongHashes(TextOps.tokens(col("text")), K))
+            .as(Seq("pos", "g")))
+        .persist()
+      val dupG = gr.groupBy("g").agg(count(lit(1)).as("f"))
+        .filter(col("f") >= 2).select("g")
+      val marked = gr.join(dupG, "g")
+        .select(col("doc_id"), col("pos").as("s"),
+          (col("pos") + K).as("e"))
+      val wPrev = Window.partitionBy("doc_id").orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.partitionBy("doc_id").orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      marked
+        .withColumn("maxe", max("e").over(wPrev))
+        .withColumn("nw",
+          when(col("maxe").isNull || col("s") > col("maxe"), 1)
+            .otherwise(0))
+        .withColumn("grp", sum("nw").over(wCum))
+        .groupBy("doc_id", "grp")
+        .agg(min("s").as("ss"), max("e").as("se"))
+        .select(col("doc_id"), col("ss").cast("int").as("span_start"),
+          col("se").cast("int").as("span_end"),
+          (col("se") - col("ss")).cast("int").as("span_tokens"))
+        .orderBy("doc_id", "span_start")
+    }
+  }
+
+  val all: Seq[Q] =
+    Seq(qContamination, qChunkDedup, qBigramLm, qLmPerplexity, qDupSpans)
 }
