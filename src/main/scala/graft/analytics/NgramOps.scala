@@ -322,12 +322,19 @@ object NgramOps {
     * conditional ln-prob quantized to integer micro-nats. Trained on
     * `train`'s HIGH-quality band; broadcast back to the scorers (the
     * train-once / score-the-corpus split, like [[TextOps.dsirContrast]]). */
-  def lmGrid(train: DataFrame, buckets: Int = LmBuckets): DataFrame = {
-    val tbg = bigramBucketCounts(
+  def lmGrid(train: DataFrame, buckets: Int = LmBuckets): DataFrame =
+    lmGridFromCounts(
+      bigramBucketCounts(
         train.filter(TextOps.qualityBand(col("text")) === "HIGH"))
-      .groupBy("bp", "bc").agg(sum("n").as("cbg"))
+        .groupBy("bp", "bc").agg(sum("n").as("cbg")),
+      buckets, train.sparkSession)
+
+  /** [[lmGrid]] from pre-aggregated training cell counts (bp, bc, cbg)
+    * — lets a caller that already holds the corpus's bigram stream
+    * train without a second tokenize pass. */
+  private def lmGridFromCounts(tbg: DataFrame, buckets: Int,
+      s: SparkSession): DataFrame = {
     val tpf = tbg.groupBy("bp").agg(sum("cbg").as("cp"))
-    val s = train.sparkSession
     val grid = s.range(0, buckets).toDF("bp")
       .crossJoin(s.range(0, buckets).toDF("bc"))
     val dd = log((coalesce(col("cbg"), lit(0L)) + 1).cast("double") /
@@ -343,14 +350,30 @@ object NgramOps {
     * thresholds of the per-bigram score. */
   def perplexityBands(docs: DataFrame, buckets: Int = LmBuckets,
       train: DataFrame = null): DataFrame = {
-    val sc = bigramBucketCounts(docs)
-      .join(broadcast(lmGrid(Option(train).getOrElse(docs), buckets)),
-        Seq("bp", "bc"))
+    // self-trained (the q99 contract): the corpus is tokenized/hashed
+    // ONCE — the persisted per-doc bigram counts feed both the
+    // HIGH-band training aggregate (doc_id membership join; quality
+    // banding rescans only text, not the bigram explode) and scoring.
+    val dbc = bigramBucketCounts(docs)
+    val (scored, grid) = Option(train) match {
+      case Some(t) => (dbc, lmGrid(t, buckets))
+      case None =>
+        val d = dbc.persist()
+        val highIds = docs
+          .filter(TextOps.qualityBand(col("text")) === "HIGH")
+          .select("doc_id")
+        val tbg = d.join(highIds, "doc_id")
+          .groupBy("bp", "bc").agg(sum("n").as("cbg"))
+        (d, lmGridFromCounts(tbg, buckets, docs.sparkSession))
+    }
+    val sc = scored
+      .join(broadcast(grid), Seq("bp", "bc"))
       .groupBy("doc_id")
       .agg(sum("n").as("n_bigrams"),
         (-sum(col("n") * col("dq"))).as("nll_q"))
       .withColumn("nllpt_q",
         Exact.halfUpDiv(col("nll_q"), col("n_bigrams")))
+      .persist() // one row per doc; consumed by thresholds AND output
     val perR = sc.groupBy("nllpt_q").agg(count(lit(1)).as("c"))
     // window over the per-score AGGREGATE (≤ distinct scores rows) —
     // bounded, so the unpartitioned ordering is not a scale hazard
