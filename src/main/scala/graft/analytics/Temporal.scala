@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
@@ -137,5 +137,108 @@ object Temporal {
       .orderBy("event_id")
   }
 
-  val all: Seq[Q] = Seq(qAsOfJoin, qRangeJoin)
+  // --------------------------------------------- point-in-time join
+  /** PIT (point-in-time) dimension resolution — the companion of the
+    * SCD2 history builder ([[graft.ops.Scd2]], q72) and the as-of join
+    * (q43): every fact row is joined to the dimension VERSION whose
+    * validity interval contains the fact's timestamp, the lookup a
+    * reproducible feature store / training-data audit needs ("which
+    * dim version did this example see?"). Semantics = interval
+    * containment `valid_from <= t < valid_to`, which an as-of lookup
+    * alone does NOT give: a version whose interval was closed by a
+    * DELETE before the probe time must resolve to NO version, not to
+    * the stale latest-at-or-before row.
+    *
+    * Plan: the SCD2 intervals come from one per-key window pass; the
+    * containment probe is the union-and-fill [[AsOfJoin.asOf]] (one
+    * shuffle on the key, linear per key — no interval explosion)
+    * followed by a scan-local `v_to` check that nulls out probes whose
+    * matched interval had already closed. Versions are deduped to one
+    * per (key, valid_from) — max version id wins, exactly the row the
+    * oracle's zero-length-interval semantics would keep — so the
+    * as-of contract (unique right times per key) holds by
+    * construction. */
+  /** Resolve each fact to the version whose `[v_from, v_to)` interval
+    * contains the fact's `factTime` (NULL payload when no interval
+    * does). `versions` must carry `v_from`/`v_to`; `payload` lists the
+    * version columns to attach; `tieBreak` orders same-instant
+    * versions (first wins — pass the ordering whose winner owns the
+    * non-zero interval, e.g. version id DESC under lead() intervals).
+    * One window pass for the tie dedup + the [[AsOfJoin.asOf]]
+    * union-and-fill + a scan-local containment check — linear per key
+    * at any scale. */
+  def pitResolve(facts: DataFrame, versions: DataFrame, key: String,
+      factTime: String, tieBreak: Seq[Column],
+      payload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wTie = Window.partitionBy(key, "v_from").orderBy(tieBreak: _*)
+    val uniq = versions.withColumn("__rn", row_number().over(wTie))
+      .filter(col("__rn") === 1).drop("__rn")
+    val j = AsOfJoin.asOf(facts, uniq, key, factTime,
+      rightTime = "v_from", payload = payload ++ Seq("v_from", "v_to"))
+    // the as-of match is the latest version at or before t; it
+    // resolves only while its interval is still open at t
+    val contained = col("v_from").isNotNull &&
+      (col("v_to").isNull || col(factTime) < col("v_to"))
+    j.select(facts.columns.map(col) ++
+      payload.map(p => when(contained, col(p)).as(p)) :+
+      when(contained, col("v_from")).as("valid_from"): _*)
+  }
+
+  val qPitJoin: Q = Q(
+    "q101_pit_join",
+    """WITH feed AS (
+      |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+      |    CASE WHEN event_type = 'error' THEN 'DELETE'
+      |         WHEN event_type = 'signup' THEN 'INSERT'
+      |         ELSE 'UPDATE' END AS cdc_op
+      |  FROM events
+      |  WHERE event_type IN ('signup', 'click', 'error')
+      |    AND ts IS NOT NULL),
+      |h AS (
+      |  SELECT user_id, event_id, event_type, cdc_op, ts AS v_from,
+      |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS v_to
+      |  FROM feed),
+      |v AS (SELECT user_id, event_id AS version_id,
+      |        event_type AS version_type, v_from, v_to
+      |      FROM h WHERE cdc_op <> 'DELETE'),
+      |f AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+      |      FROM events
+      |      WHERE event_type IN ('purchase', 'view') AND ts IS NOT NULL)
+      |SELECT f.user_id, f.event_id, f.ts,
+      |  v.version_id, v.version_type, v.v_from AS valid_from
+      |FROM f LEFT JOIN v ON f.user_id = v.user_id
+      |  AND v.v_from <= f.ts AND (v.v_to IS NULL OR f.ts < v.v_to)
+      |ORDER BY f.user_id, f.event_id""".stripMargin) { (s, d) =>
+    val ev = T(s, d, "events")
+    // dimension change feed: signup=INSERT, click=UPDATE, error=DELETE
+    // (disjoint from the fact types below, so the demo is a real
+    // dim-vs-fact split over the shared table)
+    val feed = ev
+      .filter(col("event_type").isin("signup", "click", "error") &&
+        col("ts").isNotNull)
+      .withColumn("cdc_op",
+        when(col("event_type") === "error", "DELETE")
+          .when(col("event_type") === "signup", "INSERT")
+          .otherwise("UPDATE"))
+    val versions = graft.ops.Scd2
+      .snapshot(feed, "user_id", col("ts"), Seq(col("ts"), col("event_id")))
+      .filter(col("cdc_op") =!= "DELETE")
+      .select(col("user_id"), col("event_id").as("version_id"),
+        col("event_type").as("version_type"),
+        col("valid_from").as("v_from"), col("valid_to").as("v_to"))
+    val facts = ev
+      .filter(col("event_type").isin("purchase", "view") &&
+        col("ts").isNotNull)
+      .select("user_id", "event_id", "ts")
+    // same-instant ties keep the max version id — the only row the
+    // oracle's zero-length lead() intervals can ever match
+    pitResolve(facts, versions, key = "user_id", factTime = "ts",
+      tieBreak = Seq(col("version_id").desc),
+      payload = Seq("version_id", "version_type"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val all: Seq[Q] = Seq(qAsOfJoin, qRangeJoin, qPitJoin)
 }

@@ -470,7 +470,65 @@ object TextOps {
     }
   }
 
+  // --------------------------------------------- unigram token entropy
+  /** Shannon entropy of each document's unigram distribution, in
+    * integer micro-nats — the Gopher-family boilerplate signal that
+    * [[qRepetition]]'s top-share/distinct-ratio columns approximate:
+    * near-zero entropy = a handful of tokens repeated (templated
+    * boilerplate), entropy ≈ ln(n_tokens) = every token distinct.
+    * `H = ln(n) − (Σ c·ln c)/n` over per-doc term counts `c`, held
+    * cross-engine exact by the shared ln-quantization discipline
+    * (q97/q99): the only doubles are `ln(k)` of the OBSERVED integer
+    * counts, each quantized to micro-nats with the sign/floor formula
+    * and margin-guarded in TextOpsSpec; the division is
+    * [[Exact.halfUpDiv]].
+    *
+    * Scale shape: tokens leave the scan as 8-byte xxhash64
+    * fingerprints (the q100 discipline — raw token strings never
+    * shuffle; the oracle groups the same equality relation by the
+    * string itself), then two map-side-combined hash-aggs:
+    * (doc_id, term) counts → per-doc entropy. Nothing is
+    * corpus-global — the LM-free complement of [[qDsirWeights]]. */
+  val qTokenEntropy: Q = {
+    def lnqSql(x: String): String =
+      s"CAST(sign(ln(CAST($x AS DOUBLE))) * " +
+        s"floor(abs(ln(CAST($x AS DOUBLE)) * 1000000) + 0.5) AS BIGINT)"
+    Q(
+      "q102_token_entropy",
+      s"""WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w
+        |  FROM documents),
+        |tc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+        |d AS (SELECT doc_id,
+        |    CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_distinct,
+        |    CAST(sum(c * ${lnqSql("c")}) AS BIGINT) AS s_q
+        |  FROM tc GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |  ${lnqSql("n_tokens")} - ${Exact.halfUpDivSql("s_q", "n_tokens")}
+        |    AS entropy_q
+        |FROM d ORDER BY doc_id""".stripMargin) { (s, d) =>
+      def lnq(x: Column): Column = {
+        val dd = log(x.cast("double"))
+        (signum(dd) * floor(abs(dd * 1000000d) + 0.5)).cast("long")
+      }
+      T(s, d, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .groupBy(col("doc_id"), xxhash64(col("w")).as("wf"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("c") * lnq(col("c"))).as("s_q"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          (lnq(col("n_tokens")) -
+            Exact.halfUpDiv(col("s_q"), col("n_tokens"))).as("entropy_q"))
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[Q] =
     Seq(qDedupExact, qTextQuality, qLangId, qTokenCount, qFingerprint,
-      qRollingFingerprint, qPiiScrub, qRepetition, qDsirWeights)
+      qRollingFingerprint, qPiiScrub, qRepetition, qDsirWeights,
+      qTokenEntropy)
 }

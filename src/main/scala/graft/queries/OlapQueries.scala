@@ -402,7 +402,130 @@ object OlapQueries {
         .orderBy("o_custkey")
   }
 
+  // ------------------------------------- window navigation functions
+  // first_value / last_value / nth_value / lag over each customer's
+  // order sequence — the navigation family q54 (frames + lag) and
+  // q17 (sessionize) leave uncovered. One shuffle on the customer key;
+  // (od, o_orderkey) is a total order within key, so every navigated
+  // value is deterministic. Money rides as cents until the pinned
+  // presentation; a NULL order date would land at opposite ends of the
+  // two engines' orderings, so (as in q54) it is excluded on both.
+  val qWindowNav: Q = Q(
+    "q103_window_nav",
+    s"""WITH o AS (
+      |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od,
+      |    ${Exact.centsSql("o_totalprice")} AS cents
+      |  FROM orders WHERE o_orderdate IS NOT NULL)
+      |SELECT o_custkey, o_orderkey, od,
+      |  CAST(row_number() OVER w AS INTEGER) AS ord_idx,
+      |  CAST(od - lag(od) OVER w AS INTEGER) AS days_since_prev,
+      |  first_value(od) OVER w AS first_order_day,
+      |  ${Exact.dec2Sql("last_value(cents) OVER wf")} AS latest_total,
+      |  ${Exact.dec2Sql("nth_value(cents, 2) OVER wf")} AS second_total
+      |FROM o
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY od, o_orderkey),
+      |  wf AS (PARTITION BY o_custkey ORDER BY od, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    val o = T(s, d, "orders")
+      .filter(col("o_orderdate").isNotNull)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("od"),
+        Exact.cents(col("o_totalprice")).as("cents"))
+    val w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    val wf = w.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    o.select(col("o_custkey"), col("o_orderkey"), col("od"),
+      row_number().over(w).as("ord_idx"),
+      datediff(col("od"), lag("od", 1).over(w)).as("days_since_prev"),
+      first("od").over(w).as("first_order_day"),
+      Exact.dec2(last("cents").over(wf)).as("latest_total"),
+      Exact.dec2(nth_value(col("cents"), 2).over(wf)).as("second_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // ------------------------------------------------ grouping sets
+  // Arbitrary (non-hierarchical) grouping sets — the form ROLLUP (q53)
+  // and CUBE (q76) cannot express: per-region totals and per-nation
+  // totals WITHOUT the (region, nation) detail level, plus the grand
+  // total, in ONE Expand aggregation (one exchange; each input row
+  // feeds exactly the three requested sets map-side).
+  val qGroupingSets: Q = Q(
+    "q104_grouping_sets",
+    s"""SELECT coalesce(r_name, '(all)') AS region,
+      |  coalesce(n_name, '(all)') AS nation,
+      |  CAST(GROUPING(r_name, n_name) AS INTEGER) AS gid,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  ${Exact.dec2Sql(s"sum(${Exact.centsSql("o_totalprice")})")}
+      |    AS revenue
+      |FROM orders o
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY GROUPING SETS ((r_name), (n_name), ())
+      |ORDER BY gid, region, nation""".stripMargin) { (s, d) =>
+    starRevenue(s, d)
+      .select(col("r_name").as("region_g"), col("n_name").as("nation_g"),
+        col("cents"))
+      .groupingSets(
+        Seq(Seq(col("region_g")), Seq(col("nation_g")), Seq.empty),
+        col("region_g"), col("nation_g"))
+      .agg(grouping_id().cast(IntegerType).as("gid"),
+        count(lit(1)).as("n_orders"),
+        Exact.dec2(sum(col("cents"))).as("revenue"))
+      .select(coalesce(col("region_g"), lit("(all)")).as("region"),
+        coalesce(col("nation_g"), lit("(all)")).as("nation"),
+        col("gid"), col("n_orders"), col("revenue"))
+      .orderBy("gid", "region", "nation")
+  }
+
+  // ------------------------------------------------ ordered listagg
+  // string_agg / LISTAGG: per nation, the sorted distinct market
+  // segments as one delimited string. Deterministic because the list
+  // is sorted and distinct on both engines. Scale contract: listagg is
+  // only sane over BOUNDED value domains (here ≤5 segments/nation) —
+  // the aggregate state is the distinct set, not the row stream, and
+  // collect_set's map-side dedup keeps the shuffle at domain size.
+  val qStringAgg: Q = Q(
+    "q105_string_agg",
+    """SELECT n.n_name,
+      |  CAST(count(*) AS BIGINT) AS n_customers,
+      |  string_agg(DISTINCT c.c_mktsegment, '|'
+      |    ORDER BY c.c_mktsegment) AS segments
+      |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY n.n_name ORDER BY n_name""".stripMargin) { (s, d) =>
+    T(s, d, "customer")
+      .join(broadcast(T(s, d, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        array_join(array_sort(collect_set(col("c_mktsegment"))), "|")
+          .as("segments"))
+      .orderBy("n_name")
+  }
+
+  // ------------------------------------------------ semi-join
+  // EXISTS as a named surface — the complement of q82's NOT EXISTS:
+  // customers with at least one order since the cutoff, emitted once
+  // regardless of order count (a semi-join, not an inner join + dedup;
+  // the probe side stops at first match and never duplicates rows).
+  val qSemiJoin: Q = Q(
+    "q106_semi_join",
+    s"""SELECT c.c_custkey, c.c_mktsegment FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_orderdate >= DATE '$ChurnCutoff')
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    T(s, d, "customer")
+      .join(T(s, d, "orders")
+          .filter(col("o_orderdate") >= lit(ChurnCutoff).cast("date")),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
   val all: Seq[Q] =
     Seq(qRollup, qMovingWindow, qPivot, qSetOps, qDateSpine, qCube,
-      qUnpivot, qAntiJoin, qRatioToReport, qIslands)
+      qUnpivot, qAntiJoin, qRatioToReport, qIslands, qWindowNav,
+      qGroupingSets, qStringAgg, qSemiJoin)
 }

