@@ -506,10 +506,15 @@ object NgramOps {
         |       CAST(max(e) - min(s) AS INTEGER) AS span_tokens
         |FROM i GROUP BY doc_id, grp
         |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
+      // tokens materialize behind a projection boundary FIRST: inlining
+      // the fresh split() into gramLongHashes' per-position lambda
+      // re-runs the regex split once per gram — O(tokens²) scan work
+      // (the q68 lesson; the multi-ref non-cheap alias blocks
+      // CollapseProject from undoing the boundary)
       val gr = T(s, d, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
         .select(col("doc_id"),
-          posexplode(gramLongHashes(TextOps.tokens(col("text")), K))
-            .as(Seq("pos", "g")))
+          posexplode(gramLongHashes(col("tk"), K)).as(Seq("pos", "g")))
         .persist()
       val dupG = gr.groupBy("g").agg(count(lit(1)).as("f"))
         .filter(col("f") >= 2).select("g")
