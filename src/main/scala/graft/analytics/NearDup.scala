@@ -897,7 +897,144 @@ object NearDup {
       .orderBy("id_a", "id_b")
   }
 
+  // ------------------------------- prefix-filtered similarity join
+  /** EXACT set-similarity join via prefix filtering (Bayardo/Ma/
+    * Srikant WWW'07 "Scaling Up All Pairs Similarity Search"; Xiao et
+    * al.'s PPJoin family): all pairs with shingle Jaccard ≥ τ, with
+    * NO recall caveat — unlike the df-capped q24 (stop-shingles
+    * dropped) and the banded q25/q26 (probabilistic), the prefix
+    * filter is LOSSLESS. Shingles get a global canonical order
+    * (rarity-first: ascending document frequency, ties on the shingle
+    * text); each doc indexes only its first `n − ⌈τ·n⌉ + 1` shingles
+    * in that order. Any pair with J ≥ τ has overlap ≥ ⌈τ·max(na,nb)⌉,
+    * and the globally-smallest common shingle provably lands in BOTH
+    * prefixes, so candidate generation over the prefix index alone is
+    * complete; candidates then pass a size-ratio filter
+    * (τ·max ≤ min) and an exact full-index intersection count.
+    * Everything stays in exact integer space (τ = num/den).
+    *
+    * Scale shape: the prefix index is a (1−τ)-fraction of the full
+    * index, ordered so the RAREST shingles carry the candidate join —
+    * hot shingles are systematically pushed out of prefixes, the
+    * opposite of the uncapped self-join's failure mode. Candidate
+    * volume is bounded by per-prefix-shingle df² (rare by
+    * construction) plus the true output; mega-dup clusters cost
+    * O(cluster²) because their OUTPUT is O(cluster²) — run
+    * canonical-first dedup (q95) upstream when that is not wanted.
+    * One shuffle each for df, rank, candidates, and the verify join;
+    * per-doc sizes broadcast. */
+  def prefixSimJoin(docs: DataFrame, tauNum: Int = 3, tauDen: Int = 5)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // full distinct shingle index: feeds df, ranking, and BOTH verify
+    // sides — tokenized once. Shingles shuffle as 8-byte xxhash64
+    // longs (the q100 width discipline: raw shingle strings never
+    // leave the scan; df/candidates/intersections group the same
+    // equality relation modulo an in-corpus 64-bit collision, and the
+    // canonical order just needs SOME global total order — (df, hash)
+    // is one)
+    val sh = shingleIndex(docs, "doc_id", col("text"))
+      .select(col("doc_id"), xxhash64(col("s")).as("s"))
+      .persist()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val dfs = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val ranked = sh.join(dfs, "s")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
+      .join(sizes, "doc_id")
+    // prefix length n − ⌈τn⌉ + 1, all-integer ceil
+    val ceilTauN =
+      Exact.floorDiv(col("n") * tauNum + (tauDen - 1), lit(tauDen))
+    val pref = ranked.filter(col("rk") <= col("n") - ceilTauN + 1)
+    val a = pref.select(col("doc_id").as("a_id"), col("s"), col("df"),
+      col("n").as("na"), col("rk").as("rka"))
+    val b = pref.select(col("doc_id").as("b_id"), col("s"),
+      col("n").as("nb"), col("rk").as("rkb"))
+    // positional filter (PPJoin): the globally-smallest common shingle
+    // s* has minimal canonical order in BOTH docs, so total overlap
+    // ≤ 1 + min(na − rk_a(s*), nb − rk_b(s*)); pairs whose bound can't
+    // reach the required overlap ⌈τ·max(na,nb)⌉ die BEFORE the verify
+    // join (on a shared-vocabulary corpus this is the difference
+    // between output-bound and df²-bound candidate volume)
+    val coll = a.join(b, "s")
+      .filter(col("a_id") < col("b_id") &&
+        // size-ratio filter: J ≥ τ forces τ·max(na,nb) ≤ min(na,nb)
+        greatest(col("na"), col("nb")) * tauNum <=
+          least(col("na"), col("nb")) * tauDen)
+    val cand = coll
+      .groupBy("a_id", "b_id")
+      .agg(min(struct(col("df"), col("s"), col("rka"), col("rkb")))
+          .as("m"),
+        first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .filter(lit(1) +
+        least(col("na") - col("m.rka"), col("nb") - col("m.rkb")) >=
+        Exact.floorDiv(
+          greatest(col("na"), col("nb")) * tauNum + (tauDen - 1),
+          lit(tauDen)))
+      .select("a_id", "b_id")
+    // verify scan-locally: each doc's shingle set travels ONCE as an
+    // array (8 B/shingle), candidates look both sides up and count the
+    // intersection with a codegen'd array op — the alternative (join
+    // candidates back onto the exploded index) shuffles
+    // |candidates|·|doc| rows, which on shared-vocabulary corpora is
+    // ~100× the output. The array side broadcasts while it fits
+    // (size-gated, the NearDupIndex discipline); past the gate the two
+    // lookups fall back to shuffle joins — still O(candidates) rows.
+    val docArrs = sh.groupBy("doc_id")
+      .agg(collect_list(col("s")).as("arr"))
+    val gate = docs.count() <= BroadcastDocArrMax
+    def side(as: String) = {
+      val p = docArrs.select(col("doc_id").as(as + "_id"),
+        col("arr").as(as))
+      if (gate) broadcast(p) else p
+    }
+    val nInter = size(array_intersect(col("a"), col("b"))).cast("long")
+    val na = size(col("a")).cast("long")
+    val nb = size(col("b")).cast("long")
+    cand.join(side("a"), "a_id").join(side("b"), "b_id")
+      .select(col("a_id"), col("b_id"), nInter.as("n_inter"),
+        (na + nb - nInter).as("n_union"))
+      .filter(col("n_inter") * tauDen >= col("n_union") * tauNum)
+      .select(col("a_id"), col("b_id"), col("n_inter"), col("n_union"),
+        Exact.dec4(Exact.halfUpDiv(col("n_inter") * 10000,
+          col("n_union"))).as("jaccard"))
+  }
+
+  /** Above this many docs the q107 verify arrays stop broadcasting
+    * (≈200k docs ≈ 150 MB of shingle arrays) and the two candidate
+    * lookups run as shuffle joins instead. */
+  val BroadcastDocArrMax = 200000L
+
+  val qPrefixSimJoin: Q = Q(
+    "q107_prefix_simjoin",
+    // the oracle is the UNFILTERED exact pair join — completeness of
+    // the prefix scheme is exactly what the hash compare certifies
+    s"""WITH tok AS (
+      |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |  FROM tok, unnest(generate_series(1, len(t) - 2)) AS u(i)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    CAST(count(*) AS BIGINT) AS n_inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT p.a_id, p.b_id, p.n_inter,
+      |  CAST(sa.n + sb.n - p.n_inter AS BIGINT) AS n_union,
+      |  ${Exact.dec4Sql(Exact.halfUpDivSql("p.n_inter*10000",
+           "sa.n + sb.n - p.n_inter"))} AS jaccard
+      |FROM pairs p
+      |JOIN sizes sa ON p.a_id = sa.doc_id
+      |JOIN sizes sb ON p.b_id = sb.doc_id
+      |WHERE p.n_inter * 5 >= (sa.n + sb.n - p.n_inter) * 3
+      |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    prefixSimJoin(T(s, d, "documents")).orderBy("a_id", "b_id")
+  }
+
   val all: Seq[Q] =
     Seq(qNgramJaccard, qContainment, qMinhashLsh, qSimhash, qDedupCorpus,
-      qClusterCanonical, qEditDistance)
+      qClusterCanonical, qEditDistance, qPrefixSimJoin)
 }

@@ -180,4 +180,55 @@ class NearDupSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(sims(1L) ^ sims(2L)) <= 6)
     assert(java.lang.Long.bitCount(sims(1L) ^ sims(3L)) > 10)
   }
+
+  test("prefix join is COMPLETE: equals the brute-force exact pair " +
+      "set on a randomized mutation corpus") {
+    // 40 base docs, each spawning 0–3 mutated copies (drop/replace a
+    // few tokens) — a mix of pairs straddling the τ = 0.6 boundary
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 40).flatMap { b =>
+      val base = Seq.tabulate(10 + rnd.nextInt(15))(i => s"t${b}_$i")
+      val copies = Seq.tabulate(rnd.nextInt(4)) { c =>
+        base.map(w =>
+          if (rnd.nextInt(10) == 0) s"m${b}_$c" else w)
+          .drop(rnd.nextInt(3))
+      }
+      (base +: copies)
+    }.zipWithIndex.map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+    val df = docs.toDF("doc_id", "text")
+
+    val got = NearDup.prefixSimJoin(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // brute force: full index self-join, no prefix, no size filter
+    val sh = NearDup.shingleIndex(df, "doc_id", col("text"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("i")).collect()
+      .filter { r =>
+        val (a, b, i) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        i * 5 >= (sizes(a) + sizes(b) - i) * 3
+      }
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expect.nonEmpty, "corpus must contain qualifying pairs")
+    assert(got == expect) // lossless: not one pair more OR less
+  }
+
+  test("prefix index is a strict subset ordered rarity-first") {
+    val df = Seq(
+      (1L, (1 to 20).map(i => s"c$i").mkString(" ")),
+      (2L, (1 to 20).map(i => s"c$i").mkString(" ") + " tail x y"))
+      .toDF("doc_id", "text")
+    val sh = NearDup.shingleIndex(df, "doc_id", col("text"))
+    val full = sh.count()
+    // τ = 3/5 → prefix keeps n − ⌈3n/5⌉ + 1 per doc
+    val perDoc = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prefTotal = perDoc.values.map(n => n - ((n * 3 + 4) / 5) + 1).sum
+    assert(prefTotal < full, "prefix must prune the candidate index")
+  }
 }
