@@ -210,7 +210,7 @@ object Temporal {
       |  v.version_id, v.version_type, v.v_from AS valid_from
       |FROM f LEFT JOIN v ON f.user_id = v.user_id
       |  AND v.v_from <= f.ts AND (v.v_to IS NULL OR f.ts < v.v_to)
-      |ORDER BY f.user_id, f.event_id""".stripMargin) { (s, d) =>
+      |ORDER BY f.event_id""".stripMargin) { (s, d) =>
     val ev = T(s, d, "events")
     // dimension change feed: signup=INSERT, click=UPDATE, error=DELETE
     // (disjoint from the fact types below, so the demo is a real
@@ -233,11 +233,15 @@ object Temporal {
         col("ts").isNotNull)
       .select("user_id", "event_id", "ts")
     // same-instant ties keep the max version id — the only row the
-    // oracle's zero-length lead() intervals can ever match
+    // oracle's zero-length lead() intervals can ever match. Output
+    // ordered by the UNIQUE event id alone: a NULL-keyed fact (valid —
+    // it resolves no version) would land at opposite ends of a
+    // user_id ordering on the two engines (Spark NULLS FIRST, DuckDB
+    // NULLS LAST).
     pitResolve(facts, versions, key = "user_id", factTime = "ts",
       tieBreak = Seq(col("version_id").desc),
       payload = Seq("version_id", "version_type"))
-      .orderBy("user_id", "event_id")
+      .orderBy("event_id")
   }
 
   val all: Seq[Q] = Seq(qAsOfJoin, qRangeJoin, qPitJoin)

@@ -426,7 +426,7 @@ object OlapQueries {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY od, o_orderkey),
       |  wf AS (PARTITION BY o_custkey ORDER BY od, o_orderkey
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
     val o = T(s, d, "orders")
       .filter(col("o_orderdate").isNotNull)
       .select(col("o_custkey"), col("o_orderkey"),
@@ -441,7 +441,10 @@ object OlapQueries {
       first("od").over(w).as("first_order_day"),
       Exact.dec2(last("cents").over(wf)).as("latest_total"),
       Exact.dec2(nth_value(col("cents"), 2).over(wf)).as("second_total"))
-      .orderBy("o_custkey", "o_orderkey")
+      // ordered by the UNIQUE order key alone: a NULL-keyed order
+      // (valid — it forms its own single-row sequence on both engines)
+      // would land at opposite ends of a custkey ordering
+      .orderBy("o_orderkey")
   }
 
   // ------------------------------------------------ grouping sets
@@ -488,10 +491,12 @@ object OlapQueries {
   // collect_set's map-side dedup keeps the shuffle at domain size.
   val qStringAgg: Q = Q(
     "q105_string_agg",
+    // COALESCE to '': an all-NULL-segment nation aggregates to NULL in
+    // DuckDB's string_agg but to an empty array (→ '') in collect_set
     """SELECT n.n_name,
       |  CAST(count(*) AS BIGINT) AS n_customers,
-      |  string_agg(DISTINCT c.c_mktsegment, '|'
-      |    ORDER BY c.c_mktsegment) AS segments
+      |  coalesce(string_agg(DISTINCT c.c_mktsegment, '|'
+      |    ORDER BY c.c_mktsegment), '') AS segments
       |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
       |GROUP BY n.n_name ORDER BY n_name""".stripMargin) { (s, d) =>
     T(s, d, "customer")
