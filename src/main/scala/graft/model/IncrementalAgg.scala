@@ -108,9 +108,13 @@ object IncrementalAgg {
       // straight off parquet — cheaper than caching the full-width
       // table was (the cache materialization itself cost more than the
       // three pruned scans it saved).
+      // NULL order dates still belong to SOME arrival batch (the
+      // oracle aggregates every order regardless of date): they batch
+      // under the -1 sentinel instead of crashing the year collect or
+      // silently never folding
       val orders = graft.io.Tables.load(s, d, "orders")
         .select(col("o_custkey"), col("o_totalprice"),
-          year(col("o_orderdate")).as("yr"))
+          coalesce(year(col("o_orderdate")), lit(-1)).as("yr"))
       val years = orders.select("yr").distinct()
         .collect().map(_.getInt(0)).sorted
       // half the span per arrival batch: still a real multi-fold

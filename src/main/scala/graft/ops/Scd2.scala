@@ -41,13 +41,20 @@ object Scd2 {
 
   val qScd2Snapshot: Q = Q(
     "q72_scd2_snapshot",
+    // no time, no version; no key, no entity: a NULL-ts change cannot
+    // place an interval boundary (and sorts at OPPOSITE ends of the
+    // two engines' orderings), and NULL-key changes would fuse
+    // unrelated keyless rows into one versioned entity — both are
+    // excluded, the adversarial-gate convention used by every ordered
+    // window here
     """WITH cdc AS (
       |  SELECT user_id, event_id,
       |    CASE WHEN event_type = 'signup' THEN 'INSERT'
       |         WHEN event_type = 'error' THEN 'DELETE'
       |         ELSE 'UPDATE' END AS cdc_op,
       |    event_type, CAST(ts AS TIMESTAMP) AS ts
-      |  FROM events),
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND user_id IS NOT NULL),
       |h AS (
       |  SELECT user_id, event_id, cdc_op, event_type, ts AS valid_from,
       |    lead(ts) OVER (PARTITION BY user_id
@@ -57,10 +64,12 @@ object Scd2 {
       |  (valid_to IS NULL) AS is_current
       |FROM h WHERE cdc_op <> 'DELETE'
       |ORDER BY user_id, valid_from, event_id""".stripMargin) { (s, d) =>
-    val cdc = Tables.load(s, d, "events").withColumn("cdc_op",
-      when(col("event_type") === "signup", "INSERT")
-        .when(col("event_type") === "error", "DELETE")
-        .otherwise("UPDATE"))
+    val cdc = Tables.load(s, d, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .withColumn("cdc_op",
+        when(col("event_type") === "signup", "INSERT")
+          .when(col("event_type") === "error", "DELETE")
+          .otherwise("UPDATE"))
     snapshot(cdc, "user_id", col("ts"),
         Seq(col("ts").asc, col("event_id").asc))
       .filter(col("cdc_op") =!= "DELETE")

@@ -115,8 +115,16 @@ object DemoCdc {
         .otherwise("west").as("region"),
       lit("demo").as("_batch_id"),
       lit("INSERT").as("_cdc_operation"),
-      col("o_orderdate").as("_cdc_timestamp"),
-      col("o_orderdate").as("_ingested_at"),
+      // a CDC feed always stamps its envelope: a date-less source row
+      // gets the feed epoch (before every real date → bootstrap span),
+      // else it would be NULL here and silently fall out of BOTH the
+      // bootstrap span filter and the incremental watermark gate while
+      // the one-shot batch oracle still aggregates it (found by the
+      // NULL-date adversarial swap)
+      coalesce(col("o_orderdate"), to_date(lit("1992-01-01")))
+        .as("_cdc_timestamp"),
+      coalesce(col("o_orderdate"), to_date(lit("1992-01-01")))
+        .as("_ingested_at"),
       lit("tpch").as("_source_system"))
   }
 }

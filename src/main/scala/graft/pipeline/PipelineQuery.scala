@@ -176,8 +176,11 @@ object PipelineQuery {
       |    -- existence/active always holds for the synthesized feed;
       |    -- the money test can FAIL on tiny totals — 0.92·total <
       |    -- ship — so it is mirrored, not assumed, in case a testdata
-      |    -- regeneration changes the total distribution)
-      |    total_cents > 0
+      |    -- regeneration changes the total distribution; the date
+      |    -- test is mirrored too — a NULL o_orderdate invalidates
+      |    -- the order, reference orders_cleaned.sql:308-320, found
+      |    -- by the NULL-date adversarial swap)
+      |    total_cents > 0 AND o_orderdate IS NOT NULL
       |      AND total_cents >= tax_cents + ship_cents - disc_cents
       |      AND disc_cents <= total_cents AS is_valid
       |  FROM (

@@ -529,8 +529,77 @@ object OlapQueries {
       .orderBy("c_custkey")
   }
 
+  // --------------------------------------- rank distribution windows
+  // percent_rank / cume_dist / ntile within each region's order-value
+  // ranking — the distribution-window family (q83 covers ratio-to-
+  // report, q71 value-stable deciles; this is the positional form).
+  // Both fractions are re-derived from exact integer rank/count so no
+  // double ever reaches a hashed column: percent_rank = (rank−1)/(N−1)
+  // and cume_dist = peers_cum/N, both pinned via halfUpDiv·10⁴.
+  // (rank(), count and the cumulative peer count agree across engines;
+  // their ÷ doubles would not.) ntile(4) is integer by definition.
+  // NULL-amount orders are excluded on both sides (no value, no rank);
+  // (cents, o_orderkey) totally orders each partition.
+  val qRankDist: Q = Q(
+    "q108_rank_distribution",
+    s"""WITH o AS (
+      |  SELECT r.r_name AS region, o.o_orderkey,
+      |    ${Exact.centsSql("o.o_totalprice")} AS cents
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  JOIN region r ON n.n_regionkey = r.r_regionkey
+      |  WHERE o.o_totalprice IS NOT NULL),
+      |rk AS (
+      |  SELECT region, o_orderkey, cents,
+      |    CAST(rank() OVER w AS BIGINT) AS rnk,
+      |    CAST(count(*) OVER (PARTITION BY region) AS BIGINT) AS n,
+      |    CAST(count(*) OVER (PARTITION BY region ORDER BY cents,
+      |      o_orderkey RANGE UNBOUNDED PRECEDING) AS BIGINT) AS cume_n,
+      |    CAST(ntile(4) OVER w AS INTEGER) AS quartile
+      |  FROM o
+      |  WINDOW w AS (PARTITION BY region ORDER BY cents, o_orderkey))
+      |SELECT region, o_orderkey, ${Exact.dec2Sql("cents")} AS amount,
+      |  rnk,
+      |  ${Exact.dec4Sql("CASE WHEN n > 1 THEN " +
+           Exact.halfUpDivSql("(rnk - 1) * 10000", "n - 1") +
+           " ELSE 0 END")} AS pct_rank,
+      |  ${Exact.dec4Sql(Exact.halfUpDivSql("cume_n * 10000", "n"))}
+      |    AS cume_dist,
+      |  quartile
+      |FROM rk ORDER BY region, o_orderkey""".stripMargin) { (s, d) =>
+    val o = T(s, d, "orders")
+      .filter(col("o_totalprice").isNotNull)
+      .join(T(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(T(s, d, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(T(s, d, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name").as("region"), col("o_orderkey"),
+        Exact.cents(col("o_totalprice")).as("cents"))
+    val w = Window.partitionBy("region").orderBy("cents", "o_orderkey")
+    val wp = Window.partitionBy("region")
+    // default ordered-window frame = RANGE UNBOUNDED..CURRENT, which
+    // the oracle spells explicitly; ordering is total so peers are
+    // single rows and RANGE ≡ ROWS
+    val rk = o
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wp))
+      .withColumn("cume_n", count(lit(1)).over(w))
+      .withColumn("quartile", ntile(4).over(w))
+    rk.select(col("region"), col("o_orderkey"),
+      Exact.dec2(col("cents")).as("amount"), col("rnk"),
+      Exact.dec4(when(col("n") > 1,
+        Exact.halfUpDiv((col("rnk") - 1) * 10000, col("n") - 1))
+        .otherwise(0L)).as("pct_rank"),
+      Exact.dec4(Exact.halfUpDiv(col("cume_n") * 10000, col("n")))
+        .as("cume_dist"),
+      col("quartile"))
+      .orderBy("region", "o_orderkey")
+  }
+
   val all: Seq[Q] =
     Seq(qRollup, qMovingWindow, qPivot, qSetOps, qDateSpine, qCube,
       qUnpivot, qAntiJoin, qRatioToReport, qIslands, qWindowNav,
-      qGroupingSets, qStringAgg, qSemiJoin)
+      qGroupingSets, qStringAgg, qSemiJoin, qRankDist)
 }
