@@ -533,6 +533,11 @@ object OlapQueries {
   // percent_rank / cume_dist / ntile within each region's order-value
   // ranking — the distribution-window family (q83 covers ratio-to-
   // report, q71 value-stable deciles; this is the positional form).
+  // Scale contract: positional ranks are per-row outputs requiring a
+  // total order per group, so each group must fit a task's sort — fine
+  // for reporting groups, NOT for ranking a 100 TB fact inside 5
+  // regions; at that scale the exact, sort-free histogram machinery
+  // (q47/q71) is this engine's distribution path.
   // Both fractions are re-derived from exact integer rank/count so no
   // double ever reaches a hashed column: percent_rank = (rank−1)/(N−1)
   // and cume_dist = peers_cum/N, both pinned via halfUpDiv·10⁴.
