@@ -9,6 +9,18 @@ object Bench {
   def combinePasses(samples: Seq[Double]): Double =
     if (samples.exists(_ < 0)) -1.0 else samples.min
 
+  /** Driver-window insurance (spec-pinned ≥ 2): the default pass count
+    * when SPARK_GRAFT_PASSES is unset/unparseable. The r5 adjudication
+    * showed a single cold driver window landing as the round's number;
+    * min-of-N over independent windows is the committed defense, so
+    * the DEFAULT — what the driver's bare invocation gets — must keep
+    * N ≥ 2 no matter how this file is refactored. */
+  val DefaultPasses = 3
+
+  /** Resolve the measured pass count from the env var's raw value. */
+  def passCount(env: Option[String]): Int =
+    env.flatMap(_.toIntOption).filter(_ >= 1).getOrElse(DefaultPasses)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -164,8 +176,7 @@ object Bench {
     // vs two. Failures stay conservative: a query that fails in ANY
     // pass reports -1, a good sample never masks a bad one. Per-pass
     // totals go to stderr for auditability.
-    val passes = sys.env.get("SPARK_GRAFT_PASSES")
-      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
+    val passes = Bench.passCount(sys.env.get("SPARK_GRAFT_PASSES"))
     val errors = scala.collection.mutable.LinkedHashSet.empty[String]
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => selected(n) }

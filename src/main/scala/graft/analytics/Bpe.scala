@@ -83,8 +83,29 @@ object Bpe {
     * Semantics are unchanged (BpeSpec pins them against the textbook
     * implementation): argmax by (count desc, then lexicographic pair),
     * greedy-left merge application per word. */
-  def trainMerges(spark: SparkSession, words: DataFrame, k: Int)
-      : Seq[Merge] = {
+  def trainMerges(spark: SparkSession, words: DataFrame, k: Int,
+      maxVocabBytes: Long = MaxVocabBytes): Seq[Merge] = {
+    // Extreme-vocab guard: the driver-resident loop is safe only
+    // because the word table is vocabulary-bound (~10⁷ rows / a few
+    // hundred MB for a natural-language 100 TB corpus). A pathological
+    // corpus (no normalization, code/binary-heavy) breaks that
+    // assumption, and the failure mode would be a driver OOM inside
+    // collect() — opaque and late. So measure the vocabulary FIRST
+    // with one cheap aggregation over the (small) word table and fail
+    // loud with the actual numbers while the driver is still healthy.
+    // Estimate mirrors what collect() materializes: per-row object
+    // overhead + the seg strings at 2 B/char (UTF-16).
+    val m = words
+      .agg(count(lit(1)).as("rows"),
+        coalesce(sum(length(col("seg"))), lit(0L)).as("chars"))
+      .head()
+    val estBytes = m.getLong(0) * 48L + m.getLong(1) * 2L
+    require(estBytes <= maxVocabBytes,
+      s"BPE vocabulary too large for driver-resident training: " +
+        s"~$estBytes bytes estimated (${m.getLong(0)} distinct words) " +
+        s"exceeds the $maxVocabBytes-byte budget. Normalize/filter the " +
+        s"corpus (the vocab must be vocabulary-bound, not corpus-bound) " +
+        s"or raise maxVocabBytes explicitly.")
     // the one distributed step: collect the weighted vocabulary
     val collected = words.select("wc", "seg").collect()
     val wcs = new Array[Long](collected.length)
@@ -165,6 +186,12 @@ object Bpe {
     }
     merges.toSeq
   }
+
+  /** Driver-memory budget for the collected BPE vocabulary (2 GiB —
+    * an order of magnitude above the ~10⁷-row natural-language shape,
+    * well under any sane driver heap). [[trainMerges]] fails loud
+    * before collect() when the estimate exceeds it. */
+  val MaxVocabBytes: Long = 2L << 30
 
   /** Session-memoized training keyed by (corpus dir, k): q78/q79/q81
     * all train the SAME tokenizer for their corpus — production trains

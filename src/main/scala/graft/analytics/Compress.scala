@@ -65,12 +65,33 @@ object Compress {
   }
 
   /** Per-doc deflate ratio in exact 1e-4 units (integer math on the
-    * two sizes, so re-runs hash identically). */
+    * two sizes, so re-runs hash identically). CODEC COLUMNS ONLY —
+    * the rows-only remainder is exactly what DuckDB cannot mirror
+    * (deflated byte counts); the relational half (raw byte lengths,
+    * size buckets) is q111 below with a real oracle. */
   val qCompressRatio: Q = Q.noOracle("q70_compress_ratio") { (s, d) =>
     withDeflateSizes(Tables.load(s, d, "documents"))
-      .select(col("doc_id"), col("n_bytes"), col("n_deflated"),
+      .select(col("doc_id"), col("n_deflated"),
         Exact.dec4(Exact.halfUpDiv(col("n_deflated") * 10000,
           col("n_bytes"))).as("deflate_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Relational half of the compression signal, oracle-certified: the
+    * raw UTF-8 byte length [[withDeflateSizes]] computes on its way to
+    * the codec, plus the KiB size bucket downstream curation bins on.
+    * Runs the REAL mapPartitions plumbing (same path as q70) and
+    * selects only the columns DuckDB's octet_length-over-encode can
+    * mirror, so the codec remainder above stays minimal. */
+  val qCompressMeta: Q = Q(
+    "q111_compress_meta",
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  CAST(octet_length(encode(text)) // 1024 AS BIGINT) AS kb_bucket
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    withDeflateSizes(Tables.load(s, d, "documents"))
+      .select(col("doc_id"), col("n_bytes"),
+        Exact.floorDiv(col("n_bytes"), lit(1024)).as("kb_bucket"))
       .orderBy("doc_id")
   }
 }

@@ -369,23 +369,49 @@ object Multimodal {
       .toDF()
   }
 
-  // Rows-only driver check (binary decode is engine-specific by design);
-  // MultimodalSpec asserts determinism + schema + per-item features +
-  // a real PNG decode. The production path runs the REAL image decoder
-  // (text payloads take the stub fallback; n_decoded counts real
-  // decodes).
+  // Rows-only driver check, CODEC COLUMNS ONLY (ImageIO decode output
+  // DuckDB cannot produce); the relational half of this pipeline —
+  // item counts, payload byte lengths, format tags — is split out as
+  // q110 below with a real DuckDB oracle, so the rows-only remainder
+  // is exactly the irreducible codec part. MultimodalSpec asserts
+  // determinism + schema + per-item features + a real PNG decode.
   val qMultimodalPipeline: Q = Q.noOracle("q31_multimodal_features") {
     (s, d) =>
       val media = asMedia(s, Tables.load(s, d, "documents"))
       decodeImageFeatures(s, media)
         .groupBy("source")
-        .agg(count(lit(1)).as("n_items"),
-          sum("n_bytes").as("total_bytes"),
-          sum(when(col("decoded"), 1L).otherwise(0L)).as("n_decoded"),
+        .agg(sum(when(col("decoded"), 1L).otherwise(0L)).as("n_decoded"),
           min("checksum").as("min_checksum"),
           max("checksum").as("max_checksum"))
         .orderBy("source")
   }
 
-  val all: Seq[Q] = Seq(qMultimodalPipeline)
+  /** Relational half of the multimodal pipeline, oracle-certified:
+    * the metadata the ingest step ([[asMedia]]) derives on the REAL
+    * binary payload column — item counts, format tag, UTF-8 byte
+    * lengths of the payloads — aggregated per (source, mime). DuckDB
+    * mirrors octet_length-over-encode exactly, so everything short of
+    * the codec bytes themselves gets a hash-matched row. Scale shape:
+    * scan-local payload build, one hash aggregation. */
+  val qMediaMeta: Q = Q(
+    "q110_media_meta",
+    """SELECT source, 'text/plain' AS mime,
+      |  CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(count(text) AS BIGINT) AS n_payloads,
+      |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+      |  CAST(min(octet_length(encode(text))) AS BIGINT) AS min_bytes,
+      |  CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin) {
+    (s, d) =>
+      asMedia(s, Tables.load(s, d, "documents"))
+        .groupBy("source", "mime")
+        .agg(count(lit(1)).as("n_items"),
+          count(col("payload")).as("n_payloads"),
+          sum("n_bytes").as("total_bytes"),
+          min("n_bytes").as("min_bytes"),
+          max("n_bytes").as("max_bytes"))
+        .orderBy("source")
+  }
+
+  val all: Seq[Q] = Seq(qMultimodalPipeline, qMediaMeta)
 }

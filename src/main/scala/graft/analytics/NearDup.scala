@@ -982,7 +982,12 @@ object NearDup {
     // lookups fall back to shuffle joins — still O(candidates) rows.
     val docArrs = sh.groupBy("doc_id")
       .agg(collect_list(col("s")).as("arr"))
-    val gate = docs.count() <= BroadcastDocArrMax
+    // gate on the ACTUAL volume that would broadcast — the persisted
+    // shingle index's entry count (8 B each), not the document count:
+    // a sub-200k-doc corpus of very long documents would blow past the
+    // budget a doc-count gate assumes, and sh is already cached so
+    // this count is a cache scan, not a second pass over the table
+    val gate = sh.count() <= BroadcastShingleEntryMax
     def side(as: String) = {
       val p = docArrs.select(col("doc_id").as(as + "_id"),
         col("arr").as(as))
@@ -1000,10 +1005,12 @@ object NearDup {
           col("n_union"))).as("jaccard"))
   }
 
-  /** Above this many docs the q107 verify arrays stop broadcasting
-    * (≈200k docs ≈ 150 MB of shingle arrays) and the two candidate
-    * lookups run as shuffle joins instead. */
-  val BroadcastDocArrMax = 200000L
+  /** Above this many distinct (doc, shingle) entries the q107 verify
+    * arrays stop broadcasting (16M × ~10 B ≈ 150 MB of shingle
+    * arrays) and the two candidate lookups run as shuffle joins
+    * instead. Measured on the persisted index itself, so long-document
+    * corpora hit the gate by volume, not by row count. */
+  val BroadcastShingleEntryMax = 16000000L
 
   val qPrefixSimJoin: Q = Q(
     "q107_prefix_simjoin",
@@ -1034,7 +1041,84 @@ object NearDup {
     prefixSimJoin(T(s, d, "documents")).orderBy("a_id", "b_id")
   }
 
+  // ----------------------- canonical-first similarity composition
+  /** The tiered composition q107's scale envelope calls for: collapse
+    * every dup cluster to its canonical representative (q95) FIRST,
+    * then run the lossless prefix join on representatives only.
+    *
+    * q107 alone is exact-and-complete but inherently O(cluster²) in
+    * its OUTPUT on dup-heavy corpora — a 1000-copy cluster emits
+    * ~500k pairs that say nothing a dedup pass hasn't already said.
+    * Curation pipelines consume the similarity relation BETWEEN
+    * distinct contents, so the production shape is dedup → canonical
+    * → similarity-join-on-representatives: the rep set shrinks by the
+    * duplication factor and the join output is linear in the
+    * POST-dedup pair count. On the 10× dedup-amplified probe this
+    * turns q107's output-bound blowup into output-linear work; on a
+    * dup-free corpus it degrades gracefully to q107 plus one
+    * clustering pass. Per-pair semantics are IDENTICAL to
+    * [[prefixSimJoin]] restricted to canonical docs (spec-pinned
+    * against the brute-force join on representatives).
+    *
+    * The default τ = 1/20 sits WELL BELOW the clustering threshold
+    * (0.5) on purpose: pairs above the cluster threshold collapse
+    * into one representative by construction, so the interesting
+    * relation on the rep tier is related-but-distinct content — the
+    * low-similarity band a curation pipeline consumes for diversity
+    * sampling, topic grouping, and template/boilerplate discovery.
+    * (At τ ≥ the cluster threshold the rep tier is near-empty by
+    * definition — that similarity range already became clusters. A
+    * low τ weakens the prefix filter itself — prefixes keep
+    * ~(1 − τ) of the index — which is affordable precisely BECAUSE
+    * the dedup tier already shrank the input to representatives.) */
+  def canonicalSimJoin(docs: DataFrame, tauNum: Int = 1,
+      tauDen: Int = 20): DataFrame = {
+    val reps = canonicalPerCluster(docs)
+      .select(col("canonical_id").as("doc_id"))
+    prefixSimJoin(docs.join(reps, "doc_id"), tauNum, tauDen)
+  }
+
+  val qCanonicalSimJoin: Q = Q(
+    "q109_canon_simjoin",
+    // oracle = q95's canonical selection composed with q107's
+    // UNFILTERED exact pair join restricted to the representatives —
+    // both halves certify against the same cluster/pair definitions
+    // their own oracles use, so the composition's hash match certifies
+    // the tiering loses exactly the within-cluster pairs and nothing
+    // else
+    s"""$clusterOracleCte,
+      |g AS (
+      |  SELECT cl.keep_id, cl.doc_id,
+      |    CAST(len(regexp_split_to_array(d.text, '\\s+')) AS BIGINT)
+      |      AS n_words
+      |  FROM cl JOIN documents d USING (doc_id)),
+      |bb AS (
+      |  SELECT keep_id, max(n_words) AS best_n_words
+      |  FROM g GROUP BY keep_id),
+      |reps AS (
+      |  SELECT min(g.doc_id) AS doc_id
+      |  FROM g JOIN bb USING (keep_id)
+      |  WHERE g.n_words = bb.best_n_words GROUP BY g.keep_id),
+      |rsh AS (SELECT sh.doc_id, sh.s FROM sh JOIN reps USING (doc_id)),
+      |rsizes AS (SELECT doc_id, count(*) AS n FROM rsh GROUP BY doc_id),
+      |rpairs AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    CAST(count(*) AS BIGINT) AS n_inter
+      |  FROM rsh a JOIN rsh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT p.a_id, p.b_id, p.n_inter,
+      |  CAST(sa.n + sb.n - p.n_inter AS BIGINT) AS n_union,
+      |  ${Exact.dec4Sql(Exact.halfUpDivSql("p.n_inter*10000",
+           "sa.n + sb.n - p.n_inter"))} AS jaccard
+      |FROM rpairs p
+      |JOIN rsizes sa ON p.a_id = sa.doc_id
+      |JOIN rsizes sb ON p.b_id = sb.doc_id
+      |WHERE p.n_inter * 20 >= (sa.n + sb.n - p.n_inter) * 1
+      |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    canonicalSimJoin(T(s, d, "documents")).orderBy("a_id", "b_id")
+  }
+
   val all: Seq[Q] =
     Seq(qNgramJaccard, qContainment, qMinhashLsh, qSimhash, qDedupCorpus,
-      qClusterCanonical, qEditDistance, qPrefixSimJoin)
+      qClusterCanonical, qEditDistance, qPrefixSimJoin, qCanonicalSimJoin)
 }

@@ -13,6 +13,7 @@ object Registry {
       graft.analytics.NgramOps.all ++ graft.analytics.Bpe.all :+
       graft.ops.BloomJoin.qBloomSemiJoin :+
       graft.analytics.Compress.qCompressRatio :+
+      graft.analytics.Compress.qCompressMeta :+
       graft.ops.Scd2.qScd2Snapshot :+
       graft.model.IncrementalAgg.qIncrementalAgg :+
       graft.analytics.IncrementalDedup.qIncrementalDedup :+

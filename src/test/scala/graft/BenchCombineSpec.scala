@@ -25,4 +25,21 @@ class BenchCombineSpec extends AnyFunSuite {
   test("zero elapsed is a valid (green) sample, not a failure") {
     assert(Bench.combinePasses(Seq(0.0, 2.0)) === 0.0)
   }
+
+  test("default pass count stays >= 2 (driver-window insurance)") {
+    // the driver's bare invocation (env unset) must get min-of-N with
+    // N >= 2: the r5 adjudication showed a single cold window landing
+    // as the round's committed number
+    assert(Bench.passCount(None) >= 2)
+    assert(Bench.passCount(None) === Bench.DefaultPasses)
+  }
+
+  test("explicit pass count parses; garbage and non-positive fall back") {
+    assert(Bench.passCount(Some("1")) === 1)
+    assert(Bench.passCount(Some("5")) === 5)
+    assert(Bench.passCount(Some("0")) === Bench.DefaultPasses)
+    assert(Bench.passCount(Some("-3")) === Bench.DefaultPasses)
+    assert(Bench.passCount(Some("two")) === Bench.DefaultPasses)
+    assert(Bench.passCount(Some("")) === Bench.DefaultPasses)
+  }
 }

@@ -55,6 +55,21 @@ class BpeSpec extends AnyFunSuite {
     assert(got == referenceBpe(wc, 6))
   }
 
+  test("extreme-vocab guard fails loud BEFORE collecting the vocab") {
+    val docs = Seq("low lower lowest low low",
+      "newer newest new low wider").toDF("text")
+    val words = Bpe.wordTable(docs, "text")
+    // a synthetic over-budget limit: even this tiny vocab's estimate
+    // (per-row overhead + seg chars) exceeds a 100-byte budget
+    val e = intercept[IllegalArgumentException] {
+      Bpe.trainMerges(spark, words, 2, maxVocabBytes = 100L)
+    }
+    assert(e.getMessage.contains("vocabulary too large"))
+    assert(e.getMessage.contains("100-byte budget"))
+    // same vocab under the default budget trains fine
+    assert(Bpe.trainMerges(spark, words, 2).size == 2)
+  }
+
   test("merges on testdata are deterministic and well-formed") {
     val q = Bpe.qBpeMerges.build(spark, "/root/testdata/sf0.001")
       .collect()

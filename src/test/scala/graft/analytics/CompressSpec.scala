@@ -32,7 +32,23 @@ class CompressSpec extends AnyFunSuite {
       .collect()
     assert(a.toSeq == b.toSeq && a.nonEmpty)
     a.foreach { row =>
-      assert(row.getLong(1) > 0 && row.getLong(2) > 0)
+      // (doc_id, n_deflated, deflate_ratio-as-dec4-string)
+      assert(row.getLong(1) > 0 && row.getString(2).nonEmpty)
+    }
+  }
+
+  test("relational half (q111) matches octet_length over the text") {
+    val out = Compress.qCompressMeta
+      .build(spark, "/root/testdata/sf0.001").collect()
+    val expect = graft.io.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) == expect(r.getLong(0)))
+      assert(r.getLong(2) == r.getLong(1) / 1024)
     }
   }
 }

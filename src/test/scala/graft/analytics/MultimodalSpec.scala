@@ -28,6 +28,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fr.getAs[Long]("n_bytes") == 8L)   // é is 2 bytes
   }
 
+  test("media metadata aggregate (q110 relational half): per-source " +
+      "counts and UTF-8 byte totals") {
+    val out = Multimodal.asMedia(spark, docs)
+      .groupBy("source", "mime")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_items"),
+        org.apache.spark.sql.functions.sum("n_bytes").as("total_bytes"))
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("srcA") == (("text/plain", 2L, 11L + 12L)))
+    assert(out("srcB") == (("text/plain", 1L, 8L)))   // bytes, not chars
+  }
+
   test("resize + frame-sample chain: bounded payload, fixed frames") {
     val media = Multimodal.asMedia(spark, docs)
     val frames = Multimodal

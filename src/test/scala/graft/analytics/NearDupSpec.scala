@@ -218,6 +218,76 @@ class NearDupSpec extends AnyFunSuite {
     assert(got == expect) // lossless: not one pair more OR less
   }
 
+  test("canonical-first composition equals brute force on reps and " +
+      "collapses dup-cluster output") {
+    // three regimes: (a) the randomized mutation corpus class from the
+    // q107 completeness test (high-J copies → clustered away),
+    // (b) five template-sharing pairs — two docs sharing an 8-token
+    // boilerplate block amid unique text, J ≈ 0.19: BELOW the 0.5
+    // cluster threshold, ABOVE q109's τ = 1/20, so both survive to the
+    // rep tier and must pair there, (c) a planted 12-copy exact-dup
+    // cluster whose O(cluster²) pairs the canonical pre-pass must
+    // collapse to zero
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 30).flatMap { b =>
+      val t = Seq.tabulate(10 + rnd.nextInt(15))(i => s"t${b}_$i")
+      val copies = Seq.tabulate(rnd.nextInt(3)) { c =>
+        t.map(w => if (rnd.nextInt(10) == 0) s"m${b}_$c" else w)
+          .drop(rnd.nextInt(3))
+      }
+      (t +: copies)
+    }
+    val templatePairs = (0 until 5).flatMap { k =>
+      val block = Seq.tabulate(8)(i => s"tmpl${k}_$i")
+      Seq(block ++ Seq.tabulate(12)(i => s"ux${k}_$i"),
+        block ++ Seq.tabulate(12)(i => s"uy${k}_$i"))
+    }
+    val dupText = Seq.tabulate(20)(i => s"dup_$i")
+    val docs = (base ++ templatePairs ++ Seq.fill(12)(dupText)).zipWithIndex
+      .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+    val df = docs.toDF("doc_id", "text")
+
+    val got = NearDup.canonicalSimJoin(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // brute force ON THE REPRESENTATIVES: canonical selection (already
+    // spec/oracle-certified on its own), then the unfiltered exact
+    // pair join restricted to those docs
+    val reps = NearDup.canonicalPerCluster(df)
+      .select(col("canonical_id").as("doc_id"))
+    val rdf = df.join(reps, "doc_id")
+    val sh = NearDup.shingleIndex(rdf, "doc_id", col("text"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("i")).collect()
+      .filter { r =>
+        val (a, b, i) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        i * 20 >= (sizes(a) + sizes(b) - i) * 1   // q109's τ = 1/20
+      }
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect) // exact per-pair semantics on the rep tier
+
+    // every template pair survives to the rep tier and pairs there
+    val tmplIds = templatePairs.map(_.mkString(" "))
+      .map(t => docs.find(_._2 == t).get._1)
+    val tmplPairs = tmplIds.grouped(2)
+      .map(g => (g(0) min g(1), g(0) max g(1))).toSet
+    assert(tmplPairs.subsetOf(got),
+      s"template pairs $tmplPairs must appear in $got")
+
+    // the 12-copy cluster contributed 66 pairs to plain q107 but must
+    // contribute ZERO here (its one rep pairs with nothing)
+    val dupIds = docs.filter(_._2 == dupText.mkString(" ")).map(_._1).toSet
+    val plain = NearDup.prefixSimJoin(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(plain.count(p => dupIds(p._1) && dupIds(p._2)) == 66)
+    assert(!got.exists(p => dupIds(p._1) && dupIds(p._2)))
+  }
+
   test("prefix index is a strict subset ordered rarity-first") {
     val df = Seq(
       (1L, (1 to 20).map(i => s"c$i").mkString(" ")),

@@ -97,6 +97,15 @@ def main(src, out):
         9: near_base,
         10: near_mut,
     })
+    # keep the corpus internally consistent (as skewgen does): n_chars
+    # must agree with length(text) on exactly the edge rows this
+    # fixture targets, else every n_chars consumer (quality z-score,
+    # length bins) sees a signal contradicting the text
+    texts = docs.column("text").to_pylist()
+    n_chars = pa.array([len(s) if s is not None else None for s in texts],
+                       docs.schema.field("n_chars").type)
+    docs = docs.set_column(docs.schema.get_field_index("n_chars"),
+                           docs.schema.field("n_chars"), n_chars)
     save(out, "documents", docs, docs.schema)
 
     ev = load(src, "events")
