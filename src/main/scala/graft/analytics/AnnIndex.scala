@@ -146,6 +146,66 @@ object AnnIndex {
       .withColumn("cos_sim", graft.ops.Exact.dbl4(col("cos_sim")))
   }
 
+  private def pqCodebookTable(name: String) = s"${name}_pq_codebook"
+  private def pqCodesTable(name: String) = s"${name}_pq_codes"
+
+  /** Train the PQ codebooks on the STORED index's residuals and
+    * persist codebook + per-vector codes — the memory-side artifact of
+    * IVF-PQ serving ([[Pq]]). The codes table is PARTITIONED BY cell
+    * like the postings, so an ADC probe partition-prunes to its cells
+    * and reads [[Pq.NumSub]] small ints per candidate instead of the
+    * raw vector: at corpus scale that is the difference between
+    * inverted lists that fit in executor memory and lists that spill.
+    * `extraMeta` merges into both commits (staleness stamps). */
+  def buildPq(spark: SparkSession, store: ModelStore, name: String,
+      extraMeta: Map[String, String] = Map.empty): Unit = {
+    val cents = store.read(spark, Layer, centroidsTable(name)).getOrElse(
+      sys.error(s"ANN index '$name' has no centroids — build() first"))
+    val postings = store.read(spark, Layer, postingsTable(name)).getOrElse(
+      sys.error(s"ANN index '$name' has no postings — build() first"))
+    val subs = Pq.subspaces(Pq.residuals(
+      postings.select("vec_id", "qv", "n2", "c_id"), cents)).persist()
+    val cb = Pq.trainCodebooks(subs).persist()
+    store.write(cb, Layer, pqCodebookTable(name),
+      description = s"PQ codebooks (${Pq.NumSub}×${Pq.NumCodes}, " +
+        s"iters=${Pq.PqIters})",
+      meta = extraMeta)
+    store.write(
+      Pq.assignCodes(subs, cb)
+        .select(col("c_id"), col("vec_id"), col("m"), col("code")),
+      Layer, pqCodesTable(name), partitionBy = Seq("c_id"),
+      description = "PQ codes (per-vector subspace codes)",
+      meta = extraMeta)
+    subs.unpersist(); cb.unpersist(): Unit
+  }
+
+  /** Multi-probe ADC top-k search over the persisted PQ artifacts:
+    * the postings' raw vectors are never read — candidates are scored
+    * from their stored codes via the per-query distance table. Output
+    * matches [[Pq.adcSearch]]: (q_id, vec_id, adc_dist, rnk). */
+  def searchAdc(spark: SparkSession, store: ModelStore, name: String,
+      queries: DataFrame, nprobe: Int = VectorOps.NumProbes,
+      topK: Int = VectorOps.TopK): DataFrame = {
+    val cents = store.read(spark, Layer, centroidsTable(name)).getOrElse(
+      sys.error(s"ANN index '$name' has no centroids — build() first"))
+    val cb = store.read(spark, Layer, pqCodebookTable(name)).getOrElse(
+      sys.error(s"ANN index '$name' has no PQ codebooks — buildPq() first"))
+    val codes = store.read(spark, Layer, pqCodesTable(name)).getOrElse(
+      sys.error(s"ANN index '$name' has no PQ codes — buildPq() first"))
+    val probes = VectorOps.ivfProbeCells(
+      quantified(queries.select(col("q_id").as("vec_id"),
+          col("embedding")))
+        .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+          col("n2").as("q_n2")),
+      cents, nprobe).localCheckpoint()
+    // bounded collect (≤ K cells): the literal IN-list partition-prunes
+    // the codes scan down to the probed inverted lists, as in search()
+    val cells = probes.select("c_id").distinct().collect()
+      .map(_.getLong(0))
+    Pq.adcRank(probes, cents, cb,
+      codes.filter(col("c_id").isin(cells.toSeq: _*)), topK)
+  }
+
   /** foreachBatch sink: continuous index growth — each micro-batch of
     * `(vec_id, embedding)` rows assigns against the STORED centroids
     * and rewrites only its touched cells ([[append]]). Replay-safe:
@@ -203,5 +263,42 @@ object AnnIndex {
     search(s, store, "emb",
       emb.filter(col("vec_id") < VectorOps.NumQueries)
         .select(col("vec_id").as("q_id"), col("embedding")))
+  }.copy(sideEffecting = true)
+
+  /** Persisted IVF-PQ search as a driver query: q91's staleness-keyed
+    * store extended with the PQ artifacts ([[buildPq]]). The oracle is
+    * q112's full training+encode+ADC DuckDB replica verbatim — the
+    * persisted path provably returns the in-memory [[Pq.qPqAnn]]
+    * answer (AnnIndexSpec asserts exact equality), so its oracle
+    * certifies this query too. sideEffecting: staleness probes and any
+    * rebuild run at DataFrame-construction time. */
+  val qPqIndex: Q = Q("q113_pq_index",
+    Pq.qPqAnn.oracle.get) { (s, d) =>
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(new java.io.File(d).getCanonicalPath.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val store = new ModelStore(s"/tmp/graft-annindex/$key")
+    val emb = Tables.load(s, d, "embeddings")
+    val fp = emb.agg(concat_ws(":", count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("vec_id"), col("embedding"))),
+          lit(0L))).as("fp")).head().getString(0)
+    // coarse index first (shared with q91 — whichever runs first
+    // builds; a corpus change retrains both tiers)
+    if (!store.meta(s, Layer, postingsTable("emb"), "corpus_fp")
+        .contains(fp)) {
+      build(s, store, "emb", emb, extraMeta = Map("corpus_fp" -> fp))
+      store.vacuum(s, Layer, postingsTable("emb"), keepLast = 1)
+      store.vacuum(s, Layer, centroidsTable("emb"), keepLast = 1)
+    }
+    if (!store.meta(s, Layer, pqCodesTable("emb"), "corpus_fp")
+        .contains(fp)) {
+      buildPq(s, store, "emb", extraMeta = Map("corpus_fp" -> fp))
+      store.vacuum(s, Layer, pqCodesTable("emb"), keepLast = 1)
+      store.vacuum(s, Layer, pqCodebookTable("emb"), keepLast = 1)
+    }
+    searchAdc(s, store, "emb",
+      emb.filter(col("vec_id") < VectorOps.NumQueries)
+        .select(col("vec_id").as("q_id"), col("embedding")))
+      .orderBy("q_id", "rnk")
   }.copy(sideEffecting = true)
 }

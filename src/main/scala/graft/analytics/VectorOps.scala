@@ -78,7 +78,7 @@ object VectorOps {
   private def T(s: SparkSession, d: String, n: String): DataFrame =
     Tables.load(s, d, n)
 
-  private def withQuant(df: DataFrame): DataFrame =
+  private[analytics] def withQuant(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("label"), quantize(col("embedding"))
       .as("qv"))
       .withColumn("n2", norm2Q(col("qv")))
@@ -401,8 +401,17 @@ object VectorOps {
     var centroids = base.filter(col("vec_id") < k)
       .select(col("vec_id").as("c_id"), col("qv").as("c_qv"),
         col("n2").as("c_n2"))
+    val spark = base.sparkSession
+    import spark.implicits._
     for (_ <- 0 until iters) {
-      centroids = ivfAssign(train, centroids)
+      // each round's result is collected to the driver and re-planted
+      // as a local relation: ≤ k centroid rows BY DESIGN CONSTANT (the
+      // bounded-collect discipline of the probe-cell lists). This both
+      // keeps the plan one iteration deep (the old per-round
+      // localCheckpoint's job) and makes every downstream use a
+      // broadcast of a LocalRelation — one job shallower per round
+      // than checkpointing, across all seven k-means consumers.
+      val rows = ivfAssign(train, centroids)
         .select(col("c_id"), posexplode(col("qv")).as(Seq("pos", "v")))
         .groupBy("c_id", "pos").agg(avg("v").as("m"))
         .groupBy("c_id")
@@ -410,11 +419,11 @@ object VectorOps {
           .as("pm"))
         .select(col("c_id"),
           transform(col("pm"), x => round(x("m")).cast("long")).as("c_qv"))
-        .withColumn("c_n2", norm2Q(col("c_qv")))
-        // checkpoint per Lloyd iteration: keeps the plan one iteration
-        // deep (un-materialized, the final assignment would re-derive
-        // and re-optimize the whole nested training chain)
-        .localCheckpoint()
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1),
+          r.getSeq[Long](1).map(x => x * x).sum))
+      centroids = spark.createDataset(rows.toSeq)
+        .toDF("c_id", "c_qv", "c_n2")
     }
     centroids
   }
@@ -474,7 +483,7 @@ object VectorOps {
   // subqueries - no recursion, no state.
   private def dotSql(a: String, b: String): String =
     s"(SELECT sum(u.a*u.b) FROM (SELECT unnest($a) a, unnest($b) b) u)"
-  private def cosSql(qv: String, cqv: String, n2: String, cn2: String)
+  private[analytics] def cosSql(qv: String, cqv: String, n2: String, cn2: String)
       : String =
     cosineSqlCase(n2, cn2,
       s"CAST(${dotSql(qv, cqv)} AS DOUBLE) / " +
@@ -494,13 +503,13 @@ object VectorOps {
       s"CROSS JOIN (SELECT unnest(generate_series(1, (SELECT " +
       s"len($QuantizeSql) FROM embeddings LIMIT 1))) AS pos) d " +
       s"GROUP BY c_id, d.pos) GROUP BY c_id"
-  private val baseNSql =
+  private[analytics] val baseNSql =
     s"SELECT vec_id, qv, (SELECT sum(u.a*u.a) FROM (SELECT unnest(qv) " +
       s"a) u) AS n2 FROM (SELECT vec_id, $QuantizeSql AS qv " +
       s"FROM embeddings)"
   /** (centroids, full-corpus assignment) after KmeansIters rounds -
     * the exact chain kmeansCentroids + ivfAssign execute. */
-  private def trainedSql: (String, String) = {
+  private[analytics] def trainedSql: (String, String) = {
     val hx = graft.ops.DuckHash.chain(
       "SELECT vec_id AS hid FROM embeddings", "hid")
     val train = s"SELECT b.* FROM ($baseNSql) b JOIN ($hx) h " +

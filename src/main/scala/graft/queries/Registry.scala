@@ -19,7 +19,9 @@ object Registry {
       graft.analytics.IncrementalDedup.qIncrementalDedup :+
       graft.pipeline.PipelineQuery.qPipelineE2e :+
       graft.analytics.AnnIndex.qAnnIndex :+
-      graft.analytics.NearDupIndex.qIncrementalNearDup
+      graft.analytics.NearDupIndex.qIncrementalNearDup :+
+      graft.analytics.Pq.qPqAnn :+
+      graft.analytics.AnnIndex.qPqIndex
 
   val flagship: Q = RefQueries.q15Flagship
 }

@@ -114,6 +114,38 @@ class AnnIndexSpec extends AnyFunSuite {
       "e_postings") == vAfter)
   }
 
+  test("persisted IVF-PQ search (q113) returns exactly the in-memory " +
+      "ADC answer (q112), and its codes scan is partition-pruned") {
+    val d = "/root/testdata/sf0.001"
+    val mem = Pq.qPqAnn.build(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSeq
+    val stored = AnnIndex.qPqIndex.build(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSeq
+    assert(mem.nonEmpty && stored == mem)
+
+    // one query probes NumProbes cells — the CODES scan (the only
+    // per-candidate data ADC touches) must read at most that many
+    // partition directories
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(new java.io.File(d).getCanonicalPath.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val store = new ModelStore(s"/tmp/graft-annindex/$key")
+    val one = Tables.load(spark, d, "embeddings")
+      .filter(col("vec_id") === 1L)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val df = AnnIndex.searchAdc(spark, store, "emb", one)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.partitionSchema.nonEmpty => s
+    }
+    assert(scans.nonEmpty)
+    val partsRead = scans.map(_.selectedPartitions.partitionCount).max
+    assert(partsRead <= VectorOps.NumProbes,
+      s"codes scan read $partsRead partitions")
+  }
+
   test("search scan is partition-pruned to the probed cells") {
     val root = Files.createTempDirectory("graft-annidx3").toString
     val store = new ModelStore(root)
