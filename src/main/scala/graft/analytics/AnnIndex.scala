@@ -206,6 +206,40 @@ object AnnIndex {
       codes.filter(col("c_id").isin(cells.toSeq: _*)), topK)
   }
 
+  /** Two-stage ADC search over the persisted artifacts: ADC shortlist
+    * from codes only ([[searchAdc]]'s plan), then an exact re-rank of
+    * just the shortlist against the raw postings — the one point the
+    * posting vectors are read, partition-pruned to the probed cells
+    * and O(shortlist) rows per query. Output matches [[Pq.adcRerank]]:
+    * (q_id, vec_id, d2, rnk). */
+  def searchAdcRerank(spark: SparkSession, store: ModelStore,
+      name: String, queries: DataFrame,
+      nprobe: Int = VectorOps.NumProbes,
+      shortlistR: Int = Pq.RerankDepth,
+      topK: Int = VectorOps.TopK): DataFrame = {
+    val cents = store.read(spark, Layer, centroidsTable(name)).getOrElse(
+      sys.error(s"ANN index '$name' has no centroids — build() first"))
+    val cb = store.read(spark, Layer, pqCodebookTable(name)).getOrElse(
+      sys.error(s"ANN index '$name' has no PQ codebooks — buildPq() first"))
+    val codes = store.read(spark, Layer, pqCodesTable(name)).getOrElse(
+      sys.error(s"ANN index '$name' has no PQ codes — buildPq() first"))
+    val postings = store.read(spark, Layer, postingsTable(name)).getOrElse(
+      sys.error(s"ANN index '$name' has no postings — build() first"))
+    val probes = VectorOps.ivfProbeCells(
+      quantified(queries.select(col("q_id").as("vec_id"),
+          col("embedding")))
+        .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+          col("n2").as("q_n2")),
+      cents, nprobe).localCheckpoint()
+    val cells = probes.select("c_id").distinct().collect()
+      .map(_.getLong(0))
+    Pq.adcRerank(probes, cents, cb,
+      codes.filter(col("c_id").isin(cells.toSeq: _*)),
+      postings.filter(col("c_id").isin(cells.toSeq: _*))
+        .select("vec_id", "qv", "n2"),
+      shortlistR, topK)
+  }
+
   /** foreachBatch sink: continuous index growth — each micro-batch of
     * `(vec_id, embedding)` rows assigns against the STORED centroids
     * and rewrites only its touched cells ([[append]]). Replay-safe:
@@ -297,6 +331,40 @@ object AnnIndex {
       store.vacuum(s, Layer, pqCodebookTable("emb"), keepLast = 1)
     }
     searchAdc(s, store, "emb",
+      emb.filter(col("vec_id") < VectorOps.NumQueries)
+        .select(col("vec_id").as("q_id"), col("embedding")))
+      .orderBy("q_id", "rnk")
+  }.copy(sideEffecting = true)
+
+  /** Two-stage persisted serving (ADC shortlist → exact re-rank) as a
+    * driver query: q113's store machinery plus [[searchAdcRerank]].
+    * The oracle is the full training + shortlist + exact-re-rank
+    * DuckDB replica ([[Pq.rerankOracle]]) — valid here because the
+    * persisted artifacts provably equal the freshly-trained chain
+    * (AnnIndexSpec pins q113 ≡ q112, and the re-rank stage is a pure
+    * function of those artifacts plus the postings). */
+  val qPqRerank: Q = Q("q114_pq_rerank", Pq.rerankOracle) { (s, d) =>
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(new java.io.File(d).getCanonicalPath.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val store = new ModelStore(s"/tmp/graft-annindex/$key")
+    val emb = Tables.load(s, d, "embeddings")
+    val fp = emb.agg(concat_ws(":", count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("vec_id"), col("embedding"))),
+          lit(0L))).as("fp")).head().getString(0)
+    if (!store.meta(s, Layer, postingsTable("emb"), "corpus_fp")
+        .contains(fp)) {
+      build(s, store, "emb", emb, extraMeta = Map("corpus_fp" -> fp))
+      store.vacuum(s, Layer, postingsTable("emb"), keepLast = 1)
+      store.vacuum(s, Layer, centroidsTable("emb"), keepLast = 1)
+    }
+    if (!store.meta(s, Layer, pqCodesTable("emb"), "corpus_fp")
+        .contains(fp)) {
+      buildPq(s, store, "emb", extraMeta = Map("corpus_fp" -> fp))
+      store.vacuum(s, Layer, pqCodesTable("emb"), keepLast = 1)
+      store.vacuum(s, Layer, pqCodebookTable("emb"), keepLast = 1)
+    }
+    searchAdcRerank(s, store, "emb",
       emb.filter(col("vec_id") < VectorOps.NumQueries)
         .select(col("vec_id").as("q_id"), col("embedding")))
       .orderBy("q_id", "rnk")

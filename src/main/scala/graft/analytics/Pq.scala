@@ -169,6 +169,37 @@ object Pq {
       enc.select("c_id", "vec_id", "m", "code"), topK)
   }
 
+  /** ADC shortlist depth for the re-rank stage (4× the final k — the
+    * standard IVF-PQ serving ratio: wide enough to recover the
+    * neighbors ADC's quantization error mis-ranks, narrow enough that
+    * the exact stage touches a constant number of raw vectors). */
+  val RerankDepth = 40
+
+  /** Two-stage IVF-PQ serving: ADC shortlists [[RerankDepth]]
+    * candidates per query from CODES ONLY, then exactly re-ranks just
+    * the shortlist on raw vectors (one partition-pruned lookup of
+    * `shortlistR` rows per query — the only point raw postings are
+    * touched). Distances are exact integer squared L2 end-to-end, so
+    * the re-rank recovers every ADC quantization mis-ranking inside
+    * the shortlist. Output: (q_id, vec_id, d2, rnk). */
+  def adcRerank(probes: DataFrame, cents: DataFrame, cb: DataFrame,
+      codes: DataFrame, postings: DataFrame, shortlistR: Int,
+      topK: Int): DataFrame = {
+    val short = adcRank(probes, cents, cb, codes, shortlistR)
+      .select(col("q_id"), col("vec_id"))
+    val q = probes.select("q_id", "q_qv", "q_n2").distinct()
+    import org.apache.spark.sql.expressions.Window
+    short
+      .join(postings.select("vec_id", "qv", "n2"), Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (col("q_n2") + col("n2") -
+          lit(2L) * VectorOps.dotQ(col("q_qv"), col("qv"))).as("d2"))
+      .withColumn("rnk", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("d2"), col("vec_id"))).cast("int"))
+      .filter(col("rnk") <= topK)
+  }
+
   // --------------------------------------------- DuckDB oracle SQL
   // The q32 trained-centroid replica extended one tier down: coarse
   // chain (base/cents/assigned CTEs), residual + subspace explode,
@@ -192,7 +223,9 @@ object Pq {
       s"(SELECT unnest(generate_series(1, $SubDim)) AS pos) p " +
       s"GROUP BY m, code, p.pos) GROUP BY m, code)"
 
-  val qPqAnn: Q = {
+  /** Shared oracle prelude: everything through the `adc` relation —
+    * q112 ranks it directly; q114 shortlists it and re-ranks exactly. */
+  private lazy val pqOraclePrelude: String = {
     val (centsSql, assignedSql) = VectorOps.trainedSql
     val hx = graft.ops.DuckHash.chain(
       "SELECT vec_id AS hid FROM embeddings", "hid")
@@ -211,9 +244,7 @@ object Pq {
       sb.toString
     }
     val cbF = s"cb$PqIters"
-    Q(
-      "q112_pq_ann",
-      s"""WITH base AS (${VectorOps.baseNSql}),
+    s"""WITH base AS (${VectorOps.baseNSql}),
       |cents AS ($centsSql),
       |assigned AS ($assignedSql),
       |res AS (
@@ -268,25 +299,50 @@ object Pq {
       |  JOIN enc e ON e.vec_id = c.vec_id
       |  JOIN dtab d ON d.q_id = c.q_id AND d.c_id = c.c_id
       |    AND d.m = e.m AND d.code = e.code
-      |  GROUP BY 1, 2)
+      |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  val qPqAnn: Q = Q(
+    "q112_pq_ann",
+    s"""$pqOraclePrelude
       |SELECT q_id, vec_id, adc_dist, CAST(rnk AS INTEGER) AS rnk
       |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
       |  ORDER BY adc_dist, vec_id) AS rnk FROM adc) t
       |WHERE rnk <= ${VectorOps.TopK} ORDER BY q_id, rnk""".stripMargin) {
-      (s, d) =>
-        val base = VectorOps.withQuant(
-          Tables.load(s, d, "embeddings")).persist()
-        val cents = VectorOps.kmeansCentroids(base).persist()
-        val assigned = VectorOps.ivfAssign(base, cents).persist()
-        val subs = subspaces(residuals(assigned, cents)).persist()
-        val cb = trainCodebooks(subs).persist()
-        val enc = assignCodes(subs, cb)
-        val out = adcSearch(assigned, cents, cb, enc,
-          VectorOps.NumQueries, VectorOps.TopK)
-          .orderBy("q_id", "rnk")
-        out
-    }
+    (s, d) =>
+      val base = VectorOps.withQuant(
+        Tables.load(s, d, "embeddings")).persist()
+      val cents = VectorOps.kmeansCentroids(base).persist()
+      val assigned = VectorOps.ivfAssign(base, cents).persist()
+      val subs = subspaces(residuals(assigned, cents)).persist()
+      val cb = trainCodebooks(subs).persist()
+      val enc = assignCodes(subs, cb)
+      adcSearch(assigned, cents, cb, enc,
+        VectorOps.NumQueries, VectorOps.TopK)
+        .orderBy("q_id", "rnk")
   }
+
+  /** Oracle for the two-stage (shortlist + exact re-rank) serving
+    * path: q112's chain extended with the shortlist and an exact
+    * raw-vector re-rank — both integer, so the recall-recovery stage
+    * is hash-certified too. Carried by [[AnnIndex.qPqRerank]] (the
+    * persisted serving query, which provably equals this chain). */
+  private[analytics] lazy val rerankOracle: String =
+    s"""$pqOraclePrelude,
+      |short AS (
+      |  SELECT q_id, vec_id FROM (SELECT *, row_number() OVER (
+      |    PARTITION BY q_id ORDER BY adc_dist, vec_id) AS srk
+      |    FROM adc) WHERE srk <= $RerankDepth),
+      |rr AS (
+      |  SELECT s.q_id, s.vec_id,
+      |    CAST(qb.n2 + xb.n2 - 2*${subDotSql("qb.qv", "xb.qv")}
+      |      AS BIGINT) AS d2
+      |  FROM short s JOIN base qb ON qb.vec_id = s.q_id
+      |  JOIN base xb ON xb.vec_id = s.vec_id)
+      |SELECT q_id, vec_id, d2, CAST(rnk AS INTEGER) AS rnk
+      |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+      |  ORDER BY d2, vec_id) AS rnk FROM rr) t
+      |WHERE rnk <= ${VectorOps.TopK} ORDER BY q_id, rnk""".stripMargin
 
   val all: Seq[Q] = Seq(qPqAnn)
 }

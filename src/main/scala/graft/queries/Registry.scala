@@ -21,7 +21,8 @@ object Registry {
       graft.analytics.AnnIndex.qAnnIndex :+
       graft.analytics.NearDupIndex.qIncrementalNearDup :+
       graft.analytics.Pq.qPqAnn :+
-      graft.analytics.AnnIndex.qPqIndex
+      graft.analytics.AnnIndex.qPqIndex :+
+      graft.analytics.AnnIndex.qPqRerank
 
   val flagship: Q = RefQueries.q15Flagship
 }

@@ -108,6 +108,23 @@ class PqSpec extends AnyFunSuite {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.6, s"mean ADC recall@10 $mean (per-q $recalls)")
 
+    // the exact re-rank stage recovers every ADC mis-ranking whose
+    // true neighbor made the shortlist: recall must not drop, and on
+    // this corpus (shortlist ≥ per-cell candidates) it must be perfect
+    val enc2 = Pq.assignCodes(subs, cb)
+    val rr = Pq.adcRerank(probes.localCheckpoint(), cents, cb,
+      enc2.select("c_id", "vec_id", "m", "code"),
+      assigned.select("vec_id", "qv", "n2"),
+      Pq.RerankDepth, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rrSets = rr.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val rrRecalls = exactSets.map { case (q, e) =>
+      rrSets(q).intersect(e).size.toDouble / e.size
+    }.toSeq
+    val rrMean = rrRecalls.sum / rrRecalls.size
+    assert(rrMean >= mean, s"re-rank recall $rrMean below ADC $mean")
+    assert(rrMean >= 0.9, s"re-rank recall@10 $rrMean (per-q $rrRecalls)")
+
     base.unpersist(); cents.unpersist(); assigned.unpersist()
     subs.unpersist(); cb.unpersist()
   }
