@@ -70,7 +70,11 @@ object Compress {
     * (deflated byte counts); the relational half (raw byte lengths,
     * size buckets) is q111 below with a real oracle. */
   val qCompressRatio: Q = Q.noOracle("q70_compress_ratio") { (s, d) =>
-    withDeflateSizes(Tables.load(s, d, "documents"))
+    // project BEFORE the mapPartitions boundary: an opaque row-mapper
+    // blocks Catalyst's column pruning, so the scan would otherwise
+    // read every documents column for a two-column query
+    withDeflateSizes(Tables.load(s, d, "documents")
+        .select("doc_id", "text"))
       .select(col("doc_id"), col("n_deflated"),
         Exact.dec4(Exact.halfUpDiv(col("n_deflated") * 10000,
           col("n_bytes"))).as("deflate_ratio"))
@@ -89,7 +93,10 @@ object Compress {
       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
       |  CAST(octet_length(encode(text)) // 1024 AS BIGINT) AS kb_bucket
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
-    withDeflateSizes(Tables.load(s, d, "documents"))
+    // pre-mapPartitions projection, as in q70: keeps the parquet scan
+    // at ReadSchema [doc_id, text]
+    withDeflateSizes(Tables.load(s, d, "documents")
+        .select("doc_id", "text"))
       .select(col("doc_id"), col("n_bytes"),
         Exact.floorDiv(col("n_bytes"), lit(1024)).as("kb_bucket"))
       .orderBy("doc_id")
