@@ -401,7 +401,11 @@ object Multimodal {
       |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
       |  CAST(min(octet_length(encode(text))) AS BIGINT) AS min_bytes,
       |  CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
-      |FROM documents GROUP BY source ORDER BY source""".stripMargin) {
+      |FROM documents GROUP BY source
+      |ORDER BY source NULLS FIRST""".stripMargin) {
+    // NULLS FIRST mirrors Spark's ascending default — a NULL source
+    // group (future adversarial fixture) must not become a row-order
+    // divergence (the round-6 q101/q103 class)
     (s, d) =>
       asMedia(s, Tables.load(s, d, "documents"))
         .groupBy("source", "mime")
