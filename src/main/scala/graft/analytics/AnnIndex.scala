@@ -110,6 +110,30 @@ object AnnIndex {
       store.writeTouchedPartitions(merged, Layer, postingsTable(name),
         partitionBy = Seq("c_id"), description = "IVF append",
         meta = extraMeta + ("rows" -> newRows.toString))
+      // keep the PQ artifact coherent: when codes exist, appended
+      // vectors must become ADC-visible too, or every later searchAdc
+      // silently misses them. New vectors encode against the STORED
+      // codebooks (fixed on append — codebook drift is handled by the
+      // periodic rebuild, the standard IVF-PQ lifecycle), touched
+      // cells only.
+      store.read(spark, Layer, pqCodesTable(name)).foreach {
+        existingCodes =>
+          val cb = store.read(spark, Layer, pqCodebookTable(name))
+            .getOrElse(sys.error(
+              s"ANN index '$name' has PQ codes but no codebooks"))
+          val newCodes = Pq.assignCodes(
+            Pq.subspaces(Pq.residuals(
+              assigned.select("vec_id", "qv", "n2", "c_id"), cents)),
+            cb)
+            .select(col("c_id"), col("vec_id"), col("m"), col("code"))
+          val mergedCodes = existingCodes
+            .filter(col("c_id").isin(touched.toSeq: _*))
+            .select("c_id", "vec_id", "m", "code")
+            .unionByName(newCodes)
+          store.writeTouchedPartitions(mergedCodes, Layer,
+            pqCodesTable(name), partitionBy = Seq("c_id"),
+            description = "PQ codes append", meta = extraMeta)
+      }
     } finally assigned.unpersist(): Unit
   }
 

@@ -146,6 +146,32 @@ class AnnIndexSpec extends AnyFunSuite {
       s"codes scan read $partsRead partitions")
   }
 
+  test("append keeps the PQ artifact coherent: appended vectors are " +
+      "ADC-visible") {
+    val tmp = java.nio.file.Files.createTempDirectory("ann-pq-append")
+    val store = new ModelStore(tmp.toString)
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    AnnIndex.build(spark, store, "e", emb)
+    AnnIndex.buildPq(spark, store, "e")
+    // append a near-copy of vector 3 under a fresh id
+    val copy = emb.filter(col("vec_id") === 3L)
+      .select(lit(900000L).as("vec_id"),
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          x => x + lit(0.0005f)).as("embedding"))
+    AnnIndex.append(spark, store, "e", copy)
+    // querying the original must now surface the appended near-copy
+    // through the CODES-ONLY ADC path
+    val got = AnnIndex.searchAdc(spark, store, "e",
+      emb.filter(col("vec_id") === 3L)
+        .select(col("vec_id").as("q_id"), col("embedding")))
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(got.nonEmpty)
+    val hit = got.find(_._1 == 900000L)
+    assert(hit.isDefined, s"appended vector missing from ADC results $got")
+    assert(hit.get._2 == 1, s"near-copy should rank first: $got")
+    graft.Harness.deleteRecursively(tmp.toFile)
+  }
+
   test("search scan is partition-pruned to the probed cells") {
     val root = Files.createTempDirectory("graft-annidx3").toString
     val store = new ModelStore(root)
