@@ -24,7 +24,12 @@ testdata scale-factor dir into a schema-identical sibling where:
               o_totalprice (%20==9), one negative and one huge
               total — the q02-q10, q15, q53-q58, q103-q106 regime;
   customer:   ~10% NULL c_mktsegment (c_custkey%10==6) — the q82,
-              q105-q106 listagg/semi-join regime.
+              q105-q106 listagg/semi-join regime;
+  embeddings: vec 0 all-zero (the cosine-0 zero-norm convention),
+              vec 2 an exact duplicate of vec 1, vec 3 ±0.9995
+              stripes (the float32→double half-up quantization
+              edge) — the q27-q33, q39, q80, q91, q96, q112-q114
+              ANN/PQ regime.
 
 Everything else copies through byte-identical. Fully deterministic
 (membership by key modulo, no RNG). The oracle gate (tools/check.py)
@@ -76,10 +81,28 @@ def null_mask(table, col, key, mod, residue):
 def main(src, out):
     os.makedirs(out, exist_ok=True)
 
-    for name in ("region", "nation", "part", "supplier", "lineitem",
-                 "embeddings"):
+    for name in ("region", "nation", "part", "supplier", "lineitem"):
         t = load(src, name)
         save(out, name, t, t.schema)
+
+    # embeddings edge regime (vec_ids 0-3 are both QUERIES (<8) and
+    # k-means SEEDS (<16), so these stress init + probe paths):
+    #   0: all-zero vector -- the cosine-0 zero-norm convention, PQ
+    #      residual = -centroid;
+    #   2: exact duplicate of vector 1 -- dup pair through ANN/dedup,
+    #      duplicate seed centroids (empty-cell drop, ties);
+    #   3: +/-0.9995 stripes -- the float32->double half-up rounding
+    #      edge of milli-unit quantization (both engines must read the
+    #      same float32 and round identically).
+    emb = load(src, "embeddings")
+    dim = len(emb.column("embedding")[0].as_py())
+    v1 = emb.column("embedding")[1].as_py()
+    emb = set_rows(emb, "embedding", {
+        0: [0.0] * dim,
+        2: v1,
+        3: [0.9995 if i % 2 == 0 else -0.9995 for i in range(dim)],
+    })
+    save(out, "embeddings", emb, emb.schema)
 
     docs = load(src, "documents")
     near_base = " ".join(f"tok{i}" for i in range(40))
