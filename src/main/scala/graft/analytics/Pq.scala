@@ -146,10 +146,12 @@ object Pq {
         (col("sn2") + col("c_n2") -
           lit(2L) * VectorOps.dotQ(col("sub"), col("c_sub"))).as("pd"))
     import org.apache.spark.sql.expressions.Window
+    // dtab is |queries|·nprobe·NumSub·NumCodes rows BY CONSTRUCTION —
+    // broadcast it so the (large) candidate-code stream never shuffles
     codes.select(col("c_id"), col("vec_id"), col("m"), col("code"))
       .join(broadcast(probes.select("q_id", "c_id")), Seq("c_id"))
       .filter(col("vec_id") =!= col("q_id"))
-      .join(dtab, Seq("q_id", "c_id", "m", "code"))
+      .join(broadcast(dtab), Seq("q_id", "c_id", "m", "code"))
       .groupBy("q_id", "vec_id").agg(sum("pd").as("adc_dist"))
       .withColumn("rnk", row_number().over(Window.partitionBy("q_id")
         .orderBy(col("adc_dist"), col("vec_id"))).cast("int"))
@@ -189,7 +191,10 @@ object Pq {
       .select(col("q_id"), col("vec_id"))
     val q = probes.select("q_id", "q_qv", "q_n2").distinct()
     import org.apache.spark.sql.expressions.Window
-    short
+    // the shortlist is |queries|·shortlistR rows by construction —
+    // broadcast it against the (large) postings so the exact stage is
+    // one build-side-tiny hash join, not a postings-wide shuffle
+    broadcast(short)
       .join(postings.select("vec_id", "qv", "n2"), Seq("vec_id"))
       .join(broadcast(q), Seq("q_id"))
       .select(col("q_id"), col("vec_id"),
