@@ -203,13 +203,14 @@ object AnnIndex {
     subs.unpersist(); cb.unpersist(): Unit
   }
 
-  /** Multi-probe ADC top-k search over the persisted PQ artifacts:
-    * the postings' raw vectors are never read — candidates are scored
-    * from their stored codes via the per-query distance table. Output
-    * matches [[Pq.adcSearch]]: (q_id, vec_id, adc_dist, rnk). */
-  def searchAdc(spark: SparkSession, store: ModelStore, name: String,
-      queries: DataFrame, nprobe: Int = VectorOps.NumProbes,
-      topK: Int = VectorOps.TopK): DataFrame = {
+  /** Shared ADC front half: load the PQ artifacts, probe the query
+    * cells, and partition-prune the codes to them. Returns
+    * (cents, cb, pruned codes, probes, probed cell ids). The cells
+    * collect is bounded by K (a design constant); its literal IN-list
+    * is what partition-prunes the artifact scans. */
+  private def adcInputs(spark: SparkSession, store: ModelStore,
+      name: String, queries: DataFrame, nprobe: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, Array[Long]) = {
     val cents = store.read(spark, Layer, centroidsTable(name)).getOrElse(
       sys.error(s"ANN index '$name' has no centroids — build() first"))
     val cb = store.read(spark, Layer, pqCodebookTable(name)).getOrElse(
@@ -222,12 +223,22 @@ object AnnIndex {
         .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
           col("n2").as("q_n2")),
       cents, nprobe).localCheckpoint()
-    // bounded collect (≤ K cells): the literal IN-list partition-prunes
-    // the codes scan down to the probed inverted lists, as in search()
     val cells = probes.select("c_id").distinct().collect()
       .map(_.getLong(0))
-    Pq.adcRank(probes, cents, cb,
-      codes.filter(col("c_id").isin(cells.toSeq: _*)), topK)
+    (cents, cb, codes.filter(col("c_id").isin(cells.toSeq: _*)),
+      probes, cells)
+  }
+
+  /** Multi-probe ADC top-k search over the persisted PQ artifacts:
+    * the postings' raw vectors are never read — candidates are scored
+    * from their stored codes via the per-query distance table. Output
+    * matches [[Pq.adcSearch]]: (q_id, vec_id, adc_dist, rnk). */
+  def searchAdc(spark: SparkSession, store: ModelStore, name: String,
+      queries: DataFrame, nprobe: Int = VectorOps.NumProbes,
+      topK: Int = VectorOps.TopK): DataFrame = {
+    val (cents, cb, codes, probes, _) =
+      adcInputs(spark, store, name, queries, nprobe)
+    Pq.adcRank(probes, cents, cb, codes, topK)
   }
 
   /** Two-stage ADC search over the persisted artifacts: ADC shortlist
@@ -241,24 +252,11 @@ object AnnIndex {
       nprobe: Int = VectorOps.NumProbes,
       shortlistR: Int = Pq.RerankDepth,
       topK: Int = VectorOps.TopK): DataFrame = {
-    val cents = store.read(spark, Layer, centroidsTable(name)).getOrElse(
-      sys.error(s"ANN index '$name' has no centroids — build() first"))
-    val cb = store.read(spark, Layer, pqCodebookTable(name)).getOrElse(
-      sys.error(s"ANN index '$name' has no PQ codebooks — buildPq() first"))
-    val codes = store.read(spark, Layer, pqCodesTable(name)).getOrElse(
-      sys.error(s"ANN index '$name' has no PQ codes — buildPq() first"))
+    val (cents, cb, codes, probes, cells) =
+      adcInputs(spark, store, name, queries, nprobe)
     val postings = store.read(spark, Layer, postingsTable(name)).getOrElse(
       sys.error(s"ANN index '$name' has no postings — build() first"))
-    val probes = VectorOps.ivfProbeCells(
-      quantified(queries.select(col("q_id").as("vec_id"),
-          col("embedding")))
-        .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
-          col("n2").as("q_n2")),
-      cents, nprobe).localCheckpoint()
-    val cells = probes.select("c_id").distinct().collect()
-      .map(_.getLong(0))
-    Pq.adcRerank(probes, cents, cb,
-      codes.filter(col("c_id").isin(cells.toSeq: _*)),
+    Pq.adcRerank(probes, cents, cb, codes,
       postings.filter(col("c_id").isin(cells.toSeq: _*))
         .select("vec_id", "qv", "n2"),
       shortlistR, topK)
@@ -300,24 +298,59 @@ object AnnIndex {
     * oracle verbatim. Recall vs the q27 ground truth also asserted in
     * AnnIndexSpec. sideEffecting: the staleness probe and any rebuild
     * run at DataFrame-construction time. */
-  val qAnnIndex: Q = Q("q91_ann_index",
-    VectorOps.qAnnIvf.oracle.get) { (s, d) =>
+  /** The /tmp store keyed by the canonical corpus dir (full-path MD5 —
+    * two corpora sharing a basename can never serve each other's
+    * index). Shared by q91/q113/q114, so gate logic lives HERE once:
+    * the three queries must agree byte-for-byte on key derivation,
+    * fingerprint formula, and vacuum policy or they fight over the
+    * same store. */
+  private def dirStore(d: String): ModelStore = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(new java.io.File(d).getCanonicalPath.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
-    val store = new ModelStore(s"/tmp/graft-annindex/$key")
+    new ModelStore(s"/tmp/graft-annindex/$key")
+  }
+
+  /** Staleness signatures: corpus content fingerprint (count + XOR of
+    * row hashes — order-insensitive, overflow-free under ANSI) PLUS
+    * the training hyperparameters, so a constants bump (k, iters,
+    * PQ geometry) retrains instead of serving a warm store built
+    * under the old geometry. */
+  private def coarseSig(fp: String): String =
+    s"$fp|k=${VectorOps.NumCentroids},i=${VectorOps.KmeansIters}"
+  private def pqSig(fp: String): String =
+    s"$fp|pq=${Pq.NumSub}x${Pq.NumCodes},i=${Pq.PqIters}"
+
+  /** Ensure this corpus dir's persisted artifacts are fresh (coarse
+    * index always; PQ tier when `withPq`), returning (store, corpus). */
+  private def ensureArtifacts(s: SparkSession, d: String,
+      withPq: Boolean): (ModelStore, org.apache.spark.sql.DataFrame) = {
+    val store = dirStore(d)
     val emb = Tables.load(s, d, "embeddings")
-    // count + XOR of row hashes: order-insensitive and overflow-free
-    // (ANSI mode throws on a long SUM of full-range hashes)
     val fp = emb.agg(concat_ws(":", count(lit(1)),
         coalesce(bit_xor(xxhash64(col("vec_id"), col("embedding"))),
           lit(0L))).as("fp")).head().getString(0)
-    val stored = store.meta(s, Layer, postingsTable("emb"), "corpus_fp")
-    if (!stored.contains(fp)) {
-      build(s, store, "emb", emb, extraMeta = Map("corpus_fp" -> fp))
+    if (!store.meta(s, Layer, postingsTable("emb"), "corpus_fp")
+        .contains(coarseSig(fp))) {
+      build(s, store, "emb", emb,
+        extraMeta = Map("corpus_fp" -> coarseSig(fp)))
       store.vacuum(s, Layer, postingsTable("emb"), keepLast = 1)
       store.vacuum(s, Layer, centroidsTable("emb"), keepLast = 1)
     }
+    if (withPq &&
+      !store.meta(s, Layer, pqCodesTable("emb"), "corpus_fp")
+        .contains(pqSig(fp))) {
+      buildPq(s, store, "emb",
+        extraMeta = Map("corpus_fp" -> pqSig(fp)))
+      store.vacuum(s, Layer, pqCodesTable("emb"), keepLast = 1)
+      store.vacuum(s, Layer, pqCodebookTable("emb"), keepLast = 1)
+    }
+    (store, emb)
+  }
+
+  val qAnnIndex: Q = Q("q91_ann_index",
+    VectorOps.qAnnIvf.oracle.get) { (s, d) =>
+    val (store, emb) = ensureArtifacts(s, d, withPq = false)
     search(s, store, "emb",
       emb.filter(col("vec_id") < VectorOps.NumQueries)
         .select(col("vec_id").as("q_id"), col("embedding")))
@@ -332,28 +365,7 @@ object AnnIndex {
     * rebuild run at DataFrame-construction time. */
   val qPqIndex: Q = Q("q113_pq_index",
     Pq.qPqAnn.oracle.get) { (s, d) =>
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(new java.io.File(d).getCanonicalPath.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    val store = new ModelStore(s"/tmp/graft-annindex/$key")
-    val emb = Tables.load(s, d, "embeddings")
-    val fp = emb.agg(concat_ws(":", count(lit(1)),
-        coalesce(bit_xor(xxhash64(col("vec_id"), col("embedding"))),
-          lit(0L))).as("fp")).head().getString(0)
-    // coarse index first (shared with q91 — whichever runs first
-    // builds; a corpus change retrains both tiers)
-    if (!store.meta(s, Layer, postingsTable("emb"), "corpus_fp")
-        .contains(fp)) {
-      build(s, store, "emb", emb, extraMeta = Map("corpus_fp" -> fp))
-      store.vacuum(s, Layer, postingsTable("emb"), keepLast = 1)
-      store.vacuum(s, Layer, centroidsTable("emb"), keepLast = 1)
-    }
-    if (!store.meta(s, Layer, pqCodesTable("emb"), "corpus_fp")
-        .contains(fp)) {
-      buildPq(s, store, "emb", extraMeta = Map("corpus_fp" -> fp))
-      store.vacuum(s, Layer, pqCodesTable("emb"), keepLast = 1)
-      store.vacuum(s, Layer, pqCodebookTable("emb"), keepLast = 1)
-    }
+    val (store, emb) = ensureArtifacts(s, d, withPq = true)
     searchAdc(s, store, "emb",
       emb.filter(col("vec_id") < VectorOps.NumQueries)
         .select(col("vec_id").as("q_id"), col("embedding")))
@@ -368,26 +380,7 @@ object AnnIndex {
     * (AnnIndexSpec pins q113 ≡ q112, and the re-rank stage is a pure
     * function of those artifacts plus the postings). */
   val qPqRerank: Q = Q("q114_pq_rerank", Pq.rerankOracle) { (s, d) =>
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(new java.io.File(d).getCanonicalPath.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    val store = new ModelStore(s"/tmp/graft-annindex/$key")
-    val emb = Tables.load(s, d, "embeddings")
-    val fp = emb.agg(concat_ws(":", count(lit(1)),
-        coalesce(bit_xor(xxhash64(col("vec_id"), col("embedding"))),
-          lit(0L))).as("fp")).head().getString(0)
-    if (!store.meta(s, Layer, postingsTable("emb"), "corpus_fp")
-        .contains(fp)) {
-      build(s, store, "emb", emb, extraMeta = Map("corpus_fp" -> fp))
-      store.vacuum(s, Layer, postingsTable("emb"), keepLast = 1)
-      store.vacuum(s, Layer, centroidsTable("emb"), keepLast = 1)
-    }
-    if (!store.meta(s, Layer, pqCodesTable("emb"), "corpus_fp")
-        .contains(fp)) {
-      buildPq(s, store, "emb", extraMeta = Map("corpus_fp" -> fp))
-      store.vacuum(s, Layer, pqCodesTable("emb"), keepLast = 1)
-      store.vacuum(s, Layer, pqCodebookTable("emb"), keepLast = 1)
-    }
+    val (store, emb) = ensureArtifacts(s, d, withPq = true)
     searchAdcRerank(s, store, "emb",
       emb.filter(col("vec_id") < VectorOps.NumQueries)
         .select(col("vec_id").as("q_id"), col("embedding")))

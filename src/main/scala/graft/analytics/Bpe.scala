@@ -86,20 +86,22 @@ object Bpe {
   def trainMerges(spark: SparkSession, words: DataFrame, k: Int,
       maxVocabBytes: Long = MaxVocabBytes): Seq[Merge] = {
     // Extreme-vocab guard: the driver-resident loop is safe only
-    // because the word table is vocabulary-bound (~10⁷ rows / a few
-    // hundred MB for a natural-language 100 TB corpus). A pathological
-    // corpus (no normalization, code/binary-heavy) breaks that
-    // assumption, and the failure mode would be a driver OOM inside
-    // collect() — opaque and late. So measure the vocabulary FIRST
-    // with one cheap aggregation over the (small) word table and fail
-    // loud with the actual numbers while the driver is still healthy.
-    // Estimate mirrors what collect() materializes: per-row object
-    // overhead + the seg strings at 2 B/char (UTF-16).
+    // because the word table is vocabulary-bound (~10⁷ rows for a
+    // natural-language 100 TB corpus). A pathological corpus (no
+    // normalization, code/binary-heavy) breaks that assumption, and
+    // the failure mode would be a driver OOM inside collect() or the
+    // per-word split below — opaque and late. So measure the
+    // vocabulary FIRST with one cheap aggregation over the (small)
+    // word table and fail loud with the actual numbers while the
+    // driver is still healthy. The estimate models the EXPANDED
+    // footprint, not just the collected Rows: each seg splits into
+    // per-character String objects (~56 B each: header + value array
+    // + slot), which dominates — ~64 B/char + ~128 B/row overall.
     val m = words
       .agg(count(lit(1)).as("rows"),
         coalesce(sum(length(col("seg"))), lit(0L)).as("chars"))
       .head()
-    val estBytes = m.getLong(0) * 48L + m.getLong(1) * 2L
+    val estBytes = m.getLong(0) * 128L + m.getLong(1) * 64L
     require(estBytes <= maxVocabBytes,
       s"BPE vocabulary too large for driver-resident training: " +
         s"~$estBytes bytes estimated (${m.getLong(0)} distinct words) " +
@@ -187,11 +189,13 @@ object Bpe {
     merges.toSeq
   }
 
-  /** Driver-memory budget for the collected BPE vocabulary (2 GiB —
-    * an order of magnitude above the ~10⁷-row natural-language shape,
-    * well under any sane driver heap). [[trainMerges]] fails loud
+  /** Driver-memory budget for the EXPANDED training vocabulary
+    * (16 GiB). The ~10⁷-row natural-language shape (~10⁸ seg chars)
+    * expands to ~7 GB of per-character Strings in the merge loop, so
+    * this default admits it with headroom while staying far under the
+    * driver heap this engine targets; [[trainMerges]] fails loud
     * before collect() when the estimate exceeds it. */
-  val MaxVocabBytes: Long = 2L << 30
+  val MaxVocabBytes: Long = 16L << 30
 
   /** Session-memoized training keyed by (corpus dir, k): q78/q79/q81
     * all train the SAME tokenizer for their corpus — production trains

@@ -402,10 +402,11 @@ object Multimodal {
       |  CAST(min(octet_length(encode(text))) AS BIGINT) AS min_bytes,
       |  CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
       |FROM documents GROUP BY source
-      |ORDER BY source NULLS FIRST""".stripMargin) {
+      |ORDER BY source NULLS FIRST, mime""".stripMargin) {
     // NULLS FIRST mirrors Spark's ascending default — a NULL source
     // group (future adversarial fixture) must not become a row-order
-    // divergence (the round-6 q101/q103 class)
+    // divergence (the round-6 q101/q103 class); mime in the ORDER BY
+    // keeps the order total the day asMedia grows a real mime sniff
     (s, d) =>
       asMedia(s, Tables.load(s, d, "documents"))
         .groupBy("source", "mime")
@@ -414,7 +415,7 @@ object Multimodal {
           sum("n_bytes").as("total_bytes"),
           min("n_bytes").as("min_bytes"),
           max("n_bytes").as("max_bytes"))
-        .orderBy("source")
+        .orderBy("source", "mime")
   }
 
   val all: Seq[Q] = Seq(qMultimodalPipeline, qMediaMeta)

@@ -10,7 +10,8 @@ object Registry {
     RefQueries.all ++ OlapQueries.all ++ TextOps.all ++ NearDup.all ++
       VectorOps.all ++ Multimodal.all ++ Temporal.all ++ Curation.all ++
       Quantiles.all ++ graft.quality.Quality.all ++ ProductOps.all ++
-      graft.analytics.NgramOps.all ++ graft.analytics.Bpe.all :+
+      graft.analytics.NgramOps.all ++ graft.analytics.Bpe.all ++
+      graft.analytics.Pq.all :+
       graft.ops.BloomJoin.qBloomSemiJoin :+
       graft.analytics.Compress.qCompressRatio :+
       graft.analytics.Compress.qCompressMeta :+
@@ -20,7 +21,6 @@ object Registry {
       graft.pipeline.PipelineQuery.qPipelineE2e :+
       graft.analytics.AnnIndex.qAnnIndex :+
       graft.analytics.NearDupIndex.qIncrementalNearDup :+
-      graft.analytics.Pq.qPqAnn :+
       graft.analytics.AnnIndex.qPqIndex :+
       graft.analytics.AnnIndex.qPqRerank
 
