@@ -304,12 +304,8 @@ object AnnIndex {
     * the three queries must agree byte-for-byte on key derivation,
     * fingerprint formula, and vacuum policy or they fight over the
     * same store. */
-  private def dirStore(d: String): ModelStore = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(new java.io.File(d).getCanonicalPath.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    new ModelStore(s"/tmp/graft-annindex/$key")
-  }
+  private def dirStore(d: String): ModelStore =
+    graft.io.ArtifactStore.forDir("annindex", d)
 
   /** Staleness signatures: corpus content fingerprint (count + XOR of
     * row hashes — order-insensitive, overflow-free under ANSI) PLUS

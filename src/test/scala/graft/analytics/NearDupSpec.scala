@@ -288,6 +288,21 @@ class NearDupSpec extends AnyFunSuite {
     assert(!got.exists(p => dupIds(p._1) && dupIds(p._2)))
   }
 
+  test("persisted cluster-decision artifact equals the in-memory " +
+      "canonical set (and re-reads stably)") {
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.io.Tables.load(spark, d, "documents")
+    val stored = NearDup.canonicalRepsStored(spark, d, docs)
+      .collect().map(_.getLong(0)).toSet
+    val fresh = NearDup.canonicalPerCluster(docs)
+      .select("canonical_id").collect().map(_.getLong(0)).toSet
+    assert(stored == fresh && stored.nonEmpty)
+    // second call is a pure artifact read (fingerprint unchanged)
+    val again = NearDup.canonicalRepsStored(spark, d, docs)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == stored)
+  }
+
   test("prefix index is a strict subset ordered rarity-first") {
     val df = Seq(
       (1L, (1 to 20).map(i => s"c$i").mkString(" ")),
