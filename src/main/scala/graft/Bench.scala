@@ -21,6 +21,16 @@ object Bench {
   def passCount(env: Option[String]): Int =
     env.flatMap(_.toIntOption).filter(_ >= 1).getOrElse(DefaultPasses)
 
+  /** Per-pass sweep totals (successes only — the headline total's own
+    * rule) rendered as a JSON array. Emitted INSIDE the tail JSON:
+    * the per-pass audit trail used to go to stderr, which the
+    * driver's tail capture drops, leaving window-noise adjudication
+    * (is 82 s a warm window or a regression?) without the evidence.
+    * Spec-pinned like passCount (BenchCombineSpec). */
+  def passTotalsJson(passResults: Seq[Map[String, Double]]): String =
+    passResults.map(_.values.filter(_ >= 0).sum)
+      .mkString("[", ",", "]")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -219,10 +229,11 @@ object Bench {
     // matching the first occurrence and one summing all matches now
     // read the same number.
     val sfJ = Harness.jsonStr(sfDir)
+    val ptJ = Bench.passTotalsJson(passResults)
     val detail =
-      s"""{"metric":"total_detail","value":$total,"unit":"sec","passes":$passes,"queries":$qs,"sf":$sfJ}"""
+      s"""{"metric":"total_detail","value":$total,"unit":"sec","passes":$passes,"pass_totals":$ptJ,"queries":$qs,"sf":$sfJ}"""
     println(detail)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":$sfJ}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","pass_totals":$ptJ,"sf":$sfJ}""")
     // The driver's log capture keeps only a bounded stdout tail, which
     // has truncated the per-query map before (round 4: q01–q37
     // unauditable). Persist the full line to a file so every round's

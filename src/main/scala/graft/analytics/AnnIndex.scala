@@ -311,14 +311,24 @@ object AnnIndex {
     * row hashes — order-insensitive, overflow-free under ANSI) PLUS
     * the training hyperparameters, so a constants bump (k, iters,
     * PQ geometry) retrains instead of serving a warm store built
-    * under the old geometry. */
-  private def coarseSig(fp: String): String =
+    * under the old geometry. pqSig DERIVES FROM coarseSig — PQ
+    * codebooks/codes are trained on residuals against the coarse
+    * centroids and partitioned by their cell ids, so a coarse
+    * constants bump that rebuilds the centroids must invalidate the
+    * PQ tier too, or searchAdc would score stale codes against the
+    * new centroids. */
+  private[analytics] def coarseSig(fp: String): String =
     s"$fp|k=${VectorOps.NumCentroids},i=${VectorOps.KmeansIters}"
-  private def pqSig(fp: String): String =
-    s"$fp|pq=${Pq.NumSub}x${Pq.NumCodes},i=${Pq.PqIters}"
+  private[analytics] def pqSig(fp: String): String =
+    s"${coarseSig(fp)}|pq=${Pq.NumSub}x${Pq.NumCodes},i=${Pq.PqIters}"
 
   /** Ensure this corpus dir's persisted artifacts are fresh (coarse
-    * index always; PQ tier when `withPq`), returning (store, corpus). */
+    * index always; PQ tier when `withPq`), returning (store, corpus).
+    * Vacuums keep TWO versions (not one): a concurrent session that
+    * resolved the previous `_CURRENT` pointer just before this
+    * rebuild committed must still find its files — keepLast=2 is the
+    * read-pin that makes rebuild-then-vacuum safe for one generation
+    * of concurrent readers (ArtifactStoreSpec proves it). */
   private def ensureArtifacts(s: SparkSession, d: String,
       withPq: Boolean): (ModelStore, org.apache.spark.sql.DataFrame) = {
     val store = dirStore(d)
@@ -330,18 +340,33 @@ object AnnIndex {
         .contains(coarseSig(fp))) {
       build(s, store, "emb", emb,
         extraMeta = Map("corpus_fp" -> coarseSig(fp)))
-      store.vacuum(s, Layer, postingsTable("emb"), keepLast = 1)
-      store.vacuum(s, Layer, centroidsTable("emb"), keepLast = 1)
+      store.vacuum(s, Layer, postingsTable("emb"), keepLast = 2)
+      store.vacuum(s, Layer, centroidsTable("emb"), keepLast = 2)
     }
     if (withPq &&
       !store.meta(s, Layer, pqCodesTable("emb"), "corpus_fp")
         .contains(pqSig(fp))) {
       buildPq(s, store, "emb",
         extraMeta = Map("corpus_fp" -> pqSig(fp)))
-      store.vacuum(s, Layer, pqCodesTable("emb"), keepLast = 1)
-      store.vacuum(s, Layer, pqCodebookTable("emb"), keepLast = 1)
+      store.vacuum(s, Layer, pqCodesTable("emb"), keepLast = 2)
+      store.vacuum(s, Layer, pqCodebookTable("emb"), keepLast = 2)
     }
     (store, emb)
+  }
+
+  /** The staleness-checked coarse tier (centroids, postings) for a
+    * corpus dir — [[Pq.qPqAnn]]'s entry into the shared artifact
+    * chain: the coarse k-means q32/q91/q113 already compute is
+    * IDENTICAL to the one q112's in-memory chain would re-derive
+    * (deterministic training, content-fingerprint staleness), so the
+    * PQ training query reads it from the store instead of paying the
+    * k-means again. Postings double as the assignment relation — they
+    * carry exactly (c_id, vec_id, qv, n2). */
+  private[analytics] def coarseArtifacts(s: SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val (store, _) = ensureArtifacts(s, d, withPq = false)
+    (store.read(s, Layer, centroidsTable("emb")).get,
+      store.read(s, Layer, postingsTable("emb")).get)
   }
 
   val qAnnIndex: Q = Q("q91_ann_index",

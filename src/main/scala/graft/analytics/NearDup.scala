@@ -1113,7 +1113,10 @@ object NearDup {
         "cluster", "canon_reps",
         description = "canonical representatives (dedup decision)",
         meta = Map("corpus_fp" -> repsSig(fp)))
-      store.vacuum(s, "cluster", "canon_reps", keepLast = 1)
+      // keepLast=2 = one-generation read-pin: a concurrent session
+      // that resolved the previous version just before this rebuild
+      // must not have its files vacuumed mid-read (ArtifactStoreSpec)
+      store.vacuum(s, "cluster", "canon_reps", keepLast = 2)
     }
     store.read(s, "cluster", "canon_reps").get
   }
@@ -1123,23 +1126,46 @@ object NearDup {
     * candidate volume is Σ df(s)² over distinct shingles (inherent to
     * ANY lossless low-τ join — the output itself approaches that
     * bound), so run it on a deduped/rep tier, not a raw corpus. */
-  def invertedSimJoin(docs: DataFrame, tauNum: Int, tauDen: Int)
-      : DataFrame = {
-    // persisted: feeds BOTH self-join sides and the sizes aggregate —
-    // without it the window-heavy shingleIndex computes three times
+  def invertedSimJoin(docs: DataFrame, tauNum: Int, tauDen: Int,
+      entryMax: Long = BroadcastShingleEntryMax): DataFrame =
+    invertedSimJoinReleasable(docs, tauNum, tauDen, entryMax)._1
+
+  /** [[invertedSimJoin]] plus a release hook for the internal shingle
+    * cache — the [[invertedPairCounts]] contract: eager composers call
+    * it once the result is consumed; lazy query entries leave it to
+    * the harness-level cache clear. `entryMax` caps the per-doc sizes
+    * broadcast (specs force it both ways; both plans are the same
+    * pair set). */
+  private[analytics] def invertedSimJoinReleasable(docs: DataFrame,
+      tauNum: Int, tauDen: Int,
+      entryMax: Long = BroadcastShingleEntryMax)
+      : (DataFrame, () => Unit) = {
+    // persisted: feeds BOTH self-join sides, the sizes aggregate, and
+    // the gate count — without it the window-heavy shingleIndex
+    // computes four times
     val sh = shingleIndex(docs, "doc_id", col("text"))
       .select(col("doc_id"), xxhash64(col("s")).as("s"))
       .persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // broadcast gate, the q107 discipline: sizes is one 16-byte row
+    // per doc — trivially broadcastable on a deduped rep tier at gate
+    // SFs, but unbounded by any design constant (a 10⁹-doc rep tier
+    // would abort the job on a forced broadcast). Measure the
+    // persisted index (entries ≥ docs, already cached, so the count
+    // is a cache scan) against the same budget the verify arrays use;
+    // past it the two sizes joins run as shuffles — still
+    // O(candidates) rows.
+    val gate = sh.count() <= entryMax
+    def sized(p: DataFrame) = if (gate) broadcast(p) else p
     val inter = sh.select(col("doc_id").as("a_id"), col("s"))
       .join(sh.select(col("doc_id").as("b_id"), col("s")), "s")
       .filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_inter"))
     val nInter = col("n_inter")
-    inter
-      .join(broadcast(sizes.select(col("doc_id").as("a_id"),
+    val out = inter
+      .join(sized(sizes.select(col("doc_id").as("a_id"),
         col("n").as("na"))), Seq("a_id"))
-      .join(broadcast(sizes.select(col("doc_id").as("b_id"),
+      .join(sized(sizes.select(col("doc_id").as("b_id"),
         col("n").as("nb"))), Seq("b_id"))
       .select(col("a_id"), col("b_id"), nInter,
         (col("na") + col("nb") - nInter).as("n_union"))
@@ -1147,6 +1173,7 @@ object NearDup {
       .select(col("a_id"), col("b_id"), col("n_inter"), col("n_union"),
         Exact.dec4(Exact.halfUpDiv(col("n_inter") * 10000,
           col("n_union"))).as("jaccard"))
+    (out, () => { sh.unpersist(); () })
   }
 
   val qCanonicalSimJoin: Q = Q(

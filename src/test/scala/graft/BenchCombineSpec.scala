@@ -42,4 +42,16 @@ class BenchCombineSpec extends AnyFunSuite {
     assert(Bench.passCount(Some("two")) === Bench.DefaultPasses)
     assert(Bench.passCount(Some("")) === Bench.DefaultPasses)
   }
+
+  test("pass_totals: one entry per pass, successes only, in the tail " +
+      "JSON shape") {
+    // the per-pass audit trail must live in the tail JSON itself (the
+    // driver drops stderr), summing each pass under the headline
+    // total's own rule: -1 failure sentinels excluded
+    assert(Bench.passTotalsJson(Seq(
+      Map("a" -> 1.0, "b" -> 2.0),
+      Map("a" -> 1.5, "b" -> -1.0))) === "[3.0,1.5]")
+    assert(Bench.passTotalsJson(Seq(Map("a" -> -1.0))) === "[0.0]")
+    assert(Bench.passTotalsJson(Nil) === "[]")
+  }
 }

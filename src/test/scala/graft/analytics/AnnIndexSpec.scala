@@ -146,6 +146,21 @@ class AnnIndexSpec extends AnyFunSuite {
       s"codes scan read $partsRead partitions")
   }
 
+  test("pqSig derives from coarseSig: a coarse-constants bump " +
+      "invalidates the PQ tier too") {
+    // PQ codebooks/codes are trained on residuals against the coarse
+    // centroids and partitioned by their cell ids — a coarse rebuild
+    // with stale PQ codes would score wrong ADC distances. Deriving
+    // pqSig FROM coarseSig makes that staleness structural: any
+    // change that moves the coarse signature moves the PQ one.
+    val fp = "1234:567890"
+    assert(AnnIndex.pqSig(fp).startsWith(AnnIndex.coarseSig(fp)),
+      s"pqSig '${AnnIndex.pqSig(fp)}' must embed coarseSig " +
+        s"'${AnnIndex.coarseSig(fp)}'")
+    // and it still distinguishes PQ-geometry changes on its own
+    assert(AnnIndex.pqSig(fp) != AnnIndex.coarseSig(fp))
+  }
+
   test("append keeps the PQ artifact coherent: appended vectors are " +
       "ADC-visible") {
     val tmp = java.nio.file.Files.createTempDirectory("ann-pq-append")

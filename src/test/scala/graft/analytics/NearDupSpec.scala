@@ -303,6 +303,42 @@ class NearDupSpec extends AnyFunSuite {
     assert(again == stored)
   }
 
+  test("invertedSimJoin broadcast gate forced both ways: identical " +
+      "pair set; release hook frees the shingle cache") {
+    // the low-τ plan's per-doc sizes broadcast is volume-gated (the
+    // q107 discipline): below entryMax the two sizes joins broadcast,
+    // above it they shuffle — both plans must emit the SAME pairs
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 25).flatMap { b =>
+      val t = Seq.tabulate(8 + rnd.nextInt(10))(i => s"v${b}_$i")
+      val near = t.map(w => if (rnd.nextInt(6) == 0) s"n$b" else w)
+      Seq(t, near)
+    }.zipWithIndex.map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+      .toDF("doc_id", "text")
+    def pairs(entryMax: Long) =
+      NearDup.invertedSimJoin(docs, 1, 20, entryMax)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+        .toSet
+    val broadcastPlan = pairs(Long.MaxValue) // gate open: broadcast
+    val shufflePlan = pairs(0L)              // gate shut: shuffle joins
+    assert(broadcastPlan.nonEmpty)
+    assert(broadcastPlan == shufflePlan)
+
+    // release hook (the invertedPairCounts contract): after the hook
+    // runs, the internal shingle cache must be gone
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val (out, release) = NearDup.invertedSimJoinReleasable(docs, 1, 20)
+    assert(out.count() > 0)
+    assert(spark.sparkContext.getPersistentRDDs.size > before,
+      "the shingle index must be cached while the join is live")
+    release()
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      "release() must unpersist the shingle cache")
+  }
+
   test("prefix index is a strict subset ordered rarity-first") {
     val df = Seq(
       (1L, (1 to 20).map(i => s"c$i").mkString(" ")),

@@ -1,0 +1,65 @@
+package graft.io
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The artifact-store lifecycle contract (keyed /tmp stores for ANN
+  * indexes and cluster decisions): rebuild-then-vacuum must not pull
+  * files out from under a concurrent reader that resolved the
+  * previous version just before the rebuild committed. keepLast=2 —
+  * the policy every ensureArtifacts/canonicalRepsStored vacuum now
+  * uses — is the one-generation read-pin that makes that safe; this
+  * spec proves the pin and its boundary (two rebuilds later the old
+  * files ARE gone). */
+class ArtifactStoreSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("forDir keys by full canonical path: same basename, different " +
+      "parents -> different stores") {
+    val a = Files.createTempDirectory("graft-artA")
+    val b = Files.createTempDirectory("graft-artB")
+    Files.createDirectory(a.resolve("corpus"))
+    Files.createDirectory(b.resolve("corpus"))
+    val sa = ArtifactStore.forDir("spec", a.resolve("corpus").toString)
+    val sb = ArtifactStore.forDir("spec", b.resolve("corpus").toString)
+    sa.write(Seq((1L, "a")).toDF("k", "v"), "l", "t")
+    assert(sb.read(spark, "l", "t").isEmpty,
+      "a sibling corpus with the same basename must see its OWN store")
+    assert(ArtifactStore.forDir("spec", a.resolve("corpus").toString)
+      .read(spark, "l", "t").nonEmpty)
+  }
+
+  test("vacuum(keepLast=2) is a one-generation read-pin for a " +
+      "concurrent reader of the previous version") {
+    val store = new ModelStore(
+      Files.createTempDirectory("graft-artpin").toString)
+    store.write(Seq((1L, "v1")).toDF("k", "v"), "l", "t")
+    // a concurrent session resolves the CURRENT pointer (v1) and holds
+    // the DataFrame unmaterialized — the race window the keepLast=1
+    // policy lost: its files could be vacuumed before the collect
+    val pinned = store.readVersion(spark, "l", "t", 1)
+    // this session rebuilds (v2) and vacuums with the read-pin policy
+    store.write(Seq((2L, "v2")).toDF("k", "v"), "l", "t")
+    store.vacuum(spark, "l", "t", keepLast = 2)
+    // the reader's resolved version must still be fully readable...
+    assert(pinned.collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSet == Set((1L, "v1")))
+    // ...while the pointer serves the rebuild
+    assert(store.read(spark, "l", "t").get
+      .collect().map(_.getString(1)).toSet == Set("v2"))
+    // boundary: one MORE rebuild+vacuum ages v1 out — the pin is one
+    // generation deep by design, not an unbounded version leak
+    store.write(Seq((3L, "v3")).toDF("k", "v"), "l", "t")
+    store.vacuum(spark, "l", "t", keepLast = 2)
+    val v1dir = new org.apache.hadoop.fs.Path(
+      store.versionDir("l", "t", 1))
+    val fs = v1dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(v1dir), "v1 must age out after two rebuilds")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      store.versionDir("l", "t", 2))))
+  }
+}

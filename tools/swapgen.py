@@ -67,6 +67,31 @@ def set_rows(table, col, updates):
         pa.array(vals).cast(table.schema.field(col).type))
 
 
+def key_pos(table, key, wanted):
+    """Row position of each wanted KEY VALUE ({key_value: row_idx}).
+
+    The id-targeted fixtures (vec_id 0-3, doc_id 0-10) are contracts
+    on KEY VALUES — "vec 2 duplicates vec 1" must hold whatever order
+    the source parquet was written in. Resolving positions by value
+    (and failing loud on a missing id) keeps the fixture honest if a
+    generator ever writes rows unsorted."""
+    keys = table.column(key).to_pylist()
+    pos = {}
+    for i, k in enumerate(keys):
+        if k in wanted and k not in pos:
+            pos[k] = i
+    missing = set(wanted) - set(pos)
+    if missing:
+        raise SystemExit(f"swapgen: no row with {key} in {sorted(missing)}")
+    return pos
+
+
+def set_by_key(table, col, key, updates):
+    """set_rows keyed by the id column's VALUES, not row positions."""
+    pos = key_pos(table, key, set(updates))
+    return set_rows(table, col, {pos[k]: v for k, v in updates.items()})
+
+
 def null_mask(table, col, key, mod, residue):
     """NULL out col where key % mod == residue (key non-null)."""
     i = table.schema.get_field_index(col)
@@ -95,9 +120,10 @@ def main(src, out):
     #      edge of milli-unit quantization (both engines must read the
     #      same float32 and round identically).
     emb = load(src, "embeddings")
-    dim = len(emb.column("embedding")[0].as_py())
-    v1 = emb.column("embedding")[1].as_py()
-    emb = set_rows(emb, "embedding", {
+    epos = key_pos(emb, "vec_id", {0, 1, 2, 3})
+    dim = len(emb.column("embedding")[epos[0]].as_py())
+    v1 = emb.column("embedding")[epos[1]].as_py()
+    emb = set_by_key(emb, "embedding", "vec_id", {
         0: [0.0] * dim,
         2: v1,
         3: [0.9995 if i % 2 == 0 else -0.9995 for i in range(dim)],
@@ -107,7 +133,7 @@ def main(src, out):
     docs = load(src, "documents")
     near_base = " ".join(f"tok{i}" for i in range(40))
     near_mut = " ".join("MUT" if i == 7 else f"tok{i}" for i in range(40))
-    docs = set_rows(docs, "text", {
+    docs = set_by_key(docs, "text", "doc_id", {
         0: "",
         1: "   \t  ",
         2: "的 你好 café naïve 🚀 Straße ΣΔ жизнь 的 你好",
