@@ -262,6 +262,43 @@ object AnnIndex {
       shortlistR, topK)
   }
 
+  /** foreachBatch SERVING sink — the streaming half of the IVF-PQ
+    * serving story ([[sink]] ingests; this answers): each probe
+    * micro-batch of `(q_id, embedding)` rows searches the PERSISTED
+    * artifacts through the two-stage batch path ([[searchAdcRerank]] —
+    * ADC shortlist from codes only, exact re-rank of the shortlist)
+    * and appends the ranked results to `out` PARTITIONED BY batch —
+    * writeTouchedPartitions hard-links every prior batch's partition,
+    * so each micro-batch costs O(batch results), never O(history).
+    * Replay-safe like [[sink]]: foreachBatch is at-least-once, so the
+    * last served batch id is stamped in the result table's commit
+    * meta and re-deliveries are skipped (stream ≡ batch parity and
+    * the replay no-op are spec-pinned in AnnIndexSpec). */
+  def serveSink(store: ModelStore, name: String, out: ModelStore,
+      outLayer: String, outName: String,
+      nprobe: Int = VectorOps.NumProbes,
+      shortlistR: Int = Pq.RerankDepth,
+      topK: Int = VectorOps.TopK)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val applied = out.meta(spark, outLayer, outName, "serve_last_batch")
+      .map(_.toLong)
+    if (applied.exists(_ >= batchId) || batch.isEmpty) return
+    val res = searchAdcRerank(spark, store, name,
+        batch.select(col("q_id"), col("embedding")),
+        nprobe, shortlistR, topK)
+      .withColumn("batch_id", lit(batchId))
+    val meta = Map("serve_last_batch" -> batchId.toString)
+    if (out.currentVersion(spark, outLayer, outName) == 0)
+      out.write(res, outLayer, outName,
+        partitionBy = Seq("batch_id"),
+        description = "streaming ANN serving results", meta = meta)
+    else
+      out.writeTouchedPartitions(res, outLayer, outName,
+        partitionBy = Seq("batch_id"),
+        description = "streaming ANN serving results", meta = meta)
+  }
+
   /** foreachBatch sink: continuous index growth — each micro-batch of
     * `(vec_id, embedding)` rows assigns against the STORED centroids
     * and rewrites only its touched cells ([[append]]). Replay-safe:
@@ -366,7 +403,12 @@ object AnnIndex {
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val (store, _) = ensureArtifacts(s, d, withPq = false)
     (store.read(s, Layer, centroidsTable("emb")).get,
-      store.read(s, Layer, postingsTable("emb")).get)
+      store.read(s, Layer, postingsTable("emb")).get
+        // c_id is the postings' PARTITION column: directory-discovery
+        // infers it as int, but every in-memory consumer (and the
+        // oracle schema) sees the assignment's long — pin it back
+        .select(col("c_id").cast("long").as("c_id"), col("vec_id"),
+          col("qv"), col("n2")))
   }
 
   val qAnnIndex: Q = Q("q91_ann_index",

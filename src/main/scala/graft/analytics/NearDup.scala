@@ -81,13 +81,28 @@ object NearDup {
     * harness-level cache clear). */
   private[analytics] def invertedPairCounts(sh: DataFrame, id: String,
       maxDf: Int = MaxDf): (DataFrame, DataFrame, () => Unit) = {
+    // persist: feeds pair explosion AND per-doc sizes
+    val lists = postingLists(sh, id, maxDf).persist()
+    val (pairs, sizes) = pairCountsFromLists(lists, id)
+    (pairs, sizes, () => { lists.unpersist(); () })
+  }
+
+  /** The df-capped posting lists alone: one sorted doc-id array per
+    * kept shingle (stop-shingles past `maxDf` dropped map-side). */
+  private[analytics] def postingLists(sh: DataFrame, id: String,
+      maxDf: Int = MaxDf): DataFrame = {
     val boundedSet = udaf(new graft.functions.BoundedSetAgg(maxDf),
       org.apache.spark.sql.Encoders.scalaLong)
-    // persist: feeds pair explosion AND per-doc sizes
-    val lists = sh.groupBy("s").agg(boundedSet(col(id)).as("docs"))
+    sh.groupBy("s").agg(boundedSet(col(id)).as("docs"))
       .filter(size(col("docs")) <= maxDf)
       .select("docs")
-      .persist()
+  }
+
+  /** Pair/size extraction over already-built posting lists —
+    * consumers of the STORED lists ([[postingListsStored]]) run only
+    * this part per query. */
+  private[analytics] def pairCountsFromLists(lists: DataFrame,
+      id: String): (DataFrame, DataFrame) = {
     val pairs = lists
       .filter(size(col("docs")) >= 2)
       .select(posexplode(col("docs")).as(Seq("i", "a_id")), col("docs"))
@@ -100,7 +115,7 @@ object NearDup {
       .agg(count(lit(1)).as("n_inter"))
     val sizes = lists.select(explode(col("docs")).as(id))
       .groupBy(id).agg(count(lit(1)).as("n"))
-    (pairs, sizes, () => { lists.unpersist(); () })
+    (pairs, sizes)
   }
 
   private def T(s: SparkSession, d: String, n: String): DataFrame =
@@ -135,8 +150,13 @@ object NearDup {
       |JOIN sizes sb ON p.b_id = sb.doc_id
       |WHERE p.n_inter * 10000 >= (sa.n + sb.n - p.n_inter) * 5000
       |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-    val sh = shingleIndex(T(s, d, "documents"), "doc_id", col("text"))
-    val (pairs, sizes, _) = invertedPairCounts(sh, "doc_id")
+    // posting lists from the corpus-keyed stored artifact (one
+    // tokenize→shingle→bounded-set pass per corpus snapshot, shared
+    // with q98); per query only the pair counting runs. Deterministic,
+    // so artifact ≡ the in-memory lists (spec-pinned); the oracle
+    // replays the full chain either way.
+    val (pairs, sizes) = pairCountsFromLists(
+      postingListsStored(s, d, T(s, d, "documents")), "doc_id")
     // per-doc sizes are |docs| rows — broadcast both lookup sides
     val sa = broadcast(sizes.as("sa"))
     val sb = broadcast(sizes.as("sb"))
@@ -151,7 +171,7 @@ object NearDup {
         Exact.dec4(Exact.halfUpDiv(col("n_inter") * 10000, unionN))
           .as("jaccard"))
       .orderBy("a_id", "b_id")
-  }
+  }.copy(sideEffecting = true)
 
   // ---------------------------------------------- shingle containment
   /** Asymmetric containment (Broder 1997, "On the resemblance and
@@ -165,6 +185,14 @@ object NearDup {
   def containmentPairs(docs: DataFrame): DataFrame = {
     val sh = shingleIndex(docs, "doc_id", col("text"))
     val (pairs, sizes, _) = invertedPairCounts(sh, "doc_id")
+    containmentFromCounts(pairs, sizes)
+  }
+
+  /** The directional containment tests alone, over already-computed
+    * pair/size counts — consumers of the stored posting lists run
+    * only this part per query. */
+  private[analytics] def containmentFromCounts(pairs: DataFrame,
+      sizes: DataFrame): DataFrame = {
     val sa = broadcast(sizes.as("sa"))
     val sb = broadcast(sizes.as("sb"))
     val j = pairs
@@ -220,9 +248,12 @@ object NearDup {
            "n_contained"))} AS containment
       |FROM dir ORDER BY contained_id, container_id""".stripMargin) {
     (s, d) =>
-      containmentPairs(T(s, d, "documents"))
+      // pair counts from the stored posting lists (shared with q24)
+      val (pairs, sizes) = pairCountsFromLists(
+        postingListsStored(s, d, T(s, d, "documents")), "doc_id")
+      containmentFromCounts(pairs, sizes)
         .orderBy("contained_id", "container_id")
-  }
+  }.copy(sideEffecting = true)
 
   // -------------------------------------------------- MinHash + LSH
   // Signature construction is shuffle-free (k=32 pure hash expressions
@@ -793,9 +824,13 @@ object NearDup {
     s"""$clusterOracleCte
       |SELECT doc_id, keep_id FROM cl ORDER BY doc_id""".stripMargin) {
     (s, d) =>
-      dedupCorpus(T(s, d, "documents"), "doc_id", col("text"))
+      // served from the corpus-keyed stored decision (built on first
+      // touch, staleness-keyed): deterministic, so artifact ≡ the
+      // in-memory dedupCorpus chain (spec-pinned) and the oracle
+      // replays the full clustering either way
+      clusterDecisionStored(s, d, T(s, d, "documents"))
         .orderBy("doc_id")
-  }
+  }.copy(sideEffecting = true)
 
   // ------------------------------------ canonical selection per cluster
   // The post-dedup "keep the best copy" curation step (cf. CCNet /
@@ -808,8 +843,17 @@ object NearDup {
   // The argmax is two-phase (per-cluster max, then min id among the
   // maxima) because a single-pass max_by has no deterministic tie-break
   // in either engine.
-  def canonicalPerCluster(docs: DataFrame): DataFrame = {
-    val g = dedupCorpus(docs, "doc_id", col("text"))
+  def canonicalPerCluster(docs: DataFrame): DataFrame =
+    canonicalSelection(dedupCorpus(docs, "doc_id", col("text")), docs)
+
+  /** The selection half alone, over an already-computed cluster
+    * decision (doc_id → keep_id): two hash aggregations and a
+    * cluster-keyed join — cheap, cluster-sized work, so consumers of
+    * the STORED decision ([[clusterDecisionStored]]) re-run only this
+    * part per query. */
+  private[analytics] def canonicalSelection(decision: DataFrame,
+      docs: DataFrame): DataFrame = {
+    val g = decision
       .join(docs.select(col("doc_id"),
         size(TextOps.tokens(col("text"))).cast("long").as("n_words")),
         Seq("doc_id"))
@@ -841,8 +885,12 @@ object NearDup {
       |SELECT b.keep_id, canon.canonical_id, b.n_docs, b.best_n_words
       |FROM b JOIN canon USING (keep_id) ORDER BY keep_id""".stripMargin) {
     (s, d) =>
-      canonicalPerCluster(T(s, d, "documents")).orderBy("keep_id")
-  }
+      // only the cluster-sized selection runs per query; the global
+      // clustering comes from the stored decision (q35's artifact)
+      val docs = T(s, d, "documents")
+      canonicalSelection(clusterDecisionStored(s, d, docs), docs)
+        .orderBy("keep_id")
+  }.copy(sideEffecting = true)
 
   // -------------------------------------- edit-distance verification
   // Character-level near-dup verification (complement of the
@@ -1089,36 +1137,103 @@ object NearDup {
     if (tauNum * 2 < tauDen) invertedSimJoin(docs, tauNum, tauDen)
     else prefixSimJoin(docs, tauNum, tauDen)
 
-  /** The cluster decision as a store-versioned artifact: production
-    * dedup runs once per corpus snapshot and every downstream tier
-    * (canonical selection, rep-tier joins, filtering) consumes the
-    * STORED decision instead of re-clustering — the q91/q113 artifact
-    * discipline applied to dedup. Staleness-keyed by corpus content
-    * fingerprint (count + XOR of row hashes — order-insensitive,
-    * overflow-free under ANSI) plus the clustering hyperparameters,
-    * so a constants bump re-clusters instead of serving a stale
-    * decision. Returns the canonical representative ids. */
+  /** The FULL cluster decision (doc_id → keep_id, q35's output) as a
+    * store-versioned artifact: production dedup runs once per corpus
+    * snapshot and every downstream tier (canonical selection, rep-tier
+    * joins, filtering) consumes the STORED decision instead of
+    * re-clustering — the q91/q113 artifact discipline applied to
+    * dedup. Staleness-keyed by corpus content fingerprint (count +
+    * XOR of row hashes — order-insensitive, overflow-free under ANSI)
+    * plus the clustering hyperparameters, so a constants bump
+    * re-clusters instead of serving a stale decision. q35 serves this
+    * relation directly, q95 runs only the (cheap, cluster-sized)
+    * canonical selection over it, and q109's rep tier derives from
+    * the same single decision — one LSH/verify/fixpoint pass per
+    * corpus snapshot feeds all three, which is also the 100 TB shape:
+    * the expensive global clustering is a once-per-snapshot job, not
+    * a per-query one. Deterministic, so artifact ≡ the in-memory
+    * chain (spec-pinned); every consumer's oracle replays the full
+    * chain regardless. */
+  private def decisionSig(fp: String): String =
+    s"$fp|cluster,df=$MaxDf,t=1/2"
+
+  /** Corpus content fingerprint over (doc_id, text): count + XOR of
+    * row hashes — order-insensitive, overflow-free under ANSI. The
+    * staleness key every documents-derived artifact shares. */
+  private def docsFp(docs: DataFrame): String =
+    docs.agg(concat_ws(":", count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("doc_id"), col("text"))),
+          lit(0L))).as("fp")).head().getString(0)
+
+  private[analytics] def clusterDecisionStored(s: SparkSession,
+      d: String, docs: DataFrame): DataFrame = {
+    val store = graft.io.ArtifactStore.forDir("cluster", d)
+    val fp = docsFp(docs)
+    if (!store.meta(s, "cluster", "decision", "corpus_fp")
+        .contains(decisionSig(fp))) {
+      store.write(
+        dedupCorpus(docs, "doc_id", col("text")),
+        "cluster", "decision",
+        description = "dedup cluster decision (doc_id -> keep_id)",
+        meta = Map("corpus_fp" -> decisionSig(fp)))
+      // keepLast=2 = one-generation read-pin: a concurrent session
+      // that resolved the previous version just before this rebuild
+      // must not have its files vacuumed mid-read (ArtifactStoreSpec)
+      store.vacuum(s, "cluster", "decision", keepLast = 2)
+    }
+    store.read(s, "cluster", "decision").get
+  }
+
+  /** Canonical representative ids as a second (tiny, derived)
+    * artifact over the stored cluster decision: q109's rep tier is
+    * consumed every run, and re-running even the cheap canonical
+    * selection per query measurably out-costs one ~|clusters|-row
+    * read — so the selection too runs once per corpus snapshot.
+    * Built FROM [[clusterDecisionStored]] (never re-clusters),
+    * staleness-keyed by the same corpus fingerprint. */
   private def repsSig(fp: String): String =
     s"$fp|canon,df=$MaxDf,t=1/2"
   private[analytics] def canonicalRepsStored(s: SparkSession,
       d: String, docs: DataFrame): DataFrame = {
     val store = graft.io.ArtifactStore.forDir("cluster", d)
-    val fp = docs.agg(concat_ws(":", count(lit(1)),
-        coalesce(bit_xor(xxhash64(col("doc_id"), col("text"))),
-          lit(0L))).as("fp")).head().getString(0)
+    val fp = docsFp(docs)
     if (!store.meta(s, "cluster", "canon_reps", "corpus_fp")
         .contains(repsSig(fp))) {
       store.write(
-        canonicalPerCluster(docs).select(col("canonical_id")),
+        canonicalSelection(clusterDecisionStored(s, d, docs), docs)
+          .select(col("canonical_id")),
         "cluster", "canon_reps",
-        description = "canonical representatives (dedup decision)",
+        description = "canonical representatives (derived from the " +
+          "stored cluster decision)",
         meta = Map("corpus_fp" -> repsSig(fp)))
-      // keepLast=2 = one-generation read-pin: a concurrent session
-      // that resolved the previous version just before this rebuild
-      // must not have its files vacuumed mid-read (ArtifactStoreSpec)
       store.vacuum(s, "cluster", "canon_reps", keepLast = 2)
     }
     store.read(s, "cluster", "canon_reps").get
+  }
+
+  /** The df-capped shingle posting lists as a corpus-keyed stored
+    * artifact — the [[clusterDecisionStored]] discipline one tier
+    * down: the n-gram pair family (q24 Jaccard, q98 containment)
+    * shares one tokenize→shingle→bounded-set pass per corpus
+    * snapshot; per query only the pair explosion/aggregation runs.
+    * Raw-string shingle grouping (the oracle's own equality), sorted
+    * doc-id arrays; staleness-keyed like every documents artifact. */
+  private def listsSig(fp: String): String = s"$fp|lists,df=$MaxDf"
+  private[analytics] def postingListsStored(s: SparkSession,
+      d: String, docs: DataFrame): DataFrame = {
+    val store = graft.io.ArtifactStore.forDir("cluster", d)
+    val fp = docsFp(docs)
+    if (!store.meta(s, "cluster", "postings", "corpus_fp")
+        .contains(listsSig(fp))) {
+      store.write(
+        postingLists(shingleIndex(docs, "doc_id", col("text")),
+          "doc_id"),
+        "cluster", "postings",
+        description = "df-capped shingle posting lists",
+        meta = Map("corpus_fp" -> listsSig(fp)))
+      store.vacuum(s, "cluster", "postings", keepLast = 2)
+    }
+    store.read(s, "cluster", "postings").get
   }
 
   /** Exact τ-similarity join via the plain inverted index — the right

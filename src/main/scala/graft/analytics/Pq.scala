@@ -57,12 +57,16 @@ object Pq {
         zip_with(col("qv"), col("c_qv"), (a, b) => a - b).as("r"))
 
   /** Explode residuals into (vec_id, c_id, m, sub, sn2) — one row per
-    * subspace, scan-local (no shuffle). */
-  def subspaces(res: DataFrame): DataFrame =
+    * subspace, scan-local (no shuffle). Geometry defaults to the
+    * oracle-tractable constants; the production shape (16×4-dim
+    * subspaces, 256 codes) runs the identical plan with the explicit
+    * arguments (PqSpec proves it at the production constants). */
+  def subspaces(res: DataFrame, numSub: Int = NumSub,
+      subDim: Int = SubDim): DataFrame =
     res.select(col("vec_id"), col("c_id"),
-        explode(sequence(lit(0), lit(NumSub - 1))).as("m"), col("r"))
+        explode(sequence(lit(0), lit(numSub - 1))).as("m"), col("r"))
       .select(col("vec_id"), col("c_id"), col("m"),
-        slice(col("r"), col("m") * SubDim + lit(1), lit(SubDim))
+        slice(col("r"), col("m") * subDim + lit(1), lit(subDim))
           .as("sub"))
       .withColumn("sn2", VectorOps.norm2Q(col("sub")))
 
@@ -94,7 +98,8 @@ object Pq {
     * DESIGN CONSTANT (the bounded-collect discipline of the probe-cell
     * lists), and a local relation keeps every downstream broadcast
     * join one job shallower than a checkpointed distributed plan. */
-  def trainCodebooks(subs: DataFrame): DataFrame = {
+  def trainCodebooks(subs: DataFrame, numCodes: Int = NumCodes,
+      iters: Int = PqIters): DataFrame = {
     val spark = subs.sparkSession
     import spark.implicits._
     // train on the same deterministic 1/4 hash sample the coarse
@@ -103,11 +108,11 @@ object Pq {
     // full corpus happens in the caller, unsampled
     val train = subs.filter(
       pmod(xxhash64(col("vec_id")), lit(4L)) === 0L ||
-        col("vec_id") < NumCodes)
-    var cb = subs.filter(col("vec_id") < NumCodes)
+        col("vec_id") < numCodes)
+    var cb = subs.filter(col("vec_id") < numCodes)
       .select(col("m"), col("vec_id").as("code"),
         col("sub").as("c_sub"), col("sn2").as("c_n2"))
-    for (_ <- 0 until PqIters) {
+    for (_ <- 0 until iters) {
       val rows = assignCodes(train, cb)
         .select(col("m"), col("code"),
           posexplode(col("sub")).as(Seq("pos", "v")))
@@ -134,11 +139,13 @@ object Pq {
     * raw posting vectors are never touched, which is the whole point
     * of the PQ artifact. */
   def adcRank(probes: DataFrame, cents: DataFrame, cb: DataFrame,
-      codes: DataFrame, topK: Int): DataFrame = {
+      codes: DataFrame, topK: Int, numSub: Int = NumSub,
+      subDim: Int = SubDim): DataFrame = {
     val qsubs = subspaces(
       probes.join(broadcast(cents), Seq("c_id"))
         .select(col("q_id").as("vec_id"), col("c_id"),
-          zip_with(col("q_qv"), col("c_qv"), (a, b) => a - b).as("r")))
+          zip_with(col("q_qv"), col("c_qv"), (a, b) => a - b).as("r")),
+      numSub, subDim)
       .withColumnRenamed("vec_id", "q_id")
     val dtab = qsubs.join(broadcast(cb), Seq("m"))
       .select(col("q_id"), col("c_id"), col("m"), col("code"),
@@ -160,14 +167,15 @@ object Pq {
   /** In-memory ADC search (queries drawn from the corpus, as in q32):
     * probe cells, then [[adcRank]] over the encoded corpus. */
   def adcSearch(assigned: DataFrame, cents: DataFrame, cb: DataFrame,
-      enc: DataFrame, numQueries: Int, topK: Int): DataFrame = {
+      enc: DataFrame, numQueries: Int, topK: Int,
+      numSub: Int = NumSub, subDim: Int = SubDim): DataFrame = {
     val probes = VectorOps.ivfProbeCells(
       assigned.filter(col("vec_id") < numQueries)
         .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
           col("n2").as("q_n2")),
       cents).localCheckpoint()
     adcRank(probes, cents, cb,
-      enc.select("c_id", "vec_id", "m", "code"), topK)
+      enc.select("c_id", "vec_id", "m", "code"), topK, numSub, subDim)
   }
 
   /** ADC shortlist depth for the re-rank stage (4× the final k — the
@@ -185,8 +193,10 @@ object Pq {
     * the shortlist. Output: (q_id, vec_id, d2, rnk). */
   def adcRerank(probes: DataFrame, cents: DataFrame, cb: DataFrame,
       codes: DataFrame, postings: DataFrame, shortlistR: Int,
-      topK: Int): DataFrame = {
-    val short = adcRank(probes, cents, cb, codes, shortlistR)
+      topK: Int, numSub: Int = NumSub, subDim: Int = SubDim)
+      : DataFrame = {
+    val short = adcRank(probes, cents, cb, codes, shortlistR,
+      numSub, subDim)
       .select(col("q_id"), col("vec_id"))
     val q = probes.select("q_id", "q_qv", "q_n2").distinct()
     import org.apache.spark.sql.expressions.Window

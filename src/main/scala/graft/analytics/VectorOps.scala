@@ -697,9 +697,14 @@ object VectorOps {
       |    max(${dotSql("a.qv", "c.c_qv")}) AS max_dot
       |  FROM ($assigned) a JOIN ($cents) c USING (c_id)
       |  GROUP BY a.c_id) t ORDER BY c_id""".stripMargin) { (s, d) =>
-      val base = withQuant(T(s, d, "embeddings")).persist()
-      val cents = kmeansCentroids(base).persist()
-      ivfAssign(base, cents)
+      // coarse tier from the shared staleness-keyed artifact store
+      // (AnnIndex.coarseArtifacts): the centroids/assignment are
+      // bit-identical to the in-memory chain (deterministic training,
+      // content-fingerprint staleness), so the per-cluster profile
+      // reads them instead of retraining; the oracle replays the full
+      // Lloyd chain either way
+      val (cents, assigned) = AnnIndex.coarseArtifacts(s, d)
+      assigned
         .join(broadcast(cents), "c_id")
         .withColumn("dot", dotQ(col("qv"), col("c_qv")))
         .groupBy("c_id")
@@ -711,7 +716,7 @@ object VectorOps {
           graft.ops.Exact.halfUpDiv(col("sum_dot"), col("n_vectors")))
         .select("c_id", "n_vectors", "mean_dot", "min_dot", "max_dot")
         .orderBy("c_id")
-    }
+    }.copy(sideEffecting = true)
   }
 
   // ------------------------------------- semantic dedup (SemDeDup)
@@ -729,7 +734,15 @@ object VectorOps {
     // cents is a localCheckpoint leaf (per-iteration, inside), so the
     // training chain is not re-derived by the assignment below
     val cents = kmeansCentroids(base, k)
-    val assigned = ivfAssign(base, cents).persist()
+    semDedupFromAssigned(ivfAssign(base, cents).persist(), threshold)
+  }
+
+  /** The within-cell dedup decision alone, over an already-computed
+    * cell assignment (vec_id, c_id, qv, n2) — consumers of the stored
+    * coarse artifact ([[AnnIndex.coarseArtifacts]]) run only this
+    * Σ|cell|² pair pass per query. */
+  private[analytics] def semDedupFromAssigned(assigned: DataFrame,
+      threshold: Double = SemDedupThreshold): DataFrame = {
     val a = assigned.as("a")
     val b = assigned.as("b")
     val dropped = a.join(b,
@@ -775,8 +788,12 @@ object VectorOps {
         |    AS keep_flag
         |FROM assigned s LEFT JOIN drp d USING (vec_id)
         |ORDER BY s.vec_id""".stripMargin) { (s, d) =>
-      semDedup(T(s, d, "embeddings")).orderBy("vec_id")
-    }
+      // cell assignment from the shared stored coarse tier (identical
+      // to the in-memory chain — see q80); only the within-cell pair
+      // pass runs per query
+      semDedupFromAssigned(AnnIndex.coarseArtifacts(s, d)._2)
+        .orderBy("vec_id")
+    }.copy(sideEffecting = true)
   }
 
   val all: Seq[Q] =

@@ -114,6 +114,59 @@ class AnnIndexSpec extends AnyFunSuite {
       "e_postings") == vAfter)
   }
 
+  test("streaming ANN serving: foreachBatch probes against the " +
+      "persisted PQ artifacts equal batch two-stage search; replay " +
+      "is a no-op; later batches append O(batch)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-annserve").toString
+    val store = new ModelStore(root)
+    val out = new ModelStore(s"$root/out")
+    val emb = Tables.load(spark, Dir, "embeddings")
+    AnnIndex.build(spark, store, "e", emb)
+    AnnIndex.buildPq(spark, store, "e")
+    val probes = emb.filter(col("vec_id") < VectorOps.NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val expected = AnnIndex.searchAdcRerank(spark, store, "e", probes)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSet
+
+    val input = MemoryStream[(Long, Seq[Float])]
+    val query = input.toDF().toDF("q_id", "embedding")
+      .writeStream
+      .option("checkpointLocation", s"$root/_sckpt")
+      .foreachBatch(AnnIndex.serveSink(store, "e", out, "serve", "res") _)
+      .start()
+    try {
+      input.addData(probes.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    // stream ≡ batch on the same probes (the serving-loop closure)
+    val got = out.read(spark, "serve", "res").get
+      .select("q_id", "vec_id", "d2", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSet
+    assert(got.nonEmpty && got == expected)
+
+    // at-least-once replay of an applied batch id must not re-serve
+    val v = out.currentVersion(spark, "serve", "res")
+    AnnIndex.serveSink(store, "e", out, "serve", "res")(probes, 0L)
+    assert(out.currentVersion(spark, "serve", "res") == v)
+
+    // a later batch appends ONLY its own partition — prior batches
+    // carry over by hard link, so per-batch cost is O(batch results)
+    AnnIndex.serveSink(store, "e", out, "serve", "res")(
+      probes.filter(col("q_id") === 1L), 1L)
+    val served = out.read(spark, "serve", "res").get
+    assert(served.filter(col("batch_id") === 1L).count() > 0)
+    assert(served.filter(col("batch_id") === 0L)
+      .select("q_id", "vec_id", "d2", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSet == expected)
+  }
+
   test("persisted IVF-PQ search (q113) returns exactly the in-memory " +
       "ADC answer (q112), and its codes scan is partition-pruned") {
     val d = "/root/testdata/sf0.001"

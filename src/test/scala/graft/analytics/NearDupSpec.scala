@@ -303,6 +303,40 @@ class NearDupSpec extends AnyFunSuite {
     assert(again == stored)
   }
 
+  test("stored cluster decision and posting lists equal their " +
+      "in-memory chains (q35/q95/q24/q98 artifact discipline)") {
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.io.Tables.load(spark, d, "documents")
+    // full decision artifact ≡ fresh dedupCorpus
+    val dec = NearDup.clusterDecisionStored(spark, d, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mem = NearDup.dedupCorpus(docs, "doc_id", col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dec == mem && dec.nonEmpty)
+    // posting-lists artifact ≡ fresh bounded-set lists (multiset —
+    // distinct shingles may share an identical doc array)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getSeq[Long](0).toList).toList
+        .sortBy(_.mkString(","))
+    val stored = norm(NearDup.postingListsStored(spark, d, docs))
+    val fresh = norm(NearDup.postingLists(
+      NearDup.shingleIndex(docs, "doc_id", col("text")), "doc_id"))
+    assert(stored == fresh && stored.nonEmpty)
+    // and the pair counts drawn from the stored lists match the
+    // in-memory invertedPairCounts exactly
+    val (p1, s1) = NearDup.pairCountsFromLists(
+      NearDup.postingListsStored(spark, d, docs), "doc_id")
+    val (p2, s2, release) = NearDup.invertedPairCounts(
+      NearDup.shingleIndex(docs, "doc_id", col("text")), "doc_id")
+    assert(p1.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2))).toSet ==
+      p2.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2))).toSet)
+    assert(s1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      s2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    release()
+  }
+
   test("invertedSimJoin broadcast gate forced both ways: identical " +
       "pair set; release hook frees the shingle cache") {
     // the low-τ plan's per-doc sizes broadcast is volume-gated (the

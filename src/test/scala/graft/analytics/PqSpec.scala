@@ -129,6 +129,65 @@ class PqSpec extends AnyFunSuite {
     subs.unpersist(); cb.unpersist()
   }
 
+  test("production PQ geometry (16 subspaces x 256 codes) on the " +
+      "sf0.01 corpus: codebooks stay bounded, recall >= the 16-code " +
+      "default") {
+    // the 16-code default keeps the DuckDB oracle's unrolled training
+    // chain tractable; the 100 TB claim rests on the PRODUCTION shape
+    // (256-code codebooks, 16 4-dim subspaces) running the identical
+    // plan with codebooks still broadcast-small and recall at least
+    // as good. Same corpus, same coarse tier, same probed-cell exact
+    // ground truth for both geometries.
+    val base = corpus("/root/testdata/sf0.01").persist()
+    val cents = VectorOps.kmeansCentroids(base).persist()
+    val assigned = VectorOps.ivfAssign(base, cents).persist()
+    val nQ = 8
+    val probes = VectorOps.ivfProbeCells(
+      assigned.filter(col("vec_id") < nQ)
+        .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+          col("n2").as("q_n2")), cents).localCheckpoint()
+    val exact = assigned
+      .join(broadcast(probes.select("q_id", "q_qv", "q_n2", "c_id")),
+        Seq("c_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (col("q_n2") + col("n2") -
+          lit(2L) * VectorOps.dotQ(col("q_qv"), col("qv"))).as("d2"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("d2"), col("vec_id"))))
+      .filter(col("rnk") <= 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+    def meanRecall(numSub: Int, subDim: Int, numCodes: Int): Double = {
+      val subs = Pq.subspaces(Pq.residuals(assigned, cents),
+        numSub, subDim).persist()
+      val cb = Pq.trainCodebooks(subs, numCodes).persist()
+      // the broadcast-safety bound the design constant promises:
+      // numSub × numCodes rows, never corpus-sized
+      assert(cb.count() <= numSub.toLong * numCodes)
+      val got = Pq.adcRank(probes, cents, cb,
+        Pq.assignCodes(subs, cb).select("c_id", "vec_id", "m", "code"),
+        10, numSub, subDim)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      subs.unpersist(); cb.unpersist()
+      val recalls = exact.map { case (q, e) =>
+        got.getOrElse(q, Set.empty[Long]).intersect(e).size.toDouble /
+          e.size
+      }
+      recalls.sum / recalls.size
+    }
+
+    val rDefault = meanRecall(Pq.NumSub, Pq.SubDim, Pq.NumCodes)
+    val rProd = meanRecall(16, 4, 256)
+    assert(rProd >= rDefault,
+      s"production recall@10 $rProd below 16-code default $rDefault")
+    assert(rProd >= 0.7, s"production recall@10 $rProd")
+    base.unpersist(); cents.unpersist(); assigned.unpersist()
+  }
+
   test("q112 is deterministic across runs") {
     val a = Pq.qPqAnn.build(spark, "/root/testdata/sf0.001").collect()
     val b = Pq.qPqAnn.build(spark, "/root/testdata/sf0.001").collect()

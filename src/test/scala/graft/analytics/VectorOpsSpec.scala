@@ -357,4 +357,31 @@ class VectorOpsSpec extends AnyFunSuite {
           "demote q39 to rows-only")
     }
   }
+
+  test("stored coarse tier equals the in-memory chain; q96 serves the " +
+      "same semantic-dedup decision") {
+    val d = "/root/testdata/sf0.001"
+    val emb = graft.io.Tables.load(spark, d, "embeddings")
+    val base = VectorOps.withQuant(emb).persist()
+    val cents = VectorOps.kmeansCentroids(base).persist()
+    val memC = cents.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).toSet
+    val memA = VectorOps.ivfAssign(base, cents)
+      .select("vec_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (sc, sa) = AnnIndex.coarseArtifacts(spark, d)
+    assert(sc.collect()
+      .map(r => (r.getLong(r.fieldIndex("c_id")),
+        r.getSeq[Long](r.fieldIndex("c_qv")),
+        r.getLong(r.fieldIndex("c_n2")))).toSet == memC)
+    assert(sa.select("vec_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == memA)
+    // q96 over the stored tier ≡ the fully in-memory semDedup
+    val q96 = VectorOps.qSemDedup.build(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val mem96 = VectorOps.semDedup(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(q96 == mem96 && q96.nonEmpty)
+    base.unpersist(); cents.unpersist()
+  }
 }
