@@ -1160,7 +1160,7 @@ object NearDup {
   /** Corpus content fingerprint over (doc_id, text): count + XOR of
     * row hashes — order-insensitive, overflow-free under ANSI. The
     * staleness key every documents-derived artifact shares. */
-  private def docsFp(docs: DataFrame): String =
+  private[analytics] def docsFp(docs: DataFrame): String =
     docs.agg(concat_ws(":", count(lit(1)),
         coalesce(bit_xor(xxhash64(col("doc_id"), col("text"))),
           lit(0L))).as("fp")).head().getString(0)

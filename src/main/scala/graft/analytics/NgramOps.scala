@@ -349,12 +349,20 @@ object NgramOps {
     * the q99 contract) and band head/middle/tail at exact tertile
     * thresholds of the per-bigram score. */
   def perplexityBands(docs: DataFrame, buckets: Int = LmBuckets,
+      train: DataFrame = null): DataFrame =
+    perplexityBandsFrom(docs, bigramBucketCounts(docs), buckets, train)
+
+  /** [[perplexityBands]] over an already-built per-doc bigram-count
+    * relation — consumers of the STORED counts
+    * ([[bigramBucketCountsStored]]) run only the train/score/band
+    * tail per query. */
+  private[analytics] def perplexityBandsFrom(docs: DataFrame,
+      dbc: DataFrame, buckets: Int = LmBuckets,
       train: DataFrame = null): DataFrame = {
     // self-trained (the q99 contract): the corpus is tokenized/hashed
     // ONCE — the persisted per-doc bigram counts feed both the
     // HIGH-band training aggregate (doc_id membership join; quality
     // banding rescans only text, not the bigram explode) and scoring.
-    val dbc = bigramBucketCounts(docs)
     val (scored, grid) = Option(train) match {
       case Some(t) => (dbc, lmGrid(t, buckets))
       case None =>
@@ -392,6 +400,28 @@ object NgramOps {
         when(col("nllpt_q") <= col("t1"), "head")
           .when(col("nllpt_q") <= col("t2"), "middle")
           .otherwise("tail").as("band"))
+  }
+
+  /** The per-doc bucketed-bigram counts as a corpus-keyed stored
+    * artifact (the NearDup.clusterDecisionStored discipline): the
+    * tokenize→md5-bucket→bigram-explode pass is a pure function of
+    * the corpus snapshot and dominates q99's cost; per query only the
+    * train/score/band tail runs. Staleness-keyed by the shared
+    * documents fingerprint; the bucket scheme (two md5 hex digits,
+    * fixed 256 classes) is part of the signature. */
+  private def dbcSig(fp: String): String = s"$fp|dbc,md5x2"
+  private[analytics] def bigramBucketCountsStored(s: SparkSession,
+      d: String, docs: DataFrame): DataFrame = {
+    val store = graft.io.ArtifactStore.forDir("cluster", d)
+    val fp = NearDup.docsFp(docs)
+    if (!store.meta(s, "cluster", "bigram_buckets", "corpus_fp")
+        .contains(dbcSig(fp))) {
+      store.write(bigramBucketCounts(docs), "cluster", "bigram_buckets",
+        description = "per-doc bucketed-bigram counts (LM input)",
+        meta = Map("corpus_fp" -> dbcSig(fp)))
+      store.vacuum(s, "cluster", "bigram_buckets", keepLast = 2)
+    }
+    store.read(s, "cluster", "bigram_buckets").get
   }
 
   val qLmPerplexity: Q = {
@@ -447,8 +477,14 @@ object NgramOps {
         |       ELSE 'tail' END AS band
         |FROM sc2 s CROSS JOIN th ORDER BY doc_id""".stripMargin) {
       (s, d) =>
-        perplexityBands(T(s, d, "documents")).orderBy("doc_id")
-    }
+        // bigram counts from the corpus-keyed stored artifact; only
+        // the train/score/band tail runs per query (deterministic, so
+        // artifact ≡ the in-memory counts — spec-pinned; the oracle
+        // replays the full chain either way)
+        val docs = T(s, d, "documents")
+        perplexityBandsFrom(docs, bigramBucketCountsStored(s, d, docs))
+          .orderBy("doc_id")
+    }.copy(sideEffecting = true)
   }
 
   // --------------- exact repeated-substring spans (corpus dedup)

@@ -96,6 +96,24 @@ class NgramOpsSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("stored bigram-bucket counts equal the in-memory pass; q99 " +
+      "serves the same bands (artifact discipline)") {
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.io.Tables.load(spark, d, "documents")
+    val stored = NgramOps.bigramBucketCountsStored(spark, d, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val fresh = NgramOps.bigramBucketCounts(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(stored == fresh && stored.nonEmpty)
+    val q99 = NgramOps.qLmPerplexity.build(spark, d)
+      .collect().map(_.toString).toSeq
+    val mem = NgramOps.perplexityBands(docs).orderBy("doc_id")
+      .collect().map(_.toString).toSeq
+    assert(q99 == mem && q99.nonEmpty)
+  }
+
   test("lm perplexity tertile bands are value-ordered and partition " +
       "the scored corpus") {
     val rows = NgramOps.qLmPerplexity.build(spark, Dir).collect()
