@@ -972,7 +972,15 @@ object NearDup {
     * One shuffle each for df, rank, candidates, and the verify join;
     * per-doc sizes broadcast. */
   def prefixSimJoin(docs: DataFrame, tauNum: Int = 3, tauDen: Int = 5)
-      : DataFrame = {
+      : DataFrame =
+    prefixSimJoinReleasable(docs, tauNum, tauDen)._1
+
+  /** [[prefixSimJoin]] plus a release hook for the internal shingle
+    * cache — the [[invertedPairCounts]]/[[invertedSimJoinReleasable]]
+    * contract: eager composers call it once the result is consumed;
+    * lazy query entries leave it to the harness-level cache clear. */
+  private[analytics] def prefixSimJoinReleasable(docs: DataFrame,
+      tauNum: Int = 3, tauDen: Int = 5): (DataFrame, () => Unit) = {
     import org.apache.spark.sql.expressions.Window
     // full distinct shingle index: feeds df, ranking, and BOTH verify
     // sides — tokenized once. Shingles shuffle as 8-byte xxhash64
@@ -1044,13 +1052,14 @@ object NearDup {
     val nInter = size(array_intersect(col("a"), col("b"))).cast("long")
     val na = size(col("a")).cast("long")
     val nb = size(col("b")).cast("long")
-    cand.join(side("a"), "a_id").join(side("b"), "b_id")
+    val out = cand.join(side("a"), "a_id").join(side("b"), "b_id")
       .select(col("a_id"), col("b_id"), nInter.as("n_inter"),
         (na + nb - nInter).as("n_union"))
       .filter(col("n_inter") * tauDen >= col("n_union") * tauNum)
       .select(col("a_id"), col("b_id"), col("n_inter"), col("n_union"),
         Exact.dec4(Exact.halfUpDiv(col("n_inter") * 10000,
           col("n_union"))).as("jaccard"))
+    (out, () => { sh.unpersist(); () })
   }
 
   /** Above this many distinct (doc, shingle) entries the q107 verify
