@@ -382,6 +382,12 @@ class VectorOpsSpec extends AnyFunSuite {
     val mem96 = VectorOps.semDedup(emb).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(q96 == mem96 && q96.nonEmpty)
+    // q39's stored dedup decision ≡ the in-memory banded chain
+    val q39 = VectorOps.embeddingDedupStored(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mem39 = VectorOps.embeddingDedupCorpus(emb, dims = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(q39 == mem39 && q39.nonEmpty)
     base.unpersist(); cents.unpersist()
   }
 }
