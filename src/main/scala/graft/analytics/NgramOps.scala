@@ -125,17 +125,13 @@ object NgramOps {
            "h.n_contaminated*10000", "b.n_grams"))} AS contamination_ratio
       |FROM base b JOIN hits h USING (doc_id)
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val docs = T(s, d, "documents").select(
-      col("doc_id"), TextOps.tokens(col("text")).as("t"),
-      (Curation.sampleKey(col("doc_id"), "eval-") < EvalRate).as("is_eval"))
-    // persist: the eval and train branches filter BEFORE their
-    // exchanges, so the per-token md5 gram generation over the whole
-    // corpus would otherwise run once per branch
-    val grams = docs.select(col("doc_id"), col("is_eval"),
-      explode(gramHashes(col("t"), GramN)).as("g"))
-      .persist()
-    val eg = grams.filter(col("is_eval")).select("g").distinct()
-    val tg = grams.filter(!col("is_eval")).select("doc_id", "g").distinct()
+    // distinct per-doc gram sets from the corpus-keyed stored
+    // artifact (how production decontamination runs: the train-gram
+    // index is precomputed per snapshot, eval suites probe it); per
+    // query only the probe join + two doc aggregations run
+    val dg = docGramsStored(s, d, T(s, d, "documents"))
+    val eg = dg.filter(col("is_eval")).select("g").distinct()
+    val tg = dg.filter(!col("is_eval")).select("doc_id", "g")
     val hits = tg.join(broadcast(eg), "g")
       .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
     val base = tg.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
@@ -145,7 +141,42 @@ object NgramOps {
           col("n_contaminated") * 10000, col("n_grams")))
           .as("contamination_ratio"))
       .orderBy("doc_id")
+  }.copy(sideEffecting = true)
+
+  /** The distinct per-doc n-gram sets (doc_id, is_eval, g) as a
+    * corpus-keyed stored artifact: the tokenize→md5-gram explode →
+    * distinct pass is a pure function of the corpus snapshot (the
+    * eval flag is a pure function of doc_id, so it rides along);
+    * staleness key carries GramN and the eval-split rate. The eval
+    * side derives by filter, so one artifact serves both probe
+    * directions. */
+  private def dgSig(fp: String): String =
+    s"$fp|grams,n=$GramN,e=$EvalRate"
+  private[analytics] def docGramsStored(s: SparkSession, d: String,
+      docs: DataFrame): DataFrame = {
+    val store = graft.io.ArtifactStore.forDir("cluster", d)
+    val fp = NearDup.docsFp(docs)
+    if (!store.meta(s, "cluster", "doc_grams", "corpus_fp")
+        .contains(dgSig(fp))) {
+      store.write(docGrams(docs), "cluster", "doc_grams",
+        description = "distinct per-doc n-gram fingerprints " +
+          "(decontamination index)",
+        meta = Map("corpus_fp" -> dgSig(fp)))
+      store.vacuum(s, "cluster", "doc_grams", keepLast = 2)
+    }
+    store.read(s, "cluster", "doc_grams").get
   }
+
+  /** The in-memory form of the stored relation: one row per distinct
+    * (doc, gram), with the doc's deterministic eval flag. */
+  private[analytics] def docGrams(docs: DataFrame): DataFrame =
+    docs.select(
+        col("doc_id"), TextOps.tokens(col("text")).as("t"),
+        (Curation.sampleKey(col("doc_id"), "eval-") < EvalRate)
+          .as("is_eval"))
+      .select(col("doc_id"), col("is_eval"),
+        explode(gramHashes(col("t"), GramN)).as("g"))
+      .distinct()
 
   // ---------------------------------------- span-level (chunk) dedup
   // C4-style: fingerprint fixed-width non-overlapping word chunks; a

@@ -114,6 +114,36 @@ class NgramOpsSpec extends AnyFunSuite {
     assert(q99 == mem && q99.nonEmpty)
   }
 
+  test("stored doc-gram index equals the in-memory pass; q66 serves " +
+      "the same contamination report") {
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.io.Tables.load(spark, d, "documents")
+    val stored = NgramOps.docGramsStored(spark, d, docs)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1),
+        r.getString(2))).toSet
+    val fresh = NgramOps.docGrams(docs)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1),
+        r.getString(2))).toSet
+    assert(stored == fresh && stored.nonEmpty)
+    // q66 from the artifact ≡ the original in-memory composition
+    val q66 = NgramOps.qContamination.build(spark, d)
+      .collect().map(_.toString).toSeq
+    val dg = NgramOps.docGrams(docs)
+    val eg = dg.filter(col("is_eval")).select("g").distinct()
+    val tg = dg.filter(!col("is_eval")).select("doc_id", "g")
+    val hits = tg.join(broadcast(eg), "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_contaminated"))
+    val mem = tg.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(hits, "doc_id")
+      .select(col("doc_id"), col("n_grams"), col("n_contaminated"),
+        graft.ops.Exact.dec4(graft.ops.Exact.halfUpDiv(
+          col("n_contaminated") * 10000, col("n_grams")))
+          .as("contamination_ratio"))
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(q66 == mem && q66.nonEmpty)
+  }
+
   test("lm perplexity tertile bands are value-ordered and partition " +
       "the scored corpus") {
     val rows = NgramOps.qLmPerplexity.build(spark, Dir).collect()
