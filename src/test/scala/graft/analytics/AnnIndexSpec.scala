@@ -199,6 +199,45 @@ class AnnIndexSpec extends AnyFunSuite {
       s"codes scan read $partsRead partitions")
   }
 
+  test("coarse artifact REBUILDS on corpus change instead of serving " +
+      "the stale index") {
+    // same store key (same dir), new embeddings content -> the
+    // staleness fingerprint must force a retrain+reassign; an
+    // unchanged corpus must be a pure read (no version churn)
+    val dir = Files.createTempDirectory("graft-annstale").toString
+    val emb = Tables.load(spark, Dir, "embeddings")
+    emb.write.parquet(s"$dir/embeddings.parquet")
+    val (_, a1) = AnnIndex.coarseArtifacts(spark, dir)
+    val n1 = a1.count()
+    assert(n1 == emb.count())
+    // shrink the corpus in place (drop half the vectors). A LIVE
+    // session's Tables.load plan cache documents immutable source
+    // dirs (an in-place rewrite under it fails LOUDLY with
+    // FILE_NOT_EXIST — never silently serves old rows), so model what
+    // production actually does: the next RUN arrives as a new session
+    // over the rewritten snapshot, announced via refreshByPath.
+    val half = emb.filter(col("vec_id") % 2 === 0).persist()
+    val nHalf = half.count()
+    half.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    spark.catalog.refreshByPath(s"$dir/embeddings.parquet")
+    val s2 = spark.newSession()
+    val (_, a2) = AnnIndex.coarseArtifacts(s2, dir)
+    assert(a2.count() == nHalf,
+      "stale postings served for changed corpus")
+    // unchanged corpus: pure read — no version churn
+    val store = new ModelStore(
+      s"/tmp/graft-annindex/" + java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(new java.io.File(dir).getCanonicalPath
+          .getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    val v = store.currentVersion(s2, AnnIndex.Layer, "emb_postings")
+    assert(v >= 2, s"rebuild must commit a new version, got $v")
+    AnnIndex.coarseArtifacts(s2, dir)._2.count()
+    assert(store.currentVersion(s2, AnnIndex.Layer,
+      "emb_postings") == v)
+    half.unpersist(): Unit
+  }
+
   test("pqSig derives from coarseSig: a coarse-constants bump " +
       "invalidates the PQ tier too") {
     // PQ codebooks/codes are trained on residuals against the coarse

@@ -337,6 +337,34 @@ class NearDupSpec extends AnyFunSuite {
     release()
   }
 
+  test("cluster-decision artifact REBUILDS on corpus change instead " +
+      "of serving the stale decision") {
+    // the staleness fingerprint is the whole safety argument of the
+    // once-per-snapshot discipline: same store key (same dir), new
+    // content -> the stored decision must be recomputed, not served
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-stale").toString
+    val v1 = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z w q r"))
+      .toDF("doc_id", "text")
+    val d1 = NearDup.clusterDecisionStored(spark, dir, v1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(d1 == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+    // same doc ids, different content: now 3 duplicates 1, 2 is unique
+    val v2 = Seq(
+      (1L, "a b c d e f"), (2L, "p q r s t u"), (3L, "a b c d e f"))
+      .toDF("doc_id", "text")
+    val d2 = NearDup.clusterDecisionStored(spark, dir, v2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(d2 == Map(1L -> 1L, 2L -> 2L, 3L -> 1L),
+      s"stale decision served for changed corpus: $d2")
+    // and an UNCHANGED corpus is a pure read — no version churn
+    val store = graft.io.ArtifactStore.forDir("cluster", dir)
+    val v = store.currentVersion(spark, "cluster", "decision")
+    NearDup.clusterDecisionStored(spark, dir, v2).count()
+    assert(store.currentVersion(spark, "cluster", "decision") == v)
+  }
+
   test("invertedSimJoin broadcast gate forced both ways: identical " +
       "pair set; release hook frees the shingle cache") {
     // the low-τ plan's per-doc sizes broadcast is volume-gated (the
