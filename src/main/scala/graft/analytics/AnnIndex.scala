@@ -262,23 +262,35 @@ object AnnIndex {
       shortlistR, topK)
   }
 
+  /** Result-retention window of [[serveSink]]'s store table, in
+    * micro-batches: bounds per-batch commit cost and table size for
+    * an unbounded stream. Production serving emits answers to a
+    * downstream sink — the store table is the bounded auditable
+    * tail, not the delivery channel. */
+  val ServeKeepBatches = 64
+
   /** foreachBatch SERVING sink — the streaming half of the IVF-PQ
     * serving story ([[sink]] ingests; this answers): each probe
     * micro-batch of `(q_id, embedding)` rows searches the PERSISTED
     * artifacts through the two-stage batch path ([[searchAdcRerank]] —
     * ADC shortlist from codes only, exact re-rank of the shortlist)
-    * and appends the ranked results to `out` PARTITIONED BY batch —
-    * writeTouchedPartitions hard-links every prior batch's partition,
-    * so each micro-batch costs O(batch results), never O(history).
-    * Replay-safe like [[sink]]: foreachBatch is at-least-once, so the
-    * last served batch id is stamped in the result table's commit
-    * meta and re-deliveries are skipped (stream ≡ batch parity and
-    * the replay no-op are spec-pinned in AnnIndexSpec). */
+    * and commits the ranked results to `out` PARTITIONED BY batch,
+    * retaining the last [[ServeKeepBatches]] batches — per-batch cost
+    * is O(retained results), BOUNDED for an unbounded stream (an
+    * accumulate-forever table would re-link every prior batch's
+    * partition each commit and never reclaim versions), and the
+    * store's own versions are vacuumed to the usual two-deep
+    * concurrent-reader pin. Replay-safe like [[sink]]: foreachBatch
+    * is at-least-once, so the last served batch id is stamped in the
+    * commit meta and re-deliveries are skipped (stream ≡ batch
+    * parity, the replay no-op, and O(batch) later appends are
+    * spec-pinned in AnnIndexSpec). */
   def serveSink(store: ModelStore, name: String, out: ModelStore,
       outLayer: String, outName: String,
       nprobe: Int = VectorOps.NumProbes,
       shortlistR: Int = Pq.RerankDepth,
-      topK: Int = VectorOps.TopK)(
+      topK: Int = VectorOps.TopK,
+      keepBatches: Int = ServeKeepBatches)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val applied = out.meta(spark, outLayer, outName, "serve_last_batch")
@@ -288,15 +300,23 @@ object AnnIndex {
         batch.select(col("q_id"), col("embedding")),
         nprobe, shortlistR, topK)
       .withColumn("batch_id", lit(batchId))
-    val meta = Map("serve_last_batch" -> batchId.toString)
-    if (out.currentVersion(spark, outLayer, outName) == 0)
-      out.write(res, outLayer, outName,
-        partitionBy = Seq("batch_id"),
-        description = "streaming ANN serving results", meta = meta)
-    else
-      out.writeTouchedPartitions(res, outLayer, outName,
-        partitionBy = Seq("batch_id"),
-        description = "streaming ANN serving results", meta = meta)
+    // retained window: prior batches inside the horizon + this one.
+    // batch_id is the PARTITION column of the stored table, so it
+    // reads back int-inferred — cast before the union (the
+    // coarseArtifacts c_id pin)
+    val retained = out.read(spark, outLayer, outName) match {
+      case Some(prev) => prev
+        .withColumn("batch_id", col("batch_id").cast("long"))
+        .filter(col("batch_id") > batchId - keepBatches)
+        .select(res.columns.map(col).toSeq: _*)
+        .unionByName(res)
+      case None => res
+    }
+    out.write(retained, outLayer, outName,
+      partitionBy = Seq("batch_id"),
+      description = "streaming ANN serving results (bounded tail)",
+      meta = Map("serve_last_batch" -> batchId.toString))
+    out.vacuum(spark, outLayer, outName, keepLast = 2)
   }
 
   /** foreachBatch sink: continuous index growth — each micro-batch of
@@ -370,24 +390,26 @@ object AnnIndex {
       withPq: Boolean): (ModelStore, org.apache.spark.sql.DataFrame) = {
     val store = dirStore(d)
     val emb = Tables.load(s, d, "embeddings")
-    val fp = emb.agg(concat_ws(":", count(lit(1)),
-        coalesce(bit_xor(xxhash64(col("vec_id"), col("embedding"))),
-          lit(0L))).as("fp")).head().getString(0)
-    if (!store.meta(s, Layer, postingsTable("emb"), "corpus_fp")
-        .contains(coarseSig(fp))) {
+    val fp = graft.io.ArtifactStore.contentFp(emb, col("vec_id"),
+      col("embedding"))
+    // generation coherence: build() commits centroids BEFORE postings
+    // and the POSTINGS meta is the gate, so a reader that passes the
+    // gate and then loads both tables sees one generation — a torn
+    // pair would need the corpus itself to change mid-query, outside
+    // any snapshot contract
+    graft.io.ArtifactStore.ensure(s, store, Layer,
+      postingsTable("emb"), coarseSig(fp),
+      vacuumTables = Seq(centroidsTable("emb"))) {
       build(s, store, "emb", emb,
         extraMeta = Map("corpus_fp" -> coarseSig(fp)))
-      store.vacuum(s, Layer, postingsTable("emb"), keepLast = 2)
-      store.vacuum(s, Layer, centroidsTable("emb"), keepLast = 2)
     }
-    if (withPq &&
-      !store.meta(s, Layer, pqCodesTable("emb"), "corpus_fp")
-        .contains(pqSig(fp))) {
-      buildPq(s, store, "emb",
-        extraMeta = Map("corpus_fp" -> pqSig(fp)))
-      store.vacuum(s, Layer, pqCodesTable("emb"), keepLast = 2)
-      store.vacuum(s, Layer, pqCodebookTable("emb"), keepLast = 2)
-    }
+    if (withPq)
+      graft.io.ArtifactStore.ensure(s, store, Layer,
+        pqCodesTable("emb"), pqSig(fp),
+        vacuumTables = Seq(pqCodebookTable("emb"))) {
+        buildPq(s, store, "emb",
+          extraMeta = Map("corpus_fp" -> pqSig(fp)))
+      }
     (store, emb)
   }
 

@@ -734,8 +734,14 @@ object NearDup {
   /** Full dedup decision for a document corpus: exact duplicates (by
     * normalized-text fingerprint) plus near-duplicates (capped-shingle
     * exact Jaccard ≥ `threshold`), clustered, smallest doc_id kept. */
+  /** Cluster threshold of the corpus dedup decision. Interpolated
+    * into the stored-artifact staleness signatures — retuning it
+    * rebuilds the artifacts instead of serving decisions computed
+    * under the old threshold. */
+  val DedupThreshold = 0.5
+
   def dedupCorpus(docs: DataFrame, id: String, text: Column,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = DedupThreshold): DataFrame = {
     val (inter, sizes, releaseLists) =
       invertedPairCounts(shingleIndex(docs, id, text), id)
     val pairs = inter
@@ -1163,32 +1169,36 @@ object NearDup {
     * a per-query one. Deterministic, so artifact ≡ the in-memory
     * chain (spec-pinned); every consumer's oracle replays the full
     * chain regardless. */
+  // sigs interpolate the REAL constants (MaxDf, DedupThreshold) —
+  // a threshold retune must move the signature, never hand-edited
+  // literals (the coarseSig discipline)
   private def decisionSig(fp: String): String =
-    s"$fp|cluster,df=$MaxDf,t=1/2"
+    s"$fp|cluster,df=$MaxDf,t=$DedupThreshold"
 
-  /** Corpus content fingerprint over (doc_id, text): count + XOR of
-    * row hashes — order-insensitive, overflow-free under ANSI. The
-    * staleness key every documents-derived artifact shares. */
+  /** Corpus content fingerprint over (doc_id, text) — the shared
+    * [[graft.io.ArtifactStore.contentFp]] formula, which every
+    * documents-derived artifact family must agree on. */
   private[analytics] def docsFp(docs: DataFrame): String =
-    docs.agg(concat_ws(":", count(lit(1)),
-        coalesce(bit_xor(xxhash64(col("doc_id"), col("text"))),
-          lit(0L))).as("fp")).head().getString(0)
+    graft.io.ArtifactStore.contentFp(docs, col("doc_id"), col("text"))
 
   private[analytics] def clusterDecisionStored(s: SparkSession,
-      d: String, docs: DataFrame): DataFrame = {
-    val store = graft.io.ArtifactStore.forDir("cluster", d)
-    val fp = docsFp(docs)
-    if (!store.meta(s, "cluster", "decision", "corpus_fp")
-        .contains(decisionSig(fp))) {
+      d: String, docs: DataFrame): DataFrame =
+    clusterDecisionFor(s, graft.io.ArtifactStore.forDir("cluster", d),
+      docs, docsFp(docs))
+
+  /** [[clusterDecisionStored]] with the store and fingerprint already
+    * in hand — lets derived-artifact builders (canon_reps) reuse ONE
+    * corpus scan for both staleness probes. */
+  private def clusterDecisionFor(s: SparkSession,
+      store: graft.io.ModelStore, docs: DataFrame, fp: String)
+      : DataFrame = {
+    graft.io.ArtifactStore.ensure(s, store, "cluster", "decision",
+      decisionSig(fp)) {
       store.write(
-        dedupCorpus(docs, "doc_id", col("text")),
+        dedupCorpus(docs, "doc_id", col("text"), DedupThreshold),
         "cluster", "decision",
         description = "dedup cluster decision (doc_id -> keep_id)",
         meta = Map("corpus_fp" -> decisionSig(fp)))
-      // keepLast=2 = one-generation read-pin: a concurrent session
-      // that resolved the previous version just before this rebuild
-      // must not have its files vacuumed mid-read (ArtifactStoreSpec)
-      store.vacuum(s, "cluster", "decision", keepLast = 2)
     }
     store.read(s, "cluster", "decision").get
   }
@@ -1201,21 +1211,20 @@ object NearDup {
     * Built FROM [[clusterDecisionStored]] (never re-clusters),
     * staleness-keyed by the same corpus fingerprint. */
   private def repsSig(fp: String): String =
-    s"$fp|canon,df=$MaxDf,t=1/2"
+    s"$fp|canon,df=$MaxDf,t=$DedupThreshold"
   private[analytics] def canonicalRepsStored(s: SparkSession,
       d: String, docs: DataFrame): DataFrame = {
     val store = graft.io.ArtifactStore.forDir("cluster", d)
-    val fp = docsFp(docs)
-    if (!store.meta(s, "cluster", "canon_reps", "corpus_fp")
-        .contains(repsSig(fp))) {
+    val fp = docsFp(docs)   // ONE corpus scan keys both artifacts
+    graft.io.ArtifactStore.ensure(s, store, "cluster", "canon_reps",
+      repsSig(fp)) {
       store.write(
-        canonicalSelection(clusterDecisionStored(s, d, docs), docs)
+        canonicalSelection(clusterDecisionFor(s, store, docs, fp), docs)
           .select(col("canonical_id")),
         "cluster", "canon_reps",
         description = "canonical representatives (derived from the " +
           "stored cluster decision)",
         meta = Map("corpus_fp" -> repsSig(fp)))
-      store.vacuum(s, "cluster", "canon_reps", keepLast = 2)
     }
     store.read(s, "cluster", "canon_reps").get
   }
@@ -1232,15 +1241,14 @@ object NearDup {
       d: String, docs: DataFrame): DataFrame = {
     val store = graft.io.ArtifactStore.forDir("cluster", d)
     val fp = docsFp(docs)
-    if (!store.meta(s, "cluster", "postings", "corpus_fp")
-        .contains(listsSig(fp))) {
+    graft.io.ArtifactStore.ensure(s, store, "cluster", "postings",
+      listsSig(fp)) {
       store.write(
         postingLists(shingleIndex(docs, "doc_id", col("text")),
           "doc_id"),
         "cluster", "postings",
         description = "df-capped shingle posting lists",
         meta = Map("corpus_fp" -> listsSig(fp)))
-      store.vacuum(s, "cluster", "postings", keepLast = 2)
     }
     store.read(s, "cluster", "postings").get
   }

@@ -156,13 +156,12 @@ object NgramOps {
       docs: DataFrame): DataFrame = {
     val store = graft.io.ArtifactStore.forDir("cluster", d)
     val fp = NearDup.docsFp(docs)
-    if (!store.meta(s, "cluster", "doc_grams", "corpus_fp")
-        .contains(dgSig(fp))) {
+    graft.io.ArtifactStore.ensure(s, store, "cluster", "doc_grams",
+      dgSig(fp)) {
       store.write(docGrams(docs), "cluster", "doc_grams",
         description = "distinct per-doc n-gram fingerprints " +
           "(decontamination index)",
         meta = Map("corpus_fp" -> dgSig(fp)))
-      store.vacuum(s, "cluster", "doc_grams", keepLast = 2)
     }
     store.read(s, "cluster", "doc_grams").get
   }
@@ -445,12 +444,11 @@ object NgramOps {
       d: String, docs: DataFrame): DataFrame = {
     val store = graft.io.ArtifactStore.forDir("cluster", d)
     val fp = NearDup.docsFp(docs)
-    if (!store.meta(s, "cluster", "bigram_buckets", "corpus_fp")
-        .contains(dbcSig(fp))) {
+    graft.io.ArtifactStore.ensure(s, store, "cluster",
+      "bigram_buckets", dbcSig(fp)) {
       store.write(bigramBucketCounts(docs), "cluster", "bigram_buckets",
         description = "per-doc bucketed-bigram counts (LM input)",
         meta = Map("corpus_fp" -> dbcSig(fp)))
-      store.vacuum(s, "cluster", "bigram_buckets", keepLast = 2)
     }
     store.read(s, "cluster", "bigram_buckets").get
   }

@@ -593,7 +593,7 @@ object VectorOps {
     * a distinct plus two vector re-attach joins (measured 40 s → ~4 s
     * at 20k vectors). */
   def embeddingDedupCorpus(emb: DataFrame, dims: Int,
-      threshold: Double = 0.95): DataFrame = {
+      threshold: Double = EmbDedupThreshold): DataFrame = {
     // same banded index as q30 (lshBands: n2 computed pre-explode,
     // once per vector), plus the bucket-size cap
     val base = lshBands(emb, dims, DedupBands)
@@ -678,23 +678,29 @@ object VectorOps {
     * reads the decision — production dedup's own lifecycle, and the
     * 100 TB shape: the global clustering is a snapshot job, not a
     * per-query one. */
+  /** q39 decision threshold and the corpus's embedding width —
+    * NAMED so the staleness signature interpolates the values the
+    * build actually uses (a retune moves the signature; hand-edited
+    * literals could silently serve stale decisions). */
+  val EmbDedupThreshold = 0.95
+  val EmbDims = 64
+
   private def embDedupSig(fp: String): String =
-    s"$fp|embdedup,b=$DedupBands,mb=$DedupMaxBucket,t=0.95,d=64"
+    s"$fp|embdedup,b=$DedupBands,mb=$DedupMaxBucket," +
+      s"t=$EmbDedupThreshold,d=$EmbDims"
   private[analytics] def embeddingDedupStored(s: SparkSession,
       d: String): DataFrame = {
     val store = graft.io.ArtifactStore.forDir("cluster", d)
     val emb = T(s, d, "embeddings")
-    val fp = emb.agg(concat_ws(":", count(lit(1)),
-        coalesce(bit_xor(xxhash64(col("vec_id"), col("embedding"))),
-          lit(0L))).as("fp")).head().getString(0)
-    if (!store.meta(s, "cluster", "emb_dedup", "corpus_fp")
-        .contains(embDedupSig(fp))) {
+    val fp = graft.io.ArtifactStore.contentFp(emb, col("vec_id"),
+      col("embedding"))
+    graft.io.ArtifactStore.ensure(s, store, "cluster", "emb_dedup",
+      embDedupSig(fp)) {
       store.write(
-        embeddingDedupCorpus(emb, dims = 64),
+        embeddingDedupCorpus(emb, EmbDims, EmbDedupThreshold),
         "cluster", "emb_dedup",
         description = "embedding dedup decision (vec_id -> keep_id)",
         meta = Map("corpus_fp" -> embDedupSig(fp)))
-      store.vacuum(s, "cluster", "emb_dedup", keepLast = 2)
     }
     store.read(s, "cluster", "emb_dedup").get
   }

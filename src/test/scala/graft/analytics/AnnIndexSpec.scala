@@ -155,8 +155,8 @@ class AnnIndexSpec extends AnyFunSuite {
     AnnIndex.serveSink(store, "e", out, "serve", "res")(probes, 0L)
     assert(out.currentVersion(spark, "serve", "res") == v)
 
-    // a later batch appends ONLY its own partition — prior batches
-    // carry over by hard link, so per-batch cost is O(batch results)
+    // a later batch keeps the prior batch inside the retention
+    // horizon — the table is the bounded auditable tail
     AnnIndex.serveSink(store, "e", out, "serve", "res")(
       probes.filter(col("q_id") === 1L), 1L)
     val served = out.read(spark, "serve", "res").get
@@ -165,6 +165,16 @@ class AnnIndexSpec extends AnyFunSuite {
       .select("q_id", "vec_id", "d2", "rnk")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getInt(3))).toSet == expected)
+
+    // ...and batches beyond the horizon age OUT: per-batch cost is
+    // O(retained results), bounded for an unbounded stream, never
+    // O(full history)
+    AnnIndex.serveSink(store, "e", out, "serve", "res",
+      keepBatches = 1)(probes.filter(col("q_id") === 2L), 2L)
+    val bounded = out.read(spark, "serve", "res").get
+    assert(bounded.filter(col("batch_id") === 2L).count() > 0)
+    assert(bounded.filter(col("batch_id") <= 1L).count() == 0,
+      "batches beyond the retention horizon must age out")
   }
 
   test("persisted IVF-PQ search (q113) returns exactly the in-memory " +
