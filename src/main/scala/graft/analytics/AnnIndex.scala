@@ -121,9 +121,11 @@ object AnnIndex {
           val cb = store.read(spark, Layer, pqCodebookTable(name))
             .getOrElse(sys.error(
               s"ANN index '$name' has PQ codes but no codebooks"))
+          val (numSub, subDim) = pqGeom(spark, store, name)
           val newCodes = Pq.assignCodes(
             Pq.subspaces(Pq.residuals(
-              assigned.select("vec_id", "qv", "n2", "c_id"), cents)),
+              assigned.select("vec_id", "qv", "n2", "c_id"), cents),
+              numSub, subDim),
             cb)
             .select(col("c_id"), col("vec_id"), col("m"), col("code"))
           val mergedCodes = existingCodes
@@ -182,26 +184,45 @@ object AnnIndex {
     * inverted lists that fit in executor memory and lists that spill.
     * `extraMeta` merges into both commits (staleness stamps). */
   def buildPq(spark: SparkSession, store: ModelStore, name: String,
-      extraMeta: Map[String, String] = Map.empty): Unit = {
+      extraMeta: Map[String, String] = Map.empty,
+      numSub: Int = Pq.NumSub, subDim: Int = Pq.SubDim,
+      numCodes: Int = Pq.NumCodes, iters: Int = Pq.PqIters): Unit = {
     val cents = store.read(spark, Layer, centroidsTable(name)).getOrElse(
       sys.error(s"ANN index '$name' has no centroids — build() first"))
     val postings = store.read(spark, Layer, postingsTable(name)).getOrElse(
       sys.error(s"ANN index '$name' has no postings — build() first"))
     val subs = Pq.subspaces(Pq.residuals(
-      postings.select("vec_id", "qv", "n2", "c_id"), cents)).persist()
-    val cb = Pq.trainCodebooks(subs).persist()
+        postings.select("vec_id", "qv", "n2", "c_id"), cents),
+      numSub, subDim).persist()
+    val cb = Pq.trainCodebooks(subs, numCodes, iters).persist()
+    // the artifact is SELF-DESCRIBING: the geometry it was trained
+    // under rides in the commit meta, so the serving path reads the
+    // right query-side distance-table shape without the caller
+    // having to know how the store was built (production runs
+    // 16×4-dim/256 codes through the identical plan — spec-pinned)
+    val geom = Map("pq_geom" -> s"$numSub:$subDim:$numCodes:$iters")
     store.write(cb, Layer, pqCodebookTable(name),
-      description = s"PQ codebooks (${Pq.NumSub}×${Pq.NumCodes}, " +
-        s"iters=${Pq.PqIters})",
-      meta = extraMeta)
+      description = s"PQ codebooks (${numSub}×$numCodes, " +
+        s"iters=$iters)",
+      meta = extraMeta ++ geom)
     store.write(
       Pq.assignCodes(subs, cb)
         .select(col("c_id"), col("vec_id"), col("m"), col("code")),
       Layer, pqCodesTable(name), partitionBy = Seq("c_id"),
       description = "PQ codes (per-vector subspace codes)",
-      meta = extraMeta)
+      meta = extraMeta ++ geom)
     subs.unpersist(); cb.unpersist(): Unit
   }
+
+  /** Geometry the store's PQ artifacts were trained under (from the
+    * self-describing commit meta; constants for pre-meta stores). */
+  private def pqGeom(spark: SparkSession, store: ModelStore,
+      name: String): (Int, Int) =
+    store.meta(spark, Layer, pqCodesTable(name), "pq_geom") match {
+      case Some(g) =>
+        val p = g.split(":"); (p(0).toInt, p(1).toInt)
+      case None => (Pq.NumSub, Pq.SubDim)
+    }
 
   /** Shared ADC front half: load the PQ artifacts, probe the query
     * cells, and partition-prune the codes to them. Returns
@@ -238,7 +259,8 @@ object AnnIndex {
       topK: Int = VectorOps.TopK): DataFrame = {
     val (cents, cb, codes, probes, _) =
       adcInputs(spark, store, name, queries, nprobe)
-    Pq.adcRank(probes, cents, cb, codes, topK)
+    val (numSub, subDim) = pqGeom(spark, store, name)
+    Pq.adcRank(probes, cents, cb, codes, topK, numSub, subDim)
   }
 
   /** Two-stage ADC search over the persisted artifacts: ADC shortlist
@@ -256,10 +278,11 @@ object AnnIndex {
       adcInputs(spark, store, name, queries, nprobe)
     val postings = store.read(spark, Layer, postingsTable(name)).getOrElse(
       sys.error(s"ANN index '$name' has no postings — build() first"))
+    val (numSub, subDim) = pqGeom(spark, store, name)
     Pq.adcRerank(probes, cents, cb, codes,
       postings.filter(col("c_id").isin(cells.toSeq: _*))
         .select("vec_id", "qv", "n2"),
-      shortlistR, topK)
+      shortlistR, topK, numSub, subDim)
   }
 
   /** Result-retention window of [[serveSink]]'s store table, in

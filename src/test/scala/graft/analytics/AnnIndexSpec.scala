@@ -248,6 +248,46 @@ class AnnIndexSpec extends AnyFunSuite {
     half.unpersist(): Unit
   }
 
+  test("persisted PQ at the production geometry (16x4-dim, 256 " +
+      "codes): the artifact is self-describing and serving equals " +
+      "the in-memory chain") {
+    // the 100 TB claim runs 256-code codebooks through the SAME
+    // persisted plan as the oracle-tractable 16-code default; the
+    // geometry rides in the artifact's commit meta, so the serving
+    // path shapes its distance table correctly with no caller input
+    val d = "/root/testdata/sf0.01"
+    val tmp = Files.createTempDirectory("ann-pq-prod").toString
+    val store = new ModelStore(tmp)
+    val emb = Tables.load(spark, d, "embeddings")
+    AnnIndex.build(spark, store, "e", emb)
+    AnnIndex.buildPq(spark, store, "e",
+      numSub = 16, subDim = 4, numCodes = 256, iters = 2)
+    val q = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val got = AnnIndex.searchAdc(spark, store, "e", q)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSet
+
+    val base = VectorOps.withQuant(emb).persist()
+    val cents = VectorOps.kmeansCentroids(base).persist()
+    val assigned = VectorOps.ivfAssign(base, cents).persist()
+    val subs = Pq.subspaces(Pq.residuals(assigned, cents), 16, 4)
+      .persist()
+    val cb = Pq.trainCodebooks(subs, 256, 2)
+    val mem = Pq.adcSearch(assigned, cents, cb,
+        Pq.assignCodes(subs, cb), 4, VectorOps.TopK, 16, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSet
+    assert(got.nonEmpty && got == mem)
+
+    // the two-stage serving path runs at the same geometry
+    val rr = AnnIndex.searchAdcRerank(spark, store, "e", q).collect()
+    assert(rr.nonEmpty && rr.forall(_.getInt(3) <= VectorOps.TopK))
+    base.unpersist(); cents.unpersist(); assigned.unpersist()
+    subs.unpersist()
+    graft.Harness.deleteRecursively(new java.io.File(tmp))
+  }
+
   test("pqSig derives from coarseSig: a coarse-constants bump " +
       "invalidates the PQ tier too") {
     // PQ codebooks/codes are trained on residuals against the coarse
