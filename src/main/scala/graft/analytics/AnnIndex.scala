@@ -132,6 +132,10 @@ object AnnIndex {
             .filter(col("c_id").isin(touched.toSeq: _*))
             .select("c_id", "vec_id", "m", "code")
             .unionByName(newCodes)
+          // the codebook's pq_geom stamp (authoritative — see
+          // [[pqGeom]]) plus the commit's meta carry-forward keep the
+          // rewritten codes table self-describing across appends
+          // (AnnIndexSpec pins the stamp's survival at 16x4/256)
           store.writeTouchedPartitions(mergedCodes, Layer,
             pqCodesTable(name), partitionBy = Seq("c_id"),
             description = "PQ codes append", meta = extraMeta)
@@ -215,12 +219,27 @@ object AnnIndex {
   }
 
   /** Geometry the store's PQ artifacts were trained under (from the
-    * self-describing commit meta; constants for pre-meta stores). */
+    * self-describing commit meta; constants for pre-meta stores).
+    *
+    * The CODEBOOK table's stamp is authoritative: [[buildPq]] writes
+    * it and nothing short of a full retrain ever rewrites that table,
+    * while the codes table is rewritten by every [[append]] (its
+    * stamp survives those only via the commit's meta carry-forward —
+    * spec-pinned, but the codebook read doesn't depend on it). A
+    * malformed stamp fails with a descriptive error instead of an
+    * opaque index/parse exception deep in the serving path. */
   private def pqGeom(spark: SparkSession, store: ModelStore,
       name: String): (Int, Int) =
-    store.meta(spark, Layer, pqCodesTable(name), "pq_geom") match {
+    store.meta(spark, Layer, pqCodebookTable(name), "pq_geom")
+      .orElse(store.meta(spark, Layer, pqCodesTable(name), "pq_geom"))
+      match {
       case Some(g) =>
-        val p = g.split(":"); (p(0).toInt, p(1).toInt)
+        val p = g.split(":")
+        if (p.length != 4 || p.exists(_.toIntOption.isEmpty))
+          sys.error(s"malformed pq_geom stamp '$g' on ANN index " +
+            s"'$name' (${pqCodebookTable(name)}) — expected " +
+            "numSub:subDim:numCodes:iters")
+        (p(0).toInt, p(1).toInt)
       case None => (Pq.NumSub, Pq.SubDim)
     }
 
@@ -298,47 +317,69 @@ object AnnIndex {
     * artifacts through the two-stage batch path ([[searchAdcRerank]] —
     * ADC shortlist from codes only, exact re-rank of the shortlist)
     * and commits the ranked results to `out` PARTITIONED BY batch,
-    * retaining the last [[ServeKeepBatches]] batches — per-batch cost
-    * is O(retained results), BOUNDED for an unbounded stream (an
-    * accumulate-forever table would re-link every prior batch's
-    * partition each commit and never reclaim versions), and the
-    * store's own versions are vacuumed to the usual two-deep
+    * retaining the last [[ServeKeepBatches]] batches — the commit is
+    * O(batch): ONLY the new batch's partition is written fresh, the
+    * retained prior partitions carry over by hard link, and expired
+    * ones are declared touched-with-zero-rows so the carry-over drops
+    * them (the emptied-partition contract of
+    * [[graft.io.ModelStore.writeTouchedPartitions]]; the earlier
+    * read-back + union + full rewrite was ~keep× write amplification
+    * per commit — wrong for a production-rate stream). The store's
+    * own versions are vacuumed to the usual two-deep
     * concurrent-reader pin. Replay-safe like [[sink]]: foreachBatch
     * is at-least-once, so the last served batch id is stamped in the
-    * commit meta and re-deliveries are skipped (stream ≡ batch
-    * parity, the replay no-op, and O(batch) later appends are
-    * spec-pinned in AnnIndexSpec). */
+    * commit meta and re-deliveries are skipped — the stamp key is
+    * namespaced by `runId` because a stream RESTARTED WITH A FRESH
+    * CHECKPOINT resets batch ids to 0, and an un-namespaced stamp
+    * from the previous run would silently drop every batch until the
+    * ids caught back up (data loss with no error). Callers pass the
+    * started query's `runId` (or any per-start nonce); the default
+    * empty id keeps single-run semantics for a sink whose out table
+    * lives and dies with one checkpoint. Stream ≡ batch parity, the
+    * replay no-op, O(batch) hard-linked commits, and the fresh-run
+    * restart are spec-pinned in AnnIndexSpec. */
   def serveSink(store: ModelStore, name: String, out: ModelStore,
       outLayer: String, outName: String,
       nprobe: Int = VectorOps.NumProbes,
       shortlistR: Int = Pq.RerankDepth,
       topK: Int = VectorOps.TopK,
-      keepBatches: Int = ServeKeepBatches)(
+      keepBatches: Int = ServeKeepBatches,
+      runId: String = "")(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val applied = out.meta(spark, outLayer, outName, "serve_last_batch")
+    val stampKey = if (runId.isEmpty) "serve_last_batch"
+      else s"serve_last_batch_$runId"
+    val applied = out.meta(spark, outLayer, outName, stampKey)
       .map(_.toLong)
     if (applied.exists(_ >= batchId) || batch.isEmpty) return
     val res = searchAdcRerank(spark, store, name,
         batch.select(col("q_id"), col("embedding")),
         nprobe, shortlistR, topK)
       .withColumn("batch_id", lit(batchId))
-    // retained window: prior batches inside the horizon + this one.
-    // batch_id is the PARTITION column of the stored table, so it
-    // reads back int-inferred — cast before the union (the
-    // coarseArtifacts c_id pin)
-    val retained = out.read(spark, outLayer, outName) match {
-      case Some(prev) => prev
-        .withColumn("batch_id", col("batch_id").cast("long"))
-        .filter(col("batch_id") > batchId - keepBatches)
-        .select(res.columns.map(col).toSeq: _*)
-        .unionByName(res)
-      case None => res
+    out.read(spark, outLayer, outName) match {
+      case Some(prev) =>
+        // expired partition ids, declared so the link pass DROPS them
+        // (a fresh dir for the new batch + declared-empty for these;
+        // everything else hard-links). Bounded collect: distinct
+        // values of the PARTITION column, ≤ retained window + 1 in
+        // steady state — never O(rows)
+        val expired = prev
+          .select(col("batch_id").cast("long").as("batch_id"))
+          .filter(col("batch_id") <= batchId - keepBatches)
+          .distinct().collect().map(_.getLong(0)).toSeq
+        val schema = new org.apache.spark.sql.types.StructType()
+          .add("batch_id", org.apache.spark.sql.types.LongType)
+        out.writeTouchedPartitions(res, outLayer, outName,
+          partitionBy = Seq("batch_id"),
+          description = "streaming ANN serving results (bounded tail)",
+          meta = Map(stampKey -> batchId.toString),
+          touchedRows = Some((schema,
+            expired.map(org.apache.spark.sql.Row(_)))))
+      case None =>
+        out.write(res, outLayer, outName, partitionBy = Seq("batch_id"),
+          description = "streaming ANN serving results (bounded tail)",
+          meta = Map(stampKey -> batchId.toString))
     }
-    out.write(retained, outLayer, outName,
-      partitionBy = Seq("batch_id"),
-      description = "streaming ANN serving results (bounded tail)",
-      meta = Map("serve_last_batch" -> batchId.toString))
     out.vacuum(spark, outLayer, outName, keepLast = 2)
   }
 

@@ -166,6 +166,27 @@ class AnnIndexSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getInt(3))).toSet == expected)
 
+    // O(batch) commit: the retained batch-0 partition carried over by
+    // HARD LINK (same inode as the prior version's file, nlink >= 2);
+    // only the new batch's partition was written fresh (nlink == 1).
+    // The pre-fix shape read back and rewrote the whole retained
+    // window every commit — ~keep× write amplification per batch
+    val vCur = out.currentVersion(spark, "serve", "res")
+    def nlinks(part: String): Seq[Int] = {
+      val d = new java.io.File(
+        out.versionDir("serve", "res", vCur), part)
+      d.listFiles().toSeq.filter(_.getName.endsWith(".parquet"))
+        .map(f => java.nio.file.Files
+          .getAttribute(f.toPath, "unix:nlink")
+          .asInstanceOf[Number].intValue)
+    }
+    assert(nlinks("batch_id=0").nonEmpty &&
+      nlinks("batch_id=0").forall(_ >= 2),
+      "retained partition must carry over by hard link, not rewrite")
+    assert(nlinks("batch_id=1").nonEmpty &&
+      nlinks("batch_id=1").forall(_ == 1),
+      "the new batch's partition must be the only fresh write")
+
     // ...and batches beyond the horizon age OUT: per-batch cost is
     // O(retained results), bounded for an unbounded stream, never
     // O(full history)
@@ -175,6 +196,20 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(bounded.filter(col("batch_id") === 2L).count() > 0)
     assert(bounded.filter(col("batch_id") <= 1L).count() == 0,
       "batches beyond the retention horizon must age out")
+
+    // fresh-checkpoint restart: batch ids reset to 0, but a NEW runId
+    // namespaces the replay stamp, so the restarted stream's batch 0
+    // is SERVED instead of silently dropped against the old run's
+    // stamp (which says last=2) — the no-error data-loss mode
+    val vBefore = out.currentVersion(spark, "serve", "res")
+    AnnIndex.serveSink(store, "e", out, "serve", "res",
+      runId = "restart")(probes.filter(col("q_id") === 3L), 0L)
+    assert(out.currentVersion(spark, "serve", "res") == vBefore + 1,
+      "a fresh run's batch 0 must be served, not dropped")
+    // ...and replay WITHIN the new run is still a no-op
+    AnnIndex.serveSink(store, "e", out, "serve", "res",
+      runId = "restart")(probes.filter(col("q_id") === 3L), 0L)
+    assert(out.currentVersion(spark, "serve", "res") == vBefore + 1)
   }
 
   test("persisted IVF-PQ search (q113) returns exactly the in-memory " +
@@ -326,6 +361,42 @@ class AnnIndexSpec extends AnyFunSuite {
     val hit = got.find(_._1 == 900000L)
     assert(hit.isDefined, s"appended vector missing from ADC results $got")
     assert(hit.get._2 == 1, s"near-copy should rank first: $got")
+    graft.Harness.deleteRecursively(tmp.toFile)
+  }
+
+  test("append at the PRODUCTION PQ geometry (16x4, 256 codes) keeps " +
+      "the pq_geom stamp and stays ADC-correct") {
+    // the default-geometry append test can't catch a dropped geometry
+    // stamp (the fallback EQUALS the default); at 16x4/256 a lost
+    // stamp would shape the distance table as 8x8 and silently return
+    // wrong ANN results on every post-append search
+    val tmp = java.nio.file.Files.createTempDirectory("ann-pq-appgeom")
+    val store = new ModelStore(tmp.toString)
+    val emb = Tables.load(spark, Dir, "embeddings")
+    AnnIndex.build(spark, store, "e", emb)
+    AnnIndex.buildPq(spark, store, "e",
+      numSub = 16, subDim = 4, numCodes = 256, iters = 2)
+    val copy = emb.filter(col("vec_id") === 3L)
+      .select(lit(900000L).as("vec_id"),
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          x => x + lit(0.0005f)).as("embedding"))
+    AnnIndex.append(spark, store, "e", copy)
+    // the codes table the append rewrote must still be self-describing
+    assert(store.meta(spark, AnnIndex.Layer, "e_pq_codes", "pq_geom")
+      .contains("16:4:256:2"),
+      "append must preserve the pq_geom stamp on the codes table")
+    // and a second append must keep encoding against the 16x4 slicing
+    AnnIndex.append(spark, store, "e",
+      emb.filter(col("vec_id") === 5L)
+        .select(lit(900001L).as("vec_id"), col("embedding")))
+    val got = AnnIndex.searchAdc(spark, store, "e",
+      emb.filter(col("vec_id") === 3L)
+        .select(col("vec_id").as("q_id"), col("embedding")))
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    val hit = got.find(_._1 == 900000L)
+    assert(hit.isDefined && hit.get._2 == 1,
+      s"appended near-copy must rank first at the production geometry: " +
+        got.sortBy(_._2).take(5).mkString(", "))
     graft.Harness.deleteRecursively(tmp.toFile)
   }
 
