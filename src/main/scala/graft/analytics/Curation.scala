@@ -721,11 +721,12 @@ object Curation {
       // subtree runs twice (the invertedPairCounts `lists` rationale)
       val exact = fp.join(keepFp, Seq("content_fp", "doc_id")).persist()
       val shi = NearDup.shingleIndex(exact, "doc_id", col("clean_text"))
-      val (pairs, sizes, _) = NearDup.invertedPairCounts(shi, "doc_id")
+      val (pairs, sizes, sized, _) =
+        NearDup.invertedPairCounts(shi, "doc_id")
       val dup = pairs
-        .join(broadcast(sizes.select(col("doc_id").as("a_id"),
+        .join(sized(sizes.select(col("doc_id").as("a_id"),
           col("n").as("na"))), Seq("a_id"))
-        .join(broadcast(sizes.select(col("doc_id").as("b_id"),
+        .join(sized(sizes.select(col("doc_id").as("b_id"),
           col("n").as("nb"))), Seq("b_id"))
         .filter(col("n_inter") * 10000 >=
           (col("na") + col("nb") - col("n_inter")) * 5000)

@@ -21,14 +21,25 @@ import graft.queries.Q
   */
 object NearDup {
 
-  /** 3-gram word shingles, distinct, empty for docs under 3 tokens. */
+  /** Shingle width of the n-gram near-dup family — [[shingles3]] and
+    * [[shingleIndex]] both derive their construction from it, and
+    * every posting-list/cluster staleness signature interpolates it
+    * (the coarseSig discipline: a width retune must move the
+    * signatures, or retuned code would silently serve posting lists
+    * and cluster decisions computed under the old width). The DuckDB
+    * oracles hardcode the 3-gram SQL form; changing this requires
+    * regenerating them. */
+  val ShingleN = 3
+
+  /** n-gram word shingles ([[ShingleN]]), distinct, empty for docs
+    * under [[ShingleN]] tokens. */
   def shingles3(text: Column): Column = {
     val t = split(text, "\\s+")
     array_distinct(
-      when(size(t) >= 3,
-        transform(sequence(lit(1), size(t) - 2), i =>
-          concat_ws(" ", element_at(t, i), element_at(t, i + 1),
-            element_at(t, i + 2))))
+      when(size(t) >= ShingleN,
+        transform(sequence(lit(1), size(t) - (ShingleN - 1)), i =>
+          concat_ws(" ", (0 until ShingleN)
+            .map(k => element_at(t, i + lit(k))): _*)))
         .otherwise(array().cast("array<string>")))
   }
 
@@ -49,14 +60,19 @@ object NearDup {
   def shingleIndex(docs: DataFrame, id: String, text: Column): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(id).orderBy("pos")
-    docs
+    val exploded = docs
       .repartition(col(id))
       .select(col(id), posexplode(split(text, "\\s+")).as(Seq("pos", "w1")))
-      .withColumn("w2", lead("w1", 1).over(w))
-      .withColumn("w3", lead("w1", 2).over(w))
-      .filter(col("w3").isNotNull)
-      .select(col(id), concat_ws(" ", col("w1"), col("w2"), col("w3"))
-        .as("s"))
+    // window leads 1..ShingleN-1 — the width is DERIVED from the named
+    // constant the staleness signatures interpolate, never a parallel
+    // hard-coded literal
+    val withLeads = (1 until ShingleN).foldLeft(exploded) { (df, k) =>
+      df.withColumn(s"w${k + 1}", lead("w1", k).over(w))
+    }
+    withLeads
+      .filter(col(s"w$ShingleN").isNotNull)
+      .select(col(id), concat_ws(" ",
+        (1 to ShingleN).map(k => col(s"w$k")): _*).as("s"))
       .dropDuplicates(id, "s")
   }
 
@@ -75,16 +91,43 @@ object NearDup {
     * kept-shingle sizes `(id, n)` — both over the SAME capped index
     * the self-join form used, so results are identical.
     */
-  /** Third element releases the internal posting-list cache — call it
-    * once pairs/sizes are fully consumed (eager composers like
-    * [[dedupCorpus]] do; lazy query entries leave it to the
+  /** Total entry volume (Σ|docs| over lists) of a posting-list table
+    * — the measured quantity every per-doc `sizes` broadcast is gated
+    * on (entries ≥ distinct docs, so it bounds the sizes row count
+    * from above with ONE scan and no extra aggregation). */
+  private[analytics] def entriesOf(lists: DataFrame): Long =
+    lists.agg(coalesce(sum(size(col("docs"))), lit(0L)))
+      .head().getLong(0)
+
+  /** Broadcast-or-shuffle wrapper for the per-doc `sizes` lookup
+    * joins, volume-gated like [[invertedSimJoinReleasable]]'s (the
+    * q107 discipline, applied to EVERY sizes join): a sizes table is
+    * one 16-byte row per corpus doc — trivially broadcastable at gate
+    * SFs but unbounded by any design constant, and a FORCED broadcast
+    * on a ~10⁹-doc corpus (~16–32 GB) aborts the job. Below
+    * `entryMax` the joins broadcast; past it they run as shuffles —
+    * still O(candidates) rows. Both plans emit identical results
+    * (specs force the gate both ways per family). */
+  private[analytics] def sizedGate(entries: => Long,
+      entryMax: Long = BroadcastShingleEntryMax)
+      : DataFrame => DataFrame =
+    if (entries <= entryMax) (p: DataFrame) => broadcast(p)
+    else (p: DataFrame) => p
+
+  /** Third element is the gated sizes-broadcast wrapper
+    * ([[sizedGate]] over the persisted lists' measured entry count —
+    * a cache scan); fourth releases the internal posting-list cache —
+    * call it once pairs/sizes are fully consumed (eager composers
+    * like [[dedupCorpus]] do; lazy query entries leave it to the
     * harness-level cache clear). */
   private[analytics] def invertedPairCounts(sh: DataFrame, id: String,
-      maxDf: Int = MaxDf): (DataFrame, DataFrame, () => Unit) = {
-    // persist: feeds pair explosion AND per-doc sizes
+      maxDf: Int = MaxDf, entryMax: Long = BroadcastShingleEntryMax)
+      : (DataFrame, DataFrame, DataFrame => DataFrame, () => Unit) = {
+    // persist: feeds pair explosion, per-doc sizes, AND the gate count
     val lists = postingLists(sh, id, maxDf).persist()
     val (pairs, sizes) = pairCountsFromLists(lists, id)
-    (pairs, sizes, () => { lists.unpersist(); () })
+    (pairs, sizes, sizedGate(entriesOf(lists), entryMax),
+      () => { lists.unpersist(); () })
   }
 
   /** The df-capped posting lists alone: one sorted doc-id array per
@@ -155,11 +198,21 @@ object NearDup {
     // with q98); per query only the pair counting runs. Deterministic,
     // so artifact ≡ the in-memory lists (spec-pinned); the oracle
     // replays the full chain either way.
-    val (pairs, sizes) = pairCountsFromLists(
-      postingListsStored(s, d, T(s, d, "documents")), "doc_id")
-    // per-doc sizes are |docs| rows — broadcast both lookup sides
-    val sa = broadcast(sizes.as("sa"))
-    val sb = broadcast(sizes.as("sb"))
+    val (lists, sized) = postingListsStored(s, d, T(s, d, "documents"))
+    val (pairs, sizes) = pairCountsFromLists(lists, "doc_id")
+    jaccardFromCounts(pairs, sizes, sized)
+      .orderBy("a_id", "b_id")
+  }.copy(sideEffecting = true)
+
+  /** The Jaccard ≥ 0.5 pair test alone, over already-computed
+    * pair/size counts — consumers of the stored posting lists run
+    * only this part per query. `sized` is the gated broadcast wrapper
+    * ([[sizedGate]]) for the two per-doc sizes lookup joins; specs
+    * force it both ways and assert identical pair sets. */
+  private[analytics] def jaccardFromCounts(pairs: DataFrame,
+      sizes: DataFrame, sized: DataFrame => DataFrame): DataFrame = {
+    val sa = sized(sizes.as("sa"))
+    val sb = sized(sizes.as("sb"))
     val unionN = col("sa.n") + col("sb.n") - col("n_inter")
     pairs
       .join(sa, col("a_id") === col("sa.doc_id"))
@@ -170,8 +223,7 @@ object NearDup {
         unionN.as("n_union"),
         Exact.dec4(Exact.halfUpDiv(col("n_inter") * 10000, unionN))
           .as("jaccard"))
-      .orderBy("a_id", "b_id")
-  }.copy(sideEffecting = true)
+  }
 
   // ---------------------------------------------- shingle containment
   /** Asymmetric containment (Broder 1997, "On the resemblance and
@@ -184,17 +236,19 @@ object NearDup {
     * are tested in exact integer space (τ = 0.8 as ·10000 ≥ ·8000). */
   def containmentPairs(docs: DataFrame): DataFrame = {
     val sh = shingleIndex(docs, "doc_id", col("text"))
-    val (pairs, sizes, _) = invertedPairCounts(sh, "doc_id")
-    containmentFromCounts(pairs, sizes)
+    val (pairs, sizes, sized, _) = invertedPairCounts(sh, "doc_id")
+    containmentFromCounts(pairs, sizes, sized)
   }
 
   /** The directional containment tests alone, over already-computed
     * pair/size counts — consumers of the stored posting lists run
-    * only this part per query. */
+    * only this part per query. `sized` is the gated broadcast wrapper
+    * ([[sizedGate]]) for the two per-doc sizes lookup joins; specs
+    * force it both ways and assert identical pair sets. */
   private[analytics] def containmentFromCounts(pairs: DataFrame,
-      sizes: DataFrame): DataFrame = {
-    val sa = broadcast(sizes.as("sa"))
-    val sb = broadcast(sizes.as("sb"))
+      sizes: DataFrame, sized: DataFrame => DataFrame): DataFrame = {
+    val sa = sized(sizes.as("sa"))
+    val sb = sized(sizes.as("sb"))
     val j = pairs
       .join(sa, col("a_id") === col("sa.doc_id"))
       .join(sb, col("b_id") === col("sb.doc_id"))
@@ -249,9 +303,10 @@ object NearDup {
       |FROM dir ORDER BY contained_id, container_id""".stripMargin) {
     (s, d) =>
       // pair counts from the stored posting lists (shared with q24)
-      val (pairs, sizes) = pairCountsFromLists(
-        postingListsStored(s, d, T(s, d, "documents")), "doc_id")
-      containmentFromCounts(pairs, sizes)
+      val (lists, sized) = postingListsStored(s, d,
+        T(s, d, "documents"))
+      val (pairs, sizes) = pairCountsFromLists(lists, "doc_id")
+      containmentFromCounts(pairs, sizes, sized)
         .orderBy("contained_id", "container_id")
   }.copy(sideEffecting = true)
 
@@ -741,13 +796,15 @@ object NearDup {
   val DedupThreshold = 0.5
 
   def dedupCorpus(docs: DataFrame, id: String, text: Column,
-      threshold: Double = DedupThreshold): DataFrame = {
-    val (inter, sizes, releaseLists) =
-      invertedPairCounts(shingleIndex(docs, id, text), id)
+      threshold: Double = DedupThreshold,
+      entryMax: Long = BroadcastShingleEntryMax): DataFrame = {
+    val (inter, sizes, sized, releaseLists) =
+      invertedPairCounts(shingleIndex(docs, id, text), id,
+        entryMax = entryMax)
     val pairs = inter
-      .join(broadcast(sizes.select(col(id).as("a_id"), col("n").as("na"))),
+      .join(sized(sizes.select(col(id).as("a_id"), col("n").as("na"))),
         Seq("a_id"))
-      .join(broadcast(sizes.select(col(id).as("b_id"), col("n").as("nb"))),
+      .join(sized(sizes.select(col(id).as("b_id"), col("n").as("nb"))),
         Seq("b_id"))
       .filter(col("n_inter") >=
         (col("na") + col("nb") - col("n_inter")) * threshold)
@@ -1173,7 +1230,7 @@ object NearDup {
   // a threshold retune must move the signature, never hand-edited
   // literals (the coarseSig discipline)
   private def decisionSig(fp: String): String =
-    s"$fp|cluster,df=$MaxDf,t=$DedupThreshold"
+    s"$fp|cluster,df=$MaxDf,t=$DedupThreshold,n=$ShingleN"
 
   /** Corpus content fingerprint over (doc_id, text) — the shared
     * [[graft.io.ArtifactStore.contentFp]] formula, which every
@@ -1211,7 +1268,7 @@ object NearDup {
     * Built FROM [[clusterDecisionStored]] (never re-clusters),
     * staleness-keyed by the same corpus fingerprint. */
   private def repsSig(fp: String): String =
-    s"$fp|canon,df=$MaxDf,t=$DedupThreshold"
+    s"$fp|canon,df=$MaxDf,t=$DedupThreshold,n=$ShingleN"
   private[analytics] def canonicalRepsStored(s: SparkSession,
       d: String, docs: DataFrame): DataFrame = {
     val store = graft.io.ArtifactStore.forDir("cluster", d)
@@ -1236,21 +1293,35 @@ object NearDup {
     * snapshot; per query only the pair explosion/aggregation runs.
     * Raw-string shingle grouping (the oracle's own equality), sorted
     * doc-id arrays; staleness-keyed like every documents artifact. */
-  private def listsSig(fp: String): String = s"$fp|lists,df=$MaxDf"
+  private def listsSig(fp: String): String =
+    s"$fp|lists,df=$MaxDf,n=$ShingleN"
+
+  /** Returns the stored lists PLUS the gated sizes-broadcast wrapper
+    * for their consumers: the entry volume rides in the build-time
+    * `entries` meta stamp (an O(1) read, staleness-fresh by
+    * construction — the artifact rebuilds whenever the corpus does),
+    * with a one-scan fallback for pre-stamp stores. */
   private[analytics] def postingListsStored(s: SparkSession,
-      d: String, docs: DataFrame): DataFrame = {
+      d: String, docs: DataFrame,
+      entryMax: Long = BroadcastShingleEntryMax)
+      : (DataFrame, DataFrame => DataFrame) = {
     val store = graft.io.ArtifactStore.forDir("cluster", d)
     val fp = docsFp(docs)
     graft.io.ArtifactStore.ensure(s, store, "cluster", "postings",
       listsSig(fp)) {
-      store.write(
-        postingLists(shingleIndex(docs, "doc_id", col("text")),
-          "doc_id"),
-        "cluster", "postings",
+      // persist: consumed by the entries count AND the write
+      val lists = postingLists(
+        shingleIndex(docs, "doc_id", col("text")), "doc_id").persist()
+      try store.write(lists, "cluster", "postings",
         description = "df-capped shingle posting lists",
-        meta = Map("corpus_fp" -> listsSig(fp)))
+        meta = Map("corpus_fp" -> listsSig(fp),
+          "entries" -> entriesOf(lists).toString))
+      finally { lists.unpersist(); () }
     }
-    store.read(s, "cluster", "postings").get
+    val lists = store.read(s, "cluster", "postings").get
+    (lists, sizedGate(
+      store.meta(s, "cluster", "postings", "entries").map(_.toLong)
+        .getOrElse(entriesOf(lists)), entryMax))
   }
 
   /** Exact τ-similarity join via the plain inverted index — the right

@@ -368,7 +368,7 @@ class CurationSpec extends AnyFunSuite {
     // pipeline's own df cap (the dominance rule's postcondition)
     val shi = NearDup.shingleIndex(exactUniverse, "doc_id",
       col("clean_text"))
-    val (pairs, sizes, release) =
+    val (pairs, sizes, _, release) =
       NearDup.invertedPairCounts(shi, "doc_id")
     val bad = pairs
       .filter(col("a_id").isInCollection(ids) &&

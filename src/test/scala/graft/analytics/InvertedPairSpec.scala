@@ -39,7 +39,7 @@ class InvertedPairSpec extends AnyFunSuite {
         rnd.shuffle(vocab).take(1 + rnd.nextInt(6)).map(s => (id, s))
       }.distinct
       val sh = rows.toDF("doc_id", "s")
-      val (pairs, sizes, _) = NearDup.invertedPairCounts(sh, "doc_id", maxDf)
+      val (pairs, sizes, _, _) = NearDup.invertedPairCounts(sh, "doc_id", maxDf)
       val got = pairs.collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       val gotSizes = sizes.collect()
@@ -53,7 +53,7 @@ class InvertedPairSpec extends AnyFunSuite {
   test("plan discipline: one index aggregation, no index self-join") {
     val sh = (1L to 100L).flatMap(id =>
       Seq("a", "b", "c").map(s => (id, s + (id % 7)))).toDF("doc_id", "s")
-    val (pairs, _, _) = NearDup.invertedPairCounts(sh, "doc_id", 10)
+    val (pairs, _, _, _) = NearDup.invertedPairCounts(sh, "doc_id", 10)
     val plan = pairs.queryExecution.executedPlan.toString
     // bounded-set collection runs as a (partial-capable) object
     // aggregate on the shingle key…
@@ -69,7 +69,7 @@ class InvertedPairSpec extends AnyFunSuite {
 
   test("a_id < b_id and no self-pairs") {
     val sh = Seq((3L, "x"), (1L, "x"), (2L, "x")).toDF("doc_id", "s")
-    val (pairs, _, _) = NearDup.invertedPairCounts(sh, "doc_id", 10)
+    val (pairs, _, _, _) = NearDup.invertedPairCounts(sh, "doc_id", 10)
     val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.forall { case (a, b) => a < b })
     assert(got.toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)))

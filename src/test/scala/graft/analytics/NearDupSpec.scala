@@ -94,7 +94,7 @@ class NearDupSpec extends AnyFunSuite {
     assert(c == "1.0000")
     // and the Jaccard pair set at the 0.5 gate really misses it
     val sh = NearDup.shingleIndex(docs, "doc_id", col("text"))
-    val (pairs, sizes, _) = NearDup.invertedPairCounts(sh, "doc_id")
+    val (pairs, sizes, _, _) = NearDup.invertedPairCounts(sh, "doc_id")
     val ns = sizes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val jac = pairs.collect().map { r =>
       val (a, b, ni) = (r.getLong(0), r.getLong(1), r.getLong(2))
@@ -318,15 +318,15 @@ class NearDupSpec extends AnyFunSuite {
     def norm(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.getSeq[Long](0).toList).toList
         .sortBy(_.mkString(","))
-    val stored = norm(NearDup.postingListsStored(spark, d, docs))
+    val stored = norm(NearDup.postingListsStored(spark, d, docs)._1)
     val fresh = norm(NearDup.postingLists(
       NearDup.shingleIndex(docs, "doc_id", col("text")), "doc_id"))
     assert(stored == fresh && stored.nonEmpty)
     // and the pair counts drawn from the stored lists match the
     // in-memory invertedPairCounts exactly
     val (p1, s1) = NearDup.pairCountsFromLists(
-      NearDup.postingListsStored(spark, d, docs), "doc_id")
-    val (p2, s2, release) = NearDup.invertedPairCounts(
+      NearDup.postingListsStored(spark, d, docs)._1, "doc_id")
+    val (p2, s2, _, release) = NearDup.invertedPairCounts(
       NearDup.shingleIndex(docs, "doc_id", col("text")), "doc_id")
     assert(p1.collect().map(r => (r.getLong(0), r.getLong(1),
       r.getLong(2))).toSet ==
@@ -363,6 +363,47 @@ class NearDupSpec extends AnyFunSuite {
     val v = store.currentVersion(spark, "cluster", "decision")
     NearDup.clusterDecisionStored(spark, dir, v2).count()
     assert(store.currentVersion(spark, "cluster", "decision") == v)
+  }
+
+  test("per-doc sizes broadcast gate forced both ways across the " +
+      "counts consumers (q24 jaccard / q98 containment / dedupCorpus): " +
+      "identical results") {
+    // every sizes lookup join is volume-gated now (the
+    // invertedSimJoin discipline): below entryMax it broadcasts,
+    // past it it shuffles — a forced broadcast of a per-corpus-doc
+    // table would abort the job at ~10⁹ docs. Both plans must emit
+    // byte-identical results.
+    val rnd = new scala.util.Random(11)
+    val docs = (0 until 20).flatMap { b =>
+      val t = Seq.tabulate(8 + rnd.nextInt(6))(i => s"w${b}_$i")
+      Seq(t, t.updated(0, s"m$b"))   // near-copy: one word differs
+    }.zipWithIndex.map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val lists = NearDup.postingLists(
+      NearDup.shingleIndex(docs, "doc_id", col("text")), "doc_id")
+      .persist()
+    val (pairs, sizes) = NearDup.pairCountsFromLists(lists, "doc_id")
+    val open: org.apache.spark.sql.DataFrame =>
+      org.apache.spark.sql.DataFrame = p => broadcast(p)
+    val shut: org.apache.spark.sql.DataFrame =>
+      org.apache.spark.sql.DataFrame = identity
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+    val jOpen = rows(NearDup.jaccardFromCounts(pairs, sizes, open))
+    assert(jOpen.nonEmpty &&
+      jOpen == rows(NearDup.jaccardFromCounts(pairs, sizes, shut)))
+    val cOpen = rows(NearDup.containmentFromCounts(pairs, sizes, open))
+    assert(cOpen.nonEmpty &&
+      cOpen == rows(NearDup.containmentFromCounts(pairs, sizes, shut)))
+    lists.unpersist()
+    // ...and dedupCorpus (the decision-artifact build) threads its
+    // entryMax through invertedPairCounts to the same gate
+    val dOpen = NearDup.dedupCorpus(docs, "doc_id", col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dShut = NearDup.dedupCorpus(docs, "doc_id", col("text"),
+        entryMax = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dOpen == dShut && dOpen.exists { case (d, k) => d != k })
   }
 
   test("invertedSimJoin broadcast gate forced both ways: identical " +
