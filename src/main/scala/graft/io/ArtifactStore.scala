@@ -10,15 +10,26 @@ import org.apache.spark.sql.functions._
   * artifacts. Staleness is the CALLER's contract: stamp commits with
   * a content fingerprint + hyperparameter signature and rebuild on
   * mismatch (the AnnIndex/NearDup pattern — [[contentFp]] +
-  * [[ensure]] are that pattern's shared implementation). These live
-  * under /tmp by design — self-contained demo/benchmark queries; a
-  * real deployment roots its artifact stores on durable storage. */
+  * [[ensure]] are that pattern's shared implementation). The default
+  * root is /tmp — self-contained demo/benchmark queries; a real
+  * deployment roots its artifact stores on durable storage via
+  * `GRAFT_ARTIFACT_ROOT` (env) or `-Dgraft.artifact.root`
+  * (ArtifactStoreSpec exercises the override). */
 object ArtifactStore {
+
+  /** Resolved per call, not cached: the spec sets the system property
+    * mid-JVM, and a production job may point different stages at
+    * different durable roots. */
+  private def root: String =
+    sys.env.get("GRAFT_ARTIFACT_ROOT")
+      .orElse(sys.props.get("graft.artifact.root"))
+      .getOrElse("/tmp")
+
   def forDir(family: String, dir: String): ModelStore = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(new java.io.File(dir).getCanonicalPath.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
-    new ModelStore(s"/tmp/graft-$family/$key")
+    new ModelStore(s"$root/graft-$family/$key")
   }
 
   /** The ONE corpus content fingerprint every artifact family keys
@@ -32,31 +43,60 @@ object ArtifactStore {
         coalesce(bit_xor(xxhash64(id, payload)), lit(0L))).as("fp"))
       .head().getString(0)
 
+  /** Build ledger for cold-start visibility: every [[ensure]] whose
+    * staleness probe MISSED (and so paid its build) records
+    * `layer.table` here; [[graft.Bench]] drains it per measured pass
+    * and emits the lists in the tail JSON (`cold_builds`), so a cold
+    * driver window — a fresh container paying every snapshot build on
+    * pass 1 — is adjudicable from the committed artifact instead of
+    * inferred from pass-total spreads. Concurrent queue: ensure can
+    * run from parallel query threads. */
+  private val builds =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]
+
+  /** Drain and return the build ledger (oldest first). */
+  def drainBuilds(): Seq[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var x = builds.poll()
+    while (x != null) { out += x; x = builds.poll() }
+    out.toSeq
+  }
+
   /** Check-then-build-then-vacuum, shared by every stored-artifact
     * helper. `checkTable`'s commit meta carries the signature; the
     * vacuum keeps TWO versions of every listed table (the
     * one-generation concurrent-reader pin, ArtifactStoreSpec).
     *
-    * Concurrent-writer fallback: two sessions racing the same stale
-    * store both start building; the loser's commit throws the store's
-    * optimistic-concurrency error. If the WINNER committed the same
-    * signature we wanted, its artifact is byte-equivalent to ours
-    * (deterministic builds keyed by content+hyperparameters), so the
-    * loser serves it instead of failing the query; any other failure
-    * (or a winner with a DIFFERENT signature) still throws. */
+    * Concurrent-writer fallback — and ONLY that: two sessions racing
+    * the same stale store both start building; the loser's commit
+    * throws the store's TYPED optimistic-concurrency conflict
+    * ([[ModelStore.ConcurrentWriteException]]). If the WINNER
+    * committed the same signature we wanted, its artifact is
+    * byte-equivalent to ours (deterministic builds keyed by
+    * content + hyperparameters), so the loser serves it instead of
+    * failing the query; a conflict whose winner carries a DIFFERENT
+    * signature still throws, and every other failure — OOM,
+    * interrupts, a broken build — propagates (the previous catch-all
+    * converted fatal errors into silent success whenever the meta
+    * happened to match). The vacuum runs OUTSIDE the recovery scope:
+    * a vacuum failure after our own successful commit fails loudly
+    * too. */
   def ensure(spark: SparkSession, store: ModelStore, layer: String,
       checkTable: String, sig: String,
       vacuumTables: Seq[String] = Nil)(build: => Unit): Unit = {
     if (store.meta(spark, layer, checkTable, "corpus_fp").contains(sig))
       return
-    try {
-      build
-      (checkTable +: vacuumTables).distinct.foreach(t =>
-        store.vacuum(spark, layer, t, keepLast = 2))
-    } catch {
-      case e: Throwable =>
+    // ledger entry regardless of who wins the race below: this
+    // session PAID a build (cold start), which is what the bench
+    // visibility is accounting for
+    builds.add(s"$layer.$checkTable")
+    try build
+    catch {
+      case e: ModelStore.ConcurrentWriteException =>
         if (!store.meta(spark, layer, checkTable, "corpus_fp")
             .contains(sig)) throw e
     }
+    (checkTable +: vacuumTables).distinct.foreach(t =>
+      store.vacuum(spark, layer, t, keepLast = 2))
   }
 }

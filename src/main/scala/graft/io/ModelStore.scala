@@ -486,9 +486,10 @@ final class ModelStore(val root: String) {
     // another writer committed since this write began, fail loudly
     // rather than silently clobbering its version
     val cur = currentVersion(spark, layer, name)
-    require(cur == next - 1,
-      s"concurrent write to $layer.$name: expected to commit " +
-        s"v$next over v${next - 1}, but found v$cur")
+    if (cur != next - 1)
+      throw new ModelStore.ConcurrentWriteException(
+        s"concurrent write to $layer.$name: expected to commit " +
+          s"v$next over v${next - 1}, but found v$cur")
     val dest = new Path(versionDir(layer, name, next))
     val fs = fsFor(spark, dest)
     // O7 persist_docs analog: table comment persisted beside the data.
@@ -607,6 +608,16 @@ final class ModelStore(val root: String) {
 }
 
 object ModelStore {
+
+  /** The optimistic-concurrency commit conflict (Delta's
+    * ConcurrentModificationException analog): another writer committed
+    * between this write's version resolution and its pointer swap.
+    * TYPED so recovery paths (e.g. [[ArtifactStore.ensure]]'s
+    * deterministic-winner fallback) can catch exactly this and nothing
+    * else — a catch on message text or a broad exception class would
+    * swallow real failures. */
+  final class ConcurrentWriteException(msg: String)
+    extends IllegalStateException(msg)
 
   /** Serialize a column list for layout meta (URL-encoding keeps a
     * comma inside an exotic column name unambiguous). Empty list ⇔

@@ -54,4 +54,24 @@ class BenchCombineSpec extends AnyFunSuite {
     assert(Bench.passTotalsJson(Seq(Map("a" -> -1.0))) === "[0.0]")
     assert(Bench.passTotalsJson(Nil) === "[]")
   }
+
+  test("cold_builds: one array per pass in the tail JSON shape") {
+    // cold-start visibility: which once-per-snapshot artifacts each
+    // measured pass had to BUILD (fresh container) vs serve — the
+    // field that makes a cold driver window adjudicable from the
+    // committed artifact alone
+    assert(Bench.coldBuildsJson(Seq(
+      Seq("cluster.postings", "index.emb_postings"), Nil)) ===
+      """[["cluster.postings","index.emb_postings"],[]]""")
+    assert(Bench.coldBuildsJson(Nil) === "[]")
+  }
+
+  test("recordValue parses the committed record's headline; garbage " +
+      "reads as no-record (monotone quiet-floor policy)") {
+    assert(Bench.recordValue(
+      """{"metric":"total_detail","value":65.091206425,"unit":"sec"}""")
+      .contains(65.091206425))
+    assert(Bench.recordValue("not json").isEmpty)
+    assert(Bench.recordValue("").isEmpty)
+  }
 }

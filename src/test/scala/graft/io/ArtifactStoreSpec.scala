@@ -33,6 +33,75 @@ class ArtifactStoreSpec extends AnyFunSuite {
       .read(spark, "l", "t").nonEmpty)
   }
 
+  test("ensure: conflict-loser serves the winner's matching artifact; " +
+      "a different-sig winner and non-conflict failures PROPAGATE") {
+    val store = new ModelStore(
+      Files.createTempDirectory("graft-artens").toString)
+    def stamp(sig: String): Unit =
+      store.write(Seq((1L, "x")).toDF("k", "v"), "l", "t",
+        meta = Map("corpus_fp" -> sig))
+    // 1. loser path: the winner committed OUR sig before our commit
+    //    conflicted -> ensure serves it instead of failing the query
+    ArtifactStore.ensure(spark, store, "l", "t", "sigA") {
+      stamp("sigA")   // simulate the winner's committed generation
+      throw new ModelStore.ConcurrentWriteException("simulated race")
+    }
+    assert(store.meta(spark, "l", "t", "corpus_fp").contains("sigA"))
+    // 2. conflict but the winner carries a DIFFERENT signature ->
+    //    serving it would be wrong; the conflict must propagate
+    intercept[ModelStore.ConcurrentWriteException] {
+      ArtifactStore.ensure(spark, store, "l", "t", "sigB") {
+        stamp("sigC")
+        throw new ModelStore.ConcurrentWriteException("simulated race")
+      }
+    }
+    // 3. a NON-conflict failure propagates even when the meta happens
+    //    to match the target sig — the old catch-all converted OOM /
+    //    broken builds into silent success here
+    intercept[RuntimeException] {
+      ArtifactStore.ensure(spark, store, "l", "t", "sigD") {
+        stamp("sigD")
+        throw new RuntimeException("broken build")
+      }
+    }
+  }
+
+  test("ensure records cold builds in the drainable ledger; a " +
+      "staleness HIT records nothing") {
+    val store = new ModelStore(
+      Files.createTempDirectory("graft-artcold").toString)
+    ArtifactStore.drainBuilds()   // isolate from other suites
+    ArtifactStore.ensure(spark, store, "l", "cold", "s1") {
+      store.write(Seq((1L, "x")).toDF("k", "v"), "l", "cold",
+        meta = Map("corpus_fp" -> "s1"))
+    }
+    assert(ArtifactStore.drainBuilds() == Seq("l.cold"),
+      "a staleness miss must land in the ledger")
+    ArtifactStore.ensure(spark, store, "l", "cold", "s1") {
+      fail("fresh artifact must not rebuild")
+    }
+    assert(ArtifactStore.drainBuilds().isEmpty,
+      "a staleness hit must record nothing")
+  }
+
+  test("forDir roots on GRAFT_ARTIFACT_ROOT / graft.artifact.root " +
+      "when set (the durable-storage production story)") {
+    val durable = Files.createTempDirectory("graft-durable").toString
+    val corpus = Files.createTempDirectory("graft-corp").toString
+    sys.props("graft.artifact.root") = durable
+    try {
+      val store = ArtifactStore.forDir("specroot", corpus)
+      store.write(Seq((1L, "a")).toDF("k", "v"), "l", "t")
+      assert(store.versionDir("l", "t", 1).startsWith(durable),
+        "the store must live under the configured root, not /tmp")
+      assert(store.read(spark, "l", "t").get.count() == 1)
+    } finally sys.props -= "graft.artifact.root"
+    // …and with the override cleared, the same corpus keys back to
+    // the default scratch root
+    assert(ArtifactStore.forDir("specroot", corpus)
+      .versionDir("l", "t", 1).startsWith("/tmp/"))
+  }
+
   test("vacuum(keepLast=2) is a one-generation read-pin for a " +
       "concurrent reader of the previous version") {
     val store = new ModelStore(
