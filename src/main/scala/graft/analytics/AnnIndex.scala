@@ -535,4 +535,68 @@ object AnnIndex {
         .select(col("vec_id").as("q_id"), col("embedding")))
       .orderBy("q_id", "rnk")
   }.copy(sideEffecting = true)
+
+  /** Oracle for the recall report: the three certified chains composed
+    * — brute-force ground truth (q27), persisted-IVF serving (≡ q32's
+    * training replica, the q91 contract), and two-stage PQ serving
+    * (q114's replica) — joined on membership. Each sub-oracle is
+    * reused VERBATIM as a derived table, so this oracle stays correct
+    * by construction whenever theirs are. */
+  private lazy val recallOracle: String = {
+    val k = VectorOps.TopK
+    s"""WITH meth AS (
+      |  SELECT 'ivf' AS method, q_id, vec_id
+      |  FROM (${VectorOps.qAnnIvf.oracle.get}) ivf_t
+      |  UNION ALL
+      |  SELECT 'pq_rerank' AS method, q_id, vec_id
+      |  FROM (${Pq.rerankOracle}) pq_t),
+      |j AS (
+      |  SELECT m.method, m.q_id,
+      |    CASE WHEN b.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+      |  FROM meth m LEFT JOIN
+      |    (${VectorOps.qAnnTopK.oracle.get}) b
+      |    ON m.q_id = b.q_id AND m.vec_id = b.vec_id)
+      |SELECT method, q_id,
+      |  CAST(count(*) AS BIGINT) AS k_returned,
+      |  CAST(sum(hit) AS BIGINT) AS hits,
+      |  ${graft.ops.Exact.dbl4Sql(s"CAST(sum(hit) AS DOUBLE) / $k")}
+      |    AS recall
+      |FROM j GROUP BY method, q_id
+      |ORDER BY method, q_id""".stripMargin
+  }
+
+  /** ANN index quality report — recall@k of the two persisted serving
+    * paths against the exact brute-force ground truth, per query: the
+    * metric a production deployment tunes `nprobe`, `NumCentroids`,
+    * and the PQ geometry against (raise nprobe until recall clears the
+    * product bar, then stop paying for more cells). Reads the same
+    * staleness-keyed artifacts q91/q113/q114 serve from (ensure runs
+    * once, then this is three bounded probes + an 80-row join); the
+    * ground-truth side is exact and full-scan by definition — at
+    * corpus scale it runs over a fixed EVALUATION SAMPLE of queries
+    * (here the standard NumQueries set), never all vectors, so the
+    * report costs one brute pass over |queries| × corpus, the same
+    * shape every published recall benchmark uses. */
+  val qAnnRecall: Q = Q("q115_ann_recall", recallOracle) { (s, d) =>
+    val (store, emb) = ensureArtifacts(s, d, withPq = true)
+    val queries = emb.filter(col("vec_id") < VectorOps.NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val brute = VectorOps.bruteTopK(s, d)
+      .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+    val served = search(s, store, "emb", queries)
+      .select(col("q_id"), col("vec_id"))
+      .withColumn("method", lit("ivf"))
+      .unionByName(searchAdcRerank(s, store, "emb", queries)
+        .select(col("q_id"), col("vec_id"))
+        .withColumn("method", lit("pq_rerank")))
+    // ground truth is |queries|·k rows by construction — broadcast it
+    served.join(broadcast(brute), Seq("q_id", "vec_id"), "left")
+      .groupBy("method", "q_id")
+      .agg(count(lit(1)).as("k_returned"),
+        count(col("hit")).as("hits"))
+      .select(col("method"), col("q_id"), col("k_returned"), col("hits"),
+        graft.ops.Exact.dbl4(
+          col("hits").cast("double") / VectorOps.TopK).as("recall"))
+      .orderBy("method", "q_id")
+  }.copy(sideEffecting = true)
 }

@@ -118,6 +118,16 @@ object VectorOps {
       |  SELECT *, row_number() OVER (PARTITION BY q_id
       |    ORDER BY cos_sim DESC, vec_id) AS rnk FROM p) t
       |WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    bruteTopK(s, d).withColumn("cos_sim", Exact.dbl4(col("cos_sim")))
+  }
+
+  /** Exact brute-force cosine top-k for the standard query set —
+    * q27's plan with the raw-double cos_sim (presentation applies the
+    * fixed 4-decimal string). Shared as the GROUND TRUTH side of the
+    * ANN recall report (AnnIndex.qAnnRecall): recall@k is always
+    * measured against the exact answer, never another index. */
+  private[analytics] def bruteTopK(s: SparkSession, d: String)
+      : DataFrame = {
     val base = withQuant(T(s, d, "embeddings"))
     val q = base.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
@@ -132,7 +142,6 @@ object VectorOps {
     // candidates — see graft.functions.TopKAgg. Ranking runs on the raw
     // double; presentation is a fixed 4-decimal string (repr-portable).
     topKRanked(pairs)
-      .withColumn("cos_sim", Exact.dbl4(col("cos_sim")))
   }
 
   // ------------------------------------------------- embedding stats

@@ -22,7 +22,8 @@ object Registry {
       graft.analytics.AnnIndex.qAnnIndex :+
       graft.analytics.NearDupIndex.qIncrementalNearDup :+
       graft.analytics.AnnIndex.qPqIndex :+
-      graft.analytics.AnnIndex.qPqRerank
+      graft.analytics.AnnIndex.qPqRerank :+
+      graft.analytics.AnnIndex.qAnnRecall
 
   val flagship: Q = RefQueries.q15Flagship
 }

@@ -422,4 +422,39 @@ class AnnIndexSpec extends AnyFunSuite {
       s"postings scan read $partsRead partitions")
     assert(df.count() > 0)
   }
+
+  test("q115 recall report: one row per (method, query), k_returned " +
+      "full, and ivf hits equal an independent intersection count") {
+    val rows = AnnIndex.qAnnRecall.build(spark, Dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    assert(rows.length == 2 * VectorOps.NumQueries)
+    assert(rows.map(_._1).distinct.sorted.toSeq ==
+      Seq("ivf", "pq_rerank"))
+    rows.foreach { case (m, q, k, hits, recall) =>
+      assert(k == VectorOps.TopK, s"$m/$q returned $k")
+      assert(hits >= 0 && hits <= k)
+      // the recall string is exactly dbl4(hits / k) — no float drift
+      assert(recall ==
+        f"${hits.toDouble / VectorOps.TopK}%.4f", s"$m/$q")
+    }
+    // independent ground truth for the ivf rows: intersect the
+    // in-memory q32 answer (≡ the persisted q91 serving, pinned by the
+    // first test) with the brute-force q27 answer per query
+    val ivf = VectorOps.qAnnIvf.build(spark, Dir)
+      .select("q_id", "vec_id")
+    val brute = VectorOps.qAnnTopK.build(spark, Dir)
+      .select("q_id", "vec_id")
+    val expected = ivf.join(brute, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy("q_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.filter(_._1 == "ivf").foreach { case (_, q, _, hits, _) =>
+      assert(hits == expected.getOrElse(q, 0L), s"query $q")
+    }
+    // the report is only meaningful if the index is actually good on
+    // the fixture — a recall collapse here means a broken serving path
+    val meanIvf = rows.filter(_._1 == "ivf").map(_._4).sum.toDouble /
+      (VectorOps.NumQueries * VectorOps.TopK)
+    assert(meanIvf >= 0.5, f"ivf mean recall $meanIvf%.2f")
+  }
 }
