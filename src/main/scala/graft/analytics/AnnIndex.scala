@@ -599,4 +599,57 @@ object AnnIndex {
           col("hits").cast("double") / VectorOps.TopK).as("recall"))
       .orderBy("method", "q_id")
   }.copy(sideEffecting = true)
+
+  /** Neighbors kept per vector in the corpus-wide KNN graph. */
+  val KnnK = 5
+
+  /** Oracle: the q32 training replica's full-corpus assignment, then
+    * within-cell all-pairs + row_number top-k — the exact relational
+    * statement of the engine's cell-local KNN join (valid against the
+    * stored postings because q91 pins store ≡ in-memory training). */
+  private lazy val knnOracle: String = {
+    val (_, assigned) = VectorOps.trainedSql
+    s"""WITH a AS ($assigned),
+      |p AS (
+      |  SELECT x.vec_id, y.vec_id AS nbr_id,
+      |    ${VectorOps.cosSql("x.qv", "y.qv", "x.n2", "y.n2")} AS cos_sim
+      |  FROM a x JOIN a y ON x.c_id = y.c_id AND x.vec_id <> y.vec_id)
+      |SELECT vec_id, nbr_id,
+      |  ${graft.ops.Exact.dbl4Sql("cos_sim")} AS cos_sim,
+      |  CAST(rnk AS INTEGER) AS rnk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY cos_sim DESC, nbr_id) AS rnk FROM p) t
+      |WHERE rnk <= $KnnK ORDER BY vec_id, rnk""".stripMargin
+  }
+
+  /** Corpus-wide batch KNN graph: k nearest neighbors for EVERY
+    * vector (not a handful of serving queries) — the input relation
+    * of graph-based diversity sampling, NN-descent refinement, and
+    * SemDeDup-style pruning. Candidates are cell-local over the
+    * STORED coarse postings (one snapshot artifact read, zero
+    * training): the self-join keys on `c_id`, which is the postings'
+    * disk partition column, so each cell's pair generation is a
+    * co-located block — at 1000 executors every cell resolves its
+    * own neighborhood with no cross-cell traffic. Per-cell cost is
+    * Σ|cell|² (the q96 regime): the documented lever at corpus scale
+    * is growing NumCentroids ∝ √n so cells stay bounded; own-cell
+    * candidates are the standard first-pass approximation (multi-probe
+    * or NN-descent rounds refine recall, each another cell-local
+    * pass). Top-k per vector is the bounded TopKAgg aggregation —
+    * ≤ k rows per vector per partition shuffle, never a window sort
+    * over all candidate pairs. */
+  val qKnnGraph: Q = Q("q116_knn_graph", knnOracle) { (s, d) =>
+    val (_, postings) = coarseArtifacts(s, d)
+    val probe = postings.select(col("c_id"), col("vec_id").as("q_id"),
+      col("qv").as("q_qv"), col("n2").as("q_n2"))
+    val pairs = postings.join(probe, Seq("c_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        VectorOps.cosineQ(col("q_qv"), col("qv"), col("q_n2"),
+          col("n2")).as("cos_sim"))
+    VectorOps.topKRanked(pairs, KnnK)
+      .select(col("q_id").as("vec_id"), col("vec_id").as("nbr_id"),
+        graft.ops.Exact.dbl4(col("cos_sim")).as("cos_sim"), col("rnk"))
+      .orderBy("vec_id", "rnk")
+  }.copy(sideEffecting = true)
 }

@@ -245,8 +245,8 @@ object VectorOps {
     * shared presentation tail of q27/q30/q32 (the window row_number
     * form would shuffle every candidate; TopKAgg ships ≤ k rows per
     * group per partition, `graft.functions.TopKAgg`). */
-  def topKRanked(pairs: DataFrame): DataFrame = {
-    val topk = udaf(new graft.functions.TopKAgg(TopK))
+  def topKRanked(pairs: DataFrame, k: Int = TopK): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAgg(k))
     pairs
       .groupBy("q_id")
       .agg(topk(col("cos_sim"), col("vec_id")).as("top"))

@@ -23,7 +23,8 @@ object Registry {
       graft.analytics.NearDupIndex.qIncrementalNearDup :+
       graft.analytics.AnnIndex.qPqIndex :+
       graft.analytics.AnnIndex.qPqRerank :+
-      graft.analytics.AnnIndex.qAnnRecall
+      graft.analytics.AnnIndex.qAnnRecall :+
+      graft.analytics.AnnIndex.qKnnGraph
 
   val flagship: Q = RefQueries.q15Flagship
 }

@@ -457,4 +457,39 @@ class AnnIndexSpec extends AnyFunSuite {
       (VectorOps.NumQueries * VectorOps.TopK)
     assert(meanIvf >= 0.5, f"ivf mean recall $meanIvf%.2f")
   }
+
+  test("q116 KNN graph: every vector ranked, cell-local neighbors, " +
+      "and the TopKAgg path equals the window-sort form") {
+    val got = AnnIndex.qKnnGraph.build(spark, Dir)
+    val rows = got.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    // rank runs 1..min(k, |cell|-1) per vector, no gaps, no self-edges
+    rows.groupBy(_._1).foreach { case (v, nbrs) =>
+      assert(nbrs.map(_._4).sorted.toSeq == (1 to nbrs.length).toSeq, v)
+      assert(nbrs.length <= AnnIndex.KnnK, v)
+      assert(!nbrs.exists(_._2 == v), s"self-edge at $v")
+    }
+    // independent form: same cell-local candidates ranked by a window
+    // row_number instead of the bounded TopKAgg — results must agree
+    // exactly (ties: cos desc, then smaller neighbor id)
+    val (_, postings) = AnnIndex.coarseArtifacts(spark, Dir)
+    val probe = postings.select(col("c_id"), col("vec_id").as("q_id"),
+      col("qv").as("q_qv"), col("n2").as("q_n2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    val windowed = postings.join(probe, Seq("c_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        VectorOps.cosineQ(col("q_qv"), col("qv"), col("q_n2"),
+          col("n2")).as("cos_sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= AnnIndex.KnnK)
+      .select(col("q_id").as("vec_id"), col("vec_id").as("nbr_id"),
+        graft.ops.Exact.dbl4(col("cos_sim")).as("cos_sim"),
+        col("rnk"))
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3)))
+    assert(rows.sorted.toSeq == windowed.sorted.toSeq)
+  }
 }
