@@ -74,4 +74,17 @@ class BenchCombineSpec extends AnyFunSuite {
     assert(Bench.recordValue("not json").isEmpty)
     assert(Bench.recordValue("").isEmpty)
   }
+
+  test("recordCount reads the record's query-surface size; no query " +
+      "keys reads as unknown (falls back to the monotone policy)") {
+    assert(Bench.recordCount(
+      """{"value":65.0,"queries":{"q01_scan_project":0.1,""" +
+        """"q115_ann_recall":1.6,"q34_pipeline_e2e":10.5}}""")
+      .contains(3))
+    // non-query keys never count, even value-like ones
+    assert(Bench.recordCount(
+      """{"metric":"total_detail","value":65.0,"pass_totals":[1]}""")
+      .isEmpty)
+    assert(Bench.recordCount("").isEmpty)
+  }
 }
