@@ -638,7 +638,11 @@ object AnnIndex {
     * pass). Top-k per vector is the bounded TopKAgg aggregation —
     * ≤ k rows per vector per partition shuffle, never a window sort
     * over all candidate pairs. */
-  val qKnnGraph: Q = Q("q116_knn_graph", knnOracle) { (s, d) =>
+  /** Cell-local KNN graph with the RAW double cos_sim — shared by
+    * q116 (formats it) and the NN-descent refinement (q117, which
+    * expands its candidate set). */
+  private[analytics] def knnGraphRaw(s: SparkSession, d: String)
+      : DataFrame = {
     val (_, postings) = coarseArtifacts(s, d)
     val probe = postings.select(col("c_id"), col("vec_id").as("q_id"),
       col("qv").as("q_qv"), col("n2").as("q_n2"))
@@ -648,6 +652,104 @@ object AnnIndex {
         VectorOps.cosineQ(col("q_qv"), col("qv"), col("q_n2"),
           col("n2")).as("cos_sim"))
     VectorOps.topKRanked(pairs, KnnK)
+      .select(col("q_id").as("vec_id"), col("vec_id").as("nbr_id"),
+        col("cos_sim"), col("rnk"))
+  }
+
+  val qKnnGraph: Q = Q("q116_knn_graph", knnOracle) { (s, d) =>
+    knnGraphRaw(s, d)
+      .select(col("vec_id"), col("nbr_id"),
+        graft.ops.Exact.dbl4(col("cos_sim")).as("cos_sim"), col("rnk"))
+      .orderBy("vec_id", "rnk")
+  }.copy(sideEffecting = true)
+
+  /** Oracle: q116's graph as a CTE, symmetrized and seeded with the
+    * deterministic ring, expanded one neighbor-of-neighbor hop,
+    * re-scored over the exact vectors and re-ranked — the relational
+    * statement of one NN-descent round. */
+  private lazy val knnRefineOracle: String = {
+    s"""WITH g0 AS ($knnOracle),
+      |nid AS (SELECT vec_id FROM (${VectorOps.baseNSql}) bn),
+      |ring AS (
+      |  SELECT vec_id, coalesce(lead(vec_id) OVER (ORDER BY vec_id),
+      |    (SELECT min(vec_id) FROM nid)) AS nbr_id FROM nid),
+      |und AS (
+      |  SELECT vec_id, nbr_id FROM g0
+      |  UNION SELECT nbr_id, vec_id FROM g0
+      |  UNION SELECT vec_id, nbr_id FROM ring WHERE vec_id <> nbr_id
+      |  UNION SELECT nbr_id, vec_id FROM ring WHERE vec_id <> nbr_id),
+      |cand AS (
+      |  SELECT DISTINCT u1.vec_id AS vec_id, u2.nbr_id AS nbr_id
+      |  FROM und u1 JOIN und u2 ON u1.nbr_id = u2.vec_id
+      |  WHERE u1.vec_id <> u2.nbr_id
+      |  UNION SELECT vec_id, nbr_id FROM und),
+      |n AS (${VectorOps.baseNSql}),
+      |p AS (
+      |  SELECT c.vec_id, c.nbr_id,
+      |    ${VectorOps.cosSql("x.qv", "y.qv", "x.n2", "y.n2")} AS cos_sim
+      |  FROM cand c JOIN n x ON x.vec_id = c.vec_id
+      |  JOIN n y ON y.vec_id = c.nbr_id)
+      |SELECT vec_id, nbr_id,
+      |  ${graft.ops.Exact.dbl4Sql("cos_sim")} AS cos_sim,
+      |  CAST(rnk AS INTEGER) AS rnk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY cos_sim DESC, nbr_id) AS rnk FROM p) t
+      |WHERE rnk <= $KnnK ORDER BY vec_id, rnk""".stripMargin
+  }
+
+  /** One NN-descent refinement round over the batch KNN graph (Dong,
+    * Moses, Li: "Efficient k-nearest neighbor graph construction for
+    * generic similarity measures", WWW'11): candidates are each
+    * vector's neighbors-of-neighbors over the SYMMETRIZED q116 graph
+    * seeded with a deterministic RING over the vec_ids (each id links
+    * to its successor, the last wraps to the first) — the reproducible
+    * analog of NN-descent's random initialization. The seed matters:
+    * the cell-local graph is DISCONNECTED across cells and exact
+    * within each cell, so an unseeded round is provably a no-op; the
+    * ring connects every component, and each round then propagates
+    * genuinely cross-cell neighbors. Monotone by construction — the
+    * candidate set contains every current neighbor, so a vector's
+    * neighborhood only improves round over round.
+    *
+    * This is the scale path past q116's Σ|cell|² ceiling: candidate
+    * volume is ≤ (2k+2)² per vector REGARDLESS of cell size — one
+    * bounded-fan-out self-join + one distinct + two co-partitioned
+    * vector lookups, all shuffling O(n·k²) rows. (The ring init is a
+    * one-off global sort over BARE IDS — n longs, not vectors.) At
+    * the 100× decade the cell-local pass costs ~272 s at the pinned
+    * 16 cells (measured, SCALING.md round-9) while a descent round
+    * over its output touches ~29M candidate pairs instead of 2.5G —
+    * each further round is the same bounded cost, converging toward
+    * the true graph without ever growing a quadratic term. */
+  val qKnnRefine: Q = Q("q117_knn_refine", knnRefineOracle) { (s, d) =>
+    val g = knnGraphRaw(s, d).select("vec_id", "nbr_id")
+    val (_, posts0) = coarseArtifacts(s, d)
+    val wRing = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+    val ids = posts0.select("vec_id")
+    val ring = ids
+      .withColumn("nbr_id", lead("vec_id", 1).over(wRing))
+      .crossJoin(broadcast(ids.agg(min("vec_id").as("__first"))))
+      .select(col("vec_id"),
+        coalesce(col("nbr_id"), col("__first")).as("nbr_id"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+    val undirected = g.unionByName(ring)
+    val und = undirected.unionByName(undirected.select(
+      col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id"))).distinct()
+    val hop = und.select(col("vec_id"), col("nbr_id").as("mid"))
+      .join(und.select(col("vec_id").as("mid"), col("nbr_id")), Seq("mid"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .select("vec_id", "nbr_id")
+    val cand = hop.unionByName(und).distinct()
+    val vecs = posts0.select(col("vec_id"), col("qv"), col("n2"))
+    val scored = cand
+      .join(vecs.select(col("vec_id"), col("qv").as("q_qv"),
+        col("n2").as("q_n2")), Seq("vec_id"))
+      .join(vecs.select(col("vec_id").as("nbr_id"), col("qv"),
+        col("n2")), Seq("nbr_id"))
+      .select(col("vec_id").as("q_id"), col("nbr_id").as("vec_id"),
+        VectorOps.cosineQ(col("q_qv"), col("qv"), col("q_n2"),
+          col("n2")).as("cos_sim"))
+    VectorOps.topKRanked(scored, KnnK)
       .select(col("q_id").as("vec_id"), col("vec_id").as("nbr_id"),
         graft.ops.Exact.dbl4(col("cos_sim")).as("cos_sim"), col("rnk"))
       .orderBy("vec_id", "rnk")

@@ -24,7 +24,8 @@ object Registry {
       graft.analytics.AnnIndex.qPqIndex :+
       graft.analytics.AnnIndex.qPqRerank :+
       graft.analytics.AnnIndex.qAnnRecall :+
-      graft.analytics.AnnIndex.qKnnGraph
+      graft.analytics.AnnIndex.qKnnGraph :+
+      graft.analytics.AnnIndex.qKnnRefine
 
   val flagship: Q = RefQueries.q15Flagship
 }

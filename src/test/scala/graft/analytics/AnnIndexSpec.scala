@@ -492,4 +492,35 @@ class AnnIndexSpec extends AnyFunSuite {
         (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3)))
     assert(rows.sorted.toSeq == windowed.sorted.toSeq)
   }
+
+  test("q117 NN-descent round: neighborhoods only improve (candidate " +
+      "set contains every current edge), ranks stay contiguous") {
+    def nbrSums(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2).toDouble, r.getInt(3)))
+        .groupBy(_._1)
+        .map { case (v, ns) => v -> (ns.map(_._3).sum, ns.length) }
+    val base = nbrSums(AnnIndex.qKnnGraph.build(spark, Dir))
+    val refined = AnnIndex.qKnnRefine.build(spark, Dir)
+    val refRows = refined.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getString(2).toDouble, r.getInt(3)))
+    refRows.groupBy(_._1).foreach { case (v, ns) =>
+      assert(ns.map(_._4).sorted.toSeq == (1 to ns.length).toSeq, v)
+      assert(!ns.exists(_._2 == v), s"self-edge at $v")
+    }
+    val ref = nbrSums(refined)
+    // monotone: the refined candidate set ⊇ current edges, so the
+    // summed neighbor similarity per vector can only rise (up to the
+    // 4-decimal presentation grid) and no vector loses neighbors
+    base.foreach { case (v, (sum0, n0)) =>
+      val (sum1, n1) = ref(v)
+      assert(n1 >= n0, s"vector $v lost neighbors: $n0 -> $n1")
+      assert(sum1 >= sum0 - 1e-9,
+        f"vector $v got worse: $sum0%.4f -> $sum1%.4f")
+    }
+    // and the refinement is not a no-op on the fixture: at least one
+    // vector found a strictly better neighborhood across cells
+    assert(base.exists { case (v, (sum0, n0)) =>
+      val (sum1, n1) = ref(v); n1 > n0 || sum1 > sum0 + 1e-9 })
+  }
 }
