@@ -493,6 +493,19 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(rows.sorted.toSeq == windowed.sorted.toSeq)
   }
 
+  test("stored KNN graph serves exactly the in-memory relation, and " +
+      "a second read is a pure serve (no rebuild)") {
+    val mem = AnnIndex.knnGraphRaw(spark, Dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val stored = AnnIndex.knnGraphStored(spark, Dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(stored.sorted.toSeq == mem.sorted.toSeq)
+    graft.io.ArtifactStore.drainBuilds()
+    AnnIndex.knnGraphStored(spark, Dir).count()
+    assert(!graft.io.ArtifactStore.drainBuilds()
+      .exists(_.endsWith("emb_knn")), "second read rebuilt the graph")
+  }
+
   test("q117 NN-descent round: neighborhoods only improve (candidate " +
       "set contains every current edge), ranks stay contiguous") {
     def nbrSums(df: org.apache.spark.sql.DataFrame) =
