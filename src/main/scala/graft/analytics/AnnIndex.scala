@@ -761,8 +761,13 @@ object AnnIndex {
         coalesce(col("nbr_id"), col("__first")).as("nbr_id"))
       .filter(col("vec_id") =!= col("nbr_id"))
     val undirected = g.unionByName(ring)
+    // consumed THREE times below (both sides of the hop self-join and
+    // the candidate union): materialize once — O(n·(k+1)) bare id
+    // pairs — instead of recomputing the graph-read + ring-window +
+    // distinct sub-plan per use
     val und = undirected.unionByName(undirected.select(
       col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id"))).distinct()
+      .localCheckpoint()
     val hop = und.select(col("vec_id"), col("nbr_id").as("mid"))
       .join(und.select(col("vec_id").as("mid"), col("nbr_id")), Seq("mid"))
       .filter(col("vec_id") =!= col("nbr_id"))
