@@ -656,6 +656,62 @@ object AnnIndex {
         col("cos_sim"), col("rnk"))
   }
 
+  /** RRF smoothing constant (Cormack, Clarke, Büttcher, SIGIR'09 —
+    * k=60 is the paper's recommendation and the de-facto default). */
+  val RrfK = 60
+
+  /** Oracle: the two serving replicas fused relationally — full outer
+    * join on membership, score = Σ 1/(RrfK + rank) over the lists a
+    * candidate appears in (single divisions and one fixed-order
+    * addition of bit-identical doubles — deterministic cross-engine),
+    * re-ranked top-k. */
+  private lazy val rrfOracle: String = {
+    val k = VectorOps.TopK
+    s"""WITH ivf AS (${VectorOps.qAnnIvf.oracle.get}),
+      |pq AS (${Pq.rerankOracle}),
+      |u AS (
+      |  SELECT coalesce(i.q_id, p.q_id) AS q_id,
+      |    coalesce(i.vec_id, p.vec_id) AS vec_id,
+      |    coalesce(1.0 / ($RrfK + i.rnk), 0) +
+      |      coalesce(1.0 / ($RrfK + p.rnk), 0) AS rrf
+      |  FROM ivf i FULL OUTER JOIN pq p
+      |    ON i.q_id = p.q_id AND i.vec_id = p.vec_id)
+      |SELECT q_id, vec_id, ${graft.ops.Exact.dbl4Sql("rrf")} AS rrf,
+      |  CAST(rnk AS INTEGER) AS rnk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY rrf DESC, vec_id) AS rnk FROM u) t
+      |WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
+  }
+
+  /** Reciprocal-rank fusion of the two persisted serving paths — the
+    * standard way a production retrieval stack combines rankers with
+    * incomparable score scales (here: exact within-cell cosine vs
+    * ADC-shortlist + re-rank): a candidate's fused score is
+    * Σ 1/(RrfK + rank) over the lists it appears in, so agreement
+    * between retrievers outranks any single ranker's confidence.
+    * Cost is two bounded shortlists (|queries|·k rows each) and an
+    * 80-row join — at corpus scale RRF is free relative to the
+    * retrieval it fuses, which is why it is the default fusion in
+    * hybrid (dense + lexical) search stacks. */
+  val qRrfFusion: Q = Q("q118_rrf_fusion", rrfOracle) { (s, d) =>
+    val (store, emb) = ensureArtifacts(s, d, withPq = true)
+    val queries = emb.filter(col("vec_id") < VectorOps.NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val ivf = search(s, store, "emb", queries)
+      .select(col("q_id"), col("vec_id"), col("rnk").as("ivf_rnk"))
+    val pq = searchAdcRerank(s, store, "emb", queries)
+      .select(col("q_id"), col("vec_id"), col("rnk").as("pq_rnk"))
+    val fused = ivf.join(pq, Seq("q_id", "vec_id"), "full_outer")
+      .select(col("q_id"), col("vec_id"),
+        (coalesce(lit(1.0) / (lit(RrfK) + col("ivf_rnk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("pq_rnk")), lit(0.0)))
+          .as("cos_sim"))
+    VectorOps.topKRanked(fused)
+      .select(col("q_id"), col("vec_id"),
+        graft.ops.Exact.dbl4(col("cos_sim")).as("rrf"), col("rnk"))
+      .orderBy("q_id", "rnk")
+  }.copy(sideEffecting = true)
+
   private def knnTable(name: String) = s"${name}_knn"
   private[analytics] def knnSig(fp: String): String =
     s"${coarseSig(fp)}|knn=$KnnK"

@@ -25,7 +25,8 @@ object Registry {
       graft.analytics.AnnIndex.qPqRerank :+
       graft.analytics.AnnIndex.qAnnRecall :+
       graft.analytics.AnnIndex.qKnnGraph :+
-      graft.analytics.AnnIndex.qKnnRefine
+      graft.analytics.AnnIndex.qKnnRefine :+
+      graft.analytics.AnnIndex.qRrfFusion
 
   val flagship: Q = RefQueries.q15Flagship
 }

@@ -506,6 +506,34 @@ class AnnIndexSpec extends AnyFunSuite {
       .exists(_.endsWith("emb_knn")), "second read rebuilt the graph")
   }
 
+  test("q118 RRF fusion equals a driver-side recomputation from the " +
+      "two shortlists (membership, scores, and tie order)") {
+    val rows = AnnIndex.qRrfFusion.build(spark, Dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2), r.getInt(3)))
+    assert(rows.length == VectorOps.NumQueries * VectorOps.TopK)
+    // recompute RRF in plain Scala from the two certified serving
+    // queries' own outputs
+    def ranks(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "vec_id", "rnk").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val ivf = ranks(AnnIndex.qAnnIndex.build(spark, Dir))
+    val pq = ranks(AnnIndex.qPqRerank.build(spark, Dir))
+    val expected = (ivf.keySet ++ pq.keySet).toSeq
+      .map { case k @ (q, v) =>
+        val s = ivf.get(k).map(r => 1.0 / (AnnIndex.RrfK + r))
+          .getOrElse(0.0) +
+          pq.get(k).map(r => 1.0 / (AnnIndex.RrfK + r)).getOrElse(0.0)
+        (q, v, s)
+      }
+      .groupBy(_._1).toSeq.flatMap { case (q, cands) =>
+        cands.sortBy(c => (-c._3, c._2)).take(VectorOps.TopK)
+          .zipWithIndex.map { case ((_, v, s), i) =>
+            (q, v, f"$s%.4f", i + 1) }
+      }
+    assert(rows.sorted.toSeq == expected.sorted)
+  }
+
   test("q117 NN-descent round: neighborhoods only improve (candidate " +
       "set contains every current edge), ranks stay contiguous") {
     def nbrSums(df: org.apache.spark.sql.DataFrame) =
