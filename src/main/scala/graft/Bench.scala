@@ -50,18 +50,28 @@ object Bench {
       .flatMap(m => m.group(1).toDoubleOption)
 
   /** Query-surface size of an existing detail record: the count of
-    * per-query keys in its map (every registry name is `qNN_…`; no
-    * other JSON key matches the shape). None when no query keys are
-    * found — treated as "unknown surface", which keeps the plain
-    * monotone policy. The record policy needs this because totals
-    * across DIFFERENT surfaces are incomparable: after the registry
-    * grows, the old anchor's total is a race the new sweep runs with
-    * extra weight, so a green full sweep over MORE queries re-seeds
-    * the record instead of chasing it. */
-  def recordCount(json: String): Option[Int] = {
-    val n = """"q\d+[a-zA-Z0-9_]*":""".r.findAllIn(json).size
-    if (n > 0) Some(n) else None
-  }
+    * per-query keys inside its `"queries":{...}` object — anchored
+    * there, not counted record-wide, so a future field that happens
+    * to contain a query-name-shaped key (per-query error detail, a
+    * nested map) cannot drift the surface count. None when the
+    * object or its keys are absent — treated as "unknown surface".
+    * The record policy needs this because totals across DIFFERENT
+    * surfaces are incomparable: after the registry grows (or
+    * shrinks), the old anchor's total is a race the new sweep runs
+    * with different weight, so a green full sweep over a CHANGED
+    * surface re-seeds the record instead of chasing it. */
+  def recordCount(json: String): Option[Int] =
+    """"queries":\s*\{""".r.findFirstMatchIn(json).flatMap { m =>
+      // the queries object is flat (name -> seconds), so the first
+      // close brace ends it
+      val start = m.end
+      val close = json.indexOf('}', start)
+      val obj =
+        if (close >= 0) json.substring(start, close)
+        else json.substring(start)
+      val n = """"q\d+[a-zA-Z0-9_]*":""".r.findAllIn(obj).size
+      if (n > 0) Some(n) else None
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -302,12 +312,18 @@ object Bench {
         val improves = errors.isEmpty && (!java.nio.file.Files.exists(rec)
           || {
             val old = java.nio.file.Files.readString(rec)
-            // a green sweep over a GROWN surface re-seeds the anchor
-            // (cross-surface totals are incomparable); same surface
-            // keeps the monotone quiet-floor policy
-            Bench.recordCount(old).exists(_ < names.length) ||
-              (Bench.recordCount(old).forall(_ == names.length) &&
-                Bench.recordValue(old).forall(total < _))
+            // ANY surface mismatch — grown OR shrunk — or an
+            // unreadable surface count makes the totals incomparable,
+            // so a green full sweep re-seeds the anchor; only a
+            // same-surface record keeps the monotone quiet-floor
+            // policy (the old grow-only rule wedged permanently on a
+            // shrink: neither the re-seed nor the monotone branch
+            // could ever fire again)
+            Bench.recordCount(old) match {
+              case Some(n) if n == names.length =>
+                Bench.recordValue(old).forall(total < _)
+              case _ => true
+            }
           })
         if (improves)
           java.nio.file.Files.writeString(rec, detail + "\n"): Unit

@@ -603,24 +603,44 @@ object AnnIndex {
   /** Neighbors kept per vector in the corpus-wide KNN graph. */
   val KnnK = 5
 
-  /** Oracle: the q32 training replica's full-corpus assignment, then
-    * within-cell all-pairs + row_number top-k — the exact relational
-    * statement of the engine's cell-local KNN join (valid against the
-    * stored postings because q91 pins store ≡ in-memory training). */
-  private lazy val knnOracle: String = {
-    val (_, assigned) = VectorOps.trainedSql
-    s"""WITH a AS ($assigned),
-      |p AS (
+  /** Raw (unformatted cos_sim) within-cell KNN graph at quantizer
+    * width `kExpr`: the training replica's full-corpus assignment,
+    * then within-cell all-pairs + row_number top-k — the exact
+    * relational statement of the engine's cell-local KNN join (valid
+    * against the stored postings because q91 pins store ≡ in-memory
+    * training, and the scaled-tier spec pins the same at derived K).
+    * Shared by the formatted graph oracles (q116 pinned / q119
+    * derived-K) and every consumer oracle that ranks on the RAW
+    * double (q120's diversity selection). */
+  private def knnRawSqlAt(kExpr: String): String = {
+    val (_, assigned) = VectorOps.trainedSqlAt(kExpr)
+    // nested WITH (CTE inside the caller's CTE body): the assignment
+    // chain is stated ONCE and joined to itself, not replayed per
+    // join side
+    s"""WITH aknn AS ($assigned),
+      |pknn AS (
       |  SELECT x.vec_id, y.vec_id AS nbr_id,
       |    ${VectorOps.cosSql("x.qv", "y.qv", "x.n2", "y.n2")} AS cos_sim
-      |  FROM a x JOIN a y ON x.c_id = y.c_id AND x.vec_id <> y.vec_id)
-      |SELECT vec_id, nbr_id,
-      |  ${graft.ops.Exact.dbl4Sql("cos_sim")} AS cos_sim,
-      |  CAST(rnk AS INTEGER) AS rnk FROM (
+      |  FROM aknn x JOIN aknn y
+      |  ON x.c_id = y.c_id AND x.vec_id <> y.vec_id)
+      |SELECT vec_id, nbr_id, cos_sim, rnk FROM (
       |  SELECT *, row_number() OVER (PARTITION BY vec_id
-      |    ORDER BY cos_sim DESC, nbr_id) AS rnk FROM p) t
-      |WHERE rnk <= $KnnK ORDER BY vec_id, rnk""".stripMargin
+      |    ORDER BY cos_sim DESC, nbr_id) AS rnk FROM pknn) t
+      |WHERE rnk <= $KnnK""".stripMargin
   }
+
+  /** Formatted KNN-graph oracle at width `kExpr` (dbl4 presentation,
+    * the driver-comparable form). */
+  private def knnOracleAt(kExpr: String): String =
+    s"""SELECT vec_id, nbr_id,
+      |  ${graft.ops.Exact.dbl4Sql("cos_sim")} AS cos_sim,
+      |  CAST(rnk AS INTEGER) AS rnk FROM (${knnRawSqlAt(kExpr)}) g
+      |ORDER BY vec_id, rnk""".stripMargin
+
+  /** Oracle: the pinned-K (q32 training replica) cell-local KNN graph
+    * — q116's anchor. */
+  private lazy val knnOracle: String =
+    knnOracleAt(VectorOps.NumCentroids.toString)
 
   /** Corpus-wide batch KNN graph: k nearest neighbors for EVERY
     * vector (not a handful of serving queries) — the input relation
@@ -638,12 +658,15 @@ object AnnIndex {
     * pass). Top-k per vector is the bounded TopKAgg aggregation —
     * ≤ k rows per vector per partition shuffle, never a window sort
     * over all candidate pairs. */
-  /** Cell-local KNN graph with the RAW double cos_sim — shared by
-    * q116 (formats it) and the NN-descent refinement (q117, which
-    * expands its candidate set). */
-  private[analytics] def knnGraphRaw(s: SparkSession, d: String)
+  /** Cell-local KNN pair pass over an already-assigned postings
+    * relation `(c_id, vec_id, qv, n2)` — the self-join keys on the
+    * postings' disk-partition column, so each cell resolves its own
+    * neighborhood co-located; top-k is the bounded TopKAgg (≤ k rows
+    * per vector per partition shuffled, never a window sort). Shared
+    * by the pinned-K tier (q116) and the √n-derived tier (q119) —
+    * the K the caller's postings were built at IS the scale lever. */
+  private[analytics] def graphFromPostings(postings: DataFrame)
       : DataFrame = {
-    val (_, postings) = coarseArtifacts(s, d)
     val probe = postings.select(col("c_id"), col("vec_id").as("q_id"),
       col("qv").as("q_qv"), col("n2").as("q_n2"))
     val pairs = postings.join(probe, Seq("c_id"))
@@ -655,6 +678,13 @@ object AnnIndex {
       .select(col("q_id").as("vec_id"), col("vec_id").as("nbr_id"),
         col("cos_sim"), col("rnk"))
   }
+
+  /** Cell-local KNN graph with the RAW double cos_sim — shared by
+    * q116 (formats it) and the NN-descent refinement (q117, which
+    * expands its candidate set). */
+  private[analytics] def knnGraphRaw(s: SparkSession, d: String)
+      : DataFrame =
+    graphFromPostings(coarseArtifacts(s, d)._2)
 
   /** RRF smoothing constant (Cormack, Clarke, Büttcher, SIGIR'09 —
     * k=60 is the paper's recommendation and the de-facto default). */
@@ -747,80 +777,215 @@ object AnnIndex {
       .orderBy("vec_id", "rnk")
   }.copy(sideEffecting = true)
 
-  /** Oracle: q116's graph as a CTE, symmetrized and seeded with the
-    * deterministic ring, expanded one neighbor-of-neighbor hop,
-    * re-scored over the exact vectors and re-ranked — the relational
-    * statement of one NN-descent round. */
-  private lazy val knnRefineOracle: String = {
-    s"""WITH g0 AS ($knnOracle),
-      |nid AS (SELECT vec_id FROM (${VectorOps.baseNSql}) bn),
-      |ring AS (
-      |  SELECT vec_id, coalesce(lead(vec_id) OVER (ORDER BY vec_id),
-      |    (SELECT min(vec_id) FROM nid)) AS nbr_id FROM nid),
-      |und AS (
-      |  SELECT vec_id, nbr_id FROM g0
-      |  UNION SELECT nbr_id, vec_id FROM g0
-      |  UNION SELECT vec_id, nbr_id FROM ring WHERE vec_id <> nbr_id
-      |  UNION SELECT nbr_id, vec_id FROM ring WHERE vec_id <> nbr_id),
-      |cand AS (
-      |  SELECT DISTINCT u1.vec_id AS vec_id, u2.nbr_id AS nbr_id
-      |  FROM und u1 JOIN und u2 ON u1.nbr_id = u2.vec_id
-      |  WHERE u1.vec_id <> u2.nbr_id
-      |  UNION SELECT vec_id, nbr_id FROM und),
-      |n AS (${VectorOps.baseNSql}),
-      |p AS (
-      |  SELECT c.vec_id, c.nbr_id,
-      |    ${VectorOps.cosSql("x.qv", "y.qv", "x.n2", "y.n2")} AS cos_sim
-      |  FROM cand c JOIN n x ON x.vec_id = c.vec_id
-      |  JOIN n y ON y.vec_id = c.nbr_id)
-      |SELECT vec_id, nbr_id,
-      |  ${graft.ops.Exact.dbl4Sql("cos_sim")} AS cos_sim,
-      |  CAST(rnk AS INTEGER) AS rnk FROM (
-      |  SELECT *, row_number() OVER (PARTITION BY vec_id
-      |    ORDER BY cos_sim DESC, nbr_id) AS rnk FROM p) t
-      |WHERE rnk <= $KnnK ORDER BY vec_id, rnk""".stripMargin
+  // ------------------------------------------- √n-derived-K scale tier
+  /** Staleness signature of the derived-K coarse tier: the DERIVED K
+    * itself is part of the key, so a corpus grown past the next √n
+    * step (which changes K and thus every cell boundary) rebuilds
+    * instead of serving stale geometry. */
+  private[analytics] def scaledSig(fp: String, k: Int): String =
+    s"$fp|scaled,k=$k,i=${VectorOps.KmeansIters}"
+  private[analytics] def scaledKnnSig(fp: String, k: Int): String =
+    s"${scaledSig(fp, k)}|knn=$KnnK"
+
+  /** The √n-derived coarse tier (centroids, postings, derived K) for
+    * a corpus dir — the ARTIFACT-BUILD geometry that keeps every
+    * Σ|cell|² within-cell pass linear-ish in corpus size (cells hold
+    * ~√n vectors, so the KNN-graph pair pass is n^1.5/const instead
+    * of n²/16 — the ~28× cut SCALING.md documents at the 100×
+    * decade). Lives BESIDE the pinned-K=16 tier, not instead of it:
+    * the pinned tier stays the certified-twin anchor of every
+    * pre-round-10 oracle (the q32/q91 full-retrain-twin pattern),
+    * while this tier is itself oracle-certified through q119's
+    * scalar-subquery-K training replica. */
+  private[analytics] def scaledArtifacts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, Int) = {
+    val store = dirStore(d)
+    val emb = Tables.load(s, d, "embeddings")
+    // the derived K is a pure function of the corpus count — one
+    // cheap count job, paid at ensure time like the content
+    // fingerprint scan beside it
+    val k = VectorOps.derivedK(emb.count())
+    val fp = graft.io.ArtifactStore.contentFp(emb, col("vec_id"),
+      col("embedding"))
+    graft.io.ArtifactStore.ensure(s, store, Layer,
+      postingsTable("emb_scaled"), scaledSig(fp, k),
+      vacuumTables = Seq(centroidsTable("emb_scaled"))) {
+      build(s, store, "emb_scaled", emb, k = k,
+        extraMeta = Map("corpus_fp" -> scaledSig(fp, k)))
+    }
+    (store.read(s, Layer, centroidsTable("emb_scaled")).get,
+      store.read(s, Layer, postingsTable("emb_scaled")).get
+        // pin the partition-discovered int partition column back to
+        // the assignment's long (the coarseArtifacts contract)
+        .select(col("c_id").cast("long").as("c_id"), col("vec_id"),
+          col("qv"), col("n2")),
+      k)
   }
 
-  /** One NN-descent refinement round over the batch KNN graph (Dong,
-    * Moses, Li: "Efficient k-nearest neighbor graph construction for
-    * generic similarity measures", WWW'11): candidates are each
-    * vector's neighbors-of-neighbors over the SYMMETRIZED q116 graph
-    * seeded with a deterministic RING over the vec_ids (each id links
-    * to its successor, the last wraps to the first) — the reproducible
-    * analog of NN-descent's random initialization. The seed matters:
-    * the cell-local graph is DISCONNECTED across cells and exact
-    * within each cell, so an unseeded round is provably a no-op; the
-    * ring connects every component, and each round then propagates
-    * genuinely cross-cell neighbors. Monotone by construction — the
-    * candidate set contains every current neighbor, so a vector's
-    * neighborhood only improves round over round.
-    *
-    * This is the scale path past q116's Σ|cell|² ceiling: candidate
-    * volume is ≤ (2k+2)² per vector REGARDLESS of cell size — one
-    * bounded-fan-out self-join + one distinct + two co-partitioned
-    * vector lookups, all shuffling O(n·k²) rows. (The ring init is a
-    * one-off global sort over BARE IDS — n longs, not vectors.) At
-    * the 100× decade the cell-local pass costs ~272 s at the pinned
-    * 16 cells (measured, SCALING.md round-9) while a descent round
-    * over its output touches ~29M candidate pairs instead of 2.5G —
-    * each further round is the same bounded cost, converging toward
-    * the true graph without ever growing a quadratic term. */
-  val qKnnRefine: Q = Q("q117_knn_refine", knnRefineOracle) { (s, d) =>
-    val g = knnGraphStored(s, d).select("vec_id", "nbr_id")
-    val (_, posts0) = coarseArtifacts(s, d)
-    val wRing = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
-    val ids = posts0.select("vec_id")
-    val ring = ids
-      .withColumn("nbr_id", lead("vec_id", 1).over(wRing))
-      .crossJoin(broadcast(ids.agg(min("vec_id").as("__first"))))
-      .select(col("vec_id"),
-        coalesce(col("nbr_id"), col("__first")).as("nbr_id"))
+  /** Once-per-snapshot stored KNN graph at the DERIVED K — the
+    * engaged form of the "NumCentroids ∝ √n" lever: same pair pass as
+    * [[knnGraphStored]], but over √n cells of ~√n vectors each, so
+    * the build that is quadratic at pinned K stays feasible as the
+    * corpus grows. Signature derives from [[scaledSig]] (corpus fp +
+    * derived K + KnnK). */
+  private[analytics] def knnGraphScaledStored(s: SparkSession,
+      d: String): DataFrame = {
+    val store = dirStore(d)
+    val emb = Tables.load(s, d, "embeddings")
+    val k = VectorOps.derivedK(emb.count())
+    val fp = graft.io.ArtifactStore.contentFp(emb, col("vec_id"),
+      col("embedding"))
+    graft.io.ArtifactStore.ensure(s, store, Layer,
+      knnTable("emb_scaled"), scaledKnnSig(fp, k)) {
+      val (_, posts, _) = scaledArtifacts(s, d)
+      store.write(graphFromPostings(posts), Layer,
+        knnTable("emb_scaled"),
+        description = s"cell-local KNN graph (derived k=$k, " +
+          s"knn=$KnnK)",
+        meta = Map("corpus_fp" -> scaledKnnSig(fp, k)))
+    }
+    store.read(s, Layer, knnTable("emb_scaled")).get
+  }
+
+  /** The derived-K KNN graph as a driver query, FULLY oracle-certified
+    * at the non-default K: the DuckDB replica derives the same K from
+    * the same corpus count (scalar subquery — ceil∘sqrt of an exact
+    * integer is engine-identical), replays the Lloyd chain at that K,
+    * and re-states the within-cell top-k. At both verify SFs the
+    * derived K (23 at 500 vectors) differs from the pinned 16, so the
+    * certification genuinely exercises the scaled geometry — the
+    * stronger form of the certified-twin pattern (the twin itself is
+    * certified, not just anchored). */
+  val qKnnScaled: Q = Q("q119_knn_scaled",
+    knnOracleAt(VectorOps.DerivedKSql)) { (s, d) =>
+    knnGraphScaledStored(s, d)
+      .select(col("vec_id"), col("nbr_id"),
+        graft.ops.Exact.dbl4(col("cos_sim")).as("cos_sim"), col("rnk"))
+      .orderBy("vec_id", "rnk")
+  }.copy(sideEffecting = true)
+
+  /** Ring CTE over the assignment: successor in cyclic
+    * (c_id, vec_id) order — the relational statement of the engine's
+    * partition-local ring + boundary stitching ([[ringSeed]]): within
+    * a cell the successor is the next vec_id, a cell's max links to
+    * the next cell's min, and the last cell wraps to the first. The
+    * oracle states it as one global lead (fine at oracle scale); the
+    * engine never runs that single-task form. `asg` must provide
+    * (vec_id, c_id). */
+  private def ringSql(asg: String): String =
+    s"""SELECT vec_id, coalesce(
+      |    lead(vec_id) OVER (ORDER BY c_id, vec_id),
+      |    (SELECT vec_id FROM ($asg) f ORDER BY c_id, vec_id LIMIT 1))
+      |    AS nbr_id
+      |  FROM ($asg) r0""".stripMargin
+
+  /** One NN-descent round as SQL over relations `g` (the current
+    * graph: vec_id, nbr_id), `ring` (the seed edges) and `n` (the
+    * exact vectors, baseNSql shape) — symmetrize g ∪ ring, expand one
+    * neighbor-of-neighbor hop, re-score over the exact vectors,
+    * re-rank top-k. Raw cos_sim — callers format. Shared by the q117
+    * oracle (one round) and the q122 recall report (unrolled
+    * rounds). */
+  private def refineRoundSql(g: String, ring: String,
+      n: String): String = {
+    val und =
+      s"""SELECT vec_id, nbr_id FROM ($g) gg1
+        |  UNION SELECT nbr_id, vec_id FROM ($g) gg2
+        |  UNION SELECT vec_id, nbr_id FROM ($ring) rr1
+        |    WHERE vec_id <> nbr_id
+        |  UNION SELECT nbr_id, vec_id FROM ($ring) rr2
+        |    WHERE vec_id <> nbr_id""".stripMargin
+    s"""SELECT vec_id, nbr_id, cos_sim, rnk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY cos_sim DESC, nbr_id) AS rnk FROM (
+      |    SELECT c.vec_id, c.nbr_id,
+      |      ${VectorOps.cosSql("x.qv", "y.qv", "x.n2", "y.n2")}
+      |        AS cos_sim
+      |    FROM (
+      |      SELECT DISTINCT u1.vec_id AS vec_id, u2.nbr_id AS nbr_id
+      |      FROM ($und) u1 JOIN ($und) u2 ON u1.nbr_id = u2.vec_id
+      |      WHERE u1.vec_id <> u2.nbr_id
+      |      UNION SELECT vec_id, nbr_id FROM ($und) u3) c
+      |    JOIN ($n) x ON x.vec_id = c.vec_id
+      |    JOIN ($n) y ON y.vec_id = c.nbr_id) p) t
+      |WHERE rnk <= $KnnK""".stripMargin
+  }
+
+  /** Oracle: q116's graph as a CTE, symmetrized and seeded with the
+    * deterministic cell-stitched ring, expanded one
+    * neighbor-of-neighbor hop, re-scored over the exact vectors and
+    * re-ranked — the relational statement of one NN-descent round. */
+  private lazy val knnRefineOracle: String = {
+    val (_, assigned) = VectorOps.trainedSql
+    s"""WITH g0 AS ($knnOracle),
+      |asg AS (SELECT vec_id, c_id FROM ($assigned) a0),
+      |ring AS (${ringSql("SELECT vec_id, c_id FROM asg")}),
+      |n AS (${VectorOps.baseNSql}),
+      |g1 AS (${refineRoundSql("SELECT vec_id, nbr_id FROM g0",
+        "SELECT vec_id, nbr_id FROM ring",
+        "SELECT vec_id, qv, n2 FROM n")})
+      |SELECT vec_id, nbr_id,
+      |  ${graft.ops.Exact.dbl4Sql("cos_sim")} AS cos_sim,
+      |  CAST(rnk AS INTEGER) AS rnk FROM g1
+      |ORDER BY vec_id, rnk""".stripMargin
+  }
+
+  /** Deterministic Hamiltonian ring over the corpus ids, built
+    * PARTITION-LOCALLY from the cell assignment: within each coarse
+    * cell the successor is the next vec_id (a cell-partitioned
+    * window — co-located with the postings' disk layout, every cell
+    * its own task), and the ≤K cell-boundary edges (each cell's max
+    * links to the next cell's min, the last cell wraps to the first)
+    * stitch the cells into one cycle. Equivalent to a global
+    * `lead(vec_id) OVER (ORDER BY c_id, vec_id)` with wrap — which
+    * is how the oracle states it ([[ringSql]]) — but with NO
+    * single-task unpartitioned window anywhere in the plan (the
+    * round-9 verdict's serial-bottleneck finding: an unpartitioned
+    * window funnels all n rows through ONE task). The only global
+    * object is the per-cell (min, max) boundary table — ≤K rows, the
+    * bounded-collect discipline of the probe-cell lists. Spec-pinned:
+    * AnnIndexSpec asserts ring ≡ the global-window form AND that no
+    * empty-partitionSpec WindowExec appears in q117's plan. */
+  private[analytics] def ringSeed(posts: DataFrame): DataFrame = {
+    val ids = posts.select(col("c_id"), col("vec_id"))
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_id").orderBy("vec_id")
+    val inner = ids.withColumn("nbr_id", lead("vec_id", 1).over(wCell))
+      .filter(col("nbr_id").isNotNull)
+      .select("vec_id", "nbr_id")
+    val bounds = ids.groupBy("c_id")
+      .agg(min("vec_id").as("mn"), max("vec_id").as("mx"))
+      .orderBy("c_id")
+      .collect()
+    val stitches = bounds.indices.map { i =>
+      val nxt = bounds((i + 1) % bounds.length)
+      (bounds(i).getLong(2), nxt.getLong(1))
+    }
+    val spark = posts.sparkSession
+    import spark.implicits._
+    inner.unionByName(
+        spark.createDataset(stitches).toDF("vec_id", "nbr_id"))
       .filter(col("vec_id") =!= col("nbr_id"))
-    val undirected = g.unionByName(ring)
+  }
+
+  /** One NN-descent round (Dong, Moses, Li, WWW'11) over `graph`
+    * (vec_id, nbr_id) seeded with `ring`, scored against `vecs`
+    * (vec_id, qv, n2): symmetrize graph ∪ ring, expand one
+    * neighbor-of-neighbor hop, score every candidate exactly, keep
+    * top-k. Candidate volume is ≤ (2k+2)² per vector REGARDLESS of
+    * cell size — one bounded-fan-out self-join + one distinct + two
+    * co-partitioned vector lookups, all shuffling O(n·k²) rows.
+    * Monotone by construction: the candidate set contains every
+    * current neighbor, so a vector's neighborhood only improves
+    * round over round. Returns the raw-double graph
+    * (vec_id, nbr_id, cos_sim, rnk). */
+  private[analytics] def descentRound(graph: DataFrame,
+      ring: DataFrame, vecs: DataFrame): DataFrame = {
+    val undirected = graph.select("vec_id", "nbr_id").unionByName(ring)
     // consumed THREE times below (both sides of the hop self-join and
     // the candidate union): materialize once — O(n·(k+1)) bare id
-    // pairs — instead of recomputing the graph-read + ring-window +
-    // distinct sub-plan per use
+    // pairs — instead of recomputing the graph-read + ring + distinct
+    // sub-plan per use
     val und = undirected.unionByName(undirected.select(
       col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id"))).distinct()
       .localCheckpoint()
@@ -829,7 +994,6 @@ object AnnIndex {
       .filter(col("vec_id") =!= col("nbr_id"))
       .select("vec_id", "nbr_id")
     val cand = hop.unionByName(und).distinct()
-    val vecs = posts0.select(col("vec_id"), col("qv"), col("n2"))
     val scored = cand
       .join(vecs.select(col("vec_id"), col("qv").as("q_qv"),
         col("n2").as("q_n2")), Seq("vec_id"))
@@ -840,7 +1004,377 @@ object AnnIndex {
           col("n2")).as("cos_sim"))
     VectorOps.topKRanked(scored, KnnK)
       .select(col("q_id").as("vec_id"), col("vec_id").as("nbr_id"),
+        col("cos_sim"), col("rnk"))
+  }
+
+  /** One NN-descent refinement round over the batch KNN graph:
+    * candidates are each vector's neighbors-of-neighbors over the
+    * SYMMETRIZED q116 graph seeded with the deterministic
+    * cell-stitched ring ([[ringSeed]]) — the reproducible analog of
+    * NN-descent's random initialization. The seed matters: the
+    * cell-local graph is DISCONNECTED across cells and exact within
+    * each cell, so an unseeded round is provably a no-op; the ring
+    * connects every component, and each round then propagates
+    * genuinely cross-cell neighbors.
+    *
+    * This is the scale path past q116's Σ|cell|² ceiling (see
+    * [[descentRound]] for the bounded-fan-out argument). At the 100×
+    * decade the cell-local pass costs ~272 s at the pinned 16 cells
+    * (measured, SCALING.md round-9) while a descent round over its
+    * output touches ~29M candidate pairs instead of 2.5G — each
+    * further round is the same bounded cost ([[knnDescentRounds]]),
+    * converging toward the true graph without ever growing a
+    * quadratic term. */
+  val qKnnRefine: Q = Q("q117_knn_refine", knnRefineOracle) { (s, d) =>
+    val g = knnGraphStored(s, d).select("vec_id", "nbr_id")
+    val (_, posts) = coarseArtifacts(s, d)
+    descentRound(g, ringSeed(posts),
+      posts.select(col("vec_id"), col("qv"), col("n2")))
+      .select(col("vec_id"), col("nbr_id"),
         graft.ops.Exact.dbl4(col("cos_sim")).as("cos_sim"), col("rnk"))
       .orderBy("vec_id", "rnk")
+  }.copy(sideEffecting = true)
+
+  /** `rounds` NN-descent rounds from the stored pinned-K graph —
+    * the paper's iterated algorithm (q117 is round 1). Each round is
+    * the same bounded O(n·k²) candidate pass; localCheckpoint keeps
+    * the lineage one round deep (the kmeans-iteration discipline).
+    * Returns the raw-double graph after the last round. */
+  private[analytics] def knnDescentRounds(s: SparkSession, d: String,
+      rounds: Int): DataFrame = {
+    val (_, posts) = coarseArtifacts(s, d)
+    val vecs = posts.select(col("vec_id"), col("qv"), col("n2"))
+    val ring = ringSeed(posts).localCheckpoint()
+    var g: DataFrame = knnGraphStored(s, d)
+    for (_ <- 0 until rounds)
+      g = descentRound(g.select("vec_id", "nbr_id"), ring, vecs)
+        .localCheckpoint()
+    g
+  }
+
+  /** Iterate NN-descent until no neighborhood improves (the paper's
+    * stopping rule, stated as edge-set fixpoint: a round that returns
+    * the same (vec_id, nbr_id, rnk) graph as its input cannot change
+    * any later round — candidates are a pure function of the edge
+    * set) or `maxRounds`. Returns (graph, roundsRun). The
+    * per-round change probe is one anti-join over two k·n-row edge
+    * sets — cheap relative to the round itself. */
+  private[analytics] def knnDescentConverged(s: SparkSession,
+      d: String, maxRounds: Int): (DataFrame, Int) = {
+    val (_, posts) = coarseArtifacts(s, d)
+    val vecs = posts.select(col("vec_id"), col("qv"), col("n2"))
+    val ring = ringSeed(posts).localCheckpoint()
+    var g: DataFrame = knnGraphStored(s, d)
+      .select("vec_id", "nbr_id", "rnk").localCheckpoint()
+    var r = 0
+    var converged = false
+    while (r < maxRounds && !converged) {
+      val next = descentRound(g.select("vec_id", "nbr_id"), ring, vecs)
+        .localCheckpoint()
+      val unchanged = next.select("vec_id", "nbr_id", "rnk")
+        .exceptAll(g.select("vec_id", "nbr_id", "rnk")).isEmpty
+      if (unchanged) converged = true else r += 1
+      g = next
+    }
+    (g, r)
+  }
+
+  // ------------------------------------- graph-diversity sampling
+  /** Per-cell selection denominator of the diversity sample: keep
+    * ceil(|cell| / DiversityDen) vectors per cell — integer
+    * arithmetic, so the quota is exact cross-engine. */
+  val DiversityDen = 4
+
+  /** Stratified graph-diversity selection over a KNN graph + cell
+    * assignment: a vector's redundancy is its NEAREST neighbor's
+    * cosine (the graph's rnk=1 edge — max is order-independent, so
+    * the score is deterministic where a float mean would not be), and
+    * each cell keeps its ceil(|cell|/[[DiversityDen]]) LEAST-redundant
+    * vectors (ties to the smaller vec_id; a vector with no graph edge
+    * — a singleton cell — counts as maximally diverse via a -2.0
+    * sentinel below any real cosine). The farthest-point flavor of
+    * diversity sampling stated relationally: one graph filter, one
+    * cell-partitioned window (cells are the unit of parallelism —
+    * bounded at ~√n vectors each under the derived-K tier), one
+    * ≤K-row broadcast of cell sizes. */
+  private[analytics] def diversitySelect(graph: DataFrame,
+      cells: DataFrame): DataFrame = {
+    val nn = graph.filter(col("rnk") === 1)
+      .select(col("vec_id"), col("cos_sim").as("nn_sim"))
+    val sizes = cells.groupBy("c_id").agg(count(lit(1)).as("cell_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_id")
+      .orderBy(col("nn_sim").asc, col("vec_id").asc)
+    cells.join(nn, Seq("vec_id"), "left")
+      .withColumn("nn_sim", coalesce(col("nn_sim"), lit(-2.0)))
+      .withColumn("pick", row_number().over(w))
+      .join(broadcast(sizes), Seq("c_id"))
+      .withColumn("quota",
+        expr(s"(cell_n + ${DiversityDen - 1}) DIV $DiversityDen"))
+      .filter(col("pick") <= col("quota"))
+      .select(col("c_id"), col("vec_id"),
+        graft.ops.Exact.dbl4(col("nn_sim")).as("nn_sim"),
+        col("cell_n"), col("quota"), col("pick"))
+  }
+
+  /** Oracle: the pinned-K training replica's assignment + the RAW
+    * within-cell KNN graph, then the identical relational selection
+    * (rnk=1 redundancy, per-cell quota, pick rank). */
+  private lazy val diversityOracle: String = {
+    val (_, assigned) = VectorOps.trainedSql
+    val quotaSql = s"(s.cell_n + ${DiversityDen - 1}) // $DiversityDen"
+    s"""WITH a AS (SELECT vec_id, c_id FROM ($assigned) a0),
+      |g AS (${knnRawSqlAt(VectorOps.NumCentroids.toString)}),
+      |nn AS (SELECT vec_id, cos_sim AS nn_sim FROM g WHERE rnk = 1),
+      |sz AS (SELECT c_id, count(*) AS cell_n FROM a GROUP BY c_id),
+      |rk AS (
+      |  SELECT a.c_id, a.vec_id,
+      |    coalesce(nn.nn_sim, -2.0) AS nn_sim,
+      |    row_number() OVER (PARTITION BY a.c_id
+      |      ORDER BY coalesce(nn.nn_sim, -2.0) ASC, a.vec_id) AS pick
+      |  FROM a LEFT JOIN nn USING (vec_id))
+      |SELECT r.c_id, r.vec_id,
+      |  ${graft.ops.Exact.dbl4Sql("r.nn_sim")} AS nn_sim,
+      |  CAST(s.cell_n AS BIGINT) AS cell_n,
+      |  CAST($quotaSql AS BIGINT) AS quota,
+      |  CAST(r.pick AS INTEGER) AS pick
+      |FROM rk r JOIN sz s USING (c_id)
+      |WHERE r.pick <= $quotaSql
+      |ORDER BY c_id, pick""".stripMargin
+  }
+
+  /** Graph-based diversity sampling as a driver query — the consumer
+    * the stored KNN graph exists for (training-data curation keeps
+    * the spread of the embedding space, not its dense cores): reads
+    * q116's stored artifact + the stored cell assignment, nothing
+    * recomputed. The same selection runs unchanged over the
+    * derived-K tier ([[knnGraphScaledStored]] + [[scaledArtifacts]]
+    * — spec-exercised), where the per-cell window is bounded at ~√n
+    * rows. */
+  val qGraphDiversity: Q = Q("q120_graph_diversity",
+    diversityOracle) { (s, d) =>
+    val (_, posts) = coarseArtifacts(s, d)
+    diversitySelect(knnGraphStored(s, d),
+        posts.select(col("c_id"), col("vec_id")))
+      .orderBy("c_id", "pick")
+  }.copy(sideEffecting = true)
+
+  // ------------------------------------- hybrid dense + lexical RRF
+  /** Oracle: the q24 shingle chain re-stated as a query-side overlap
+    * ranker (n_inter DESC, item_id — exact integer ordering), the
+    * q114 two-stage PQ replica as the dense ranker, fused with the
+    * q118 RRF formula. */
+  private lazy val hybridOracle: String = {
+    val nq = VectorOps.NumQueries
+    val k = VectorOps.TopK
+    s"""WITH tok AS (
+      |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |  FROM tok, unnest(generate_series(1, len(t) - 2)) AS u(i)),
+      |keep AS (
+      |  SELECT s FROM sh GROUP BY s
+      |  HAVING count(DISTINCT doc_id) <= ${NearDup.MaxDf}),
+      |shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+      |lexp AS (
+      |  SELECT a.doc_id AS q_id, b.doc_id AS item_id,
+      |    count(*) AS n_inter
+      |  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id <> b.doc_id
+      |  WHERE a.doc_id < $nq GROUP BY 1, 2),
+      |lex AS (
+      |  SELECT q_id, item_id, rnk FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY q_id
+      |      ORDER BY n_inter DESC, item_id) AS rnk FROM lexp) t
+      |  WHERE rnk <= $k),
+      |den AS (
+      |  SELECT q_id, vec_id AS item_id, rnk
+      |  FROM (${Pq.rerankOracle}) p),
+      |u AS (
+      |  SELECT coalesce(d.q_id, l.q_id) AS q_id,
+      |    coalesce(d.item_id, l.item_id) AS item_id,
+      |    coalesce(1.0 / ($RrfK + d.rnk), 0) +
+      |      coalesce(1.0 / ($RrfK + l.rnk), 0) AS rrf
+      |  FROM den d FULL OUTER JOIN lex l
+      |    ON d.q_id = l.q_id AND d.item_id = l.item_id)
+      |SELECT q_id, item_id, ${graft.ops.Exact.dbl4Sql("rrf")} AS rrf,
+      |  CAST(rnk AS INTEGER) AS rnk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY rrf DESC, item_id) AS rnk FROM u) t
+      |WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
+  }
+
+  /** Hybrid dense + lexical retrieval fused with RRF — the de-facto
+    * production hybrid-search stack: the dense side is the persisted
+    * two-stage IVF-PQ serving path (q114's artifacts), the lexical
+    * side is an overlap-scored top-k over the STORED df-capped
+    * shingle posting lists (q24's artifact — the lists ARE a lexical
+    * inverted index; ranking by shared-shingle count is exact integer
+    * ordering, so the ranker is deterministic with no float scores
+    * at all), and agreement between the two incomparable rankers is
+    * scored with Σ 1/(RrfK + rank). Ids fuse over the corpus's
+    * shared id space (doc_id ≡ vec_id where both modalities exist —
+    * a candidate present in only one modality simply scores from the
+    * lists it appears in, the standard hybrid-search contract).
+    * Cost: two bounded shortlists + the pair pass over the stored
+    * lists — no new index, both artifacts already amortized. */
+  /** The lexical ranker of the hybrid stack: overlap-scored top-k
+    * over the STORED df-capped shingle posting lists — (query doc,
+    * candidate doc, shared-shingle count) ranked (n_inter DESC,
+    * item_id ASC) per query through the bounded [[VectorOps
+    * .topKRanked]] aggregation (spec-pinned against the window-sort
+    * form). Integer scores throughout: no float enters the ranking. */
+  private[analytics] def lexicalTopK(s: SparkSession, d: String)
+      : DataFrame = {
+    val (lists, _) = NearDup.postingListsStored(s, d,
+      Tables.load(s, d, "documents"))
+    val (pairs, _) = NearDup.pairCountsFromLists(lists, "doc_id")
+    // both directions of the a<b pair relation, filtered to query
+    // docs — the asymmetric (query, item) statement of the oracle
+    val qside = pairs
+      .filter(col("a_id") < VectorOps.NumQueries)
+      .select(col("a_id").as("q_id"), col("b_id").as("vec_id"),
+        col("n_inter"))
+      .unionByName(pairs.filter(col("b_id") < VectorOps.NumQueries)
+        .select(col("b_id").as("q_id"), col("a_id").as("vec_id"),
+          col("n_inter")))
+    VectorOps.topKRanked(
+        qside.select(col("q_id"), col("vec_id"),
+          // integer-valued double (exact below 2^53): TopKAgg's
+          // (score DESC, id ASC) = the oracle's (n_inter DESC, item)
+          col("n_inter").cast("double").as("cos_sim")))
+      .select(col("q_id"), col("vec_id").as("item_id"),
+        col("rnk").as("lex_rnk"))
+  }
+
+  val qHybridRrf: Q = Q("q121_hybrid_rrf", hybridOracle) { (s, d) =>
+    val (store, emb) = ensureArtifacts(s, d, withPq = true)
+    val queries = emb.filter(col("vec_id") < VectorOps.NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val dense = searchAdcRerank(s, store, "emb", queries)
+      .select(col("q_id"), col("vec_id").as("item_id"),
+        col("rnk").as("dense_rnk"))
+    val fused = dense.join(lexicalTopK(s, d), Seq("q_id", "item_id"),
+        "full_outer")
+      .select(col("q_id"), col("item_id").as("vec_id"),
+        (coalesce(lit(1.0) / (lit(RrfK) + col("dense_rnk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("lex_rnk")), lit(0.0)))
+          .as("cos_sim"))
+    VectorOps.topKRanked(fused)
+      .select(col("q_id"), col("vec_id").as("item_id"),
+        graft.ops.Exact.dbl4(col("cos_sim")).as("rrf"), col("rnk"))
+      .orderBy("q_id", "rnk")
+  }.copy(sideEffecting = true)
+
+  // ------------------------------------- descent recall report
+  /** Evaluation panel of the descent recall report: every
+    * DescentEvalMod-th vec_id below [[DescentEvalCap]] — a FIXED,
+    * bounded panel (≤ Cap/Mod vectors) regardless of corpus size, the
+    * q115 evaluation-sample discipline: exact ground truth costs one
+    * |panel| × corpus broadcast scan, never corpus². */
+  val DescentEvalMod = 10
+  val DescentEvalCap = 2000
+  /** Refinement rounds the report unrolls (round 0 = the stored
+    * cell-local graph itself). */
+  val DescentReportRounds = 2
+
+  private lazy val descentRecallOracle: String = {
+    val (_, assigned) = VectorOps.trainedSql
+    val evalPred =
+      s"vec_id % $DescentEvalMod = 0 AND vec_id < $DescentEvalCap"
+    def metricSql(r: Int): String =
+      s"""SELECT $r AS round, count(*) AS n_edges,
+        |    sum(CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1 END) AS hits
+        |  FROM (SELECT vec_id, nbr_id FROM g$r WHERE $evalPred) gg
+        |  LEFT JOIN ex e
+        |    ON e.vec_id = gg.vec_id AND e.nbr_id = gg.nbr_id"""
+        .stripMargin
+    val rounds = (1 to DescentReportRounds).map { r =>
+      s"""g$r AS (${refineRoundSql(
+        s"SELECT vec_id, nbr_id FROM g${r - 1}",
+        "SELECT vec_id, nbr_id FROM ring",
+        "SELECT vec_id, qv, n2 FROM n")})"""
+    }.mkString(",\n")
+    val metrics = (0 to DescentReportRounds).map(metricSql)
+      .mkString(" UNION ALL ")
+    s"""WITH asg AS (SELECT vec_id, c_id FROM ($assigned) a0),
+      |n AS (${VectorOps.baseNSql}),
+      |ring AS (${ringSql("SELECT vec_id, c_id FROM asg")}),
+      |g0 AS (${knnRawSqlAt(VectorOps.NumCentroids.toString)}),
+      |$rounds,
+      |ex AS (
+      |  SELECT vec_id, nbr_id FROM (
+      |    SELECT x.vec_id, y.vec_id AS nbr_id,
+      |      row_number() OVER (PARTITION BY x.vec_id
+      |        ORDER BY ${VectorOps.cosSql("x.qv", "y.qv", "x.n2",
+               "y.n2")} DESC, y.vec_id) AS rnk
+      |    FROM n x JOIN n y ON y.vec_id <> x.vec_id
+      |    WHERE x.vec_id % $DescentEvalMod = 0
+      |      AND x.vec_id < $DescentEvalCap) t
+      |  WHERE rnk <= $KnnK),
+      |stats AS (
+      |  SELECT count(*) AS n_exact, count(DISTINCT vec_id) AS n_eval
+      |  FROM ex)
+      |SELECT CAST(m.round AS INTEGER) AS round,
+      |  CAST(s.n_eval AS BIGINT) AS n_eval,
+      |  CAST(s.n_exact AS BIGINT) AS n_exact,
+      |  CAST(m.n_edges AS BIGINT) AS n_edges,
+      |  CAST(m.hits AS BIGINT) AS hits,
+      |  ${graft.ops.Exact.dbl4Sql(
+           "CAST(m.hits AS DOUBLE) / s.n_exact")} AS recall
+      |FROM ($metrics) m, stats s
+      |ORDER BY round""".stripMargin
+  }
+
+  /** Recall-vs-exact of the NN-descent iteration, per round — the
+    * metric that tells a deployment how many refinement rounds the
+    * corpus needs (the paper's convergence curve, stated as a query):
+    * round 0 is the stored cell-local graph, rounds 1..R each apply
+    * [[descentRound]], and every round's edges for a FIXED evaluation
+    * panel are scored against the exact ground truth. Monotone by
+    * construction (each candidate set contains the current
+    * neighbors); the spec additionally pins ≥0.9 recall within 2
+    * rounds on a clustered corpus. Ground truth is one
+    * |panel| × corpus broadcast scan ([[DescentEvalCap]]-bounded) —
+    * the report never touches corpus² anything. */
+  val qDescentRecall: Q = Q("q122_descent_recall",
+    descentRecallOracle) { (s, d) =>
+    val (_, posts) = coarseArtifacts(s, d)
+    val vecs = posts.select(col("vec_id"), col("qv"), col("n2"))
+    val evalPanel = vecs
+      .filter(col("vec_id") % DescentEvalMod === 0 &&
+        col("vec_id") < DescentEvalCap)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+        col("n2").as("q_n2"))
+    val exact = VectorOps.topKRanked(
+        vecs.crossJoin(broadcast(evalPanel))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            VectorOps.cosineQ(col("q_qv"), col("qv"), col("q_n2"),
+              col("n2")).as("cos_sim")),
+        KnnK)
+      .select(col("q_id").as("vec_id"), col("vec_id").as("nbr_id"),
+        lit(1).as("hit"))
+      .localCheckpoint()
+    val nExact = exact.count()
+    val nEval = exact.select("vec_id").distinct().count()
+    val ring = ringSeed(posts).localCheckpoint()
+    var g: DataFrame = knnGraphStored(s, d)
+    val perRound = (0 to DescentReportRounds).map { r =>
+      if (r > 0)
+        g = descentRound(g.select("vec_id", "nbr_id"), ring, vecs)
+          .localCheckpoint()
+      g.filter(col("vec_id") % DescentEvalMod === 0 &&
+          col("vec_id") < DescentEvalCap)
+        .select("vec_id", "nbr_id")
+        .join(broadcast(exact), Seq("vec_id", "nbr_id"), "left")
+        .agg(count(lit(1)).as("n_edges"), count(col("hit")).as("hits"))
+        .select(lit(r).as("round"), lit(nEval).as("n_eval"),
+          lit(nExact).as("n_exact"), col("n_edges"), col("hits"),
+          graft.ops.Exact.dbl4(
+            col("hits").cast("double") / nExact).as("recall"))
+    }
+    perRound.reduce(_ unionByName _).orderBy("round")
   }.copy(sideEffecting = true)
 }

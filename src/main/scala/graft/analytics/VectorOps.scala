@@ -392,6 +392,28 @@ object VectorOps {
   val NumCentroids = 16
   val KmeansIters = 3
 
+  /** √n-derived coarse-quantizer width for the ARTIFACT-BUILD tier
+    * (floored at the pinned [[NumCentroids]] so tiny corpora keep the
+    * certified-twin geometry). K ∝ √n is the standard IVF sizing rule
+    * and the lever that keeps every Σ|cell|² within-cell pass (KNN
+    * graph, SemDeDup) LINEAR in the corpus: cells hold ~√n vectors,
+    * so Σ|cell|² ≈ n·√n / √n = n·(n/K) = n^1.5/K^0 … concretely,
+    * n²/K drops from n²/16 (pinned) to n^1.5 — at the measured 100×
+    * decade (200k vectors) that is the documented ~28× cut. The
+    * derived K rides in the artifact staleness signature, so a corpus
+    * grown past the next √n step rebuilds instead of serving stale
+    * geometry. */
+  def derivedK(n: Long): Int =
+    math.max(NumCentroids, math.ceil(math.sqrt(n.toDouble)).toInt)
+
+  /** DuckDB form of [[derivedK]] over the embeddings corpus — a
+    * scalar subquery, so the oracle derives the SAME K from the same
+    * count (ceil∘sqrt of an exact integer is correctly rounded and
+    * engine-identical). */
+  val DerivedKSql: String =
+    s"(SELECT GREATEST($NumCentroids, CAST(ceil(sqrt(CAST(count(*) " +
+      s"AS DOUBLE))) AS BIGINT)) FROM embeddings)"
+
   /** Deterministic distributed k-means over quantized vectors: Lloyd
     * iterations where each step is a broadcast-join assignment plus a
     * per-(centroid, dim) mean aggregation — no driver-side math, no
@@ -516,20 +538,29 @@ object VectorOps {
     s"SELECT vec_id, qv, (SELECT sum(u.a*u.a) FROM (SELECT unnest(qv) " +
       s"a) u) AS n2 FROM (SELECT vec_id, $QuantizeSql AS qv " +
       s"FROM embeddings)"
-  /** (centroids, full-corpus assignment) after KmeansIters rounds -
-    * the exact chain kmeansCentroids + ivfAssign execute. */
-  private[analytics] def trainedSql: (String, String) = {
+  /** (centroids, full-corpus assignment) after KmeansIters rounds at
+    * quantizer width `kExpr` (a SQL expression — a literal for the
+    * pinned tier, the [[DerivedKSql]] scalar subquery for the
+    * √n-derived tier) - the exact chain kmeansCentroids + ivfAssign
+    * execute. K appears only in the seed filters and the train-sample
+    * gate; every other step is K-agnostic. */
+  private[analytics] def trainedSqlAt(kExpr: String): (String, String) = {
     val hx = graft.ops.DuckHash.chain(
       "SELECT vec_id AS hid FROM embeddings", "hid")
     val train = s"SELECT b.* FROM ($baseNSql) b JOIN ($hx) h " +
       s"ON b.vec_id = h.hid WHERE ((h.xxh % 4) + 4) % 4 = 0 " +
-      s"OR b.vec_id < $NumCentroids"
+      s"OR b.vec_id < $kExpr"
     var cents = s"SELECT vec_id AS c_id, qv AS c_qv, n2 AS c_n2 " +
-      s"FROM ($baseNSql) WHERE vec_id < $NumCentroids"
+      s"FROM ($baseNSql) WHERE vec_id < $kExpr"
     for (_ <- 0 until KmeansIters)
       cents = updateSql(assignSql(train, cents))
     (cents, assignSql(baseNSql, cents))
   }
+
+  /** The pinned-K training replica (the certified-twin anchor every
+    * pre-round-10 oracle interpolates). */
+  private[analytics] def trainedSql: (String, String) =
+    trainedSqlAt(NumCentroids.toString)
 
   val qAnnIvf: Q = {
     val (cents, assigned) = trainedSql

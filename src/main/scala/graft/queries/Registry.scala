@@ -26,7 +26,11 @@ object Registry {
       graft.analytics.AnnIndex.qAnnRecall :+
       graft.analytics.AnnIndex.qKnnGraph :+
       graft.analytics.AnnIndex.qKnnRefine :+
-      graft.analytics.AnnIndex.qRrfFusion
+      graft.analytics.AnnIndex.qRrfFusion :+
+      graft.analytics.AnnIndex.qKnnScaled :+
+      graft.analytics.AnnIndex.qGraphDiversity :+
+      graft.analytics.AnnIndex.qHybridRrf :+
+      graft.analytics.AnnIndex.qDescentRecall
 
   val flagship: Q = RefQueries.q15Flagship
 }

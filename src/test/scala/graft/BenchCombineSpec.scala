@@ -86,5 +86,17 @@ class BenchCombineSpec extends AnyFunSuite {
       """{"metric":"total_detail","value":65.0,"pass_totals":[1]}""")
       .isEmpty)
     assert(Bench.recordCount("").isEmpty)
+    // anchored to the queries OBJECT: a query-name-shaped key in a
+    // sibling field (error detail, nested map) must not drift the
+    // surface count
+    assert(Bench.recordCount(
+      """{"errors":{"q99_lm_perplexity":"boom"},""" +
+        """"queries":{"q01_scan_project":0.1,"q02_filter_pred":0.2},""" +
+        """"extra":{"q03_case_status":"note"}}""")
+      .contains(2))
+    // a record with no queries object at all reads as unknown even if
+    // query-shaped keys appear elsewhere
+    assert(Bench.recordCount(
+      """{"errors":{"q99_lm_perplexity":"boom"}}""").isEmpty)
   }
 }

@@ -1,0 +1,245 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.io.Tables
+
+/** Round-10 KNN-family scale machinery: the √n-derived-K artifact
+  * tier (q119), the partition-local ring seed (q117's fixed plan),
+  * multi-round NN-descent (q122), graph-diversity sampling (q120)
+  * and the hybrid lexical ranker (q121). */
+class KnnScaleSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+  private val Dir = "/root/testdata/sf0.001"
+
+  private def quant(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+        VectorOps.quantize(col("embedding")).as("qv"))
+      .withColumn("n2", VectorOps.norm2Q(col("qv")))
+
+  test("derivedK grows with √n, floors at the pinned NumCentroids, " +
+      "and is non-default at the fixture corpus size") {
+    for (n <- Seq(1L, 100L, 500L, 2000L, 1000000L, 10000000000L)) {
+      val k = VectorOps.derivedK(n)
+      assert(k >= VectorOps.NumCentroids, s"floor broken at n=$n")
+      assert(k >= math.sqrt(n.toDouble).toLong - 1,
+        s"derived K $k below √n at n=$n")
+    }
+    // at ≤256 vectors the pinned width IS the derived width
+    assert(VectorOps.derivedK(256) == VectorOps.NumCentroids)
+    // the verify fixtures genuinely exercise a non-default K
+    assert(VectorOps.derivedK(500) == 23)
+    assert(VectorOps.derivedK(2000) == 45)
+    // the measured 100×-decade corpus: ~448 cells (the ~28× cut
+    // SCALING.md documents against the pinned 16)
+    assert(VectorOps.derivedK(200000) == 448)
+  }
+
+  test("scaled tier: stored derived-K graph ≡ the in-memory chain " +
+      "at the same (non-default) K") {
+    val emb = Tables.load(spark, Dir, "embeddings")
+    val n = emb.count()
+    val k = VectorOps.derivedK(n)
+    assert(k != VectorOps.NumCentroids,
+      "fixture must exercise a non-default K")
+    val stored = AnnIndex.knnGraphScaledStored(spark, Dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).toSet
+    val base = quant(emb)
+    val cents = VectorOps.kmeansCentroids(base, k)
+    val posts = VectorOps.ivfAssign(base, cents)
+      .select(col("c_id"), col("vec_id"), col("qv"), col("n2"))
+    val mem = AnnIndex.graphFromPostings(posts)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).toSet
+    assert(stored.nonEmpty && stored == mem)
+    // and the stored geometry is genuinely the derived one: more
+    // centroid rows than the pinned 16
+    val (scents, _, sk) = AnnIndex.scaledArtifacts(spark, Dir)
+    assert(sk == k && scents.count() > VectorOps.NumCentroids)
+  }
+
+  test("ring seed: partition-local ring + boundary stitching ≡ the " +
+      "global (c_id, vec_id) successor cycle; no unpartitioned " +
+      "WindowExec in its plan or in q117's") {
+    val (_, posts) = AnnIndex.coarseArtifacts(spark, Dir)
+    val ringDf = AnnIndex.ringSeed(posts)
+    val got = ringDf.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    // reference: one global successor pass over (c_id, vec_id) order
+    val ordered = posts.select("c_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.map(_._2)
+    val expected = ordered.indices.map(i =>
+        (ordered(i), ordered((i + 1) % ordered.length)))
+      .filter(p => p._1 != p._2).toSet
+    assert(got == expected && got.nonEmpty)
+    def unpartitionedWindows(df: DataFrame) =
+      df.queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }
+    assert(unpartitionedWindows(ringDf).isEmpty,
+      "ring plan funnels all ids through one task")
+    assert(unpartitionedWindows(AnnIndex.qKnnRefine.build(spark, Dir))
+      .isEmpty, "q117 plan contains a single-task window")
+  }
+
+  test("NN-descent on a clustered manifold: recall vs exact is " +
+      "monotone and reaches ≥0.9 within 2 rounds from a sub-0.9 start") {
+    // 160 unit vectors on a circle (first two dims): true neighbors
+    // are circle-adjacent, k-means arcs cut neighborhoods at every
+    // cell boundary, and the ring (successor ids = successor angles)
+    // lets descent recover the cross-boundary edges
+    val nv = 160
+    val emb = spark.createDataset((0 until nv).map { i =>
+      val th = 2.0 * math.Pi * i / nv
+      (i.toLong, Array(math.cos(th).toFloat, math.sin(th).toFloat,
+        0f, 0f))
+    }).toDF("vec_id", "embedding")
+    val base = quant(emb).persist()
+    val cents = VectorOps.kmeansCentroids(base, 20)
+    val posts = VectorOps.ivfAssign(base, cents)
+      .select(col("c_id"), col("vec_id"), col("qv"), col("n2"))
+      .persist()
+    val vecs = posts.select("vec_id", "qv", "n2")
+    val exact = VectorOps.topKRanked(
+        posts.as("a").crossJoin(posts.as("b"))
+          .filter(col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.vec_id").as("q_id"),
+            col("b.vec_id").as("vec_id"),
+            VectorOps.cosineQ(col("a.qv"), col("b.qv"), col("a.n2"),
+              col("b.n2")).as("cos_sim")),
+        AnnIndex.KnnK)
+      .select(col("q_id").as("vec_id"), col("vec_id").as("nbr_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ring = AnnIndex.ringSeed(posts).localCheckpoint()
+    var g = AnnIndex.graphFromPostings(posts).localCheckpoint()
+    def recall(df: DataFrame): Double = {
+      val edges = df.select("vec_id", "nbr_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      edges.count(exact.contains).toDouble / exact.size
+    }
+    val r0 = recall(g)
+    assert(r0 < 0.9, f"fixture too easy: round-0 recall $r0%.3f")
+    var prev = r0
+    var last = r0
+    for (_ <- 1 to 2) {
+      g = AnnIndex.descentRound(g.select("vec_id", "nbr_id"), ring,
+        vecs).localCheckpoint()
+      last = recall(g)
+      assert(last >= prev - 1e-12,
+        f"recall regressed: $prev%.3f -> $last%.3f")
+      prev = last
+    }
+    assert(last >= 0.9, f"descent stuck at $last%.3f after 2 rounds")
+    base.unpersist(); posts.unpersist(): Unit
+  }
+
+  test("knnDescentConverged stops at an edge-set fixpoint: one more " +
+      "round changes nothing") {
+    // the sf0.001 corpus reaches its fixpoint in 11 productive rounds
+    // (measured); a cap hit would mean non-convergence, so assert
+    // strictly under it
+    val (g, rounds) = AnnIndex.knnDescentConverged(spark, Dir, 20)
+    assert(rounds < 20, s"descent did not converge in $rounds rounds")
+    val (_, posts) = AnnIndex.coarseArtifacts(spark, Dir)
+    val again = AnnIndex.descentRound(g.select("vec_id", "nbr_id"),
+      AnnIndex.ringSeed(posts), posts.select("vec_id", "qv", "n2"))
+    assert(again.select("vec_id", "nbr_id", "rnk")
+      .exceptAll(g.select("vec_id", "nbr_id", "rnk")).isEmpty)
+  }
+
+  test("graph diversity: per-cell quota is ceil(|cell|/4), picks are " +
+      "the least-redundant members, and the selection runs unchanged " +
+      "over the derived-K tier") {
+    val sel = AnnIndex.qGraphDiversity.build(spark, Dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2).toDouble,
+        r.getLong(3), r.getLong(4), r.getInt(5)))
+    assert(sel.nonEmpty)
+    // quota math + contiguous picks per cell
+    sel.groupBy(_._1).foreach { case (c, rows) =>
+      val cellN = rows.head._4
+      val quota = (cellN + 3) / 4
+      assert(rows.forall(_._5 == quota), s"cell $c quota drift")
+      assert(rows.map(_._6).sorted.toSeq == (1 to rows.length).toSeq)
+      assert(rows.length == math.min(quota, cellN).toInt, s"cell $c")
+    }
+    // least-redundant: no unselected member of a cell has a strictly
+    // lower nn_sim than a selected one (ties break by vec_id, so
+    // compare on the (nn_sim, vec_id) key)
+    val nn = AnnIndex.knnGraphStored(spark, Dir)
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("cos_sim")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val (_, posts) = AnnIndex.coarseArtifacts(spark, Dir)
+    val members = posts.select("c_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val selected = sel.map(r => (r._1, r._2)).toSet
+    members.groupBy(_._1).foreach { case (c, ms) =>
+      val keyed = ms.map { case (_, v) =>
+        (nn.getOrElse(v, -2.0), v) }.sorted
+      val quota = (ms.length + 3) / 4
+      val want = keyed.take(quota).map(_._2).toSet
+      val got = ms.filter(m => selected.contains(m)).map(_._2).toSet
+      assert(got == want, s"cell $c selected $got, want $want")
+    }
+    // derived-K tier: same selection, scaled artifacts
+    val (_, sposts, k) = AnnIndex.scaledArtifacts(spark, Dir)
+    val scaledSel = AnnIndex.diversitySelect(
+      AnnIndex.knnGraphScaledStored(spark, Dir),
+      sposts.select("c_id", "vec_id"))
+    val byCell = scaledSel.groupBy("c_id")
+      .agg(count(lit(1)).as("n"), first("quota").as("q")).collect()
+    assert(byCell.length > VectorOps.NumCentroids,
+      s"scaled selection should span the derived $k cells")
+    byCell.foreach(r => assert(r.getLong(1) <= r.getLong(2)))
+  }
+
+  test("hybrid lexical ranker ≡ the window-sort form (n_inter DESC, " +
+      "item_id) over the stored posting lists") {
+    val got = AnnIndex.lexicalTopK(spark, Dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got.nonEmpty)
+    val (lists, _) = NearDup.postingListsStored(spark, Dir,
+      Tables.load(spark, Dir, "documents"))
+    val (pairs, _) = NearDup.pairCountsFromLists(lists, "doc_id")
+    val qside = pairs
+      .filter(col("a_id") < VectorOps.NumQueries)
+      .select(col("a_id").as("q_id"), col("b_id").as("item_id"),
+        col("n_inter"))
+      .unionByName(pairs.filter(col("b_id") < VectorOps.NumQueries)
+        .select(col("b_id").as("q_id"), col("a_id").as("item_id"),
+          col("n_inter")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id")
+      .orderBy(col("n_inter").desc, col("item_id").asc)
+    val ref = qside.withColumn("lex_rnk", row_number().over(w))
+      .filter(col("lex_rnk") <= VectorOps.TopK)
+      .select("q_id", "item_id", "lex_rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == ref)
+  }
+
+  test("q122 recall report: 3 rounds, bounded eval panel, recall in " +
+      "[0,1] and monotone") {
+    val rows = AnnIndex.qDescentRecall.build(spark, Dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5).toDouble))
+    assert(rows.map(_._1).toSeq == (0 to AnnIndex.DescentReportRounds))
+    val nEval = rows.head._2
+    assert(nEval > 0 &&
+      nEval <= AnnIndex.DescentEvalCap / AnnIndex.DescentEvalMod)
+    rows.foreach { case (_, _, nExact, nEdges, hits, rec) =>
+      assert(hits <= nEdges && hits <= nExact)
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    rows.map(_._6).toSeq.sliding(2).foreach { pair =>
+      if (pair.length == 2)
+        assert(pair(1) >= pair(0) - 1e-12, "recall regressed")
+    }
+  }
+}
