@@ -1377,4 +1377,46 @@ object AnnIndex {
     }
     perRound.reduce(_ unionByName _).orderBy("round")
   }.copy(sideEffecting = true)
+
+  /** Oracle: the scaled-tier refine — q119's derived-K graph as g0,
+    * the ring over the derived-K assignment, one relational descent
+    * round re-scored over the exact vectors. Every sub-relation is
+    * the pinned oracle's parametric form evaluated at
+    * [[VectorOps.DerivedKSql]], so the certification genuinely
+    * exercises the non-default geometry (23 cells at the verify
+    * fixtures) exactly as q119's does. */
+  private lazy val knnRefineScaledOracle: String = {
+    val (_, assigned) = VectorOps.trainedSqlAt(VectorOps.DerivedKSql)
+    s"""WITH g0 AS (${knnOracleAt(VectorOps.DerivedKSql)}),
+      |asg AS (SELECT vec_id, c_id FROM ($assigned) a0),
+      |ring AS (${ringSql("SELECT vec_id, c_id FROM asg")}),
+      |n AS (${VectorOps.baseNSql}),
+      |g1 AS (${refineRoundSql("SELECT vec_id, nbr_id FROM g0",
+        "SELECT vec_id, nbr_id FROM ring",
+        "SELECT vec_id, qv, n2 FROM n")})
+      |SELECT vec_id, nbr_id,
+      |  ${graft.ops.Exact.dbl4Sql("cos_sim")} AS cos_sim,
+      |  CAST(rnk AS INTEGER) AS rnk FROM g1
+      |ORDER BY vec_id, rnk""".stripMargin
+  }
+
+  /** One NN-descent round over the DERIVED-K stored graph — the
+    * refine stage of the composition the 100 TB path actually runs:
+    * build the cell-local graph at √n cells (q119, so the build has
+    * no quadratic term), then bounded descent rounds recover the
+    * cross-cell edges ([[descentRound]]'s ≤(2k+2)² fan-out per
+    * vector). q117 certifies descent at the pinned anchor; this
+    * certifies it AT the scaled geometry, ring and all, so the two
+    * halves of the scale story are each oracle-green rather than
+    * green-separately-and-composed-on-faith. */
+  val qKnnRefineScaled: Q = Q("q123_knn_refine_scaled",
+    knnRefineScaledOracle) { (s, d) =>
+    val g = knnGraphScaledStored(s, d).select("vec_id", "nbr_id")
+    val (_, posts, _) = scaledArtifacts(s, d)
+    descentRound(g, ringSeed(posts),
+      posts.select(col("vec_id"), col("qv"), col("n2")))
+      .select(col("vec_id"), col("nbr_id"),
+        graft.ops.Exact.dbl4(col("cos_sim")).as("cos_sim"), col("rnk"))
+      .orderBy("vec_id", "rnk")
+  }.copy(sideEffecting = true)
 }

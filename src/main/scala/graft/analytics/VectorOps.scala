@@ -874,7 +874,37 @@ object VectorOps {
     }.copy(sideEffecting = true)
   }
 
+  /** SemDeDup at the √n-derived quantizer width — the paper's own
+    * scale prescription ("k grown alongside the corpus") engaged the
+    * way q119 engages it for the KNN graph: the within-cell pair pass
+    * runs over the DERIVED-K stored assignment ([[AnnIndex
+    * .scaledArtifacts]]), so Σ|cell|² stays ~n^1.5 instead of n²/16,
+    * and the oracle replays the identical Lloyd chain at the same
+    * scalar-subquery K, certifying the decision at the non-default
+    * geometry. q96 remains the pinned-anchor twin. */
+  val qSemDedupScaled: Q = {
+    val (_, assigned) = trainedSqlAt(DerivedKSql)
+    val cos = cosSql("a.qv", "b.qv", "a.n2", "b.n2")
+    Q(
+      "q124_semdedup_scaled",
+      s"""WITH assigned AS ($assigned),
+        |drp AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM assigned a JOIN assigned b
+        |    ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+        |  WHERE $cos >= $SemDedupThreshold)
+        |SELECT s.vec_id, s.c_id,
+        |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER)
+        |    AS keep_flag
+        |FROM assigned s LEFT JOIN drp d USING (vec_id)
+        |ORDER BY s.vec_id""".stripMargin) { (s, d) =>
+      semDedupFromAssigned(AnnIndex.scaledArtifacts(s, d)._2)
+        .orderBy("vec_id")
+    }.copy(sideEffecting = true)
+  }
+
   val all: Seq[Q] =
     Seq(qAnnTopK, qEmbeddingStats, qEmbeddingDedup, qAnnLshBuckets,
-      qAnnIvf, qEmbeddingDedupCorpus, qEmbeddingClusters, qSemDedup)
+      qAnnIvf, qEmbeddingDedupCorpus, qEmbeddingClusters, qSemDedup,
+      qSemDedupScaled)
 }

@@ -30,7 +30,8 @@ object Registry {
       graft.analytics.AnnIndex.qKnnScaled :+
       graft.analytics.AnnIndex.qGraphDiversity :+
       graft.analytics.AnnIndex.qHybridRrf :+
-      graft.analytics.AnnIndex.qDescentRecall
+      graft.analytics.AnnIndex.qDescentRecall :+
+      graft.analytics.AnnIndex.qKnnRefineScaled
 
   val flagship: Q = RefQueries.q15Flagship
 }

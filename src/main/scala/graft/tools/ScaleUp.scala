@@ -13,17 +13,24 @@ import graft.io.Tables
   * data — e.g. 10× sf0.1 ≈ sf1: 6M lineitem rows.
   *
   * Usage: runMain graft.tools.ScaleUp <srcSfDir> <outDir> [factor]
+  *   [tables] — optional comma-list restricting output to those tables
   */
 object ScaleUp {
 
-  def amplify(spark: SparkSession, src: String, out: String, factor: Int)
-      : Unit = {
-    def replicate(name: String, f: (DataFrame, Int) => DataFrame): Unit = {
-      val base = Tables.load(spark, src, name)
-      val copies = (0 until factor).map(i => f(base, i))
-      copies.reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$out/$name.parquet")
-    }
+  /** `only`: restrict the amplified output to the named tables — the
+    * deep-decade probes (e.g. 1000× embeddings for the KNN-family
+    * envelope) need ONE table three decades up, not a 600M-row
+    * lineitem alongside it. Default amplifies everything. */
+  def amplify(spark: SparkSession, src: String, out: String, factor: Int,
+      only: Option[Set[String]] = None): Unit = {
+    def want(name: String): Boolean = only.forall(_.contains(name))
+    def replicate(name: String, f: (DataFrame, Int) => DataFrame): Unit =
+      if (want(name)) {
+        val base = Tables.load(spark, src, name)
+        val copies = (0 until factor).map(i => f(base, i))
+        copies.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$out/$name.parquet")
+      }
     val K = 1000000000L
 
     // small dimensions stay as-is (realistic: facts grow, dims grow
@@ -32,10 +39,11 @@ object ScaleUp {
     // an offset on only the fact side would orphan every replica's
     // rows (an amplified q74/q09 join would then measure a degenerate
     // ~1/factor match rate, not the operator at scale)
-    Seq("region", "nation", "supplier", "part").foreach { n =>
-      Tables.load(spark, src, n)
-        .write.mode("overwrite").parquet(s"$out/$n.parquet")
-    }
+    Seq("region", "nation", "supplier", "part")
+      .filter(want).foreach { n =>
+        Tables.load(spark, src, n)
+          .write.mode("overwrite").parquet(s"$out/$n.parquet")
+      }
     replicate("customer", (df, i) => df
       .withColumn("c_custkey", col("c_custkey") + lit(i * K)))
     replicate("lineitem", (df, i) => df
@@ -72,6 +80,8 @@ object ScaleUp {
     val src = args(0)
     val out = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
+    val only = if (args.length > 3)
+      Some(args(3).split(",").map(_.trim).toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.SparkTuning(SparkSession.builder())
       .master(s"local[$cpus]")
@@ -80,7 +90,7 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    amplify(spark, src, out, factor)
+    amplify(spark, src, out, factor, only)
     spark.stop()
   }
 }
