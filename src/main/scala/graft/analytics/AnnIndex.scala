@@ -881,20 +881,30 @@ object AnnIndex {
 
   /** One NN-descent round as SQL over relations `g` (the current
     * graph: vec_id, nbr_id), `ring` (the seed edges) and `n` (the
-    * exact vectors, baseNSql shape) — symmetrize g ∪ ring, expand one
+    * exact vectors, baseNSql shape) — symmetrize g ∪ ring with the
+    * REVERSE side capped at [[ReverseCap]] per vector (row_number
+    * over the smallest nbr_ids — the relational statement of the
+    * engine's deterministic reverse sampling), expand one
     * neighbor-of-neighbor hop, re-score over the exact vectors,
     * re-rank top-k. Raw cos_sim — callers format. Shared by the q117
-    * oracle (one round) and the q122 recall report (unrolled
-    * rounds). */
+    * oracle (one round), its q123 scaled twin, and the q122 recall
+    * report (unrolled rounds). */
   private def refineRoundSql(g: String, ring: String,
       n: String): String = {
-    val und =
+    val fwd =
       s"""SELECT vec_id, nbr_id FROM ($g) gg1
-        |  UNION SELECT nbr_id, vec_id FROM ($g) gg2
         |  UNION SELECT vec_id, nbr_id FROM ($ring) rr1
-        |    WHERE vec_id <> nbr_id
-        |  UNION SELECT nbr_id, vec_id FROM ($ring) rr2
         |    WHERE vec_id <> nbr_id""".stripMargin
+    val rev =
+      s"""SELECT nbr_id AS vec_id, vec_id AS nbr_id FROM ($g) gg2
+        |  UNION SELECT nbr_id AS vec_id, vec_id AS nbr_id
+        |    FROM ($ring) rr2 WHERE vec_id <> nbr_id""".stripMargin
+    val und =
+      s"""SELECT vec_id, nbr_id FROM ($fwd) uf
+        |  UNION SELECT vec_id, nbr_id FROM (
+        |    SELECT vec_id, nbr_id, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY nbr_id) AS rn
+        |    FROM ($rev) rv) rc WHERE rn <= $ReverseCap""".stripMargin
     s"""SELECT vec_id, nbr_id, cos_sim, rnk FROM (
       |  SELECT *, row_number() OVER (PARTITION BY vec_id
       |    ORDER BY cos_sim DESC, nbr_id) AS rnk FROM (
@@ -968,26 +978,80 @@ object AnnIndex {
       .filter(col("vec_id") =!= col("nbr_id"))
   }
 
+  /** Corpus-size ceiling under which [[descentRound]] BROADCASTS the
+    * vector table into its two score-side lookups. The candidate set
+    * is O(n·k²) bare id pairs — cheap to shuffle — but a shuffled
+    * vector lookup makes the SECOND join reshuffle every candidate
+    * row carrying a ~520 B quantized vector: ~150 GB of shuffle
+    * write at the 2M-vector decade, which exceeded this node's disk
+    * (measured round 10; the q107-class finding for this family).
+    * Broadcasting the ~528 B/row vecs table (≤ ~1.1 GB at this
+    * ceiling) keeps both lookups map-side and pipelines scoring
+    * straight into the bounded TopKAgg partial — zero wide shuffles.
+    * Past the ceiling the joins fall back to shuffles: a 1000-
+    * executor cluster has the aggregate spill disk a laptop doesn't,
+    * and a forced multi-GB broadcast would be the failure instead.
+    * Specs force the gate both ways and pin identical results. */
+  val DescentBroadcastMaxVecs = 2000000L
+
+  /** Per-vector ceiling on REVERSE edges admitted into a descent
+    * round's undirected working set — NN-Descent's reverse-neighbor
+    * sampling (Dong et al. sample the reverse lists precisely
+    * because in-degree is unbounded), made deterministic: keep the
+    * ReverseCap smallest nbr_ids. Without it the docstring's bounded
+    * fan-out is a lie on duplicate-heavy corpora: the within-cell
+    * tie-break (cos DESC, nbr_id) makes the few smallest ids in a
+    * duplicate cluster EVERY member's neighbor, so symmetrizing
+    * hands them in-degree ≈ |cluster| and the hop join explodes as
+    * Σ indeg² — measured at the 2M-vector decade (1000 identical
+    * copies per vector): ~14G hop rows, ~230 GB of spill, job dead.
+    * Forward edges are never capped (monotonicity needs every
+    * current neighbor in the candidate set); k+2 mirrors the forward
+    * width (k graph edges + the ring edge), so und out-degree is
+    * ≤ 2k+3 REGARDLESS of data. */
+  val ReverseCap = KnnK + 2
+
   /** One NN-descent round (Dong, Moses, Li, WWW'11) over `graph`
     * (vec_id, nbr_id) seeded with `ring`, scored against `vecs`
-    * (vec_id, qv, n2): symmetrize graph ∪ ring, expand one
-    * neighbor-of-neighbor hop, score every candidate exactly, keep
-    * top-k. Candidate volume is ≤ (2k+2)² per vector REGARDLESS of
-    * cell size — one bounded-fan-out self-join + one distinct + two
-    * co-partitioned vector lookups, all shuffling O(n·k²) rows.
-    * Monotone by construction: the candidate set contains every
-    * current neighbor, so a vector's neighborhood only improves
-    * round over round. Returns the raw-double graph
-    * (vec_id, nbr_id, cos_sim, rnk). */
+    * (vec_id, qv, n2): symmetrize graph ∪ ring — reverse side capped
+    * per [[ReverseCap]] — expand one neighbor-of-neighbor hop, score
+    * every candidate exactly, keep top-k. Candidate volume is
+    * ≤ (2k+3)² per vector REGARDLESS of cell size or in-degree — one
+    * bounded-fan-out self-join + one distinct + two vector lookups,
+    * volume-gated per [[DescentBroadcastMaxVecs]] (`vecCount` is the
+    * corpus size; negative = unknown = the shuffle arm). Monotone by
+    * construction: the candidate set contains every current (forward)
+    * neighbor, so a vector's neighborhood only improves round over
+    * round. Returns the raw-double graph (vec_id, nbr_id, cos_sim,
+    * rnk). */
   private[analytics] def descentRound(graph: DataFrame,
-      ring: DataFrame, vecs: DataFrame): DataFrame = {
-    val undirected = graph.select("vec_id", "nbr_id").unionByName(ring)
+      ring: DataFrame, vecs: DataFrame,
+      vecCount: => Long = -1L): DataFrame = {
+    val gate: DataFrame => DataFrame = {
+      val n = vecCount
+      if (n >= 0 && n <= DescentBroadcastMaxVecs)
+        (p: DataFrame) => broadcast(p)
+      else (p: DataFrame) => p
+    }
+    val fwd = graph.select("vec_id", "nbr_id").unionByName(ring)
+      .distinct()
+    // reverse sampling: ≤ ReverseCap smallest-id reverse edges per
+    // vector, through the bounded TopKAgg (ids are exact doubles
+    // below 2^53, so -nbr_id DESC ≡ the oracle's nbr_id ASC
+    // row_number) — never a window sort over the full reverse set
+    val topCap = udaf(new graft.functions.TopKAgg(ReverseCap))
+    val revCapped = fwd
+      .select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id"))
+      .groupBy("vec_id")
+      .agg(topCap((-col("nbr_id")).cast("double"), col("nbr_id"))
+        .as("top"))
+      .select(col("vec_id"), explode(col("top")).as("s"))
+      .select(col("vec_id"), col("s.id").as("nbr_id"))
     // consumed THREE times below (both sides of the hop self-join and
-    // the candidate union): materialize once — O(n·(k+1)) bare id
-    // pairs — instead of recomputing the graph-read + ring + distinct
+    // the candidate union): materialize once — O(n·(2k+3)) bare id
+    // pairs — instead of recomputing the graph-read + ring + cap
     // sub-plan per use
-    val und = undirected.unionByName(undirected.select(
-      col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id"))).distinct()
+    val und = fwd.unionByName(revCapped).distinct()
       .localCheckpoint()
     val hop = und.select(col("vec_id"), col("nbr_id").as("mid"))
       .join(und.select(col("vec_id").as("mid"), col("nbr_id")), Seq("mid"))
@@ -995,10 +1059,10 @@ object AnnIndex {
       .select("vec_id", "nbr_id")
     val cand = hop.unionByName(und).distinct()
     val scored = cand
-      .join(vecs.select(col("vec_id"), col("qv").as("q_qv"),
-        col("n2").as("q_n2")), Seq("vec_id"))
-      .join(vecs.select(col("vec_id").as("nbr_id"), col("qv"),
-        col("n2")), Seq("nbr_id"))
+      .join(gate(vecs.select(col("vec_id"), col("qv").as("q_qv"),
+        col("n2").as("q_n2"))), Seq("vec_id"))
+      .join(gate(vecs.select(col("vec_id").as("nbr_id"), col("qv"),
+        col("n2"))), Seq("nbr_id"))
       .select(col("vec_id").as("q_id"), col("nbr_id").as("vec_id"),
         VectorOps.cosineQ(col("q_qv"), col("qv"), col("q_n2"),
           col("n2")).as("cos_sim"))
@@ -1029,7 +1093,8 @@ object AnnIndex {
     val g = knnGraphStored(s, d).select("vec_id", "nbr_id")
     val (_, posts) = coarseArtifacts(s, d)
     descentRound(g, ringSeed(posts),
-      posts.select(col("vec_id"), col("qv"), col("n2")))
+      posts.select(col("vec_id"), col("qv"), col("n2")),
+      Tables.load(s, d, "embeddings").count())
       .select(col("vec_id"), col("nbr_id"),
         graft.ops.Exact.dbl4(col("cos_sim")).as("cos_sim"), col("rnk"))
       .orderBy("vec_id", "rnk")
@@ -1044,10 +1109,11 @@ object AnnIndex {
       rounds: Int): DataFrame = {
     val (_, posts) = coarseArtifacts(s, d)
     val vecs = posts.select(col("vec_id"), col("qv"), col("n2"))
+    val n = Tables.load(s, d, "embeddings").count()
     val ring = ringSeed(posts).localCheckpoint()
     var g: DataFrame = knnGraphStored(s, d)
     for (_ <- 0 until rounds)
-      g = descentRound(g.select("vec_id", "nbr_id"), ring, vecs)
+      g = descentRound(g.select("vec_id", "nbr_id"), ring, vecs, n)
         .localCheckpoint()
     g
   }
@@ -1063,13 +1129,15 @@ object AnnIndex {
       d: String, maxRounds: Int): (DataFrame, Int) = {
     val (_, posts) = coarseArtifacts(s, d)
     val vecs = posts.select(col("vec_id"), col("qv"), col("n2"))
+    val n = Tables.load(s, d, "embeddings").count()
     val ring = ringSeed(posts).localCheckpoint()
     var g: DataFrame = knnGraphStored(s, d)
       .select("vec_id", "nbr_id", "rnk").localCheckpoint()
     var r = 0
     var converged = false
     while (r < maxRounds && !converged) {
-      val next = descentRound(g.select("vec_id", "nbr_id"), ring, vecs)
+      val next = descentRound(g.select("vec_id", "nbr_id"), ring, vecs,
+          n)
         .localCheckpoint()
       val unchanged = next.select("vec_id", "nbr_id", "rnk")
         .exceptAll(g.select("vec_id", "nbr_id", "rnk")).isEmpty
@@ -1360,10 +1428,12 @@ object AnnIndex {
     val nExact = exact.count()
     val nEval = exact.select("vec_id").distinct().count()
     val ring = ringSeed(posts).localCheckpoint()
+    val nCorpus = Tables.load(s, d, "embeddings").count()
     var g: DataFrame = knnGraphStored(s, d)
     val perRound = (0 to DescentReportRounds).map { r =>
       if (r > 0)
-        g = descentRound(g.select("vec_id", "nbr_id"), ring, vecs)
+        g = descentRound(g.select("vec_id", "nbr_id"), ring, vecs,
+            nCorpus)
           .localCheckpoint()
       g.filter(col("vec_id") % DescentEvalMod === 0 &&
           col("vec_id") < DescentEvalCap)
@@ -1404,7 +1474,7 @@ object AnnIndex {
     * refine stage of the composition the 100 TB path actually runs:
     * build the cell-local graph at √n cells (q119, so the build has
     * no quadratic term), then bounded descent rounds recover the
-    * cross-cell edges ([[descentRound]]'s ≤(2k+2)² fan-out per
+    * cross-cell edges ([[descentRound]]'s ≤(2k+3)² fan-out per
     * vector). q117 certifies descent at the pinned anchor; this
     * certifies it AT the scaled geometry, ring and all, so the two
     * halves of the scale story are each oracle-green rather than
@@ -1414,7 +1484,8 @@ object AnnIndex {
     val g = knnGraphScaledStored(s, d).select("vec_id", "nbr_id")
     val (_, posts, _) = scaledArtifacts(s, d)
     descentRound(g, ringSeed(posts),
-      posts.select(col("vec_id"), col("qv"), col("n2")))
+      posts.select(col("vec_id"), col("qv"), col("n2")),
+      Tables.load(s, d, "embeddings").count())
       .select(col("vec_id"), col("nbr_id"),
         graft.ops.Exact.dbl4(col("cos_sim")).as("cos_sim"), col("rnk"))
       .orderBy("vec_id", "rnk")

@@ -251,6 +251,28 @@ class KnnScaleSpec extends AnyFunSuite {
       "scaled descent round was a no-op")
   }
 
+  test("descent vector-lookup gate: broadcast and shuffle arms emit " +
+      "identical rounds, and the gated arm genuinely broadcasts") {
+    val (_, posts) = AnnIndex.coarseArtifacts(spark, Dir)
+    val vecs = posts.select("vec_id", "qv", "n2")
+    val g = AnnIndex.knnGraphStored(spark, Dir)
+      .select("vec_id", "nbr_id")
+    val ring = AnnIndex.ringSeed(posts).localCheckpoint()
+    val bcast = AnnIndex.descentRound(g, ring, vecs, vecCount = 1L)
+    val shuf = AnnIndex.descentRound(g, ring, vecs,
+      vecCount = Long.MaxValue)
+    def rows(df: DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(rows(bcast) == rows(shuf) && rows(bcast).nonEmpty)
+    def broadcastJoins(df: DataFrame) =
+      df.queryExecution.sparkPlan.collect {
+        case b: org.apache.spark.sql.execution.joins
+            .BroadcastHashJoinExec => b
+      }.size
+    assert(broadcastJoins(bcast) >= 2,
+      "gated arm should broadcast both vector lookups")
+  }
+
   test("q124: scaled SemDeDup decision ≡ the in-memory semDedup at " +
       "the same derived K, and genuinely spans more than 16 cells") {
     val emb = Tables.load(spark, Dir, "embeddings")
