@@ -1118,6 +1118,38 @@ object AnnIndex {
     g
   }
 
+  private def knnRefinedTable(name: String, rounds: Int) =
+    s"${name}_knn_r$rounds"
+  private[analytics] def knnRefinedSig(fp: String, rounds: Int): String =
+    s"${knnSig(fp)}|desc=$rounds,rc=$ReverseCap"
+
+  /** Once-per-snapshot STORED refined graph after `rounds` descent
+    * rounds — the artifact discipline applied to the refinement tier
+    * (the verdict-9 ask): the round-R graph is a pure function of
+    * (corpus snapshot, coarse constants, KnnK, rounds, ReverseCap),
+    * so consumers that want the higher-recall graph (diversity
+    * sampling, SemDeDup variants) read it instead of re-paying R
+    * bounded rounds per query. Signature derives from [[knnSig]]
+    * plus the round count and the reverse cap, so bumping either
+    * rebuilds instead of serving a graph refined under the old
+    * semantics. */
+  private[analytics] def knnRefinedStored(s: SparkSession, d: String,
+      rounds: Int): DataFrame = {
+    val store = dirStore(d)
+    val emb = Tables.load(s, d, "embeddings")
+    val fp = graft.io.ArtifactStore.contentFp(emb, col("vec_id"),
+      col("embedding"))
+    graft.io.ArtifactStore.ensure(s, store, Layer,
+      knnRefinedTable("emb", rounds), knnRefinedSig(fp, rounds)) {
+      store.write(knnDescentRounds(s, d, rounds), Layer,
+        knnRefinedTable("emb", rounds),
+        description = s"NN-descent round-$rounds refined KNN graph " +
+          s"(k=$KnnK, reverse cap $ReverseCap)",
+        meta = Map("corpus_fp" -> knnRefinedSig(fp, rounds)))
+    }
+    store.read(s, Layer, knnRefinedTable("emb", rounds)).get
+  }
+
   /** Iterate NN-descent until no neighborhood improves (the paper's
     * stopping rule, stated as edge-set fixpoint: a round that returns
     * the same (vec_id, nbr_id, rnk) graph as its input cannot change

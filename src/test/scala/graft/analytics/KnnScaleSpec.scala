@@ -287,6 +287,24 @@ class KnnScaleSpec extends AnyFunSuite {
       "scaled decision should span the derived cells")
   }
 
+  test("stored refined graph ≡ the recomputed descent rounds, and a " +
+      "round-count change rebuilds instead of serving the old graph") {
+    def rows(df: DataFrame) = df
+      .select("vec_id", "nbr_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val stored1 = rows(AnnIndex.knnRefinedStored(spark, Dir, 1))
+    assert(stored1.nonEmpty &&
+      stored1 == rows(AnnIndex.knnDescentRounds(spark, Dir, 1)))
+    // second read serves the stored artifact (same content), and a
+    // different round count is a DIFFERENT artifact with the deeper
+    // refinement, not the round-1 graph under a stale key
+    assert(rows(AnnIndex.knnRefinedStored(spark, Dir, 1)) == stored1)
+    val stored2 = rows(AnnIndex.knnRefinedStored(spark, Dir, 2))
+    assert(stored2 == rows(AnnIndex.knnDescentRounds(spark, Dir, 2)))
+    assert(stored2 != stored1,
+      "fixture should refine further in round 2")
+  }
+
   test("q122 recall report: 3 rounds, bounded eval panel, recall in " +
       "[0,1] and monotone") {
     val rows = AnnIndex.qDescentRecall.build(spark, Dir).collect()
