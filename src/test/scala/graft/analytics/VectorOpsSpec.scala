@@ -390,4 +390,62 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(q39 == mem39 && q39.nonEmpty)
     base.unpersist(); cents.unpersist()
   }
+
+  test("k-means training sample: the 1/4 gate thins past " +
+      "SamplesPerCentroid·k (linear training at the derived tier), " +
+      "and every gate SF keeps the certified 1/4 gate bit-for-bit") {
+    // the gate corpora: modulus stays 4, so every pre-cap oracle
+    // certification carries unchanged
+    assert(VectorOps.trainModulus(500, 23) == 4)    // verify fixtures
+    assert(VectorOps.trainModulus(2000, 45) == 4)
+    assert(VectorOps.trainModulus(5000, 71) == 4)   // bench SF
+    assert(VectorOps.trainModulus(5000, 16) == 4)   // pinned tier
+    // decade points: the thinned modulus caps the sample
+    assert(VectorOps.trainModulus(20000, 16) == 5)
+    assert(VectorOps.trainModulus(2000000, 1415) == 6) // 2M, derived K
+    // cap semantics on a corpus where it binds: the gated sample is
+    // ≈ SamplesPerCentroid·k, never the uncapped quarter (the n^1.5/4
+    // training term of the round-10 verdict)
+    val n = 20000L
+    val k = 16
+    val cap = VectorOps.SamplesPerCentroid.toLong * k
+    val m = VectorOps.trainModulus(n, k)
+    val trainN = spark.range(n).select(col("id").as("vec_id"))
+      .filter(pmod(xxhash64(col("vec_id")), lit(m)) === 0L ||
+        col("vec_id") < k)
+      .count()
+    assert(trainN <= cap * 11 / 10,
+      s"sample $trainN exceeds the $cap cap")
+    assert(trainN >= cap / 2, s"sample $trainN thinned too far")
+    assert(trainN < n / 4, "cap must bind below the uncapped quarter")
+  }
+
+  test("distributed-centroid arm (K past FlatCollectMaxK): forced at " +
+      "a small K it emits exactly the collect arm's centroids, and " +
+      "the unhinted assignment equals the broadcast one") {
+    // deterministic varied synthetic corpus, 8 dims
+    val emb = spark.createDataset((0L until 400L).map { i =>
+      (i, Array.tabulate(8)(d =>
+        (((i * 31 + d * 17 + 7) % 13) - 6).toFloat / 3f))
+    }).toDF("vec_id", "embedding")
+    val base = emb.select(col("vec_id"),
+        VectorOps.quantize(col("embedding")).as("qv"))
+      .withColumn("n2", VectorOps.norm2Q(col("qv")))
+      .persist()
+    def cset(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList,
+        r.getLong(2))).toSet
+    val flat = cset(VectorOps.kmeansCentroids(base, 8))
+    val dist = cset(VectorOps.kmeansCentroids(base, 8,
+      maxCollectK = 0))
+    assert(flat.nonEmpty && flat == dist)
+    // assignment parity: the broadcast hint is placement, not values
+    val cents = VectorOps.kmeansCentroids(base, 8)
+    def aset(bcast: Boolean) =
+      VectorOps.ivfAssign(base, cents, bcast = bcast)
+        .select("vec_id", "c_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(aset(bcast = true) == aset(bcast = false))
+    base.unpersist(): Unit
+  }
 }
