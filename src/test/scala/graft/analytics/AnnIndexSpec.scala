@@ -564,4 +564,80 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(base.exists { case (v, (sum0, n0)) =>
       val (sum1, n1) = ref(v); n1 > n0 || sum1 > sum0 + 1e-9 })
   }
+
+  test("serving shortlist artifacts ≡ the live search / two-stage " +
+      "re-rank output on the standard panel") {
+    // the stored shortlists are deterministic functions of the same
+    // persisted index q91/q114 serve from, so the artifact must be
+    // indistinguishable from the live ranking — the contract that
+    // lets q115/q118/q121 read them instead of re-running serving
+    val (ivfList, pqList) = AnnIndex.servedShortlists(spark, Dir)
+    val gotIvf = ivfList.collect().map(r => (r.getLong(0),
+      r.getLong(1), r.getString(2), r.getInt(3))).toSet
+    val liveIvf = AnnIndex.qAnnIndex.build(spark, Dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2), r.getInt(3))).toSet
+    assert(gotIvf.nonEmpty && gotIvf == liveIvf)
+    val gotPq = pqList.collect().map(r => (r.getLong(0),
+      r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val livePq = AnnIndex.qPqRerank.build(spark, Dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getInt(3))).toSet
+    assert(gotPq.nonEmpty && gotPq == livePq)
+  }
+
+  test("KNN graph append: touched cell's subgraph recomputes over the " +
+      "merged postings (incumbents included), equals a full rebuild " +
+      "over the appended postings, and untouched cells hard-link") {
+    val root = Files.createTempDirectory("graft-annknn").toString
+    val store = new ModelStore(root)
+    val emb = Tables.load(spark, Dir, "embeddings")
+    AnnIndex.build(spark, store, "e", emb)
+    AnnIndex.buildKnn(spark, store, "e")
+    // exact clone of vector 0 under a fresh id: its cell-mates'
+    // neighborhoods must change too (the clone is a perfect neighbor)
+    val clone = emb.filter(col("vec_id") === 0L)
+      .select(lit(900000L).as("vec_id"), col("embedding"))
+    AnnIndex.append(spark, store, "e", clone)
+    val posts = store.read(spark, AnnIndex.Layer, "e_postings").get
+      .select(col("c_id").cast("long").as("c_id"), col("vec_id"),
+        col("qv"), col("n2"))
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("nbr_id"), col("rnk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    val stored = store.read(spark, AnnIndex.Layer, "e_knn").get
+    // append ≡ full rebuild over the appended postings: exact by
+    // decomposition — cell-local candidates never cross cells
+    assert(key(stored).nonEmpty &&
+      key(stored) == key(AnnIndex.graphFromPostings(posts)))
+    // the clone's own neighborhood exists and its top edge is the
+    // original (cosine exactly 1 → rnk 1, ties to the smaller id)
+    assert(key(stored).contains((900000L, 0L, 1)))
+    // O(touched cells): only the clone's cell was written fresh;
+    // every other cell partition carried over by HARD LINK
+    val touched = posts.filter(col("vec_id") === 900000L)
+      .select("c_id").head().getLong(0)
+    val vCur = store.currentVersion(spark, AnnIndex.Layer, "e_knn")
+    def nlinks(part: String): Seq[Int] = {
+      val d = new java.io.File(
+        store.versionDir(AnnIndex.Layer, "e_knn", vCur), part)
+      d.listFiles().toSeq.filter(_.getName.endsWith(".parquet"))
+        .map(f => java.nio.file.Files
+          .getAttribute(f.toPath, "unix:nlink")
+          .asInstanceOf[Number].intValue)
+    }
+    val cells = posts.select("c_id").distinct().collect()
+      .map(_.getLong(0))
+    assert(cells.length > 1, "fixture must span multiple cells")
+    cells.foreach { c =>
+      val links = nlinks(s"c_id=$c")
+      if (c == touched)
+        assert(links.nonEmpty && links.forall(_ == 1),
+          s"touched cell $c must be written fresh")
+      else
+        assert(links.nonEmpty && links.forall(_ >= 2),
+          s"untouched cell $c must carry over by hard link")
+    }
+  }
 }
