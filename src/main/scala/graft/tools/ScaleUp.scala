@@ -17,12 +17,26 @@ import graft.io.Tables
   */
 object ScaleUp {
 
+  /** Every table this amplifier knows how to write — the validation
+    * set for `only` (a typo like "embedings" used to write nothing
+    * and exit 0, indistinguishable from success). */
+  val KnownTables: Set[String] =
+    Set("region", "nation", "supplier", "part", "customer",
+      "lineitem", "orders", "events", "documents", "embeddings")
+
   /** `only`: restrict the amplified output to the named tables — the
     * deep-decade probes (e.g. 1000× embeddings for the KNN-family
     * envelope) need ONE table three decades up, not a 600M-row
-    * lineitem alongside it. Default amplifies everything. */
+    * lineitem alongside it. Default amplifies everything. Unknown
+    * names fail fast (never a silent no-op run). */
   def amplify(spark: SparkSession, src: String, out: String, factor: Int,
       only: Option[Set[String]] = None): Unit = {
+    only.foreach { o =>
+      val unknown = o -- KnownTables
+      require(unknown.isEmpty,
+        s"unknown table(s) ${unknown.toSeq.sorted.mkString(", ")} — " +
+          s"known: ${KnownTables.toSeq.sorted.mkString(", ")}")
+    }
     def want(name: String): Boolean = only.forall(_.contains(name))
     def replicate(name: String, f: (DataFrame, Int) => DataFrame): Unit =
       if (want(name)) {
