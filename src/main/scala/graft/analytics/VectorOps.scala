@@ -451,8 +451,13 @@ object VectorOps {
     * times per build. 4096 rows ≈ 2.2 MB at 64 dims — comfortably
     * bounded. Both arms are bit-identical by construction (same
     * plan, different physical placement) — spec-pinned by forcing
-    * the distributed arm at a small K. */
-  val FlatCollectMaxK = 4096
+    * the distributed arm at a small K. The system property exists so
+    * a scale probe can engage the distributed arm below its natural
+    * n ≳ 17M threshold (`-Dgraft.kmeans.flat.max.k=0`) — it changes
+    * WHERE the centroid table lives, never its values. */
+  val FlatCollectMaxK: Int =
+    sys.props.get("graft.kmeans.flat.max.k").flatMap(_.toIntOption)
+      .getOrElse(4096)
 
   /** Deterministic distributed k-means over quantized vectors: Lloyd
     * iterations where each step is a broadcast-join assignment plus a
