@@ -1666,4 +1666,61 @@ object AnnIndex {
         graft.ops.Exact.dbl4(col("cos_sim")).as("cos_sim"), col("rnk"))
       .orderBy("vec_id", "rnk")
   }.copy(sideEffecting = true)
+
+  // ------------------------------------- incremental KNN-graph query
+  /** History/batch split modulus of the incremental-KNN ingest
+    * simulation: vec_id % IncKnnMod == 0 (~20% of the corpus)
+    * arrives as the append batch against an index built on the
+    * rest. */
+  val IncKnnMod = 5
+
+  /** Oracle: centroids trained on the HISTORY slice only (the
+    * parametric Lloyd replica over `vec_id % 5 <> 0` — seeds, hash
+    * gate and sample modulus all over the slice), the FULL corpus
+    * assigned to them, then the within-cell KNN top-k — exactly what
+    * build + buildKnn + append must converge to. */
+  private lazy val incKnnOracle: String = {
+    val (_, assignedAll) = VectorOps.trainedSqlOver(
+      VectorOps.NumCentroids.toString, s"vec_id % $IncKnnMod <> 0")
+    s"""WITH aknn AS ($assignedAll),
+      |pknn AS (
+      |  SELECT x.vec_id, y.vec_id AS nbr_id,
+      |    ${VectorOps.cosSql("x.qv", "y.qv", "x.n2", "y.n2")} AS cos_sim
+      |  FROM aknn x JOIN aknn y
+      |  ON x.c_id = y.c_id AND x.vec_id <> y.vec_id)
+      |SELECT vec_id, nbr_id,
+      |  ${graft.ops.Exact.dbl4Sql("cos_sim")} AS cos_sim,
+      |  CAST(rnk AS INTEGER) AS rnk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY cos_sim DESC, nbr_id) AS rnk FROM pknn) t
+      |WHERE rnk <= $KnnK ORDER BY vec_id, rnk""".stripMargin
+  }
+
+  /** The incremental KNN-graph lifecycle as a driver query — the
+    * ingest-simulation contract (the q86/q92 pattern for this
+    * family): build the index and its cell-partitioned graph on the
+    * history slice, append the batch through the [[append]] path
+    * (assign against STORED centroids, recompute only touched
+    * cells' subgraphs, hard-link the rest), and return the stored
+    * graph. The oracle computes the graph over the FULL corpus
+    * assigned to the HISTORY-trained centroids — equal by the
+    * cell-local decomposition [[buildKnn]] documents, so the append
+    * path itself (not just its spec) is oracle-certified
+    * cross-engine. Per-run by contract: the simulation IS the
+    * operator under test. */
+  val qIncrementalKnn: Q = Q("q125_incremental_knn",
+    incKnnOracle) { (s, d) =>
+    val store = new ModelStore(
+      graft.pipeline.PipelineQuery.tempStoreDir())
+    val emb = Tables.load(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val isBatch = pmod(col("vec_id"), lit(IncKnnMod.toLong)) === 0L
+    build(s, store, "inc", emb.filter(!isBatch))
+    buildKnn(s, store, "inc")
+    append(s, store, "inc", emb.filter(isBatch))
+    store.read(s, Layer, knnTable("inc")).get
+      .select(col("vec_id"), col("nbr_id"),
+        graft.ops.Exact.dbl4(col("cos_sim")).as("cos_sim"), col("rnk"))
+      .orderBy("vec_id", "rnk")
+  }.copy(sideEffecting = true)
 }

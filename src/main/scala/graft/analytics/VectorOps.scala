@@ -603,33 +603,53 @@ object VectorOps {
       s"CROSS JOIN (SELECT unnest(generate_series(1, (SELECT " +
       s"len($QuantizeSql) FROM embeddings LIMIT 1))) AS pos) d " +
       s"GROUP BY c_id, d.pos) GROUP BY c_id"
-  private[analytics] val baseNSql =
+  /** [[baseNSql]] over a predicate-filtered slice of the corpus —
+    * emits EXACTLY the unfiltered text for pred "TRUE" so the
+    * parameterization cannot perturb any existing oracle. */
+  private[analytics] def baseNSqlWhere(pred: String): String = {
+    val w = if (pred == "TRUE") "" else s" WHERE $pred"
     s"SELECT vec_id, qv, (SELECT sum(u.a*u.a) FROM (SELECT unnest(qv) " +
       s"a) u) AS n2 FROM (SELECT vec_id, $QuantizeSql AS qv " +
-      s"FROM embeddings)"
+      s"FROM embeddings$w)"
+  }
+  private[analytics] val baseNSql = baseNSqlWhere("TRUE")
   /** (centroids, full-corpus assignment) after KmeansIters rounds at
     * quantizer width `kExpr` (a SQL expression — a literal for the
     * pinned tier, the [[DerivedKSql]] scalar subquery for the
     * √n-derived tier) - the exact chain kmeansCentroids + ivfAssign
     * execute. K appears only in the seed filters and the train-sample
     * gate; every other step is K-agnostic. */
-  private[analytics] def trainedSqlAt(kExpr: String): (String, String) = {
+  private[analytics] def trainedSqlAt(kExpr: String): (String, String) =
+    trainedSqlOver(kExpr, "TRUE")
+
+  /** The Lloyd training replica with the TRAIN DOMAIN restricted to
+    * the `trainPred` slice of the corpus (seeds, hash gate, sample
+    * modulus and iteration assignments all over the slice) — the
+    * returned assignment is of the FULL corpus against those
+    * centroids: the incremental-index oracle shape (history-trained
+    * quantizer, everything assigned). `trainPred` "TRUE" emits
+    * byte-identical text to the pre-parameterized form, so every
+    * existing oracle is untouched. */
+  private[analytics] def trainedSqlOver(kExpr: String,
+      trainPred: String): (String, String) = {
+    val w = if (trainPred == "TRUE") "" else s" WHERE $trainPred"
+    val baseTrain = baseNSqlWhere(trainPred)
     val hx = graft.ops.DuckHash.chain(
-      "SELECT vec_id AS hid FROM embeddings", "hid")
+      s"SELECT vec_id AS hid FROM embeddings$w", "hid")
     // the train-sample gate's modulus, derived from the same corpus
     // count the engine uses ([[trainModulus]] — exact-integer ceil
     // division, engine-identical): m = max(4, ceil(n / (256·k))).
     // At every gate SF m = 4, so the pre-cap certifications carry; at
     // decade scale the thinned gate is what keeps training linear.
-    val mSql = s"GREATEST(4, ((SELECT count(*) FROM embeddings) + " +
+    val mSql = s"GREATEST(4, ((SELECT count(*) FROM embeddings$w) + " +
       s"$SamplesPerCentroid*($kExpr) - 1) // " +
       s"($SamplesPerCentroid*($kExpr)))"
     val train = s"SELECT b.* EXCLUDE (m) FROM (SELECT b0.*, mm.m " +
-      s"FROM ($baseNSql) b0 CROSS JOIN (SELECT $mSql AS m) mm) b " +
+      s"FROM ($baseTrain) b0 CROSS JOIN (SELECT $mSql AS m) mm) b " +
       s"JOIN ($hx) h ON b.vec_id = h.hid " +
       s"WHERE ((h.xxh % b.m) + b.m) % b.m = 0 OR b.vec_id < $kExpr"
     var cents = s"SELECT vec_id AS c_id, qv AS c_qv, n2 AS c_n2 " +
-      s"FROM ($baseNSql) WHERE vec_id < $kExpr"
+      s"FROM ($baseTrain) WHERE vec_id < $kExpr"
     for (_ <- 0 until KmeansIters)
       cents = updateSql(assignSql(train, cents))
     (cents, assignSql(baseNSql, cents))

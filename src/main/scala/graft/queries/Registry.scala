@@ -31,7 +31,8 @@ object Registry {
       graft.analytics.AnnIndex.qGraphDiversity :+
       graft.analytics.AnnIndex.qHybridRrf :+
       graft.analytics.AnnIndex.qDescentRecall :+
-      graft.analytics.AnnIndex.qKnnRefineScaled
+      graft.analytics.AnnIndex.qKnnRefineScaled :+
+      graft.analytics.AnnIndex.qIncrementalKnn
 
   val flagship: Q = RefQueries.q15Flagship
 }
