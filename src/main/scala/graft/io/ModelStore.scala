@@ -563,6 +563,30 @@ final class ModelStore(val root: String) {
         col("__old").as("old_row"), col("__new").as("new_row"))
   }
 
+  /** Hard-link the CURRENT version of `layer.name` into `target` as
+    * ITS v1 (per-file copy where the filesystem can't link) — the
+    * cheap per-run fork of a shared read-only artifact: a caller that
+    * must MUTATE a staleness-keyed snapshot store (e.g. an
+    * append-simulation query) forks it in O(files) link syscalls
+    * instead of rebuilding the artifact or churning versions on the
+    * shared store under concurrent readers. Version metadata rides
+    * along (`_meta_*` files live inside the version dir). The target
+    * table must not exist — a fork is a fresh store by contract. */
+  def cloneCurrentInto(spark: SparkSession, layer: String, name: String,
+      target: ModelStore): Unit = {
+    val v = currentVersion(spark, layer, name)
+    require(v > 0, s"cloneCurrentInto: $layer.$name does not exist")
+    require(target.currentVersion(spark, layer, name) == 0,
+      s"cloneCurrentInto: target $layer.$name already exists")
+    val src = new Path(versionDir(layer, name, v))
+    val dst = new Path(target.versionDir(layer, name, 1))
+    val fs = fsFor(spark, src)
+    linkOrCopyDir(fs, src, dst)
+    val ptr = new Path(target.tableDir(layer, name), "_CURRENT")
+    val out = fs.create(ptr, true)
+    try out.write("1".getBytes("UTF-8")) finally out.close()
+  }
+
   /** Drop all but the last `keepLast` versions (Delta VACUUM analog). */
   def vacuum(spark: SparkSession, layer: String, name: String,
       keepLast: Int = 1): Unit = {

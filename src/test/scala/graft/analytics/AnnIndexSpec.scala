@@ -586,6 +586,98 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(gotPq.nonEmpty && gotPq == livePq)
   }
 
+  test("q125 history fork: the staleness-keyed artifacts equal a " +
+      "fresh build+buildKnn over the same slice, and the live append " +
+      "mutates only the fork — never the shared snapshot store") {
+    val emb = Tables.load(spark, Dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val isBatch =
+      pmod(col("vec_id"), lit(AnnIndex.IncKnnMod.toLong)) === 0L
+    val hist = emb.filter(!isBatch)
+    val fork = AnnIndex.incKnnHistoryFork(spark, Dir, hist)
+    // fresh reference build over the identical slice
+    val ref = new ModelStore(
+      Files.createTempDirectory("graft-incref").toString)
+    AnnIndex.build(spark, ref, "inc", hist)
+    AnnIndex.buildKnn(spark, ref, "inc")
+    def key(st: ModelStore, t: String) = st
+      .read(spark, AnnIndex.Layer, t).get
+      .select(col("vec_id"), col("nbr_id"), col("rnk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    assert(key(fork, "inc_knn").nonEmpty &&
+      key(fork, "inc_knn") == key(ref, "inc_knn"),
+      "forked history graph must equal a fresh history build")
+    // the append bumps the FORK's versions, not the shared store's
+    val shared = graft.io.ArtifactStore.forDir("incknn", Dir)
+    val vShared =
+      shared.currentVersion(spark, AnnIndex.Layer, "inc_knn")
+    AnnIndex.append(spark, fork, "inc", emb.filter(isBatch))
+    assert(shared.currentVersion(spark, AnnIndex.Layer, "inc_knn")
+      == vShared, "append leaked into the shared snapshot store")
+    assert(fork.currentVersion(spark, AnnIndex.Layer, "inc_knn") == 2)
+    // and the appended fork equals the q125 contract (full corpus on
+    // history-trained centroids), per the decomposition argument
+    val posts = fork.read(spark, AnnIndex.Layer, "inc_postings").get
+      .select(col("c_id").cast("long").as("c_id"), col("vec_id"),
+        col("qv"), col("n2"))
+    assert(key(fork, "inc_knn") != key(ref, "inc_knn"))
+    val rebuilt = AnnIndex.graphFromPostings(posts)
+      .select(col("vec_id"), col("nbr_id"), col("rnk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    assert(key(fork, "inc_knn") == rebuilt)
+  }
+
+  test("append fails fast on a knn_k stamp mismatch instead of " +
+      "committing a mixed-k graph") {
+    val root = Files.createTempDirectory("graft-annkmix").toString
+    val store = new ModelStore(root)
+    val emb = Tables.load(spark, Dir, "embeddings")
+    AnnIndex.build(spark, store, "e", emb)
+    AnnIndex.buildKnn(spark, store, "e")
+    // simulate a constants drift: the stored graph claims a different
+    // k (raw write; drop the local-FS .crc sidecar the bypass stales)
+    val v = store.currentVersion(spark, AnnIndex.Layer, "e_knn")
+    val vDir = store.versionDir(AnnIndex.Layer, "e_knn", v)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(vDir, "_meta_knn_k"),
+      (AnnIndex.KnnK + 1).toString.getBytes("UTF-8"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(vDir, "._meta_knn_k.crc"))
+    val clone = emb.filter(col("vec_id") === 0L)
+      .select(lit(900000L).as("vec_id"), col("embedding"))
+    val e = intercept[RuntimeException] {
+      AnnIndex.append(spark, store, "e", clone)
+    }
+    assert(e.getMessage.contains("knn_k"), e.getMessage)
+    graft.Harness.deleteRecursively(new java.io.File(root))
+  }
+
+  test("batch-internal duplicate vec_ids insert once: postings, " +
+      "codes-free graph ranks stay duplicate-free") {
+    val root = Files.createTempDirectory("graft-anndup").toString
+    val store = new ModelStore(root)
+    val emb = Tables.load(spark, Dir, "embeddings")
+    AnnIndex.build(spark, store, "e", emb)
+    AnnIndex.buildKnn(spark, store, "e")
+    val clone = emb.filter(col("vec_id") === 0L)
+      .select(lit(900000L).as("vec_id"), col("embedding"))
+    // the same new id delivered twice in ONE batch (a coalesced
+    // replay): without the batch-internal dedup this double-inserts
+    AnnIndex.append(spark, store, "e", clone.unionAll(clone))
+    val posts = store.read(spark, AnnIndex.Layer, "e_postings").get
+    assert(posts.filter(col("vec_id") === 900000L).count() == 1,
+      "duplicate batch ids double-inserted postings")
+    // graph ranks: no neighbor may occupy two ranks of one vector
+    val g = store.read(spark, AnnIndex.Layer, "e_knn").get
+      .select("vec_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(g.distinct.length == g.length,
+      "a neighbor occupies two ranks after a duplicate append")
+    graft.Harness.deleteRecursively(new java.io.File(root))
+  }
+
   test("KNN graph append: touched cell's subgraph recomputes over the " +
       "merged postings (incumbents included), equals a full rebuild " +
       "over the appended postings, and untouched cells hard-link") {

@@ -88,6 +88,27 @@ class KnnScaleSpec extends AnyFunSuite {
       .isEmpty, "q117 plan contains a single-task window")
   }
 
+  test("ring stitch distributed arm: forcing the range-chunked " +
+      "stitch emits the identical edge set with no O(cells) driver " +
+      "collect structure and no unpartitioned WindowExec") {
+    val (_, posts) = AnnIndex.coarseArtifacts(spark, Dir)
+    val collectArm = AnnIndex.ringSeed(posts).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // maxCollectCells = 0 forces the distributed arm at the fixture's
+    // 16 cells (its natural threshold is RingCollectMaxCells = 4096)
+    val distArm = AnnIndex.ringSeed(posts, maxCollectCells = 0)
+    val got = distArm.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(got == collectArm && got.nonEmpty,
+      "distributed stitch must reproduce the driver-side cycle")
+    val unpartitioned = distArm.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty,
+      "distributed ring arm funnels rows through one task")
+  }
+
   test("NN-descent on a clustered manifold: recall vs exact is " +
       "monotone and reaches ≥0.9 within 2 rounds from a sub-0.9 start") {
     // 160 unit vectors on a circle (first two dims): true neighbors
