@@ -1013,6 +1013,79 @@ object AnnIndex {
       .orderBy("vec_id", "rnk")
   }.copy(sideEffecting = true)
 
+  // ------------------- hierarchical (two-level) assignment tier
+  /** Staleness signature of the hier tier: derives from
+    * [[scaledSig]] (the sub-centroids ARE the derived-K tier's
+    * centroids — a flat retrain moves every super boundary too) plus
+    * the top-level width. */
+  private[analytics] def hierSig(fp: String, k: Int, k1: Int): String =
+    s"${scaledSig(fp, k)}|hier,k1=$k1"
+
+  /** Hier postings (c_id, g_id, vec_id, qv, n2) for a corpus dir,
+    * PARTITIONED BY c_id — a drop-in replacement for the flat
+    * derived-K postings with the assignment computed by the two-level
+    * path ([[VectorOps.hierAssign]]): the tier that keeps the coarse
+    * quantizer's own build affordable past ~20M vectors on one node
+    * (n·2√K cosines instead of n·K — SCALING.md round-11's named
+    * lever). Sub-centroids come from the STORED derived-K tier
+    * ([[scaledArtifacts]] — no retraining; only the top-level chain
+    * over ≤K rows is new work), so the artifact is a pure function of
+    * the corpus snapshot and the widths, staleness-keyed like every
+    * tier here. */
+  private[analytics] def hierArtifacts(s: SparkSession, d: String)
+      : DataFrame = {
+    val store = dirStore(d)
+    val emb = Tables.load(s, d, "embeddings")
+    val k = VectorOps.derivedK(emb.count())
+    val k1 = VectorOps.hierK1(k)
+    val fp = graft.io.ArtifactStore.contentFp(emb, col("vec_id"),
+      col("embedding"))
+    graft.io.ArtifactStore.ensure(s, store, Layer,
+      postingsTable("emb_hier"), hierSig(fp, k, k1)) {
+      val (cents, _, _) = scaledArtifacts(s, d)
+      val assigned = VectorOps.hierAssign(quantified(
+        emb.select(col("vec_id"), col("embedding"))), cents, k1)
+      store.write(
+        assigned.select(col("c_id"), col("g_id"), col("vec_id"),
+          col("qv"), col("n2")),
+        Layer, postingsTable("emb_hier"), partitionBy = Seq("c_id"),
+        description = s"two-level IVF postings (k=$k, k1=$k1)",
+        meta = Map("corpus_fp" -> hierSig(fp, k, k1)))
+    }
+    store.read(s, Layer, postingsTable("emb_hier")).get
+      // pin the partition-discovered int partition column back to the
+      // assignment's long (the coarseArtifacts contract)
+      .select(col("c_id").cast("long").as("c_id"), col("g_id"),
+        col("vec_id"), col("qv"), col("n2"))
+  }
+
+  /** Oracle: the full two-level chain at the derived widths — the
+    * flat Lloyd replica at K = [[VectorOps.DerivedKSql]] supplies the
+    * centroid table, the top-level replica re-runs the SAME machinery
+    * over it at K1 = ⌈√K⌉, and the two-step arg-max is stated
+    * relationally ([[VectorOps.hierAssignedSqlAt]]). Both widths are
+    * scalar subqueries over the same corpus count, so the oracle
+    * derives the SAME geometry the engine does at any SF. */
+  private lazy val hierOracle: String =
+    s"""SELECT vec_id, CAST(g_id AS BIGINT) AS g_id,
+      |  CAST(c_id AS BIGINT) AS c_id
+      |FROM (${VectorOps.hierAssignedSqlAt(VectorOps.DerivedKSql)}) h
+      |ORDER BY vec_id""".stripMargin
+
+  /** The two-level assignment as a driver query, oracle-certified at
+    * the non-default geometry (K=23, K1=5 at the verify fixtures):
+    * every vector's (super cell, final centroid) decision — the cell
+    * decision the hier path CHANGES relative to flat assignment,
+    * which is exactly why it carries its own oracle instead of riding
+    * q119's (the round-11 verdict's #1). Warm invocations read the
+    * stored postings; the build pays n·(K1 + K/K1) cosines instead of
+    * the flat tier's n·K. */
+  val qHierAssign: Q = Q("q126_hier_assign", hierOracle) { (s, d) =>
+    hierArtifacts(s, d)
+      .select(col("vec_id"), col("g_id"), col("c_id"))
+      .orderBy("vec_id")
+  }.copy(sideEffecting = true)
+
   /** Ring CTE over the assignment: successor in cyclic
     * (c_id, vec_id) order — the relational statement of the engine's
     * partition-local ring + boundary stitching ([[ringSeed]]): within

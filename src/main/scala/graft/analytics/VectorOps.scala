@@ -568,6 +568,141 @@ object VectorOps {
           .as("c_id"))
 
 
+  // ------------- hierarchical (two-level) coarse assignment (scale)
+  /** Top-level quantizer width over a K-centroid table: K1 = ⌈√K⌉,
+    * floored at 4 so tiny centroid tables still get a non-degenerate
+    * top level. With K = ⌈√n⌉ (the derived tier) this is the classic
+    * two-level IVF split — √K super-cells of ~√K centroids each — and
+    * the assignment cost drops from n·K cosines to n·(K1 + K/K1) ≈
+    * 2n√K: at the 20M-vector point SCALING.md names (K=4473, flat
+    * assignment ≈ 89G cosines) the two-level path scores ~2.8G — the
+    * ~33× cut that keeps the coarse quantizer's own build inside a
+    * single node's budget, and at 1000 executors keeps the assignment
+    * stage's work (not just its shuffle) sublinear in K. */
+  def hierK1(k: Int): Int =
+    math.max(4, math.ceil(math.sqrt(k.toDouble)).toInt)
+
+  /** DuckDB form of [[hierK1]] over a K expression — exact-integer
+    * ceil∘sqrt, engine-identical (the [[DerivedKSql]] discipline). */
+  def hierK1SqlOf(kExpr: String): String =
+    s"GREATEST(4, CAST(ceil(sqrt(CAST(($kExpr) AS DOUBLE))) AS BIGINT))"
+
+  /** Two-level nearest-centroid assignment: cluster the K centroids
+    * themselves into `k1` super-centroids (the same deterministic
+    * Lloyd chain, over the centroid table re-id'd densely), then each
+    * vector picks its top super-cell by cosine and the best member
+    * centroid WITHIN that super-cell — n·(k1 + K/k1) cosines instead
+    * of [[ivfAssign]]'s n·K. This is the standard
+    * quantizer-over-quantizer assignment accelerator (FAISS trains a
+    * secondary index over the coarse centroids for exactly this); it
+    * CHANGES cell decisions for vectors whose true nearest centroid
+    * lives in a runner-up super-cell, which is why the tier carries
+    * its own oracle (q126) rather than riding the flat tier's.
+    *
+    * Scale shape: the dense re-id is a single bounded-window pass
+    * over ≤K rows (K ≤ √n by the derived-tier contract — ~316k rows
+    * at the 100 TB point, one task); the super training inherits
+    * [[kmeansCentroids]]'s capped sample and distributed-centroid
+    * arm; the sub arg-max joins on the super id with the broadcast
+    * gated by the CENTROID table size (the [[FlatCollectMaxK]]
+    * discipline — past it the join shuffles n rows by g_id, never
+    * n·K/k1 anything: the per-super scoring pipelines into the
+    * map-side max_by partial). Vectors only ever rank supers that
+    * own ≥1 centroid (a Lloyd super-cell can end the chain empty),
+    * so the assignment is total — one row per input vector.
+    * Returns (vec_id, qv, n2, g_id, c_id): the super cell and the
+    * final centroid (the flat table's own c_id namespace, so hier
+    * postings drop into every cell-partitioned consumer unchanged). */
+  def hierAssign(base: DataFrame, cents: DataFrame, k1: Int,
+      maxCollectK: Int = FlatCollectMaxK): DataFrame = {
+    // dense re-id: the Lloyd seeds (vec_id < k1) and the train-sample
+    // hash gate need contiguous ids; localCheckpoint materializes the
+    // bounded window once for its three consumers
+    val reid = cents.select(
+        (row_number().over(Window.orderBy("c_id")) - 1).cast("long")
+          .as("vec_id"),
+        col("c_id").as("sub_id"), col("c_qv").as("qv"),
+        col("c_n2").as("n2"))
+      .localCheckpoint()
+    val nC = reid.count()
+    val superCents = kmeansCentroids(
+      reid.select("vec_id", "qv", "n2"), k1, n = nC,
+      maxCollectK = maxCollectK)
+    val smallTop = k1 <= maxCollectK
+    // centroid → super-cell map, carrying each centroid's payload for
+    // the per-vector sub arg-max
+    val cmap = ivfAssign(reid.select("vec_id", "qv", "n2"), superCents,
+        bcast = smallTop)
+      .join(reid.select(col("vec_id"), col("sub_id")), Seq("vec_id"))
+      .select(col("c_id").as("g_id"), col("sub_id"),
+        col("qv").as("s_qv"), col("n2").as("s_n2"))
+      .localCheckpoint()
+    // vectors rank only LIVE supers (≥1 member centroid): an empty
+    // super-cell would otherwise swallow its vectors in the inner
+    // join below
+    val liveSupers = superCents.join(
+      cmap.select(col("g_id").as("c_id")).distinct(),
+      Seq("c_id"), "left_semi")
+    val vSuper = ivfAssign(base, liveSupers, bcast = smallTop)
+      .withColumnRenamed("c_id", "g_id")
+    // sub arg-max within the chosen super: ties to the smaller
+    // centroid id (the ivfAssign convention, mirrored by the oracle's
+    // row_number ORDER BY cos DESC, sub_id)
+    vSuper.join(
+        if (nC <= maxCollectK) broadcast(cmap) else cmap,
+        Seq("g_id"))
+      .select(col("vec_id"), col("g_id"), col("qv"), col("n2"),
+        col("sub_id"),
+        cosineQ(col("qv"), col("s_qv"), col("n2"), col("s_n2"))
+          .as("c_cos"))
+      .groupBy("vec_id")
+      .agg(first("qv").as("qv"), first("n2").as("n2"),
+        first("g_id").as("g_id"),
+        max_by(col("sub_id"), struct(col("c_cos"), -col("sub_id")))
+          .as("c_id"))
+  }
+
+  /** DuckDB replica of the ENTIRE two-level chain at flat width
+    * `kExpr`: the flat Lloyd replica ([[trainedSqlAt]]) supplies the
+    * centroid table; this re-ids it densely, replays the SAME Lloyd
+    * machinery over it at K1 = [[hierK1SqlOf]] (seeds, xxhash64
+    * train gate with the same capped modulus, [[KmeansIters]]
+    * unrolled), derives the centroid→super map, and states the
+    * two-step arg-max — top LIVE super by cosine, then best member
+    * centroid. Returns the assigned relation
+    * (vec_id, qv, n2, g_id, c_id). */
+  private[analytics] def hierAssignedSqlAt(kExpr: String): String = {
+    val (cents, _) = trainedSqlAt(kExpr)
+    val k1 = hierK1SqlOf(kExpr)
+    val reid = s"SELECT row_number() OVER (ORDER BY c_id) - 1 AS " +
+      s"vec_id, c_id AS sub_id, c_qv AS qv, c_n2 AS n2 FROM ($cents) rr"
+    val reidv = s"SELECT vec_id, qv, n2 FROM ($reid) rv"
+    val hx = graft.ops.DuckHash.chain(
+      s"SELECT vec_id AS hid FROM ($reid) rh", "hid")
+    val mSql = s"GREATEST(4, ((SELECT count(*) FROM ($reid) rc) + " +
+      s"$SamplesPerCentroid*($k1) - 1) // ($SamplesPerCentroid*($k1)))"
+    val train = s"SELECT b.* EXCLUDE (m) FROM (SELECT b0.*, mm.m " +
+      s"FROM ($reidv) b0 CROSS JOIN (SELECT $mSql AS m) mm) b " +
+      s"JOIN ($hx) h ON b.vec_id = h.hid " +
+      s"WHERE ((h.xxh % b.m) + b.m) % b.m = 0 OR b.vec_id < ($k1)"
+    var sc = s"SELECT vec_id AS c_id, qv AS c_qv, n2 AS c_n2 " +
+      s"FROM ($reidv) s0 WHERE vec_id < ($k1)"
+    for (_ <- 0 until KmeansIters)
+      sc = updateSql(assignSql(train, sc))
+    val cmap = s"SELECT a.c_id AS g_id, r.sub_id, r.qv AS s_qv, " +
+      s"r.n2 AS s_n2 FROM (${assignSql(reidv, sc)}) a " +
+      s"JOIN ($reid) r ON a.vec_id = r.vec_id"
+    val live = s"SELECT * FROM ($sc) ls " +
+      s"WHERE c_id IN (SELECT g_id FROM ($cmap) lg)"
+    val vsup = assignSql(baseNSql, live)
+    s"SELECT vec_id, qv, n2, g_id, c_id FROM (" +
+      s"SELECT v.vec_id, v.qv, v.n2, m.g_id, m.sub_id AS c_id, " +
+      s"row_number() OVER (PARTITION BY v.vec_id ORDER BY " +
+      s"${cosSql("v.qv", "m.s_qv", "v.n2", "m.s_n2")} DESC, m.sub_id) " +
+      s"AS __rk FROM ($vsup) v JOIN ($cmap) m ON v.c_id = m.g_id) hh " +
+      s"WHERE __rk = 1"
+  }
+
   // ------------- DuckDB replica of the k-means training chain
   // (q32/q80 oracles). The "trained centroids" oracle-impossibility
   // recorded in rounds 2-5 fell to two observations: (a) the train

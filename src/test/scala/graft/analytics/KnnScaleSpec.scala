@@ -344,4 +344,116 @@ class KnnScaleSpec extends AnyFunSuite {
         assert(pair(1) >= pair(0) - 1e-12, "recall regressed")
     }
   }
+
+  test("hierK1: ⌈√K⌉ with floor 4, non-trivial at the fixture " +
+      "geometry and at the documented 20M design point") {
+    assert(VectorOps.hierK1(16) == 4)
+    assert(VectorOps.hierK1(23) == 5) // the verify-fixture K
+    assert(VectorOps.hierK1(448) == 22) // the 100×-decade K
+    assert(VectorOps.hierK1(4473) == 67) // SCALING.md's 20M point
+    assert(VectorOps.hierK1(1) == 4) // floor
+  }
+
+  test("two-level assignment: total (exactly one row per vector, " +
+      "every final centroid a real flat-centroid id), deterministic, " +
+      "and never better than the flat arg-max it approximates") {
+    val emb = Tables.load(spark, Dir, "embeddings")
+    val n = emb.count()
+    val base = quant(emb).persist()
+    val k = VectorOps.derivedK(n)
+    val cents = VectorOps.kmeansCentroids(base, k, n = n)
+      .localCheckpoint()
+    val k1 = VectorOps.hierK1(k)
+    val h = VectorOps.hierAssign(base, cents, k1)
+      .select("vec_id", "g_id", "c_id")
+    val rows = h.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // totality: one decision per vector, no drops through the
+    // live-super guard, no duplicates through the arg-max
+    assert(rows.length.toLong == n)
+    assert(rows.map(_._1).distinct.length == rows.length)
+    val centRows = cents.collect().map(r =>
+      (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+    val centIds = centRows.map(_._1).toSet
+    assert(rows.forall(r => centIds.contains(r._3)),
+      "hier c_id outside the flat centroid id namespace")
+    // each flat centroid lives in exactly ONE super-cell: the same
+    // (c_id → g_id) pair must be reported for every vector that
+    // lands on that centroid
+    rows.groupBy(_._3).foreach { case (cid, grp) =>
+      assert(grp.map(_._2).distinct.length == 1,
+        s"centroid $cid reported in two super-cells")
+    }
+    // determinism: a second full run is row-identical
+    val again = VectorOps.hierAssign(base, cents, k1)
+      .select("vec_id", "g_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSet == rows.toSet)
+    // the approximation direction: the hier centroid's cosine can
+    // never EXCEED the flat arg-max's (flat scores every centroid)
+    val baseRows = base.collect().map(r =>
+      (r.getLong(0), (r.getSeq[Long](1).toArray, r.getLong(2)))).toMap
+    def cos(qv: Array[Long], n2: Long, cv: Array[Long], cn2: Long)
+        : Double =
+      if (n2 == 0 || cn2 == 0) 0.0
+      else qv.zip(cv).map { case (a, b) => a * b }.sum.toDouble /
+        (math.sqrt(n2.toDouble) * math.sqrt(cn2.toDouble))
+    val centById = centRows.map(c => c._1 -> c).toMap
+    var agree = 0
+    rows.foreach { case (vid, _, cid) =>
+      val (qv, n2) = baseRows(vid)
+      val hierCos = cos(qv, n2, centById(cid)._2, centById(cid)._3)
+      val flatBest = centRows.map(c => cos(qv, n2, c._2, c._3)).max
+      assert(hierCos <= flatBest + 1e-12,
+        s"vector $vid beat the exhaustive arg-max")
+      if (math.abs(hierCos - flatBest) < 1e-15) agree += 1
+    }
+    // quality sanity: the two-step arg-max finds the true nearest
+    // centroid for the bulk of the corpus (recall loss is confined
+    // to super-cell boundaries)
+    assert(agree.toDouble / rows.length >= 0.5,
+      s"two-level assignment agreed on only $agree/${rows.length}")
+    base.unpersist(): Unit
+  }
+
+  test("hier distributed arm ≡ collect arm: maxCollectK = 0 forces " +
+      "distributed super-centroids and shuffle joins, same decisions") {
+    val emb = Tables.load(spark, Dir, "embeddings")
+    val base = quant(emb).persist()
+    val k = VectorOps.derivedK(emb.count())
+    val cents = VectorOps.kmeansCentroids(base, k).localCheckpoint()
+    val k1 = VectorOps.hierK1(k)
+    def runAt(m: Int) =
+      VectorOps.hierAssign(base, cents, k1, maxCollectK = m)
+        .select("vec_id", "g_id", "c_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val collectArm = runAt(VectorOps.FlatCollectMaxK)
+    val distArm = runAt(0)
+    assert(distArm == collectArm && collectArm.nonEmpty)
+    base.unpersist(): Unit
+  }
+
+  test("q126 artifacts: stored hier postings ≡ a fresh two-level " +
+      "assignment over the stored derived-K centroids, and the " +
+      "postings carry the vectors (a drop-in cell-partitioned " +
+      "relation)") {
+    val posts = AnnIndex.hierArtifacts(spark, Dir)
+    val (cents, _, k) = AnnIndex.scaledArtifacts(spark, Dir)
+    val emb = Tables.load(spark, Dir, "embeddings")
+    val fresh = VectorOps.hierAssign(quant(emb), cents,
+        VectorOps.hierK1(k))
+      .select("c_id", "g_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val stored = posts.select("c_id", "g_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stored == fresh && stored.nonEmpty)
+    assert(posts.columns.toSet ==
+      Set("c_id", "g_id", "vec_id", "qv", "n2"))
+    // the hier decision is allowed to differ from flat — but the
+    // cells it emits are the flat tier's own namespace, so every
+    // cell-partitioned consumer can read these postings unchanged
+    val flatIds = cents.select("c_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(stored.map(_._1).subsetOf(flatIds))
+  }
 }
