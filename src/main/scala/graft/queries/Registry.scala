@@ -32,7 +32,10 @@ object Registry {
       graft.analytics.AnnIndex.qHybridRrf :+
       graft.analytics.AnnIndex.qDescentRecall :+
       graft.analytics.AnnIndex.qKnnRefineScaled :+
-      graft.analytics.AnnIndex.qIncrementalKnn
+      graft.analytics.AnnIndex.qIncrementalKnn :+
+      graft.analytics.AnnIndex.qHierAssign :+
+      graft.analytics.ImageDedup.qImgDhash :+
+      graft.analytics.ImageDedup.qHashNearDup
 
   val flagship: Q = RefQueries.q15Flagship
 }

@@ -732,4 +732,71 @@ class AnnIndexSpec extends AnyFunSuite {
           s"untouched cell $c must carry over by hard link")
     }
   }
+
+  test("streaming KNN-graph maintenance: micro-batches through the " +
+      "sink leave the SAME stored graph as the one-shot batch append " +
+      "(q125's shape) — the graph artifact joins postings and codes " +
+      "in the streaming lifecycle") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.load(spark, Dir, "embeddings")
+    val isBatch =
+      pmod(col("vec_id"), lit(AnnIndex.IncKnnMod.toLong)) === 0L
+    val hist = emb.filter(!isBatch)
+      .select(col("vec_id"), col("embedding"))
+    val late = emb.filter(isBatch)
+      .select(col("vec_id"), col("embedding"))
+    def freshStore(tag: String): ModelStore = {
+      val s = new ModelStore(
+        Files.createTempDirectory(s"graft-knnsink-$tag").toString)
+      AnnIndex.build(spark, s, "g", hist)
+      AnnIndex.buildKnn(spark, s, "g")
+      s
+    }
+    // reference arm: everything in ONE batch append
+    val batchStore = freshStore("batch")
+    AnnIndex.append(spark, batchStore, "g", late)
+    // streaming arm: the same rows split across two micro-batches
+    val streamStore = freshStore("stream")
+    val rows = late.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    assert(b1.nonEmpty && b2.nonEmpty,
+      "fixture must feed two non-trivial micro-batches")
+    val input = MemoryStream[(Long, Seq[Float])]
+    val ckpt = Files.createTempDirectory("graft-knnsink-ckpt").toString
+    val query = input.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(AnnIndex.sink(streamStore, "g") _)
+      .start()
+    try {
+      input.addData(b1.toSeq); query.processAllAvailable()
+      input.addData(b2.toSeq); query.processAllAvailable()
+    } finally query.stop()
+    def graph(s: ModelStore) =
+      s.read(spark, AnnIndex.Layer, "g_knn").get
+        .select(col("vec_id"), col("nbr_id"), col("cos_sim"),
+          col("rnk"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+    val streamed = graph(streamStore)
+    assert(streamed.nonEmpty && streamed == graph(batchStore),
+      "stream-fed graph diverged from the batch append")
+    // and both equal a from-scratch rebuild over the final postings
+    // (the cell-local decomposition, across the micro-batch split)
+    val posts = streamStore
+      .read(spark, AnnIndex.Layer, "g_postings").get
+      .select(col("c_id").cast("long").as("c_id"), col("vec_id"),
+        col("qv"), col("n2"))
+    val rebuilt = AnnIndex.graphFromPostings(posts)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).toSet
+    assert(streamed == rebuilt)
+    // every streamed vector is graph-visible (no silently skipped
+    // micro-batch)
+    val ids = streamed.map(_._1)
+    assert(rows.forall(r => ids.contains(r._1)))
+  }
 }
