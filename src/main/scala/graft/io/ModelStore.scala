@@ -386,22 +386,41 @@ final class ModelStore(val root: String) {
     // range key would be degenerate (equal keys share one bucket —
     // no spread, still a sampling pass), so those writes keep the
     // hash layout.
-    val clustered =
-      if (partitionBy.nonEmpty && zorderBy.nonEmpty)
-        df.repartitionByRange((partitionBy ++ zorderBy).map(col): _*)
-          .sortWithinPartitions((partitionBy ++ zorderBy).map(col): _*)
-      else if (partitionBy.nonEmpty)
-        df.repartition(partitionBy.map(col): _*)
-          .sortWithinPartitions(partitionBy.map(col): _*)
-      else if (zorderBy.nonEmpty)
-        df.repartitionByRange(zorderBy.map(col): _*)
-          .sortWithinPartitions(zorderBy.map(col): _*)
+    // A ranged (zorder) write EXECUTES its input twice: the
+    // RangePartitioner's sketch pass samples the child plan to derive
+    // bucket bounds, then the write re-runs it for the data — for a
+    // model write that means the whole transform (window dedup, CASE
+    // ladders, money arithmetic) computes twice per write (guide §1.2:
+    // don't compute things you throw away). Persist the input across
+    // the two passes: the sample populates the cache, the write reads
+    // it back. MEMORY_AND_DISK — the frame is about to be written out
+    // anyway, so its materialized size is disk-bounded by definition;
+    // a 100 TB deployment whose memory can't hold a model between the
+    // two passes pays the same spill the recompute alternative pays in
+    // CPU, and either way the cache is dropped before commit returns.
+    val ranged = zorderBy.nonEmpty
+    val src =
+      if (ranged)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else df
-    val writer = clustered.write.mode("overwrite")
-    val partitioned =
-      if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
-      else writer
-    partitioned.parquet(dest.toString)
+    try {
+      val clustered =
+        if (partitionBy.nonEmpty && zorderBy.nonEmpty)
+          src.repartitionByRange((partitionBy ++ zorderBy).map(col): _*)
+            .sortWithinPartitions((partitionBy ++ zorderBy).map(col): _*)
+        else if (partitionBy.nonEmpty)
+          src.repartition(partitionBy.map(col): _*)
+            .sortWithinPartitions(partitionBy.map(col): _*)
+        else if (zorderBy.nonEmpty)
+          src.repartitionByRange(zorderBy.map(col): _*)
+            .sortWithinPartitions(zorderBy.map(col): _*)
+        else src
+      val writer = clustered.write.mode("overwrite")
+      val partitioned =
+        if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
+        else writer
+      partitioned.parquet(dest.toString)
+    } finally if (ranged) { src.unpersist(blocking = false); () }
   }
 
   /** True iff the CURRENT version's data is laid out as

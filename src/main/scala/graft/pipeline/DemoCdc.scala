@@ -24,8 +24,26 @@ object DemoCdc {
     (Exact.halfUpDiv(Exact.cents(col("o_totalprice")) * pct, lit(100))
       .cast("double") / 100.0)
 
-  def customersCdc(spark: SparkSession, sfDir: String): DataFrame = {
-    val c = Tables.load(spark, sfDir, "customer")
+  /** With `distribute = true`, hash-repartition the RAW scan on the
+    * cast key BEFORE the synthesis projection. The testdata source is
+    * one single-row-group parquet file, so the scan is one task; a
+    * caller-side `.repartition(key)` AFTER the projection leaves every
+    * per-row synthesis expression (the email regex, exact-cents money
+    * derivation) on that one task, map-side of the exchange, and ships
+    * the WIDE synthesized row. Exchanging the narrow raw row first
+    * runs the synthesis post-shuffle at full core width and shuffles
+    * fewer bytes (guide §2.3 project-before-exchange + §2.5 one-file
+    * input skew). The partitioning expression is exactly the aliased
+    * key (`cast(c_custkey as string) AS customer_id`), so alias-aware
+    * output partitioning still hands downstream consumers
+    * hash(customer_id) — no exchange returns elsewhere (plan-checked,
+    * plans/r12/q34_pipeline_e2e_after.txt). */
+  def customersCdc(spark: SparkSession, sfDir: String,
+      distribute: Boolean = false): DataFrame = {
+    val c0 = Tables.load(spark, sfDir, "customer")
+    val c =
+      if (distribute) c0.repartition(col("c_custkey").cast("string"))
+      else c0
     val n = Tables.load(spark, sfDir, "nation")
     c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
       .select(
@@ -62,8 +80,14 @@ object DemoCdc {
         lit("tpch").as("_source_system"))
   }
 
-  def ordersCdc(spark: SparkSession, sfDir: String): DataFrame = {
-    val o = Tables.load(spark, sfDir, "orders")
+  /** `distribute` as in [[customersCdc]]: raw-row exchange on the cast
+    * key below the synthesis projection. */
+  def ordersCdc(spark: SparkSession, sfDir: String,
+      distribute: Boolean = false): DataFrame = {
+    val o0 = Tables.load(spark, sfDir, "orders")
+    val o =
+      if (distribute) o0.repartition(col("o_orderkey").cast("string"))
+      else o0
     o.select(
       col("o_orderkey").cast("string").as("order_id"),
       col("o_custkey").cast("string").as("customer_id"),

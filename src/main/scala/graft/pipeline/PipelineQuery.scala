@@ -342,11 +342,13 @@ object PipelineQuery {
     // downstream consumer needs (CdcDedup's window, the MERGE
     // anti-join all cluster on the key), so the one slim shuffle here
     // removes the post-explode exchanges there — at 100 TB this is the
-    // "land the feed bucketed by merge key" discipline.
-    val custCdc = DemoCdc.customersCdc(s, d)
-      .repartition(col("customer_id")).persist()
-    val ordCdc = DemoCdc.ordersCdc(s, d)
-      .repartition(col("order_id")).persist()
+    // "land the feed bucketed by merge key" discipline. Round 12: the
+    // exchange moved BELOW the synthesis projection (distribute=true —
+    // DemoCdc's scaladoc has the why: the raw one-row-group scan is
+    // one task, so synthesis must run post-shuffle to use the cores,
+    // and the exchange then carries the narrow raw row).
+    val custCdc = DemoCdc.customersCdc(s, d, distribute = true).persist()
+    val ordCdc = DemoCdc.ordersCdc(s, d, distribute = true).persist()
     // Populate both caches CONCURRENTLY up front (Spark's scheduler is
     // thread-safe): the orders feed is not consumed until the second
     // model, so serially its cache would materialize inside

@@ -8,7 +8,8 @@ import org.apache.spark.sql.SparkSession
   * (planning, codegen, commit) from executor work. */
 object ProfJobs {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    // comma-separated names: one JVM profiles a whole target list
+    val names = args(0).split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.SparkTuning(SparkSession.builder())
@@ -43,7 +44,7 @@ object ProfJobs {
     })
     // bench-style warm-up
     try graft.SparkEntry.entry(spark).count() catch { case _: Throwable => }
-    for (pass <- 1 to 2) {
+    for (pass <- 1 to 2; name <- names) {
       jobWall = 0; taskTime = 0; gcTime = 0; nJobs = 0
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, sfDir).count()
