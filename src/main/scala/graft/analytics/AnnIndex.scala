@@ -118,10 +118,10 @@ object AnnIndex {
       // literal IN-list is what partition-prunes the existing read
       val touched = assigned.select("c_id").distinct()
         .collect().map(_.getLong(0))
-      val merged = existing
+      val oldTouched = existing
         .filter(col("c_id").isin(touched.toSeq: _*))
         .select(col("c_id"), col("vec_id"), col("qv"), col("n2"))
-        .unionByName(assigned)
+      val merged = oldTouched.unionByName(assigned)
       // refresh the corpus-size stamp (commit meta otherwise carries
       // the build-time count forward, and a stale stamp makes the next
       // staleness check retrain the index the append just extended);
@@ -165,14 +165,23 @@ object AnnIndex {
       }
       // keep the KNN-graph artifact coherent too ([[buildKnn]]): a
       // touched cell's NEW members change its incumbents'
-      // neighborhoods, so the whole touched cell's subgraph is
-      // recomputed over the merged postings (`merged` is exactly the
-      // touched cells' full membership, old + new) and rewritten;
-      // untouched cells carry over by hard link. Equality with a
-      // from-scratch rebuild over the appended postings is exact BY
-      // DECOMPOSITION — cell-local candidates never cross cells —
-      // and spec-pinned in AnnIndexSpec.
-      store.read(spark, Layer, knnTable(name)).foreach { _ =>
+      // neighborhoods; untouched cells carry over by hard link.
+      // Round 12 (guide §1.2 — don't recompute what you already
+      // have): the touched cells' subgraphs are no longer recomputed
+      // all-pairs (Σ|cell|²). Within a cell, only pairs INVOLVING a
+      // new member can change any top-k — an incumbent's candidates
+      // among incumbents are exactly its STORED top-k rows (top-k of
+      // a superset = top-k of {stored top-k ∪ new candidates}, under
+      // the same total order cos_sim DESC, nbr_id ASC the TopKAgg and
+      // the oracle share; no removals exist in the append-only
+      // lifecycle). So: ONE pair pass new×members (Σ|cell|·|new|,
+      // both directions read off the same pass), stored edges merged
+      // in for incumbents, TopKAgg re-rank. Equality with a
+      // from-scratch rebuild over the appended postings stays exact
+      // BY DECOMPOSITION (cell-local candidates never cross cells)
+      // PLUS the stored-top-k argument above — spec-pinned in
+      // AnnIndexSpec, cross-engine-certified by q125's oracle.
+      store.read(spark, Layer, knnTable(name)).foreach { oldGraph =>
         // the stored graph's knn_k stamp must match this build's KnnK:
         // rewriting only the touched cells at a DIFFERENT k would
         // leave a silently mixed-k graph (touched cells at the new k,
@@ -183,12 +192,41 @@ object AnnIndex {
             sys.error(s"ANN index '$name' graph was built at " +
               s"knn_k=$sk but this session appends at knn_k=$KnnK — " +
               "rebuild via buildKnn() before appending"))
-        store.writeTouchedPartitions(
-          graphWithCell(merged
-            .select(col("c_id"), col("vec_id"), col("qv"), col("n2"))),
-          Layer, knnTable(name), partitionBy = Seq("c_id"),
+        val newProbe = assigned.select(col("c_id"),
+          col("vec_id").as("q_id"), col("qv").as("q_qv"),
+          col("n2").as("q_n2"))
+        // is_new rides the pair row so the reverse direction (old
+        // incumbent as query) can skip new×new pairs the forward
+        // direction already emits for both orders
+        val flagged = oldTouched.withColumn("is_new", lit(false))
+          .unionByName(assigned.withColumn("is_new", lit(true)))
+        val newPairs = flagged.join(newProbe, Seq("c_id"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("c_id"), col("q_id"), col("vec_id"),
+            col("is_new"),
+            VectorOps.cosineQ(col("q_qv"), col("qv"), col("q_n2"),
+              col("n2")).as("cos_sim"))
+          .persist() // two union branches below read the same pass
+        val candidates = newPairs.drop("is_new")
+          .unionByName(newPairs.filter(!col("is_new"))
+            .select(col("c_id"), col("vec_id").as("q_id"),
+              col("q_id").as("vec_id"), col("cos_sim")))
+          .unionByName(oldGraph
+            .filter(col("c_id").isin(touched.toSeq: _*))
+            .select(col("c_id"), col("vec_id").as("q_id"),
+              col("nbr_id").as("vec_id"), col("cos_sim")))
+        val ranked = VectorOps.topKRanked(
+            candidates.select("q_id", "vec_id", "cos_sim"), KnnK)
+          .select(col("q_id").as("vec_id"), col("vec_id").as("nbr_id"),
+            col("cos_sim"), col("rnk"))
+          .join(merged.select(col("vec_id"), col("c_id")), Seq("vec_id"))
+          .select(col("c_id"), col("vec_id"), col("nbr_id"),
+            col("cos_sim"), col("rnk"))
+        try store.writeTouchedPartitions(ranked, Layer, knnTable(name),
+          partitionBy = Seq("c_id"),
           description = "KNN graph append (touched cells)",
           meta = extraMeta)
+        finally newPairs.unpersist(blocking = false): Unit
       }
     } finally assigned.unpersist(): Unit
   }
