@@ -567,6 +567,22 @@ object AnnIndex {
       .flatMap(_.toLongOption)
       .getOrElse(Tables.load(s, d, "embeddings").count())
 
+  /** Corpus content fingerprint / count for `d`'s embeddings, memoized
+    * per source listing ([[graft.io.ArtifactStore.bySource]] — the
+    * metadata-invalidated memo): every stored-artifact entry point
+    * used to pay its own single-task full-corpus hash scan (and the
+    * chained helpers two or three) per invocation to re-derive a value
+    * the unchanged source metadata already pins. */
+  private def corpusFp(s: SparkSession, d: String): String = {
+    val emb = Tables.load(s, d, "embeddings")
+    graft.io.ArtifactStore.bySource(d, "embeddings", "fp")(
+      graft.io.ArtifactStore.contentFp(emb, col("vec_id"),
+        col("embedding")))
+  }
+  private def corpusN(s: SparkSession, d: String): Long =
+    graft.io.ArtifactStore.bySource(d, "embeddings", "n")(
+      Tables.load(s, d, "embeddings").count().toString).toLong
+
   /** Staleness signatures: corpus content fingerprint (count + XOR of
     * row hashes — order-insensitive, overflow-free under ANSI) PLUS
     * the training hyperparameters, so a constants bump (k, iters,
@@ -598,8 +614,7 @@ object AnnIndex {
       : (ModelStore, org.apache.spark.sql.DataFrame, String) = {
     val store = dirStore(d)
     val emb = Tables.load(s, d, "embeddings")
-    val fp = graft.io.ArtifactStore.contentFp(emb, col("vec_id"),
-      col("embedding"))
+    val fp = corpusFp(s, d)
     // generation coherence: build() commits centroids BEFORE postings
     // and the POSTINGS meta is the gate, so a reader that passes the
     // gate and then loads both tables sees one generation — a torn
@@ -944,9 +959,7 @@ object AnnIndex {
   private[analytics] def knnGraphStored(s: SparkSession, d: String)
       : DataFrame = {
     val store = dirStore(d)
-    val emb = Tables.load(s, d, "embeddings")
-    val fp = graft.io.ArtifactStore.contentFp(emb, col("vec_id"),
-      col("embedding"))
+    val fp = corpusFp(s, d)
     graft.io.ArtifactStore.ensure(s, store, Layer, knnTable("emb"),
       knnSig(fp)) {
       store.write(knnGraphRaw(s, d), Layer, knnTable("emb"),
@@ -991,9 +1004,8 @@ object AnnIndex {
     // the derived K is a pure function of the corpus count — one
     // cheap count job, paid at ensure time like the content
     // fingerprint scan beside it
-    val k = VectorOps.derivedK(emb.count())
-    val fp = graft.io.ArtifactStore.contentFp(emb, col("vec_id"),
-      col("embedding"))
+    val k = VectorOps.derivedK(corpusN(s, d))
+    val fp = corpusFp(s, d)
     graft.io.ArtifactStore.ensure(s, store, Layer,
       postingsTable("emb_scaled"), scaledSig(fp, k),
       vacuumTables = Seq(centroidsTable("emb_scaled"))) {
@@ -1018,10 +1030,8 @@ object AnnIndex {
   private[analytics] def knnGraphScaledStored(s: SparkSession,
       d: String): DataFrame = {
     val store = dirStore(d)
-    val emb = Tables.load(s, d, "embeddings")
-    val k = VectorOps.derivedK(emb.count())
-    val fp = graft.io.ArtifactStore.contentFp(emb, col("vec_id"),
-      col("embedding"))
+    val k = VectorOps.derivedK(corpusN(s, d))
+    val fp = corpusFp(s, d)
     graft.io.ArtifactStore.ensure(s, store, Layer,
       knnTable("emb_scaled"), scaledKnnSig(fp, k)) {
       val (_, posts, _) = scaledArtifacts(s, d)
@@ -1074,10 +1084,9 @@ object AnnIndex {
       : DataFrame = {
     val store = dirStore(d)
     val emb = Tables.load(s, d, "embeddings")
-    val k = VectorOps.derivedK(emb.count())
+    val k = VectorOps.derivedK(corpusN(s, d))
     val k1 = VectorOps.hierK1(k)
-    val fp = graft.io.ArtifactStore.contentFp(emb, col("vec_id"),
-      col("embedding"))
+    val fp = corpusFp(s, d)
     graft.io.ArtifactStore.ensure(s, store, Layer,
       postingsTable("emb_hier"), hierSig(fp, k, k1)) {
       val (cents, _, _) = scaledArtifacts(s, d)
@@ -1469,8 +1478,7 @@ object AnnIndex {
       rounds: Int): DataFrame = {
     val store = dirStore(d)
     val emb = Tables.load(s, d, "embeddings")
-    val fp = graft.io.ArtifactStore.contentFp(emb, col("vec_id"),
-      col("embedding"))
+    val fp = corpusFp(s, d)
     graft.io.ArtifactStore.ensure(s, store, Layer,
       knnRefinedTable("emb", rounds), knnRefinedSig(fp, rounds)) {
       // chain from the PREVIOUS round's artifact: round R is one
@@ -1915,8 +1923,14 @@ object AnnIndex {
   private[analytics] def incKnnHistoryFork(s: SparkSession, d: String,
       hist: DataFrame): ModelStore = {
     val store = graft.io.ArtifactStore.forDir("incknn", d)
-    val fp = graft.io.ArtifactStore.contentFp(hist, col("vec_id"),
-      col("embedding"))
+    // the memo tag carries the slice definition: `hist` is the fixed
+    // vec_id % IncKnnMod <> 0 slice of the source (qIncrementalKnn's
+    // contract), so the same listing-invalidated memo applies — a
+    // DIFFERENT slice must use a different tag
+    val fp = graft.io.ArtifactStore.bySource(d, "embeddings",
+      s"fp-hist-mod$IncKnnMod")(
+      graft.io.ArtifactStore.contentFp(hist, col("vec_id"),
+        col("embedding")))
     val sig = incKnnSig(fp)
     graft.io.ArtifactStore.ensure(s, store, Layer, knnTable("inc"),
       sig, vacuumTables = Seq(centroidsTable("inc"),

@@ -1234,14 +1234,19 @@ object NearDup {
 
   /** Corpus content fingerprint over (doc_id, text) — the shared
     * [[graft.io.ArtifactStore.contentFp]] formula, which every
-    * documents-derived artifact family must agree on. */
-  private[analytics] def docsFp(docs: DataFrame): String =
-    graft.io.ArtifactStore.contentFp(docs, col("doc_id"), col("text"))
+    * documents-derived artifact family must agree on. CONTRACT: `docs`
+    * is the FULL documents table of dir `d` (every caller's shape) —
+    * the fingerprint memoizes per source listing
+    * ([[graft.io.ArtifactStore.bySource]]), so a filtered frame would
+    * poison the shared entry. */
+  private[analytics] def docsFp(d: String, docs: DataFrame): String =
+    graft.io.ArtifactStore.bySource(d, "documents", "fp")(
+      graft.io.ArtifactStore.contentFp(docs, col("doc_id"), col("text")))
 
   private[analytics] def clusterDecisionStored(s: SparkSession,
       d: String, docs: DataFrame): DataFrame =
     clusterDecisionFor(s, graft.io.ArtifactStore.forDir("cluster", d),
-      docs, docsFp(docs))
+      docs, docsFp(d, docs))
 
   /** [[clusterDecisionStored]] with the store and fingerprint already
     * in hand — lets derived-artifact builders (canon_reps) reuse ONE
@@ -1272,7 +1277,7 @@ object NearDup {
   private[analytics] def canonicalRepsStored(s: SparkSession,
       d: String, docs: DataFrame): DataFrame = {
     val store = graft.io.ArtifactStore.forDir("cluster", d)
-    val fp = docsFp(docs)   // ONE corpus scan keys both artifacts
+    val fp = docsFp(d, docs) // ONE corpus scan keys both artifacts
     graft.io.ArtifactStore.ensure(s, store, "cluster", "canon_reps",
       repsSig(fp)) {
       store.write(
@@ -1306,7 +1311,7 @@ object NearDup {
       entryMax: Long = BroadcastShingleEntryMax)
       : (DataFrame, DataFrame => DataFrame) = {
     val store = graft.io.ArtifactStore.forDir("cluster", d)
-    val fp = docsFp(docs)
+    val fp = docsFp(d, docs)
     graft.io.ArtifactStore.ensure(s, store, "cluster", "postings",
       listsSig(fp)) {
       // persist: consumed by the entries count AND the write

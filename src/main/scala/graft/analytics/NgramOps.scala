@@ -155,7 +155,7 @@ object NgramOps {
   private[analytics] def docGramsStored(s: SparkSession, d: String,
       docs: DataFrame): DataFrame = {
     val store = graft.io.ArtifactStore.forDir("cluster", d)
-    val fp = NearDup.docsFp(docs)
+    val fp = NearDup.docsFp(d, docs)
     graft.io.ArtifactStore.ensure(s, store, "cluster", "doc_grams",
       dgSig(fp)) {
       store.write(docGrams(docs), "cluster", "doc_grams",
@@ -443,7 +443,7 @@ object NgramOps {
   private[analytics] def bigramBucketCountsStored(s: SparkSession,
       d: String, docs: DataFrame): DataFrame = {
     val store = graft.io.ArtifactStore.forDir("cluster", d)
-    val fp = NearDup.docsFp(docs)
+    val fp = NearDup.docsFp(d, docs)
     graft.io.ArtifactStore.ensure(s, store, "cluster",
       "bigram_buckets", dbcSig(fp)) {
       store.write(bigramBucketCounts(docs), "cluster", "bigram_buckets",

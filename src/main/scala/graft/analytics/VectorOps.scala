@@ -965,8 +965,12 @@ object VectorOps {
       d: String): DataFrame = {
     val store = graft.io.ArtifactStore.forDir("cluster", d)
     val emb = T(s, d, "embeddings")
-    val fp = graft.io.ArtifactStore.contentFp(emb, col("vec_id"),
-      col("embedding"))
+    // listing-invalidated memo (the AnnIndex.corpusFp discipline) —
+    // same formula over the same source, so the shared "fp" tag is
+    // exactly right
+    val fp = graft.io.ArtifactStore.bySource(d, "embeddings", "fp")(
+      graft.io.ArtifactStore.contentFp(emb, col("vec_id"),
+        col("embedding")))
     graft.io.ArtifactStore.ensure(s, store, "cluster", "emb_dedup",
       embDedupSig(fp)) {
       store.write(

@@ -43,6 +43,66 @@ object ArtifactStore {
         coalesce(bit_xor(xxhash64(id, payload)), lit(0L))).as("fp"))
       .head().getString(0)
 
+  /** Memo for expensive SOURCE-derived scalars (the corpus content
+    * fingerprint, the corpus count), keyed per (source path, tag) and
+    * invalidated by the source's recursive file listing — relative
+    * path, byte length and mtime (nanosecond precision) of every file
+    * under it. The content of an immutable parquet source cannot
+    * change without its listing changing (writers create new files;
+    * an in-place rewrite moves mtime), so the STALENESS CHECK each
+    * artifact consumer performs stays real — it just verifies via
+    * file metadata instead of re-hashing the full content on every
+    * invocation, exactly the snapshot-id discipline table formats use
+    * in place of content re-hashes. In-JVM only (a fresh process
+    * always recomputes once); the listing walk itself runs on every
+    * call. Without this, every stored-artifact query paid 1–3
+    * single-task full-corpus hash scans per invocation just to
+    * re-derive a fingerprint the source's metadata already pins
+    * (guide §1.2: don't recompute what you can prove unchanged). */
+  private val sourceMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]
+
+  private def listingSig(canon: java.io.File): String = {
+    def walk(f: java.io.File): Seq[String] =
+      if (f.isDirectory)
+        Option(f.listFiles).toSeq.flatten.sortBy(_.getName).flatMap(walk)
+      else {
+        val mt =
+          try java.nio.file.Files
+            .getLastModifiedTime(f.toPath).toInstant
+          catch { case _: java.io.IOException => java.time.Instant.EPOCH }
+        Seq(s"${f.getPath}:${f.length}:${mt.getEpochSecond}.${mt.getNano}")
+      }
+    walk(canon).mkString("|")
+  }
+
+  /** Memoized `compute` for the source table at `<dir>/<table>.parquet`
+    * under cache key `tag` — see [[sourceMemo]]. `tag` must encode
+    * everything about the derivation besides the source content (e.g.
+    * a row-filter variant), since two tags share one invalidation
+    * signature. */
+  def bySource(dir: String, table: String, tag: String)(
+      compute: => String): String = {
+    val src = new java.io.File(new java.io.File(dir), s"$table.parquet")
+      .getCanonicalFile
+    // no source file, no memo: callers may hand a frame that does NOT
+    // derive from `<dir>/<table>.parquet` (specs feed in-memory frames
+    // against scratch dirs) — with nothing on disk to invalidate on,
+    // memoizing would serve the first frame's value to every later
+    // one, exactly the stale-decision failure the fingerprint exists
+    // to prevent
+    if (!src.exists()) return compute
+    val sig = listingSig(src)
+    val key = s"${src.getPath}#$tag"
+    val hit = sourceMemo.get(key)
+    if (hit != null && hit._1 == sig) hit._2
+    else {
+      val v = compute
+      sourceMemo.put(key, (sig, v))
+      v
+    }
+  }
+
   /** Build ledger for cold-start visibility: every [[ensure]] whose
     * staleness probe MISSED (and so paid its build) records
     * `layer.table` here; [[graft.Bench]] drains it per measured pass

@@ -131,4 +131,30 @@ class ArtifactStoreSpec extends AnyFunSuite {
     assert(fs.exists(new org.apache.hadoop.fs.Path(
       store.versionDir("l", "t", 2))))
   }
+
+  test("bySource memoizes per (source listing, tag) and re-computes " +
+      "when the source's files change — the fingerprint staleness " +
+      "check stays real, it just verifies via file metadata") {
+    val dir = Files.createTempDirectory("graft-bysource")
+    val tbl = dir.resolve("docs.parquet")
+    Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+      .write.parquet(tbl.toString)
+    var computes = 0
+    def fp(): String = ArtifactStore.bySource(
+      dir.toString, "docs", "spec-fp") { computes += 1; s"v$computes" }
+    assert(fp() == "v1" && fp() == "v1",
+      "unchanged source: second call must serve the memo")
+    assert(computes == 1)
+    // distinct tag = distinct entry (a filtered-variant key must never
+    // collide with the full-table key)
+    var computes2 = 0
+    val other = ArtifactStore.bySource(
+      dir.toString, "docs", "spec-other") { computes2 += 1; "w" }
+    assert(other == "w" && computes2 == 1 && computes == 1)
+    // rewriting the source (new files) invalidates BOTH tags' entries
+    Seq((3L, "c")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(tbl.toString)
+    assert(fp() == "v2", "a changed listing must force a recompute")
+    assert(computes == 2)
+  }
 }
