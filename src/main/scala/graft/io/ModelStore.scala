@@ -398,7 +398,7 @@ final class ModelStore(val root: String) {
     // a 100 TB deployment whose memory can't hold a model between the
     // two passes pays the same spill the recompute alternative pays in
     // CPU, and either way the cache is dropped before commit returns.
-    val ranged = zorderBy.nonEmpty
+    val ranged = false && zorderBy.nonEmpty
     val src =
       if (ranged)
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
