@@ -391,14 +391,19 @@ final class ModelStore(val root: String) {
     // bucket bounds, then the write re-runs it for the data — for a
     // model write that means the whole transform (window dedup, CASE
     // ladders, money arithmetic) computes twice per write (guide §1.2:
-    // don't compute things you throw away). Persist the input across
-    // the two passes: the sample populates the cache, the write reads
-    // it back. MEMORY_AND_DISK — the frame is about to be written out
-    // anyway, so its materialized size is disk-bounded by definition;
-    // a 100 TB deployment whose memory can't hold a model between the
-    // two passes pays the same spill the recompute alternative pays in
-    // CPU, and either way the cache is dropped before commit returns.
-    val ranged = false && zorderBy.nonEmpty
+    // don't compute things you throw away). Persisting the input
+    // across the two passes (MEMORY_AND_DISK, dropped before commit
+    // returns) trades one cached materialization for that recompute.
+    // A/B at sf0.1 (round 12, targeted q34 min-of-3, quiet windows):
+    // persist 13.73 s vs recompute 13.18 s — the cache round-trip
+    // costs MORE than recomputing these cheap transforms, so the
+    // persist stays OFF by default. The trade reverses when the
+    // transform above the write is expensive relative to its output
+    // bytes (the ≈sf10 medallion bootstrap paid its 15M-row CDC-dedup
+    // window twice, +60 s measured), so the lever stays available for
+    // cluster re-tuning: GRAFT_TUNE_RANGEDPERSIST=on.
+    val ranged = zorderBy.nonEmpty &&
+      sys.env.get("GRAFT_TUNE_RANGEDPERSIST").contains("on")
     val src =
       if (ranged)
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -404,6 +404,18 @@ object Pipeline {
             .select(parts: _*)
           val touchedDf = u.select(parts: _*).union(residence).distinct()
           val touched = timed("touched-discovery") { touchedDf.collect() }
+          // Empty incremental batch (a fully watermark-gated feed):
+          // touched is empty iff `updates` is empty (its own partitions
+          // AND its keys' residences both derive from it), and a MERGE
+          // with no source rows touches no files — Delta's own no-op
+          // commit shape. Rewriting (or even re-linking) every
+          // partition into a fresh version here would be pure version
+          // churn; skip the write outright. Guarded on meta.isEmpty:
+          // a streaming micro-batch must still commit its
+          // exactly-once batch marker even when empty. The emptiness
+          // signal is FREE — the discovery collect above already ran.
+          if (touched.isEmpty && meta.isEmpty) ()
+          else {
           // <=> (null-safe): a NULL partition value must still select
           // its existing rows — `=== lit(null)` is never true, which
           // would drop the whole NULL partition from the merge.
@@ -425,6 +437,7 @@ object Pipeline {
               touchedRows = Some((touchedDf.schema, touched.toSeq)),
               statsCols = m.statsCols)
           }
+          }
         } finally u.unpersist()
       case (Some(ex), Some(key)) =>
         // MergeWriter.merge consumes `updates` twice (column-pruned
@@ -433,10 +446,20 @@ object Pipeline {
         // window shuffle — twice per run; pay it once, like the
         // pruned arm above
         val u = updates.persist()
-        try timed("merge-write") {
-          store.write(MergeWriter.merge(ex, u, key), m.layer, m.name,
-            m.partitionBy, m.zorderBy, description = m.description,
-            meta = meta, statsCols = m.statsCols)
+        // Empty incremental batch: a MERGE with no source rows is a
+        // no-op commit in Delta; rewriting the whole (unpartitioned)
+        // table into a fresh identical version costs a full-table
+        // write for zero change — q34's customers_latest incremental
+        // run pays exactly this (its feed is entirely ≤ the stored
+        // watermark). One limit-1 probe over the gated build decides
+        // it; meta-bearing calls (streaming batch markers) never skip.
+        try {
+          if (meta.isEmpty && timed("empty-check")(u.isEmpty)) ()
+          else timed("merge-write") {
+            store.write(MergeWriter.merge(ex, u, key), m.layer, m.name,
+              m.partitionBy, m.zorderBy, description = m.description,
+              meta = meta, statsCols = m.statsCols)
+          }
         } finally u.unpersist()
       case (Some(ex), None) =>
         // persist iff the write range-partitions (partitioned AND

@@ -241,6 +241,47 @@ class PipelineSpec extends AnyFunSuite {
       Seq("order_year")))
   }
 
+  test("empty incremental batch is a no-op commit: fully-gated feeds " +
+      "bump no version, change no data; meta-bearing writes still land") {
+    val sources = Map(
+      "customers_cdc" -> CdcFixtures.customersBatch1(),
+      "orders_cdc" -> CdcFixtures.ordersBatch1())
+    val (p, store) = newPipeline(sources)
+    p.run(spark, RunMode.Bootstrap)
+    val vCust = store.currentVersion(spark, "silver", "customers_latest")
+    val vOrd = store.currentVersion(spark, "silver", "orders_cleaned")
+    val vDim = store.currentVersion(spark, "gold", "dim_customer")
+    val custBefore = byKey(
+      store.read(spark, "silver", "customers_latest").get, "customer_id")
+    // re-deliver batch1: every row is ≤ the stored watermark except
+    // the DELETE rows, which the models filter — both silver updates
+    // are EMPTY, so a MERGE with no source touches no files (Delta's
+    // no-op commit): no version churn, identical data. dim_customer
+    // full-recomputes (ungated) and must still write normally.
+    val p2 = new Pipeline(models.all, store, (_, name) => sources(name),
+      vars = Map("ingest_batch_date" -> "1900-01-01"))
+    val out2 = p2.run(spark, RunMode.Incremental)
+    assert(store.currentVersion(spark, "silver", "customers_latest")
+      == vCust)                      // full-merge arm skipped
+    assert(store.currentVersion(spark, "silver", "orders_cleaned")
+      == vOrd)                       // pruned arm skipped (no touched)
+    assert(store.currentVersion(spark, "gold", "dim_customer")
+      == vDim + 1)                   // ungated recompute still writes
+    assert(byKey(out2("customers_latest"), "customer_id").keySet
+      == custBefore.keySet)
+    // a meta-bearing call (a streaming micro-batch's exactly-once
+    // marker) must NEVER take the skip, even with empty updates: the
+    // marker has to commit to make the replay detectable
+    Pipeline.materializeModel(spark, store, models.customersLatest,
+      RunMode.Incremental, (_, name) => sources(name),
+      n => store.read(spark, "silver", n).get, Map.empty,
+      meta = Map("stream_batch_id" -> "7"))
+    assert(store.currentVersion(spark, "silver", "customers_latest")
+      == vCust + 1)
+    assert(store.meta(spark, "silver", "customers_latest",
+      "stream_batch_id").contains("7"))
+  }
+
   test("append strategy (no uniqueKey) accumulates rows across runs") {
     val appendModel = graft.model.ModelDef(
       name = "events_log", layer = "silver",
