@@ -390,7 +390,14 @@ object Bpe {
   val qBpePacking: Q = Q("q81_bpe_packing", q81OracleSql) { (s, d) =>
     val docs = Tables.load(s, d, "documents")
     val merges = trainedMerges(s, d, k = QueryMerges)
-    val perDoc = docs
+    // Exchange the raw rows on the AGG KEYS below the tokenize/BPE
+    // projection (guide §2.5 single-row-group input skew, the q30/q34
+    // pattern): the per-word segmentation + merge-count otherwise runs
+    // serially map-side of the groupBy on the one scan task; keyed on
+    // (source, doc_id) the groupBy reuses the partitioning, so no
+    // second exchange appears. Measured (targeted min-of-3):
+    // 1.06 → 0.88 s.
+    val perDoc = docs.repartition(col("source"), col("doc_id"))
       .select(col("doc_id"), col("source"),
         explode(TextOps.tokens(col("text"))).as("w"))
       .filter(length(col("w")) > 0)

@@ -987,7 +987,17 @@ object NearDup {
       |WHERE levenshtein(substr(a.norm, 1, $EditPrefix),
       |  substr(b.norm, 1, $EditPrefix)) <= $EditDistMax
       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    // Exchange the raw rows on the doc key BELOW the fingerprint
+    // projection (guide §2.5, the q30/q100 pattern): `fp` has THREE
+    // consumers (the block-size gate and both join sides), so the
+    // serial one-task tokenize+normalize otherwise runs three times;
+    // the one raw exchange is computed once, reused by all three, and
+    // the projection runs post-shuffle at full width. Measured
+    // (targeted min-of-5 A/B pair): 0.94 → 0.61 s, with the unchanged
+    // q97 control moving 0.95 → 0.81 in the same windows — ≈ −23%
+    // beyond window drift.
     val fp = T(s, d, "documents")
+      .repartition(col("doc_id"))
       .select(col("doc_id"),
         md5(array_join(slice(TextOps.tokens(col("text")), 1, 5), " "))
           .as("fp5"),

@@ -262,7 +262,16 @@ object NgramOps {
     // tokenize in a separate projection: inlining `split` into the
     // transform lambda re-evaluates the regex split per element_at —
     // O(tokens²) regex work per doc (measured 8× on this query)
+    // Exchange the raw rows on the doc key BELOW the tokenize/bigram
+    // projection (guide §2.5, the q30/q100 pattern): `bg` feeds both
+    // the frequency groupBy and the join, so the serial one-task
+    // tokenize otherwise runs twice; the raw exchange computes once
+    // and both consumers read it post-shuffle at full width.
+    // Measured (targeted min-of-5 A/B pair): 0.92 → 0.72 s, q97
+    // control 0.95 → 0.81 in the same windows — a modest real win
+    // (≈ −8% beyond drift) with a tighter pass spread.
     val bg = T(s, d, "documents")
+      .repartition(col("doc_id"))
       .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
       .select(col("doc_id"), explode(bigramHashes(col("t"))).as("bh"))
     val cf = bg.groupBy("bh").agg(count(lit(1)).as("f"))
@@ -576,7 +585,14 @@ object NgramOps {
       // re-runs the regex split once per gram — O(tokens²) scan work
       // (the q68 lesson; the multi-ref non-cheap alias blocks
       // CollapseProject from undoing the boundary)
+      // Exchange the raw rows on the doc key BELOW the tokenize/gram
+      // projection (guide §2.5, the q30/q34 pattern): the split + gram
+      // hashing that populates the persist otherwise runs serially on
+      // the one task the single-row-group scan yields; the within-doc
+      // span windows downstream partition by doc_id anyway. Measured
+      // (targeted min-of-3): 1.39 → 0.95 s.
       val gr = T(s, d, "documents")
+        .repartition(col("doc_id"))
         .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
         .select(col("doc_id"),
           posexplode(gramLongHashes(col("tk"), K)).as(Seq("pos", "g")))

@@ -360,7 +360,15 @@ object VectorOps {
     // their indexes for the same reason)
     // (no build-scoped unpersist: the DataFrame executes after build —
     // the bench clears caches between queries, as for qSimhash's index)
-    val base = lshBands(T(s, d, "embeddings"), 64, DedupBands).persist()
+    // Exchange the narrow raw rows on the key BELOW the hyperplane
+    // projection (the q34 DemoCdc distribute pattern, guide §2.5): the
+    // single-row-group source scan is one task, so the 96 per-vector
+    // plane dots would otherwise run serially on one core before the
+    // persist; post-shuffle they use the full width, and the exchange
+    // carries the raw (vec_id, embedding) row. Measured (targeted
+    // min-of-3): 1.55 → 0.99 s.
+    val base = lshBands(T(s, d, "embeddings")
+      .repartition(col("vec_id")), 64, DedupBands).persist()
     topKRanked(
       base.join(broadcast(base.filter(col("vec_id") < NumQueries)
           .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
