@@ -145,8 +145,13 @@ object NearDupIndex {
         .filter(col("__rn") <= MaxCandidatesPerDoc).drop("__rn")
       val oldSigs = hist
         .select(col("doc_id").as("old_id"), col("sig").as("old_sig"))
-      cands
-        .join(sigs, Seq("doc_id")).join(oldSigs, Seq("old_id"))
+      // the verify joins under the same gate as the probe: the
+      // candidate set (≤ MaxCandidatesPerDoc × batch) and the batch
+      // sigs broadcast, so the history sig read stays probe-side —
+      // never shuffled, never the build side — structurally, not just
+      // when AQE's runtime sizes happen to pick it
+      gate(cands.join(gate(sigs), Seq("doc_id")))
+        .join(oldSigs, Seq("old_id"))
         .filter(sigAgree(col("sig"), col("old_sig")) >= threshold)
         .groupBy("doc_id").agg(min("old_id").as("h_dup"))
     }
@@ -160,10 +165,13 @@ object NearDupIndex {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-      .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("sa")),
-        Seq("a_id"))
-      .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("sb")),
-        Seq("b_id"))
+      // sig attachment under the gate too (batch-bounded by
+      // definition): two broadcast lookups instead of two exchanges
+      // of the pair set
+      .join(gate(sigs.select(col("doc_id").as("a_id"),
+        col("sig").as("sa"))), Seq("a_id"))
+      .join(gate(sigs.select(col("doc_id").as("b_id"),
+        col("sig").as("sb"))), Seq("b_id"))
       .filter(sigAgree(col("sa"), col("sb")) >= threshold)
       .select("a_id", "b_id")
     val labels = timed(spark, "batch-cluster")(
@@ -179,7 +187,7 @@ object NearDupIndex {
       sigs.select(col("doc_id"), lit(null).cast("long").as("h_dup"))
         .limit(0)).persist()
     timed(spark, "histmin-materialize")(histMin.count())
-    val anchors = labels.join(histMin, Seq("doc_id"), "left")
+    val anchors = labels.join(gate(histMin), Seq("doc_id"), "left")
       .groupBy("keep_id").agg(min("h_dup").as("cluster_h"))
 
     // Decisions cover EVERY input doc — a doc too short to shingle has
@@ -191,10 +199,14 @@ object NearDupIndex {
     // targets. localCheckpoint (eager) materializes the decisions so
     // the returned frame no longer references the pre-commit store
     // version a later ingest's vacuum may delete.
+    // all three lookup sides are batch-bounded (labels ≤ paired docs,
+    // anchors ≤ clusters, histMin ≤ candidates) — broadcast them under
+    // the gate so the decision pass is three hash lookups over one
+    // scan of the batch ids instead of a four-way exchange chain
     val decided0 = docs.select(col(id).as("doc_id"))
-      .join(labels, Seq("doc_id"), "left")
-      .join(anchors, Seq("keep_id"), "left")
-      .join(histMin, Seq("doc_id"), "left")
+      .join(gate(labels), Seq("doc_id"), "left")
+      .join(gate(anchors), Seq("keep_id"), "left")
+      .join(gate(histMin), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_h"), col("h_dup"),
           when(col("keep_id") =!= col("doc_id"), col("keep_id")))
@@ -210,7 +222,8 @@ object NearDupIndex {
     // let keepLast=2 vacuums delete versions other readers still hold
     // — the same empty-trigger guard as sink().
     val survivors = decidedCp.filter(!col("is_dup")).select("doc_id")
-    val survivorSigs = sigs.join(survivors, Seq("doc_id"), "left_semi")
+    val survivorSigs = sigs.join(gate(survivors), Seq("doc_id"),
+      "left_semi")
     if (!timed(spark, "survivor-empty-check")(survivorSigs.isEmpty)) {
       timed(spark, "sig-append-write") {
         store.writeTouchedPartitions(
