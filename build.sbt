@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver parses the forked program's stdout as JSON
+// lines; sbt's default LoggedOutput prefixes every line with "[info] ",
+// which breaks any line-oriented JSON parse (json.loads("[info] {...}")
+// fails). StdoutOutput hands the child its streams directly — program
+// output reaches the driver byte-for-byte.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

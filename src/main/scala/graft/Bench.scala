@@ -49,6 +49,16 @@ object Bench {
     """"value":\s*([-0-9.eE+]+)""".r.findFirstMatchIn(json)
       .flatMap(m => m.group(1).toDoubleOption)
 
+  /** Per-query seconds for the SINGLE stdout contract line, rounded to
+    * 4 decimals (0.1 ms — far below window noise): the driver keeps
+    * only a bounded stdout tail, so the contract line must stay as
+    * short as the surface allows. Full-precision figures live in the
+    * BENCH_DETAIL*.json artifacts. The -1 failure sentinel renders as
+    * "-1" (still < 0 to any numeric consumer). */
+  def fmtSec(v: Double): String =
+    BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      .underlying.stripTrailingZeros.toPlainString
+
   /** Query-surface size of an existing detail record: the count of
     * per-query keys inside its `"queries":{...}` object — anchored
     * there, not counted record-wide, so a future field that happens
@@ -272,20 +282,29 @@ object Bench {
       .map { case (k, v) => Harness.jsonStr(k) + ":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    // Full combined line first (per-query detail, distinct metric name),
-    // then the total alone on the FINAL line so tail capture always
-    // contains it even as the query surface grows (round-2: the single
-    // 90-query line outgrew the driver's tail window and the total was
-    // truncated away). "total" appears on exactly ONE line: a consumer
-    // matching the first occurrence and one summing all matches now
-    // read the same number.
+    // ONE stdout JSON line, exactly the driver contract's shape
+    // ({"metric","value","unit","queries","sf"} + audit fields). The
+    // previous two-line form (full detail line, then a short total
+    // line WITHOUT "queries") was unparseable by the driver in every
+    // round: its bounded stdout tail (observed 2000 chars) truncates
+    // the detail line's head, and the short line lacks the per-query
+    // map, so BENCH_r*.json landed "parsed": null and PERF_r12's
+    // per-query comparison came up empty. One line restores the
+    // contract; "unit"/"value" are REPEATED at the very end of the
+    // line (identical values — JSON duplicate keys are last-wins) so
+    // the bounded tail always contains the headline number even when
+    // the line's head is cut. Per-query values are rounded to 4
+    // decimals to keep the line short; full precision stays in the
+    // BENCH_DETAIL*.json artifacts below.
     val sfJ = Harness.jsonStr(sfDir)
     val ptJ = Bench.passTotalsJson(passResults)
     val cbJ = Bench.coldBuildsJson(coldBuilds.toSeq)
     val detail =
       s"""{"metric":"total_detail","value":$total,"unit":"sec","passes":$passes,"pass_totals":$ptJ,"cold_builds":$cbJ,"queries":$qs,"sf":$sfJ}"""
-    println(detail)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","pass_totals":$ptJ,"sf":$sfJ}""")
+    val qsShort = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => Harness.jsonStr(k) + ":" + Bench.fmtSec(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsShort,"passes":$passes,"pass_totals":$ptJ,"cold_builds":$cbJ,"sf":$sfJ,"unit":"sec","value":$total}""")
     // The driver's log capture keeps only a bounded stdout tail, which
     // has truncated the per-query map before (round 4: q01–q37
     // unauditable). Persist the full line to files so every round's

@@ -117,9 +117,28 @@ object NearDupIndex {
     // materializes the sigs cache; gates the probe-join arm (bands are
     // exactly NumBands rows per signed doc)
     val nBandRows = timed(spark, "sig-count")(sigs.count()) * NumBands
-    def gate(df: DataFrame): DataFrame =
+    // Three gates, by what bounds the gated side:
+    //  - gateProbe: the bands probe only. Band rows are uniformly
+    //    NumBands per doc (no inflation), and above the broadcast
+    //    bound the shuffle-hash hint keeps the history scan the probe
+    //    side of that one join.
+    //  - gate: doc-bounded sides (≤ one row per batch doc — sigs,
+    //    labels, anchors, histMin, survivors). Broadcast under the
+    //    bound; ABOVE it fall back to AQE, never a forced shuffle-hash
+    //    build — a skewed or wide side must stay free to sort-merge.
+    //  - gateCand: the candidate-verify frame, which can inflate to
+    //    MaxCandidatesPerDoc rows per doc EACH carrying a 32-long sig.
+    //    Its broadcast is pinned only when that worst case is itself
+    //    under the bound (a degenerate-bucket batch must not pin a
+    //    multi-GB broadcast that AQE's sized plan would have avoided).
+    def gateProbe(df: DataFrame): DataFrame =
       if (nBandRows <= broadcastMaxBandRows) broadcast(df)
       else df.hint("shuffle_hash")
+    def gate(df: DataFrame): DataFrame =
+      if (nBandRows <= broadcastMaxBandRows) broadcast(df) else df
+    val candBound = nBandRows / NumBands * MaxCandidatesPerDoc
+    def gateCand(df: DataFrame): DataFrame =
+      if (candBound <= broadcastMaxBandRows) broadcast(df) else df
 
     // ---- history probe: ONE column-pruned scan of the stored sigs,
     // band hashes derived scan-locally, batch side broadcast under the
@@ -135,7 +154,7 @@ object NearDupIndex {
       val histBands = bandRows(
         hist.select(col("doc_id").as("old_id"), col("sig")), "old_id")
       val cands = histBands.join(
-          gate(bands.select(col("band_idx"), col("band_hash"),
+          gateProbe(bands.select(col("band_idx"), col("band_hash"),
             col("doc_id"))),
           Seq("band_idx", "band_hash"))
         .select(col("doc_id"), col("old_id")).distinct()
@@ -145,12 +164,11 @@ object NearDupIndex {
         .filter(col("__rn") <= MaxCandidatesPerDoc).drop("__rn")
       val oldSigs = hist
         .select(col("doc_id").as("old_id"), col("sig").as("old_sig"))
-      // the verify joins under the same gate as the probe: the
-      // candidate set (≤ MaxCandidatesPerDoc × batch) and the batch
-      // sigs broadcast, so the history sig read stays probe-side —
-      // never shuffled, never the build side — structurally, not just
-      // when AQE's runtime sizes happen to pick it
-      gate(cands.join(gate(sigs), Seq("doc_id")))
+      // the verify join: batch sigs broadcast under the doc gate; the
+      // candidate frame (≤ MaxCandidatesPerDoc × batch rows, each
+      // carrying a sig array) broadcasts only under its OWN bound —
+      // above it the history-side join is left to AQE's sized plan
+      gateCand(cands.join(gate(sigs), Seq("doc_id")))
         .join(oldSigs, Seq("old_id"))
         .filter(sigAgree(col("sig"), col("old_sig")) >= threshold)
         .groupBy("doc_id").agg(min("old_id").as("h_dup"))

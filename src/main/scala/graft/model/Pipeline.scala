@@ -453,8 +453,14 @@ object Pipeline {
         // run pays exactly this (its feed is entirely ≤ the stored
         // watermark). One limit-1 probe over the gated build decides
         // it; meta-bearing calls (streaming batch markers) never skip.
+        // Nor do schema-drift batches: MergeWriter's output follows the
+        // updates schema, so an empty batch arriving AFTER a model
+        // schema change must still write through to re-sync the stored
+        // schema (Delta's autoMerge-on-empty-MERGE shape) — the
+        // sameColumns guard is a driver-side schema compare, free.
         try {
-          if (meta.isEmpty && timed("empty-check")(u.isEmpty)) ()
+          if (meta.isEmpty && sameColumns(ex, u) &&
+              timed("empty-check")(u.isEmpty)) ()
           else timed("merge-write") {
             store.write(MergeWriter.merge(ex, u, key), m.layer, m.name,
               m.partitionBy, m.zorderBy, description = m.description,
