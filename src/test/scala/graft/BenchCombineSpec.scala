@@ -66,6 +66,19 @@ class BenchCombineSpec extends AnyFunSuite {
     assert(Bench.coldBuildsJson(Nil) === "[]")
   }
 
+  test("fmtSec: 4-decimal contract-line rendering, sentinel intact") {
+    // the stdout contract line rounds per-query seconds to 0.1 ms to
+    // stay inside the driver's bounded tail; the -1 failure sentinel
+    // must survive as a negative number, and rendering must be
+    // locale-independent plain decimal (no exponent, no grouping)
+    assert(Bench.fmtSec(0.205408394) === "0.2054")
+    assert(Bench.fmtSec(75.0) === "75")
+    assert(Bench.fmtSec(0.20001) === "0.2")
+    assert(Bench.fmtSec(-1.0) === "-1")
+    assert(Bench.fmtSec(0.00004) === "0")          // rounds, never 4E-5
+    assert(Bench.fmtSec(123.456789) === "123.4568") // half-up at 0.1 ms
+  }
+
   test("recordValue parses the committed record's headline; garbage " +
       "reads as no-record (monotone quiet-floor policy)") {
     assert(Bench.recordValue(
